@@ -1,0 +1,486 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named query
+over the TESTDATA tables, with a DuckDB oracle SQL string.
+
+This backs ``__spark_entry__.queries()`` / ``oracle_sql()`` (the
+driver's correctness gate) and ``bench.py``.
+
+Float-aggregate outputs are rounded identically on both sides to absorb
+summation-order differences; per-row float arithmetic is bit-exact
+across engines and left unrounded. Queries under a LIMIT always sort on
+a unique key first so both engines pick the same rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miso_spark.compiler import Compiler
+from miso_spark.kql import parse_kql
+from miso_spark.sources import SourceRegistry
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def make_registry(spark: SparkSession, sf_dir: str) -> SourceRegistry:
+    """Connector ``t`` → the sf directory's parquet tables, plus temp
+    views for raw-SQL scans (ScanRaw parity with connector-native
+    queries)."""
+    reg = SourceRegistry(spark).register_parquet_dir("t", sf_dir)
+    for t in TABLES:
+        reg.table("t", t).createOrReplaceTempView(t)
+    return reg
+
+
+def run_kql(spark: SparkSession, sf_dir: str, kql: str, rounding: dict[str, int] | None = None) -> DataFrame:
+    df = Compiler(make_registry(spark, sf_dir)).run(parse_kql(kql))
+    for col, nd in (rounding or {}).items():
+        df = df.withColumn(col, F.round(F.col(col), nd))
+    return df
+
+
+class Q:
+    """A catalog entry: KQL (or a python builder) + DuckDB oracle."""
+
+    def __init__(
+        self,
+        kql: str | None = None,
+        oracle: str | None = None,
+        rounding: dict[str, int] | None = None,
+        builder: Callable[[SparkSession, str], DataFrame] | None = None,
+    ):
+        assert (kql is None) != (builder is None)
+        self.kql = kql
+        self.oracle = oracle
+        self.rounding = rounding
+        self.builder = builder
+
+    def __call__(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.builder is not None:
+            return self.builder(spark, sf_dir)
+        return run_kql(spark, sf_dir, self.kql, self.rounding)
+
+
+CATALOG: dict[str, Q] = {}
+
+
+def q(name: str, **kw) -> None:
+    CATALOG[name] = Q(**kw)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 core pipeline operators
+
+q(
+    "pricing_summary",  # flagship; TPC-H Q1 shape through the KQL path
+    kql="""
+    t.lineitem
+    | where l_shipdate <= datetime(2024-10-01)
+    | summarize sum_qty=sum(l_quantity), sum_base=sum(l_extendedprice),
+                avg_qty=avg(l_quantity), avg_price=avg(l_extendedprice),
+                avg_disc=avg(l_discount), count_order=count()
+      by l_returnflag, l_linestatus
+    """,
+    rounding={"sum_qty": 2, "sum_base": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4},
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)  AS sum_base,
+           ROUND(AVG(l_quantity), 4)       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)  AS avg_price,
+           ROUND(AVG(l_discount), 4)       AS avg_disc,
+           COUNT(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-10-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+q(
+    "where_basic",
+    kql="""
+    t.lineitem
+    | where l_quantity >= 45 and l_discount < 0.05
+    | project l_orderkey, l_linenumber, l_quantity
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 45 AND l_discount < 0.05
+    """,
+)
+
+q(
+    "where_string_ops",
+    kql="""
+    t.part
+    | where p_name contains 'red' or p_type startswith 'SMALL'
+        or p_name endswith 'blue' or p_type has 'steel'
+    | project p_partkey, p_name, p_type
+    """,
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'
+       OR p_name LIKE '%blue'
+       OR regexp_matches(p_type, '(?i)(^|[^A-Za-z0-9])steel([^A-Za-z0-9]|$)')
+    """,
+)
+
+q(
+    "where_in_between",
+    kql="""
+    t.orders
+    | where o_orderstatus in ('F', 'O') and o_totalprice between (1000 .. 50000)
+    | project o_orderkey, o_orderstatus, o_totalprice
+    """,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus IN ('F', 'O') AND o_totalprice BETWEEN 1000 AND 50000
+    """,
+)
+
+q(
+    "project_extend",
+    kql="""
+    t.lineitem
+    | extend revenue = l_extendedprice * (1 - l_discount),
+             band = iff(l_quantity >= 25, 'high', 'low')
+    | project l_orderkey, l_linenumber, revenue, band
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS band
+    FROM lineitem
+    """,
+)
+
+q(
+    "case_multi",
+    kql="""
+    t.orders
+    | project o_orderkey,
+              tier = case(o_totalprice >= 300000, 'platinum',
+                          o_totalprice >= 150000, 'gold',
+                          o_totalprice >= 50000, 'silver',
+                          'bronze')
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+                WHEN o_totalprice >= 150000 THEN 'gold'
+                WHEN o_totalprice >= 50000 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM orders
+    """,
+)
+
+q(
+    "rename",
+    kql="""
+    t.customer
+    | project-rename cust_name = c_name, cust_key = c_custkey
+    | project cust_key, cust_name, c_mktsegment
+    """,
+    oracle="""
+    SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment FROM customer
+    """,
+)
+
+q(
+    "sort_take",
+    kql="""
+    t.orders
+    | sort by o_totalprice desc, o_orderkey asc
+    | take 10
+    | project o_orderkey, o_totalprice
+    """,
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+
+q(
+    "top_n",
+    kql="""
+    t.orders
+    | top 5 by o_totalprice desc
+    | project o_orderkey, o_totalprice
+    """,
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC LIMIT 5
+    """,
+)
+
+q(
+    "summarize_bin_time",
+    kql="""
+    t.events
+    | summarize n = count(), total = sum(value) by day = bin(ts, 1d)
+    | project day = tolong(day), n, total
+    """,
+    rounding={"total": 2},
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+
+q(
+    "summarize_bin_numeric",
+    kql="""
+    t.orders
+    | summarize n = count() by price_bucket = bin(o_totalprice, 50000)
+    """,
+    oracle="""
+    SELECT FLOOR(o_totalprice / 50000) * 50000 AS price_bucket, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+
+q(
+    "summarize_countif_dcount",
+    kql="""
+    t.orders
+    | summarize hi = countif(o_totalprice > 200000), custs = dcount(o_custkey),
+                n = count()
+      by o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS hi,
+           COUNT(DISTINCT o_custkey) AS custs,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+q(
+    "summarize_min_max",
+    kql="""
+    t.events
+    | summarize first_seen = min(ts), last_seen = max(ts), peak = max(value)
+      by event_type
+    | project event_type, first_seen = tolong(first_seen),
+              last_seen = tolong(last_seen), peak
+    """,
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_seen,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen,
+           MAX(value) AS peak
+    FROM events GROUP BY event_type
+    """,
+)
+
+q(
+    "distinct_op",
+    kql="t.lineitem | distinct l_returnflag, l_linestatus",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+q(
+    "union_op",
+    kql="""
+    t.orders
+    | where o_totalprice > 300000
+    | union (t.orders | where o_totalprice < 10000)
+    | summarize n = count() by o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM (
+      SELECT * FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT * FROM orders WHERE o_totalprice < 10000
+    ) GROUP BY o_orderstatus
+    """,
+)
+
+q(
+    "join_inner",
+    kql="""
+    t.customer
+    | join kind=inner (t.nation) on $left.c_nationkey == $right.n_nationkey
+    | summarize n = count(), total_bal = sum(c_acctbal) by n_name
+    """,
+    rounding={"total_bal": 2},
+    oracle="""
+    SELECT n_name, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+q(
+    "join_left",
+    kql="""
+    t.customer
+    | join kind=left (t.orders | summarize n_orders = count() by o_custkey)
+      on $left.c_custkey == $right.o_custkey
+    | project c_custkey, n_orders
+    """,
+    oracle="""
+    SELECT c_custkey, n_orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) sub ON c_custkey = o_custkey
+    """,
+)
+
+q(
+    "join_right",
+    kql="""
+    t.orders
+    | summarize n_orders = count() by o_custkey
+    | join kind=right (t.customer) on $left.o_custkey == $right.c_custkey
+    | project c_custkey, n_orders
+    """,
+    oracle="""
+    SELECT c_custkey, n_orders
+    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) sub
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+q(
+    "join_outer",
+    kql="""
+    t.supplier
+    | join kind=outer (t.customer | where c_acctbal > 9000)
+      on $left.s_nationkey == $right.c_nationkey
+    | project s_suppkey, c_custkey
+    """,
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier FULL OUTER JOIN (
+      SELECT * FROM customer WHERE c_acctbal > 9000
+    ) c ON s_nationkey = c_nationkey
+    """,
+)
+
+q(
+    "count_op",
+    kql="t.lineitem | count",
+    oracle='SELECT COUNT(*) AS "Count" FROM lineitem',
+)
+
+q(
+    "let_binding",
+    kql="""
+    let busy = t.orders | summarize n = count() by o_custkey | where n >= 12;
+    busy
+    | join kind=inner (t.customer) on $left.o_custkey == $right.c_custkey
+    | project c_custkey, c_name, n
+    """,
+    oracle="""
+    WITH busy AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    )
+    SELECT c_custkey, c_name, n
+    FROM busy JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+q(
+    "casts_op",
+    kql="""
+    t.lineitem
+    | project l_orderkey, l_linenumber,
+              q_int = toint(l_quantity),
+              q_str = tostring(l_linenumber),
+              big = tobool(iff(l_quantity > 25, 1, 0)),
+              price_long = tolong(l_extendedprice)
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(TRUNC(l_quantity) AS INTEGER) AS q_int,
+           CAST(l_linenumber AS VARCHAR) AS q_str,
+           CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS BOOLEAN) AS big,
+           CAST(TRUNC(l_extendedprice) AS BIGINT) AS price_long
+    FROM lineitem
+    """,
+)
+
+q(
+    "extract_op",
+    kql="""
+    t.events
+    | project event_id, k = toint(extract('"k": (\\d+)', 1, props))
+    """,
+    oracle="""
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+)
+
+q(
+    "exists_op",
+    kql="""
+    t.events
+    | where exists(props) and not(exists(props) and false)
+    | summarize n = count() by event_type
+    """,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE props IS NOT NULL GROUP BY event_type
+    """,
+)
+
+q(
+    "scan_raw",
+    kql="""
+    t.lineitem.raw('SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag')
+    | sort by n desc
+    """,
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+q(
+    "mv_expand",
+    kql="""
+    t.documents.raw('SELECT doc_id, split(text, " ") AS words FROM documents')
+    | mv-expand kind=array words
+    | summarize n = count() by words
+    """,
+    oracle="""
+    SELECT w AS words, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w
+    """,
+)
+
+q(
+    "datetime_arith",
+    kql="""
+    t.events
+    | where ts between (datetime(2024-01-05) .. datetime(2024-01-05) + 2d)
+    | summarize n = count() by event_type
+    """,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05'
+          AND TIMESTAMP '2024-01-05' + INTERVAL 2 DAY
+    GROUP BY event_type
+    """,
+)
+
+
+def get(name: str) -> Q:
+    return CATALOG[name]

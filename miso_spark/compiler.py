@@ -1,0 +1,172 @@
+"""Plan → DataFrame compiler.
+
+Each step maps to declarative DataFrame ops so Catalyst handles
+pushdown/pruning/topn/broadcast decisions (SURVEY.md §6). The
+reference executes the same steps as hand-written streaming iterators
+(miso-workflow/src/{filter,project,sort,summarize,join,union,...}.rs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType
+
+from miso_spark import plan as P
+from miso_spark.exprs import compile_expr
+from miso_spark.fields import FieldPath
+from miso_spark.sources import SourceRegistry
+
+#: miso names the bare `count` step's output column "Count"
+#: (miso-workflow-types/src/log.rs:9)
+COUNT_FIELD_NAME = "Count"
+
+
+def _sort_cols(sorts: tuple[P.Sort, ...]) -> list[Column]:
+    cols = []
+    for s in sorts:
+        c = FieldPath.parse(s.by).to_column()
+        if s.order == "asc":
+            c = c.asc_nulls_first() if s.nulls == "first" else c.asc_nulls_last()
+        else:
+            c = c.desc_nulls_first() if s.nulls == "first" else c.desc_nulls_last()
+        cols.append(c)
+    return cols
+
+
+def _agg_col(name: str, agg: P.Agg) -> Column:
+    k = agg.kind
+    if k == "count":
+        c = F.count(F.lit(1))
+    elif k == "countif":
+        assert agg.arg is not None
+        c = F.count(F.when(compile_expr(agg.arg), F.lit(1)))
+    elif k == "dcount":
+        assert agg.arg is not None
+        c = F.count_distinct(compile_expr(agg.arg))
+    elif k == "dcount_approx":
+        # 100 TB path: HLL sketch instead of exact two-phase distinct
+        assert agg.arg is not None
+        c = F.approx_count_distinct(compile_expr(agg.arg))
+    elif k == "sum":
+        assert agg.arg is not None
+        c = F.sum(compile_expr(agg.arg))
+    elif k == "avg":
+        assert agg.arg is not None
+        c = F.avg(compile_expr(agg.arg))
+    elif k == "min":
+        assert agg.arg is not None
+        c = F.min(compile_expr(agg.arg))
+    elif k == "max":
+        assert agg.arg is not None
+        c = F.max(compile_expr(agg.arg))
+    else:
+        raise ValueError(f"unknown aggregation {k}")
+    return c.alias(name)
+
+
+class Compiler:
+    def __init__(self, registry: SourceRegistry):
+        self.registry = registry
+        self.spark = registry.spark
+
+    def run(self, plan: P.Plan) -> DataFrame:
+        return self._run(plan, {})
+
+    def _run(self, plan: P.Plan, env: dict[str, DataFrame]) -> DataFrame:
+        df: Optional[DataFrame] = None
+        env = dict(env)
+        for step in plan.steps:
+            df = self._apply(step, df, env)
+        if df is None:
+            raise ValueError("plan produced no DataFrame (missing scan?)")
+        return df
+
+    def _apply(self, step: P.Step, df: Optional[DataFrame], env: dict[str, DataFrame]) -> Optional[DataFrame]:
+        if isinstance(step, P.Let):
+            env[step.name] = self._run(step.sub, env)
+            return df
+
+        if isinstance(step, P.Scan):
+            return self.registry.table(step.connector, step.collection)
+        if isinstance(step, P.ScanVar):
+            if step.name not in env:
+                raise KeyError(f"unbound let variable {step.name!r}")
+            return env[step.name]
+        if isinstance(step, P.ScanRaw):
+            return self.spark.sql(step.query)
+
+        assert df is not None, f"{type(step).__name__} requires an input"
+
+        if isinstance(step, P.Filter):
+            return df.filter(compile_expr(step.expr))
+        if isinstance(step, P.Project):
+            return df.select(*[compile_expr(f.expr).alias(f.name) for f in step.fields])
+        if isinstance(step, P.Extend):
+            return df.withColumns({f.name: compile_expr(f.expr) for f in step.fields})
+        if isinstance(step, P.Rename):
+            return df.withColumnsRenamed(dict(step.pairs))
+        if isinstance(step, P.Expand):
+            return self._expand(df, step)
+        if isinstance(step, P.Limit):
+            return df.limit(step.n)
+        if isinstance(step, P.SortStep):
+            return df.orderBy(*_sort_cols(step.sorts))
+        if isinstance(step, P.Top):
+            # sort+limit → Catalyst plans TakeOrderedAndProject (the
+            # reference's topn.rs heap, distributed)
+            return df.orderBy(*_sort_cols(step.sorts)).limit(step.n)
+        if isinstance(step, P.SummarizeStep):
+            aggs = [_agg_col(name, agg) for name, agg in step.aggs]
+            if step.by:
+                by = [compile_expr(b.expr).alias(b.name) for b in step.by]
+                return df.groupBy(*by).agg(*aggs)
+            return df.agg(*aggs)
+        if isinstance(step, P.Distinct):
+            if step.fields:
+                return df.select(*[FieldPath.parse(f).to_column().alias(f) for f in step.fields]).distinct()
+            return df.distinct()
+        if isinstance(step, P.Union):
+            other = self._run(step.sub, env)
+            return df.unionByName(other, allowMissingColumns=True)
+        if isinstance(step, P.JoinStep):
+            return self._join(df, step, env)
+        if isinstance(step, P.CountStep):
+            return df.agg(F.count(F.lit(1)).alias(COUNT_FIELD_NAME))
+        if isinstance(step, P.Tee):
+            self.registry.source(step.connector).write(df, step.collection)
+            return df
+        if isinstance(step, P.Write):
+            self.registry.source(step.connector).write(df, step.collection)
+            return df
+
+        raise TypeError(f"unknown step {type(step).__name__}")
+
+    def _expand(self, df: DataFrame, step: P.Expand) -> DataFrame:
+        for name in step.fields:
+            dtype = df.schema[name].dataType
+            col = F.col(f"`{name}`")
+            if isinstance(dtype, ArrayType):
+                df = df.withColumn(name, F.explode_outer(col))
+            elif isinstance(dtype, MapType):
+                # bag expansion: one row per entry as {key, value} struct
+                entry = F.explode_outer(F.map_entries(col))
+                df = df.withColumn(name, entry)
+            else:
+                # scalar: expanding a non-collection is the identity,
+                # matching mv-expand's pass-through on scalars
+                pass
+        return df
+
+    def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
+        right = self._run(step.sub, env)
+        if step.broadcast:
+            right = F.broadcast(right)
+        how = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}[step.how]
+        lcol = FieldPath.parse(step.left_on)
+        rcol = FieldPath.parse(step.right_on)
+        if step.left_on == step.right_on:
+            return left.join(right, on=[step.left_on], how=how)
+        return left.join(right, on=left[str(lcol)] == right[str(rcol)], how=how)

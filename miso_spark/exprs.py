@@ -1,0 +1,282 @@
+"""Expression AST + compilation to PySpark Columns.
+
+Parity: miso-workflow-types/src/expr.rs (Expr enum) and
+miso-workflow/src/interpreter (evaluation semantics):
+- ``contains``/``startswith``/``endswith`` are case-SENSITIVE string ops
+  (interpreter/mod.rs:209-224).
+- ``has`` is a case-insensitive phrase match with non-alphanumeric
+  boundaries; ``has_cs`` the case-sensitive variant
+  (interpreter/string_ops.rs:43-117).
+- comparisons with null/missing evaluate to unknown → row filtered,
+  which matches Spark three-valued logic.
+
+Everything compiles to built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs anywhere in the expression path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from miso_spark.fields import FieldPath
+
+
+class Expr:
+    """Base class for expression AST nodes."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Field(Expr):
+    path: FieldPath
+
+    @staticmethod
+    def of(text: str) -> "Field":
+        return Field(FieldPath.parse(text))
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: object  # None | bool | int | float | str | datetime
+
+
+@dataclass(frozen=True)
+class Duration(Expr):
+    """Timespan literal, stored as float seconds (supports sub-second)."""
+
+    seconds: float
+
+
+# op -> (spark column method or callable)
+_CMP_OPS = {"eq", "ne", "gt", "gte", "lt", "lte"}
+_ARITH_OPS = {"add", "sub", "mul", "div"}
+_BOOL_OPS = {"and", "or"}
+_STR_OPS = {"contains", "startswith", "endswith", "has", "has_cs"}
+
+
+@dataclass(frozen=True)
+class BinOp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+
+    def __post_init__(self) -> None:
+        ok = _CMP_OPS | _ARITH_OPS | _BOOL_OPS | _STR_OPS
+        if self.op not in ok:
+            raise ValueError(f"unknown binop {self.op}")
+
+
+@dataclass(frozen=True)
+class Not(Expr):
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class Exists(Expr):
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class In(Expr):
+    expr: Expr
+    items: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    """case(c1, v1, c2, v2, ..., default); iff() is a 1-branch case."""
+
+    branches: tuple[tuple[Expr, Expr], ...]
+    default: Expr
+
+
+@dataclass(frozen=True)
+class Extract(Expr):
+    """extract(regex, capture_group, source) — regexp_extract.
+
+    Parity: interpreter/string_ops.rs:14 (no match → null).
+    """
+
+    pattern: Expr
+    group: Expr
+    source: Expr
+
+
+@dataclass(frozen=True)
+class Bin(Expr):
+    """bin(x, size): floor x to a multiple of size.
+
+    For timestamps with a Duration size, buckets epoch seconds.
+    """
+
+    expr: Expr
+    size: Expr
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    type: str  # bool|int|long|float|decimal|string
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class Now(Expr):
+    pass
+
+
+def _phrase_regex(phrase: str, case_insensitive: bool) -> str:
+    pre = "(?i)" if case_insensitive else ""
+    esc = re.escape(phrase)
+    return f"{pre}(^|[^A-Za-z0-9]){esc}([^A-Za-z0-9]|$)"
+
+
+_CAST_TYPES = {
+    "bool": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "double",
+    "decimal": "decimal(38,9)",
+    "string": "string",
+}
+
+
+def compile_expr(e: Expr) -> Column:
+    """Compile an Expr AST node into a PySpark Column."""
+    if isinstance(e, Field):
+        return e.path.to_column()
+    if isinstance(e, Lit):
+        return F.lit(e.value)
+    if isinstance(e, Duration):
+        # day-time interval keeps timestamp arithmetic exact
+        return F.expr(f"INTERVAL '{e.seconds}' SECOND")
+    if isinstance(e, BinOp):
+        return _compile_binop(e)
+    if isinstance(e, Not):
+        return ~compile_expr(e.expr)
+    if isinstance(e, Exists):
+        return compile_expr(e.expr).isNotNull()
+    if isinstance(e, In):
+        return compile_expr(e.expr).isin(*[compile_expr(i) for i in e.items])
+    if isinstance(e, Between):
+        c = compile_expr(e.expr).between(compile_expr(e.low), compile_expr(e.high))
+        return ~c if e.negated else c
+    if isinstance(e, Case):
+        col: Optional[Column] = None
+        for cond, val in e.branches:
+            if col is None:
+                col = F.when(compile_expr(cond), compile_expr(val))
+            else:
+                col = col.when(compile_expr(cond), compile_expr(val))
+        assert col is not None, "case requires at least one branch"
+        return col.otherwise(compile_expr(e.default))
+    if isinstance(e, Extract):
+        if not isinstance(e.pattern, Lit) or not isinstance(e.group, Lit):
+            raise ValueError("extract(regex, group, src) requires literal regex+group")
+        src = compile_expr(e.source)
+        extracted = F.regexp_extract(src, str(e.pattern.value), int(e.group.value))
+        # regexp_extract yields '' on no-match; miso yields null (string_ops.rs:14)
+        matched = src.rlike(str(e.pattern.value))
+        return F.when(matched, extracted)
+    if isinstance(e, Bin):
+        return _compile_bin(e)
+    if isinstance(e, Cast):
+        return compile_expr(e.expr).cast(_CAST_TYPES[e.type])
+    if isinstance(e, Now):
+        return F.current_timestamp()
+    raise TypeError(f"cannot compile {type(e).__name__}")
+
+
+def _compile_binop(e: BinOp) -> Column:
+    op = e.op
+    if op in _STR_OPS:
+        l, r = compile_expr(e.left), compile_expr(e.right)
+        if op == "contains":
+            return l.contains(r)
+        if op == "startswith":
+            return l.startswith(r)
+        if op == "endswith":
+            return l.endswith(r)
+        # has / has_cs need a literal phrase to build the boundary regex
+        if not isinstance(e.right, Lit) or not isinstance(e.right.value, str):
+            raise ValueError(f"{op} requires a string literal phrase")
+        return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
+
+    # timestamp +/- duration stays exact via intervals
+    l, r = compile_expr(e.left), compile_expr(e.right)
+    if op == "and":
+        return l & r
+    if op == "or":
+        return l | r
+    if op == "eq":
+        return l == r
+    if op == "ne":
+        return l != r
+    if op == "gt":
+        return l > r
+    if op == "gte":
+        return l >= r
+    if op == "lt":
+        return l < r
+    if op == "lte":
+        return l <= r
+    if op == "add":
+        return l + r
+    if op == "sub":
+        return l - r
+    if op == "mul":
+        return l * r
+    if op == "div":
+        return l / r
+    raise AssertionError(op)
+
+
+def _compile_bin(e: Bin) -> Column:
+    x = compile_expr(e.expr)
+    if isinstance(e.size, Duration):
+        secs = e.size.seconds
+        bucket = F.floor(F.unix_timestamp(x) / F.lit(secs)) * F.lit(int(secs))
+        return F.timestamp_seconds(bucket)
+    size = compile_expr(e.size)
+    return F.floor(x / size) * size
+
+
+# ---------------------------------------------------------------------------
+# convenience constructors (fluent API)
+
+def lit(v: object) -> Lit:
+    return Lit(v)
+
+
+def col(name: str) -> Field:
+    return Field.of(name)
+
+
+def days(n: float) -> Duration:
+    return Duration(n * 86400.0)
+
+
+def hours(n: float) -> Duration:
+    return Duration(n * 3600.0)
+
+
+def minutes(n: float) -> Duration:
+    return Duration(n * 60.0)
+
+
+def seconds(n: float) -> Duration:
+    return Duration(float(n))

@@ -1,0 +1,62 @@
+"""Field paths: ``a.b[0].c`` → Spark Column access.
+
+Parity: miso-workflow-types/src/field.rs (Field = dot-separated
+FieldAccess segments, each with optional ``[idx]...`` array indices).
+Spark mapping: top-level segment is a column; nested segments are
+struct ``getField``; indices are array ``getItem``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SEG_RE = re.compile(r"^(?P<name>[^\[\]]+)(?P<idx>(\[\d+\])*)$")
+
+
+@dataclass(frozen=True)
+class FieldPath:
+    """Parsed field path. ``segments`` is a tuple of (name, indices)."""
+
+    segments: tuple[tuple[str, tuple[int, ...]], ...]
+
+    @staticmethod
+    def parse(text: str) -> "FieldPath":
+        if not text:
+            raise ValueError("empty field path")
+        segs: list[tuple[str, tuple[int, ...]]] = []
+        for raw in text.split("."):
+            m = _SEG_RE.match(raw)
+            if not m:
+                raise ValueError(f"invalid field segment: {raw!r}")
+            idx = tuple(int(i) for i in re.findall(r"\[(\d+)\]", m.group("idx")))
+            segs.append((m.group("name"), idx))
+        return FieldPath(tuple(segs))
+
+    @property
+    def name(self) -> str:
+        """Flat output name (how miso names a projected field)."""
+        return str(self)
+
+    def is_simple(self) -> bool:
+        return len(self.segments) == 1 and not self.segments[0][1]
+
+    def to_column(self) -> Column:
+        (root, root_idx), rest = self.segments[0], self.segments[1:]
+        col = F.col(f"`{root}`")
+        for i in root_idx:
+            col = col.getItem(i)
+        for name, idxs in rest:
+            col = col.getField(name)
+            for i in idxs:
+                col = col.getItem(i)
+        return col
+
+    def __str__(self) -> str:
+        parts = []
+        for name, idxs in self.segments:
+            parts.append(name + "".join(f"[{i}]" for i in idxs))
+        return ".".join(parts)

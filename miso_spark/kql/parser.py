@@ -1,0 +1,567 @@
+"""KQL recursive-descent parser → miso_spark.plan.Plan.
+
+Grammar parity: miso-kql/src/parser.rs —
+``query := let* scan ('|' step)*`` where
+``let := 'let' ident '=' query ';'`` and
+``scan := ident['.' ident ['.' 'raw' '(' string ')']]``
+(bare ident scans a let-bound variable).
+
+Operator precedence (low→high): or, and, in, comparisons/string-ops/
+between, add/sub, mul/div, unary not/minus, primary.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from miso_spark import plan as P
+from miso_spark.exprs import (
+    Between,
+    Bin,
+    BinOp,
+    Case,
+    Cast,
+    Duration,
+    Exists,
+    Expr,
+    Extract,
+    Field,
+    In,
+    Lit,
+    Not,
+    Now,
+)
+from miso_spark.fields import FieldPath
+from miso_spark.kql.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+_CMP_OPS = {
+    "==": "eq",
+    "!=": "ne",
+    ">": "gt",
+    ">=": "gte",
+    "<": "lt",
+    "<=": "lte",
+    "contains": "contains",
+    "startswith": "startswith",
+    "endswith": "endswith",
+    "has": "has",
+    "has_cs": "has_cs",
+}
+
+_CASTS = {
+    "tobool": "bool",
+    "toint": "int",
+    "tolong": "long",
+    "toreal": "float",
+    "todecimal": "decimal",
+    "tostring": "string",
+}
+
+_AGG_KEYWORDS = {"count", "countif", "dcount", "sum", "avg", "min", "max"}
+
+
+def _parse_datetime_literal(text: str) -> object:
+    text = text.strip().strip("\"'")
+    if not text or text == "null":
+        return None
+    for fmt in (None,):  # fromisoformat handles most shapes
+        try:
+            dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            return dt
+        except ValueError:
+            pass
+    raise ParseError(f"cannot parse datetime literal {text!r}")
+
+
+class Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def accept(self, kind: str) -> Token | None:
+        if self.peek().kind == kind:
+            return self.next()
+        return None
+
+    def expect(self, kind: str) -> Token:
+        t = self.peek()
+        if t.kind != kind:
+            raise ParseError(f"expected {kind!r}, got {t.kind!r} at pos {t.pos}")
+        return self.next()
+
+    # -- query ------------------------------------------------------------
+    def parse_query(self) -> list[P.Step]:
+        steps: list[P.Step] = []
+        while self.peek().kind == "let":
+            self.next()
+            name = self.expect("ident").value
+            self.expect("=")
+            sub = self.parse_query()
+            self.expect(";")
+            steps.append(P.Let(str(name), P.Plan(tuple(sub))))
+        steps.append(self.parse_scan())
+        while self.accept("|"):
+            steps.append(self.parse_step())
+        return steps
+
+    def parse_scan(self) -> P.Step:
+        connector = str(self.expect("ident").value)
+        if self.peek().kind == "." and self.peek(1).kind in ("ident", *(k for k in ())):
+            self.next()
+            collection = str(self.expect("ident").value)
+            if self.peek().kind == "." and self.peek(1).kind == "raw":
+                self.next()
+                self.next()
+                self.expect("(")
+                q = str(self.expect("string").value)
+                self.expect(")")
+                return P.ScanRaw(connector, collection, q)
+            return P.Scan(connector, collection)
+        return P.ScanVar(connector)
+
+    # -- steps ------------------------------------------------------------
+    def parse_step(self) -> P.Step:
+        t = self.next()
+        k = t.kind
+        if k in ("where", "filter"):
+            return P.Filter(self.parse_expr())
+        if k == "project":
+            return P.Project(tuple(self._project_fields()))
+        if k == "extend":
+            return P.Extend(tuple(self._project_fields()))
+        if k == "project-rename":
+            pairs = []
+            while True:
+                to = str(self._field().path)
+                self.expect("=")
+                frm = str(self._field().path)
+                pairs.append((frm, to))
+                if not self.accept(","):
+                    break
+            return P.Rename(tuple(pairs))
+        if k == "mv-expand":
+            kind = "bag"
+            if self.peek().kind == "kind":
+                self.next()
+                self.expect("=")
+                kt = self.next()
+                if kt.kind not in ("bag", "array"):
+                    raise ParseError(f"mv-expand kind must be bag|array, got {kt.kind}")
+                kind = kt.kind
+            fields = [str(self._field().path)]
+            while self.accept(","):
+                fields.append(str(self._field().path))
+            return P.Expand(tuple(fields), kind)
+        if k in ("limit", "take"):
+            return P.Limit(int(self.expect("int").value))
+        if k in ("sort", "order"):
+            self.expect("by")
+            return P.SortStep(tuple(self._sort_exprs()))
+        if k == "top":
+            n = int(self.expect("int").value)
+            self.expect("by")
+            return P.Top(tuple(self._sort_exprs()), n)
+        if k == "summarize":
+            return self._summarize()
+        if k == "distinct":
+            fields = []
+            if self.peek().kind == "*":
+                self.next()
+            elif self.peek().kind == "ident":
+                fields.append(str(self._field().path))
+                while self.accept(","):
+                    fields.append(str(self._field().path))
+            return P.Distinct(tuple(fields))
+        if k == "union":
+            self.expect("(")
+            sub = self.parse_query()
+            self.expect(")")
+            return P.Union(P.Plan(tuple(sub)))
+        if k == "join":
+            return self._join()
+        if k == "count":
+            return P.CountStep()
+        if k in ("tee", "write"):
+            connector = str(self.expect("ident").value)
+            self.expect(".")
+            collection = str(self.expect("ident").value)
+            cls = P.Tee if k == "tee" else P.Write
+            return cls(connector, collection)
+        raise ParseError(f"unknown query step {k!r} at pos {t.pos}")
+
+    def _project_fields(self) -> list[P.ProjectField]:
+        out: list[P.ProjectField] = []
+        used: set[str] = set()
+        anon = 0
+        while True:
+            name = None
+            if (
+                self.peek().kind == "ident"
+                and self.peek(1).kind == "="
+                and self.peek(2).kind != "="
+            ):
+                name = str(self.next().value)
+                self.next()  # '='
+            e = self.parse_expr()
+            if name is None:
+                name = _expr_default_name(e)
+                if name is None:
+                    anon += 1
+                    name = f"Column{anon}"
+            # unique-ify (parser.rs generate_unique_name)
+            base, cand, c = name, name, 0
+            while cand in used:
+                c += 1
+                cand = f"{base}{c}"
+            used.add(cand)
+            out.append(P.ProjectField(e, cand))
+            if not self.accept(","):
+                break
+        return out
+
+    def _sort_exprs(self) -> list[P.Sort]:
+        out = []
+        while True:
+            by = str(self._field().path)
+            order = "asc"
+            nulls = "last"
+            if self.peek().kind in ("asc", "desc"):
+                order = self.next().kind
+            if self.peek().kind == "nulls":
+                self.next()
+                nt = self.next()
+                if nt.kind not in ("first", "last"):
+                    raise ParseError("nulls must be first|last")
+                nulls = nt.kind
+            out.append(P.Sort(by, order, nulls))
+            if not self.accept(","):
+                break
+        return out
+
+    def _summarize(self) -> P.SummarizeStep:
+        aggs: list[tuple[str | None, P.Agg]] = []
+        if self.peek().kind in _AGG_KEYWORDS or (
+            self.peek().kind == "ident" and self.peek(1).kind == "="
+        ):
+            while True:
+                name = None
+                if self.peek().kind == "ident" and self.peek(1).kind == "=":
+                    name = str(self.next().value)
+                    self.next()
+                aggs.append((name, self._agg()))
+                if not self.accept(","):
+                    break
+        by: list[P.ByField] = []
+        if self.accept("by"):
+            used: set[str] = set()
+            anon = 0
+            while True:
+                name = None
+                if self.peek().kind == "ident" and self.peek(1).kind == "=":
+                    name = str(self.next().value)
+                    self.next()
+                e = self.parse_expr()
+                if name is None:
+                    name = _expr_default_name(e)
+                    if name is None:
+                        anon += 1
+                        name = f"Column{anon}"
+                base, cand, c = name, name, 0
+                while cand in used:
+                    c += 1
+                    cand = f"{base}{c}"
+                used.add(cand)
+                by.append(P.ByField(e, cand))
+                if not self.accept(","):
+                    break
+        # default agg names (parser.rs agg_default_name)
+        named: dict[str, P.Agg] = {}
+        for name, agg in aggs:
+            if name is None:
+                name = _agg_default_name(agg)
+                base, c = name, 0
+                while name in named:
+                    c += 1
+                    name = f"{base}{c}"
+            named[name] = agg
+        return P.SummarizeStep(tuple(named.items()), tuple(by))
+
+    def _agg(self) -> P.Agg:
+        t = self.next()
+        k = t.kind
+        if k not in _AGG_KEYWORDS:
+            raise ParseError(f"expected aggregation, got {k!r}")
+        self.expect("(")
+        if k == "count":
+            self.expect(")")
+            return P.Agg("count")
+        if k == "countif":
+            e = self.parse_expr()
+            self.expect(")")
+            return P.Agg("countif", e)
+        e = self.parse_expr()
+        self.expect(")")
+        return P.Agg(k, e)
+
+    def _join(self) -> P.JoinStep:
+        how = "inner"
+        partitions = 1
+        if self.peek().kind == "kind":
+            self.next()
+            self.expect("=")
+            kt = self.next()
+            if kt.kind not in ("inner", "outer", "left", "right"):
+                raise ParseError(f"bad join kind {kt.kind!r}")
+            how = kt.kind
+        if self.peek().kind == "hint":
+            self.next()
+            self.expect(".")
+            self.expect("partitions")
+            self.expect("=")
+            partitions = int(self.expect("int").value)
+        self.expect("(")
+        sub = self.parse_query()
+        self.expect(")")
+        self.expect("on")
+        left_on, right_on = self._join_condition()
+        return P.JoinStep(left_on, right_on, P.Plan(tuple(sub)), how, partitions)
+
+    def _join_condition(self) -> tuple[str, str]:
+        if self.peek().kind == "$":
+            sides: dict[str, str] = {}
+            for nth in range(2):
+                self.expect("$")
+                side = self.next()
+                if side.kind not in ("left", "right"):
+                    raise ParseError("join condition must use $left/$right")
+                self.expect(".")
+                sides[side.kind] = str(self._field().path)
+                if nth == 0:
+                    self.expect("==")
+            if set(sides) != {"left", "right"}:
+                raise ParseError("join condition needs one $left and one $right side")
+            return sides["left"], sides["right"]
+        f = str(self._field().path)
+        return f, f
+
+    # -- expressions ------------------------------------------------------
+    def parse_expr(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> Expr:
+        e = self._and_expr()
+        while self.accept("or"):
+            e = BinOp("or", e, self._and_expr())
+        return e
+
+    def _and_expr(self) -> Expr:
+        e = self._in_expr()
+        while self.accept("and"):
+            e = BinOp("and", e, self._in_expr())
+        return e
+
+    def _in_expr(self) -> Expr:
+        e = self._cmp_expr()
+        if self.accept("in"):
+            self.expect("(")
+            items = [self.parse_expr()]
+            while self.accept(","):
+                items.append(self.parse_expr())
+            self.expect(")")
+            return In(e, tuple(items))
+        return e
+
+    def _cmp_expr(self) -> Expr:
+        e = self._add_expr()
+        k = self.peek().kind
+        if k in _CMP_OPS:
+            self.next()
+            return BinOp(_CMP_OPS[k], e, self._add_expr())
+        if k in ("between", "!between"):
+            self.next()
+            negated = k == "!between"
+            self.expect("(")
+            low = self.parse_expr()
+            self.expect("..")
+            high = self.parse_expr()
+            self.expect(")")
+            return Between(e, low, high, negated)
+        return e
+
+    def _add_expr(self) -> Expr:
+        e = self._mul_expr()
+        while self.peek().kind in ("+", "-"):
+            op = "add" if self.next().kind == "+" else "sub"
+            e = BinOp(op, e, self._mul_expr())
+        return e
+
+    def _mul_expr(self) -> Expr:
+        e = self._unary()
+        while self.peek().kind in ("*", "/"):
+            op = "mul" if self.next().kind == "*" else "div"
+            e = BinOp(op, e, self._unary())
+        return e
+
+    def _unary(self) -> Expr:
+        if self.accept("not"):
+            return Not(self._unary())
+        if self.accept("-"):
+            inner = self._unary()
+            if isinstance(inner, Lit) and isinstance(inner.value, (int, float)):
+                return Lit(-inner.value)
+            return BinOp("sub", Lit(0), inner)
+        return self._primary()
+
+    def _primary(self) -> Expr:
+        t = self.peek()
+        k = t.kind
+        if k == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if k == "int" or k == "float":
+            self.next()
+            return Lit(t.value)
+        if k == "string":
+            self.next()
+            return Lit(t.value)
+        if k == "timespan":
+            self.next()
+            return Duration(float(t.value))  # type: ignore[arg-type]
+        if k == "datetime_lit":
+            self.next()
+            return Lit(_parse_datetime_literal(str(t.value)))
+        if k == "null":
+            self.next()
+            return Lit(None)
+        if k == "true":
+            self.next()
+            return Lit(True)
+        if k == "false":
+            self.next()
+            return Lit(False)
+        if k == "now":
+            self.next()
+            self.expect("(")
+            self.expect(")")
+            return Now()
+        if k == "exists":
+            self.next()
+            self.expect("(")
+            e = self.parse_expr()
+            self.expect(")")
+            return Exists(e)
+        if k == "iff":
+            self.next()
+            self.expect("(")
+            c = self.parse_expr()
+            self.expect(",")
+            a = self.parse_expr()
+            self.expect(",")
+            b = self.parse_expr()
+            self.expect(")")
+            return Case(((c, a),), b)
+        if k == "case":
+            self.next()
+            self.expect("(")
+            parts = [self.parse_expr()]
+            while self.accept(","):
+                parts.append(self.parse_expr())
+            self.expect(")")
+            if len(parts) < 3 or len(parts) % 2 == 0:
+                raise ParseError("case requires cond,val pairs plus a default")
+            branches = tuple(
+                (parts[i], parts[i + 1]) for i in range(0, len(parts) - 1, 2)
+            )
+            return Case(branches, parts[-1])
+        if k == "bin":
+            self.next()
+            self.expect("(")
+            e = self.parse_expr()
+            self.expect(",")
+            size = self.parse_expr()
+            self.expect(")")
+            return Bin(e, size)
+        if k == "extract":
+            self.next()
+            self.expect("(")
+            pat = self.parse_expr()
+            self.expect(",")
+            grp = self.parse_expr()
+            self.expect(",")
+            src = self.parse_expr()
+            self.expect(")")
+            return Extract(pat, grp, src)
+        if k in _CASTS:
+            self.next()
+            self.expect("(")
+            e = self.parse_expr()
+            self.expect(")")
+            return Cast(_CASTS[k], e)
+        if k == "ident":
+            return self._field()
+        raise ParseError(f"unexpected token {k!r} at pos {t.pos}")
+
+    def _field(self) -> Field:
+        parts = []
+        while True:
+            seg = str(self.expect("ident").value)
+            while self.peek().kind == "[" and self.peek(1).kind == "int":
+                self.next()
+                seg += f"[{self.expect('int').value}]"
+                self.expect("]")
+            parts.append(seg)
+            if self.peek().kind == "." and self.peek(1).kind == "ident":
+                self.next()
+                continue
+            break
+        return Field(FieldPath.parse(".".join(parts)))
+
+
+def _expr_default_name(e: Expr) -> str | None:
+    """parser.rs expr_default_name: Field→name, Cast/Bin→inner name."""
+    if isinstance(e, Field):
+        return str(e.path)
+    if isinstance(e, Cast):
+        return _expr_default_name(e.expr)
+    if isinstance(e, Bin):
+        return _expr_default_name(e.expr)
+    return None
+
+
+def _agg_default_name(agg: P.Agg) -> str:
+    """parser.rs agg_default_name."""
+    if agg.kind == "count":
+        return "count_"
+    if agg.kind == "countif":
+        return "countif_"
+    arg = ""
+    if agg.arg is not None and isinstance(agg.arg, Field):
+        arg = str(agg.arg.path).replace(".", "_")
+    return f"{agg.kind}_{arg}"
+
+
+def parse_kql(text: str) -> P.Plan:
+    p = Parser(tokenize(text))
+    steps = p.parse_query()
+    if p.peek().kind != "eof":
+        raise ParseError(f"trailing input at pos {p.peek().pos}: {p.peek().kind!r}")
+    return P.Plan(tuple(steps))

@@ -1,0 +1,125 @@
+"""Source ("connector") registry.
+
+Parity: miso-connectors/src/lib.rs — a connector exposes named
+collections and declares which query steps it can absorb (predicate
+pushdown). In Spark the pushdown negotiation is Catalyst's job: the
+parquet/json/csv sources get filter+projection+limit pushdown for free,
+which subsumes miso's push_*_into_scan passes (SURVEY.md §6).
+
+Connector kinds:
+- ``ParquetDirSource``: a directory of ``<collection>.parquet`` —
+  the stand-in for Quickwit/ES indexes (columnar, indexed storage).
+- ``JsonDirSource`` / ``CsvDirSource``: semi-structured log files.
+- ``MemorySource``: in-session named DataFrames
+  (parity: miso-connectors/src/memory.rs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Source:
+    """A named connector serving collections as DataFrames."""
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns], which Spark reads as
+    nano longs under ``spark.sql.legacy.parquet.nanosAsLong``.
+    Metadata-only sniff (footer read, driver-side, no data IO)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    target = path
+    if os.path.isdir(path):
+        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not files:
+            return []
+        target = os.path.join(path, files[0])
+    schema = pq.read_schema(target)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+class ParquetDirSource(Source):
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        path = os.path.join(self.directory, f"{collection}.parquet")
+        df = spark.read.parquet(path)
+        for c in _nano_ts_columns(path):
+            # ns → µs truncation matches how µs-native engines read the file
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+        return df
+
+    def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(os.path.join(self.directory, f"{collection}.parquet"))
+
+
+class JsonDirSource(Source):
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return spark.read.json(os.path.join(self.directory, f"{collection}.jsonl"))
+
+    def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).json(os.path.join(self.directory, f"{collection}.jsonl"))
+
+
+class CsvDirSource(Source):
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return spark.read.csv(
+            os.path.join(self.directory, f"{collection}.csv"), header=True, inferSchema=True
+        )
+
+
+class MemorySource(Source):
+    """In-session tables (miso-connectors/src/memory.rs parity)."""
+
+    def __init__(self):
+        self._tables: dict[str, DataFrame] = {}
+
+    def put(self, collection: str, df: DataFrame) -> None:
+        self._tables[collection] = df
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return self._tables[collection]
+
+    def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
+        self._tables[collection] = df
+
+
+class SourceRegistry:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, Source] = {}
+
+    def register(self, name: str, source: Source) -> "SourceRegistry":
+        self._sources[name] = source
+        return self
+
+    def register_parquet_dir(self, name: str, directory: str) -> "SourceRegistry":
+        return self.register(name, ParquetDirSource(directory))
+
+    def source(self, name: str) -> Source:
+        if name not in self._sources:
+            raise KeyError(f"unknown connector {name!r}; registered: {sorted(self._sources)}")
+        return self._sources[name]
+
+    def table(self, connector: str, collection: str) -> DataFrame:
+        return self.source(connector).table(self.spark, collection)

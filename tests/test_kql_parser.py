@@ -1,0 +1,127 @@
+"""Parser tests — mirrors the strategy of miso-kql/src/parser_tests.rs:
+KQL text → expected plan dataclasses."""
+
+from miso_spark import plan as P
+from miso_spark.exprs import Between, Bin, BinOp, Case, Cast, Duration, Exists, Field, In, Lit, Not
+from miso_spark.kql import parse_kql
+
+
+def steps(text):
+    return list(parse_kql(text).steps)
+
+
+def test_scan_and_where():
+    s = steps("t.lineitem | where l_quantity > 30")
+    assert s[0] == P.Scan("t", "lineitem")
+    assert s[1] == P.Filter(BinOp("gt", Field.of("l_quantity"), Lit(30)))
+
+
+def test_scan_var_and_let():
+    s = steps("let big = t.orders | where o_totalprice > 1000; big | count")
+    assert isinstance(s[0], P.Let)
+    assert s[0].name == "big"
+    assert s[1] == P.ScanVar("big")
+    assert s[2] == P.CountStep()
+
+
+def test_project_extend_rename():
+    s = steps(
+        "t.part | project p_name, double_size = p_size * 2"
+        " | extend flag = iff(p_size > 10, 'big', 'small')"
+        " | project-rename part_name = p_name"
+    )
+    proj = s[1]
+    assert proj == P.Project(
+        (
+            P.ProjectField(Field.of("p_name"), "p_name"),
+            P.ProjectField(BinOp("mul", Field.of("p_size"), Lit(2)), "double_size"),
+        )
+    )
+    ext = s[2]
+    assert ext.fields[0].name == "flag"
+    assert isinstance(ext.fields[0].expr, Case)
+    assert s[3] == P.Rename((("p_name", "part_name"),))
+
+
+def test_summarize_default_names():
+    s = steps("t.lineitem | summarize count(), sum(l_quantity), avg(l_discount) by l_returnflag")
+    summ = s[1]
+    names = [n for n, _ in summ.aggs]
+    assert names == ["count_", "sum_l_quantity", "avg_l_discount"]
+    assert summ.by[0].name == "l_returnflag"
+
+
+def test_summarize_bin_and_named():
+    s = steps("t.events | summarize n = count() by hour = bin(ts, 1h)")
+    summ = s[1]
+    assert summ.aggs[0][0] == "n"
+    assert summ.by[0].name == "hour"
+    assert summ.by[0].expr == Bin(Field.of("ts"), Duration(3600.0))
+
+
+def test_sort_top_take():
+    s = steps("t.orders | sort by o_totalprice desc nulls first, o_orderkey | top 5 by o_totalprice desc | take 3")
+    assert s[1] == P.SortStep(
+        (P.Sort("o_totalprice", "desc", "first"), P.Sort("o_orderkey", "asc", "last"))
+    )
+    assert s[2] == P.Top((P.Sort("o_totalprice", "desc", "last"),), 5)
+    assert s[3] == P.Limit(3)
+
+
+def test_join_union_distinct():
+    s = steps(
+        "t.orders"
+        " | join kind=left hint.partitions=4 (t.customer | where c_acctbal > 0)"
+        " on $left.o_custkey == $right.c_custkey"
+        " | union (t.orders | take 1)"
+        " | distinct o_orderstatus"
+    )
+    j = s[1]
+    assert j.how == "left" and j.partitions == 4
+    assert (j.left_on, j.right_on) == ("o_custkey", "c_custkey")
+    assert isinstance(s[2], P.Union)
+    assert s[3] == P.Distinct(("o_orderstatus",))
+
+
+def test_join_condition_sides_normalized():
+    s = steps("t.orders | join (t.customer) on $right.c_custkey == $left.o_custkey")
+    j = s[1]
+    assert (j.left_on, j.right_on) == ("o_custkey", "c_custkey")
+
+
+def test_string_ops_and_in_between():
+    s = steps(
+        "t.part | where p_name contains 'red' and p_type startswith 'SMALL'"
+        " | where p_size between (5 .. 10) or p_size in (1, 2, 3)"
+        " | where not(p_brand has 'brand')"
+    )
+    w1 = s[1].expr
+    assert w1 == BinOp(
+        "and",
+        BinOp("contains", Field.of("p_name"), Lit("red")),
+        BinOp("startswith", Field.of("p_type"), Lit("SMALL")),
+    )
+    w2 = s[2].expr
+    assert w2.op == "or"
+    assert w2.left == Between(Field.of("p_size"), Lit(5), Lit(10))
+    assert w2.right == In(Field.of("p_size"), (Lit(1), Lit(2), Lit(3)))
+    assert s[3].expr == Not(BinOp("has", Field.of("p_brand"), Lit("brand")))
+
+
+def test_casts_and_datetime():
+    s = steps("t.events | where ts >= datetime(2024-01-02) | extend v = tolong(value)")
+    lit = s[1].expr.right
+    assert lit.value.year == 2024 and lit.value.day == 2
+    assert s[2].fields[0].expr == Cast("long", Field.of("value"))
+
+
+def test_mv_expand_and_raw():
+    s = steps("t.events.raw('SELECT 1 AS one') | mv-expand kind=array tags")
+    assert s[0] == P.ScanRaw("t", "events", "SELECT 1 AS one")
+    assert s[1] == P.Expand(("tags",), "array")
+
+
+def test_exists_and_count_step():
+    s = steps("t.events | where exists(props) | count")
+    assert s[1].expr == Exists(Field.of("props"))
+    assert s[2] == P.CountStep()
