@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (results drained to the driver or
+a noop sink) and timed individually; `value` is the sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family, weighted toward the
+# shuffle/join/agg paths that dominate at scale
+HEADLINE = [
+    "pricing_summary",
+    "where_string_ops",
+    "project_extend",
+    "summarize_bin_time",
+    "summarize_countif_dcount",
+    "join_inner",
+    "join_left",
+    "union_op",
+    "top_n",
+    "distinct_op",
+    "mv_expand",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def main() -> None:
+    from miso_spark.catalog import CATALOG
+    from miso_spark.session import get_spark
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("miso_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once with a trivial action
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in CATALOG:
+            continue
+        df = CATALOG[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        # noop sink drains every row through the full pipeline without
+        # collecting to the driver
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -482,5 +482,267 @@ q(
 )
 
 
+# ---------------------------------------------------------------------------
+# §2.5 LLM-data-pipeline operators (documents / embeddings tables)
+
+
+def _documents(spark, sf_dir):
+    return make_registry(spark, sf_dir).table("t", "documents")
+
+
+def _embeddings(spark, sf_dir):
+    return make_registry(spark, sf_dir).table("t", "embeddings")
+
+
+def _b_dedup_exact(spark, sf_dir):
+    from miso_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+q(
+    "dedup_exact",
+    builder=_b_dedup_exact,
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def _b_dedup_ngram(spark, sf_dir):
+    from miso_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+q(
+    "dedup_ngram_jaccard",
+    builder=_b_dedup_ngram,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    """,
+)
+
+
+def _b_dedup_minhash(spark, sf_dir):
+    from miso_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+q("dedup_minhash", builder=_b_dedup_minhash)  # non-SQL: LSH banding
+
+
+def _b_dedup_simhash(spark, sf_dir):
+    from miso_spark.functions.dedup import simhash_candidates
+
+    return simhash_candidates(_documents(spark, sf_dir), max_hamming=3)
+
+
+q("dedup_simhash", builder=_b_dedup_simhash)  # non-SQL: 64-bit signatures
+
+
+def _b_dedup_embedding(spark, sf_dir):
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_embeddings(spark, sf_dir), threshold=0.35)
+
+
+q(
+    "dedup_embedding",
+    builder=_b_dedup_embedding,
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+          >= 0.35
+    """,
+)
+
+
+#: fixed ANN query vector: embedding of vec_id=0 is loaded at call time
+def _query_vec(spark, sf_dir):
+    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _b_ann_bruteforce(spark, sf_dir):
+    from miso_spark.functions.similarity import bruteforce_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return bruteforce_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+q(
+    "ann_bruteforce",
+    builder=_b_ann_bruteforce,
+    oracle="""
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS id,
+           ROUND(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q, q))), 4) AS cosine
+    FROM embeddings, qv
+    ORDER BY cosine DESC, id ASC LIMIT 10
+    """,
+)
+
+
+def _b_ann_lsh(spark, sf_dir):
+    from miso_spark.functions.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+q("ann_lsh", builder=_b_ann_lsh)  # non-SQL: LSH bucket pruning
+
+
+def _b_text_tokens(spark, sf_dir):
+    from miso_spark.functions.text import bpe_token_count, token_count
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+q(
+    "text_tokens",
+    builder=_b_text_tokens,
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def _b_text_quality(spark, sf_dir):
+    from miso_spark.functions.text import with_quality
+
+    return with_quality(_documents(spark, sf_dir)).select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+q(
+    "text_quality",
+    builder=_b_text_quality,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(text, '\\s+')) AS n_words,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to'
+                   OR w = 'in' OR w = 'is' OR w = 'it')) AS stop,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    r AS (
+      -- all-DOUBLE arithmetic on pre-rounded ratios, mirroring the
+      -- Spark expression tree exactly (decimal literals would diverge)
+      SELECT doc_id, n_chars, n_words,
+             ROUND(CAST(n_chars AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+             ROUND(CAST(stop AS DOUBLE) / greatest(n_words, 1), 4) AS stopword_ratio,
+             ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, avg_word_len, stopword_ratio, punct_ratio,
+           ROUND(least(CAST(n_words AS DOUBLE) / 20.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+               + least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE
+               + (1.0::DOUBLE - least(punct_ratio * 4.0::DOUBLE, 1.0::DOUBLE)) * 0.3::DOUBLE, 6)
+             AS quality_score
+    FROM r
+    """,
+)
+
+
+def _b_text_lang(spark, sf_dir):
+    from miso_spark.functions.text import with_lang_id
+
+    return with_lang_id(_documents(spark, sf_dir)).select(
+        "doc_id", "score_en", "score_de", "score_fr", "lang_pred"
+    )
+
+
+q(
+    "text_lang_id",
+    builder=_b_text_lang,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(ws, w -> w = 'the' OR w = 'and' OR w = 'of' OR w = 'to' OR w = 'is')) AS score_en,
+        len(list_filter(ws, w -> w = 'der' OR w = 'die' OR w = 'und' OR w = 'ist' OR w = 'nicht')) AS score_de,
+        len(list_filter(ws, w -> w = 'le' OR w = 'la' OR w = 'et' OR w = 'est' OR w = 'pas')) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_en, score_de, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+
+
+def _b_text_fingerprint(spark, sf_dir):
+    from miso_spark.functions.text import fingerprint
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+q(
+    "text_fingerprint",
+    builder=_b_text_fingerprint,
+    oracle="""
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+
+
 def get(name: str) -> Q:
     return CATALOG[name]

@@ -1,0 +1,105 @@
+"""Text analysis operators over a document column.
+
+Everything here is pure built-in-function Spark (no UDFs): at 100 TB
+these run inside whole-stage codegen with full column pruning, and the
+only shuffle is whatever aggregation the caller adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny marker-word lists for the language-ID heuristic; deterministic
+#: and cheap — real models would be a Pandas-UDF scoring pass instead
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "pas"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+#: BPE-ish tokenization: word pieces or single punctuation marks
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + whitespace-collapse; the canonical form used by the
+    dedup family."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def words(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces + punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def _count_words_in(col_name: str, vocab: tuple[str, ...]) -> Column:
+    cond = " OR ".join(f"w = '{v}'" for v in vocab)
+    return F.expr(f"size(filter({col_name}, w -> {cond}))")
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word stats, stopword ratio,
+    punctuation ratio, and a composite score in [0, 1]."""
+    df = df.withColumn("_words", words(F.col(text_col)))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size("_words")
+    stop = _count_words_in("_words", STOPWORDS)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    avg_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    # docs that are too short, all punctuation, or stopword-free score
+    # low. Built from the already-rounded ratios so the composite is
+    # reproducible bit-for-bit across engines (see catalog oracle).
+    score = (
+        F.least(n_words / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.3
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round(avg_word_len, 4))
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn(
+            "quality_score",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(F.round(score, 6)),
+        )
+        .drop("_words")
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = matched marker words per
+    language, argmax with deterministic tie-break order en > de > fr."""
+    df = df.withColumn("_w", words(normalize(F.col(text_col))))
+    scores = {lang: _count_words_in("_w", markers) for lang, markers in LANG_MARKERS.items()}
+    for lang, s in scores.items():
+        df = df.withColumn(f"score_{lang}", s)
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("lang_pred", pred).drop("_w")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The rolling-hash/shingle variant lives in dedup.simhash.)"""
+    return F.md5(normalize(text))

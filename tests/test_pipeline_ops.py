@@ -1,0 +1,124 @@
+"""Property tests for the dedup / similarity / text operators that have
+no SQL oracle (the driver runs rows-only checks on these; here we
+verify semantics directly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from miso_spark.sources import ParquetDirSource
+
+    return ParquetDirSource(SF_DIR).table(spark, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from miso_spark.sources import ParquetDirSource
+
+    return ParquetDirSource(SF_DIR).table(spark, "embeddings").cache()
+
+
+def test_simhash_identical_and_near(spark):
+    from miso_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox leaps over the lazy dog"),  # 1 word off
+            (4, "completely different content about databases and queries"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["s"] for r in df.select("id", simhash("text").alias("s")).collect()}
+    assert rows[1] == rows[2]
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    ham14 = bin(rows[1] ^ rows[4]).count("1")
+    assert ham13 < ham14, f"near-dup hamming {ham13} should beat unrelated {ham14}"
+
+
+def test_simhash_candidates_find_exact_dups(spark):
+    from miso_spark.functions.dedup import simhash_candidates
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_candidates(df).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must recover every high-Jaccard pair the exact
+    n-gram method finds (recall at threshold 0.7 ≈ 1 with 8 bands)."""
+    from miso_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert exact, "test data should contain near-duplicate documents"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed too many: {missed}"
+    # verification step guarantees no false positives above threshold
+    assert lsh <= exact or all(p in exact for p in lsh)
+
+
+def test_minhash_deterministic(docs):
+    from miso_spark.functions.dedup import minhash_signature
+
+    one = docs.limit(5).select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+    a = {r["doc_id"]: r["sig"] for r in one.collect()}
+    b = {r["doc_id"]: r["sig"] for r in one.collect()}
+    assert a == b
+
+
+def test_ann_lsh_subset_of_bucket_and_sane(emb):
+    from miso_spark.functions.similarity import bruteforce_topk, lsh_topk
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = bruteforce_topk(emb, qv, k=5).collect()
+    approx = lsh_topk(emb, qv, k=5, num_planes=2).collect()
+    assert exact[0]["id"] == 0 and exact[0]["cosine"] == pytest.approx(1.0)
+    # the query itself lives in the query's bucket → must be found
+    assert approx and approx[0]["id"] == 0
+    # approximate results are a subset of the table, scored identically
+    exact_scores = {r["id"]: r["cosine"] for r in exact}
+    for r in approx:
+        if r["id"] in exact_scores:
+            assert r["cosine"] == exact_scores[r["id"]]
+
+
+def test_embedding_dedup_finds_planted_duplicates(spark, emb):
+    """No true near-dups exist in the synthetic embeddings (max cosine
+    ≈0.47), so plant one and require the pair to surface at 0.99."""
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+
+    first = emb.filter(F.col("vec_id") == 0).first()
+    clone = spark.createDataFrame(
+        [(999999, first["embedding"], first["label"])], ["vec_id", "embedding", "label"]
+    )
+    pairs = embedding_dedup_pairs(emb.unionByName(clone), threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 999999)}
+    assert pairs[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_exact_dedup_counts(docs):
+    from miso_spark.functions.dedup import exact_dedup
+
+    total = docs.count()
+    d = exact_dedup(docs)
+    assert d.agg(F.sum("dup_count")).first()[0] == total
+    # canonical ids are real doc ids
+    assert d.join(docs, d.canonical_id == docs.doc_id, "left_anti").count() == 0
