@@ -744,5 +744,37 @@ q(
 )
 
 
+# ---------------------------------------------------------------------------
+# §2.4 streaming (drained deterministically with availableNow)
+
+
+def _b_stream_windows(spark, sf_dir):
+    import os
+    import uuid
+
+    from miso_spark.streaming import run_to_memory, stream_events, windowed_counts
+
+    stream = windowed_counts(
+        stream_events(spark, sf_dir, glob_filter="events.parquet"),
+        window="1 day",
+        watermark="1 hour",
+    )
+    got = run_to_memory(stream, "winc_" + uuid.uuid4().hex[:8], mode="update")
+    return got.select(
+        F.col("window_start").cast("long").alias("day"), "event_type", "n", "total"
+    )
+
+
+q(
+    "stream_windowed_counts",
+    builder=_b_stream_windows,
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
 def get(name: str) -> Q:
     return CATALOG[name]

@@ -1,0 +1,15 @@
+from miso_spark.streaming.api import (
+    stream_events,
+    windowed_counts,
+    sessionize,
+    run_to_memory,
+    tee_stream,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_counts",
+    "sessionize",
+    "run_to_memory",
+    "tee_stream",
+]

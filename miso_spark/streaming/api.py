@@ -1,0 +1,211 @@
+"""Structured Streaming operators.
+
+Parity: the reference streams partial results to clients as data
+arrives (miso-workflow/src/partial_stream.rs, partial_stream_tracker.rs
+— each operator can emit incremental "partial" aggregates which the
+mux layer merges). Spark's analog is Structured Streaming: incremental
+execution of windowed aggregations with watermark-bounded state, and
+``update``-mode sinks emitting refined partials.
+
+- ``stream_events``: file-stream over the events table layout (handles
+  the ns-timestamp conversion the batch source layer does).
+- ``windowed_counts``: tumbling-window aggregate with watermark — the
+  streaming twin of ``summarize ... by bin(ts, w)``.
+- ``sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` (session windows with an idle gap), the
+  escape hatch for semantics built-ins can't express.
+- ``tee_stream``: foreachBatch side-write (QueryStep::Tee analog).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """File-source stream over parquet event files.
+
+    ``path`` must be a directory (file-stream source requirement);
+    ``glob_filter`` restricts which files inside it are streamed. The
+    schema is sniffed from a static read (driver-side footer read);
+    nano-timestamp ``ts`` arrives as a long under ``nanosAsLong`` and is
+    converted exactly like the batch source layer.
+    """
+    static_path = os.path.join(path, glob_filter) if glob_filter else path
+    static = spark.read.parquet(static_path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data bound.
+
+    State is bounded by the watermark: at 100 TB/day ingest the state
+    store only holds one window + slack, not history.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            F.round("total", 2).alias("total"),
+        )
+    )
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_s: float = 1800.0,
+    use_timeout: bool = False,
+):
+    """Stateful session builder: events within ``gap_s`` of the previous
+    event extend the session; a larger gap closes it and emits a row."""
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+
+    out = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and us - last_us > gap_s * 1e6:
+                out.append((user_id, start_us, last_us, n))
+                start_us, n = us, 0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+    state.update((start_us, last_us, n))
+    if use_timeout:
+        state.setTimeoutDuration(int(gap_s * 1000))
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    watermark: str = "1 hour",
+    idle_timeout: bool = False,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows with
+    an idle gap — the applyInPandasWithState pattern for operators the
+    built-in windowing can't express (SURVEY.md §2.4).
+
+    ``idle_timeout=True`` flushes idle sessions via processing-time
+    timeouts on a live stream; leave it off for drain-style
+    (availableNow) runs — the timeout cleanup phase never completes
+    under availableNow, so open sessions stay in state instead.
+    """
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_group(key, pdfs, state, gap_s, idle_timeout)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> DataFrame:
+    """Drain all currently-available input through the streaming query
+    into an in-memory sink and return the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tee_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Side-write every micro-batch to parquet (Tee step analog);
+    returns the running query handle."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
