@@ -32,6 +32,36 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct hashed word-n-gram shingles as ROWS ``(id, shh)``.
+
+    This is the codegen-friendly relational form of shingling: explode
+    words, window ``lead`` to build n-grams, ``xxhash64`` to longs —
+    every operator participates in whole-stage codegen, unlike
+    array-lambda (higher-order) expressions which run interpreted and
+    were ~20× slower in the same role. Docs shorter than ``n`` words
+    keep one partial shingle (their whole text), matching
+    ``shingles()``.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    wrds = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    full = F.lead("w", n - 1).over(win).isNotNull()
+    return (
+        wrds.select("id", "pos", F.concat_ws(" ", *parts).alias("s"), full.alias("full"))
+        .filter(F.col("full") | (F.col("pos") == 0))
+        .select("id", F.xxhash64("s").alias("shh"))
+        .distinct()
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5 of normalized text.
 
@@ -57,9 +87,7 @@ def ngram_jaccard_pairs(
     shingle hash, count common shingles per pair, then
     |A∩B| / (|A| + |B| − |A∩B|).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    ).select("id", F.xxhash64("sh").alias("shh"))
+    sh = shingle_rows(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -81,16 +109,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<long>, k independent hash families via
-    seed-salted xxhash64 — built-ins only, no UDF."""
-    sh = shingles(text, shingle_n)
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles hashed to longs — the compact
+    representation every downstream dedup stage works from (string
+    shingles never leave the first projection)."""
+    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_from_hashes(shh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<long> from pre-hashed shingles:
+    family i re-mixes each shingle hash with xxhash64(h, i) — long-only
+    arithmetic, no string building per family."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), seed.cast("string"))))
-        ),
+        lambda seed: F.array_min(F.transform(shh, lambda h: F.xxhash64(h, seed))),
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<long>, k independent hash families via
+    seed-mixed xxhash64 — built-ins only, no UDF."""
+    return minhash_signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -109,28 +148,31 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard >= threshold).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+
+    # stage 1: distinct hashed shingle rows — fully codegen (explode +
+    # window lead + xxhash64), see shingle_rows
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
+
+    # stage 2: signature as ONE hash aggregate — k min-columns, each a
+    # seed-mixed rehash of the shingle hash. Map-side partial min means
+    # the shuffle carries k longs per doc, not the shingle set.
+    sig = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("shh"), F.lit(s))).alias(f"m{s}") for s in range(num_hashes)]
     )
+
+    # per-band bucket from the signature columns, long-only hashing
+    def band_bucket(b: int) -> Column:
+        cols = [F.col(f"m{b * rows_per_band + i}") for i in range(rows_per_band)]
+        return F.xxhash64(F.lit(b), *cols)
+
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
@@ -147,19 +189,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("shset")
+    # stage 3: exact Jaccard verification — count common shingles for
+    # candidate pairs only (semi-join pruned inverted index), never
+    # materializing per-doc arrays
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("shh").alias("ha"))
+    shb = sh.select(F.col("id").alias("idb2"), F.col("shh").alias("hb"))
+    common = (
+        cand.join(sha, "id_a")
+        .join(shb, (F.col("id_b") == F.col("idb2")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shset": "sh_b"}), "id_b")
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -203,6 +250,38 @@ def simhash(text_sql: str) -> Column:
     )
 
 
+def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(id, sim)`` via the codegen path: explode words → xxhash64 →
+    ONE hash aggregate with 64 bit-vote sum columns → recombine.
+
+    Semantically identical to the ``simhash()`` column expression but
+    every operator is whole-stage-codegen (the column version's nested
+    array lambdas run interpreted — fine for ad-hoc use, ~10× slower in
+    bulk). Map-side partial sums keep the shuffle at 64 ints per doc.
+    """
+    wrds = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = wrds.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = None
+    for j in range(64):
+        # j=63 is the sign bit of a two's-complement long
+        bit_value = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(F.col(f"b{j}") > 0, F.lit(bit_value).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select("id", sim.alias("sim"))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -212,7 +291,7 @@ def simhash_candidates(
     """Near-dup candidates: docs sharing any 16-bit simhash chunk
     (pigeonhole: hamming ≤ 3 guarantees one of 4 chunks equal), scored
     by exact hamming distance."""
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sim"))
+    sig = simhash_rows(df, text_col, id_col)
     chunk_structs = F.array(
         *[
             F.struct(
