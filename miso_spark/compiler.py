@@ -96,6 +96,12 @@ class Compiler:
                 raise KeyError(f"unbound let variable {step.name!r}")
             return env[step.name]
         if isinstance(step, P.ScanRaw):
+            # the raw query targets the scanned collection: expose it as
+            # a view first (connector-native-query parity — the raw
+            # string goes "to the connector" for this collection)
+            self.registry.table(step.connector, step.collection).createOrReplaceTempView(
+                step.collection
+            )
             return self.spark.sql(step.query)
 
         assert df is not None, f"{type(step).__name__} requires an input"

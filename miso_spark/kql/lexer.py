@@ -115,9 +115,10 @@ def tokenize(text: str) -> list[Token]:
         elif kind == "int":
             tokens.append(Token("int", int(raw), pos))
         elif kind == "ident":
-            low = raw.lower()
-            if low in KEYWORDS:
-                tokens.append(Token(low, pos=pos))
+            # keywords are case-sensitive (a field named `Count` is an
+            # identifier, matching the reference's logos lexer)
+            if raw in KEYWORDS:
+                tokens.append(Token(raw, pos=pos))
             else:
                 tokens.append(Token("ident", raw, pos))
         elif kind == "string":

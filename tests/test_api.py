@@ -1,0 +1,76 @@
+"""Facade tests: KQL-in/rows-out streaming, memory connector round
+trips (tee/write + scan), and bag expansion."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from miso_spark.api import MisoSpark
+from miso_spark.sources import ParquetDirSource
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def miso(spark):
+    m = MisoSpark(spark)
+    m.registry.register("t", ParquetDirSource(SF_DIR))
+    return m
+
+
+def test_query_rows_streams_dicts(miso):
+    rows = list(miso.query_rows("t.region | sort by r_regionkey"))
+    assert [r["r_regionkey"] for r in rows] == [0, 1, 2, 3, 4]
+    assert set(rows[0]) == {"r_regionkey", "r_name"}
+
+
+def test_query_json_is_valid_json(miso):
+    out = [json.loads(s) for s in miso.query_json("t.nation | top 3 by n_nationkey asc")]
+    assert len(out) == 3
+    assert out[0]["n_nationkey"] == 0
+
+
+def test_write_then_scan_memory_connector(miso):
+    list(
+        miso.query_rows(
+            "t.orders | where o_totalprice > 300000 | project o_orderkey, o_totalprice"
+            " | write mem.big_orders"
+        )
+    )
+    back = miso.query("mem.big_orders | count").collect()
+    direct = miso.query("t.orders | where o_totalprice > 300000 | count").collect()
+    assert back[0]["Count"] == direct[0]["Count"] > 0
+
+
+def test_tee_keeps_flowing(miso):
+    rows = list(
+        miso.query_rows(
+            "t.nation | tee mem.nations_copy | where n_regionkey == 0 | count"
+        )
+    )
+    assert rows[0]["Count"] > 0
+    copied = miso.query("mem.nations_copy | count").collect()
+    assert copied[0]["Count"] == 25 or copied[0]["Count"] == 5  # sf-dependent
+
+
+def test_mv_expand_bag_on_map(miso):
+    df = miso.query(
+        "t.region.raw('SELECT r_regionkey, map(\\'a\\', r_regionkey, \\'b\\', r_regionkey * 10) AS m FROM region')"
+        " | mv-expand kind=bag m"
+    )
+    rows = df.collect()
+    # 5 regions × 2 map entries
+    assert len(rows) == 10
+    sample = [r for r in rows if r["r_regionkey"] == 2]
+    vals = {(r["m"]["key"], r["m"]["value"]) for r in sample}
+    assert vals == {("a", 2), ("b", 20)}
+
+
+def test_let_scoping_inside_subquery(miso):
+    df = miso.query(
+        "let small = t.nation | where n_regionkey == 1;"
+        " t.region | join (let x = small | count; x) on $left.r_regionkey == $right.Count"
+    )
+    assert df.count() >= 0  # scoping resolves; no unbound-var error

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the §6 mapping says Catalyst provides the
+reference's optimizer passes (push_filter_into_scan, eliminate unused
+fields, convert_sort_limit_to_topn, broadcast decisions, partial
+aggregation). Verify it actually happens for plans our compiler emits.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from miso_spark.kql import parse_kql
+from tests.conftest import SF_DIR
+
+
+def physical(compiler, kql: str) -> str:
+    df = compiler.run(parse_kql(kql))
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(compiler):
+    plan = physical(compiler, "t.orders | where o_totalprice > 100000")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000" in plan, plan
+
+
+def test_column_pruning_reaches_parquet(compiler):
+    plan = physical(compiler, "t.lineitem | project l_orderkey, l_quantity")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_string_filter_pushdown(compiler):
+    plan = physical(compiler, "t.part | where p_type startswith 'SMALL'")
+    assert "StringStartsWith(p_type,SMALL)" in plan, plan
+
+
+def test_top_becomes_take_ordered(compiler):
+    plan = physical(compiler, "t.orders | top 5 by o_totalprice desc")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sort_limit_becomes_take_ordered(compiler):
+    """convert_sort_limit_to_topn parity: sort|take fuses to a top-n."""
+    plan = physical(compiler, "t.orders | sort by o_totalprice desc | take 5")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_small_dim_join_broadcasts(compiler):
+    plan = physical(
+        compiler,
+        "t.customer | join (t.nation) on $left.c_nationkey == $right.n_nationkey",
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_summarize_partial_aggregation(compiler):
+    """mux/partial-aggregate parity: map-side partial HashAggregate."""
+    plan = physical(compiler, "t.lineitem | summarize sum(l_quantity) by l_returnflag")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
+
+
+def test_filter_pushed_through_join(compiler):
+    """push_filter_into_join parity: a post-join filter on a left-side
+    column reaches the left scan."""
+    plan = physical(
+        compiler,
+        "t.customer"
+        " | join (t.nation) on $left.c_nationkey == $right.n_nationkey"
+        " | where c_acctbal > 5000",
+    )
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000" in plan, plan
+
+
+def test_limit_pushed_into_scan(compiler):
+    plan = physical(compiler, "t.orders | take 7")
+    assert "GlobalLimit 7" in plan or "CollectLimit 7" in plan, plan
+
+
+def test_whole_stage_codegen_everywhere(compiler):
+    df = compiler.run(
+        parse_kql("t.lineitem | where l_quantity > 10 | summarize n = count() by l_returnflag")
+    )
+    df.collect()  # AQE finalizes the plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(1)" in plan and "*(2)" in plan, plan
