@@ -55,6 +55,13 @@ class MisoSpark:
         df = self.query(kql)
         yield from df.toJSON().toLocalIterator(prefetchPartitions=True)
 
+    def explain(self, kql: str, mode: str = "formatted") -> str:
+        """The physical plan Spark will execute for a KQL query."""
+        df = self.query(kql)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), mode
+        )
+
     def cancel(self) -> None:
         """Abort this handle's in-flight queries (POST /cancel parity)."""
         self.spark.sparkContext.cancelJobGroup(self._group)

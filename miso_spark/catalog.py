@@ -744,6 +744,24 @@ q(
 )
 
 
+def _b_dcount_approx(spark, sf_dir):
+    """HLL-sketch distinct — the 100 TB path where exact dcount's
+    two-phase shuffle is too expensive. No oracle (approximate);
+    accuracy is asserted against exact dcount in pytest."""
+    from miso_spark import plan as P
+    from miso_spark.compiler import Compiler
+    from miso_spark.exprs import Field
+
+    plan = P.Plan.scan("t", "orders").summarize(
+        {"approx_custs": P.Agg("dcount_approx", Field.of("o_custkey"))},
+        by=[P.ByField(Field.of("o_orderpriority"), "o_orderpriority")],
+    )
+    return Compiler(make_registry(spark, sf_dir)).run(plan)
+
+
+q("dcount_approx", builder=_b_dcount_approx)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 streaming (drained deterministically with availableNow)
 

@@ -74,3 +74,26 @@ def test_let_scoping_inside_subquery(miso):
         " t.region | join (let x = small | count; x) on $left.r_regionkey == $right.Count"
     )
     assert df.count() >= 0  # scoping resolves; no unbound-var error
+
+
+def test_explain_returns_plan(miso):
+    plan = miso.explain("t.orders | where o_totalprice > 100000 | top 3 by o_totalprice desc")
+    assert "TakeOrderedAndProject" in plan and "PushedFilters" in plan
+
+
+def test_dcount_approx_close_to_exact(miso, spark):
+    from miso_spark.catalog import CATALOG
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in CATALOG["dcount_approx"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in miso.query(
+            "t.orders | summarize n = dcount(o_custkey) by o_orderpriority"
+        ).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / max(e, 1) < 0.15, (k, approx[k], e)

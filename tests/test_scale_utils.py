@@ -1,0 +1,81 @@
+"""Scale utilities: salted joins match plain joins; bucketed joins plan
+without exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from miso_spark.sources import ParquetDirSource
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    src = ParquetDirSource(SF_DIR)
+    return {n: src.table(spark, n) for n in ("customer", "orders", "nation")}
+
+
+def test_salted_join_matches_plain_inner(tables):
+    from miso_spark.functions.skew import salted_join
+
+    orders, customer = tables["orders"], tables["customer"]
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey", num_salts=8).select(
+        "o_orderkey", "c_custkey"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain_left(tables):
+    from miso_spark.functions.skew import salted_join
+
+    customer, nation = tables["customer"], tables["nation"]
+    plain = customer.join(nation, customer.c_nationkey == nation.n_nationkey, "left").select(
+        "c_custkey", "n_name"
+    )
+    salted = salted_join(customer, nation, "c_nationkey", "n_nationkey", 4, how="left").select(
+        "c_custkey", "n_name"
+    )
+    assert sorted(map(tuple, salted.collect()), key=str) == sorted(
+        map(tuple, plain.collect()), key=str
+    )
+
+
+def test_salted_join_rejects_outer(tables):
+    from miso_spark.functions.skew import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(tables["orders"], tables["customer"], "o_custkey", "c_custkey", how="outer")
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path_factory):
+    from miso_spark.sources.bucketing import bucketed_table, save_bucketed
+
+    save_bucketed(tables["orders"], "b_orders", "o_custkey", num_buckets=8)
+    save_bucketed(
+        tables["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        num_buckets=8,
+    )
+    # at this scale Spark rightly prefers broadcast; force the shuffle
+    # path to show the bucketed layout replaces the exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_table(spark, "b_orders").join(
+            bucketed_table(spark, "b_customer"), "o_custkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # correctness too, not just plan shape
+        n_plain = tables["orders"].join(
+            tables["customer"], tables["orders"].o_custkey == tables["customer"].c_custkey
+        ).count()
+        assert j.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
