@@ -45,14 +45,17 @@ class FieldPath:
         return len(self.segments) == 1 and not self.segments[0][1]
 
     def to_column(self) -> Column:
+        # F.get (not getItem) for array indices: out-of-bounds yields
+        # null instead of an ANSI INVALID_ARRAY_INDEX error, matching
+        # the reference's missing-field semantics on dynamic logs
         (root, root_idx), rest = self.segments[0], self.segments[1:]
         col = F.col(f"`{root}`")
         for i in root_idx:
-            col = col.getItem(i)
+            col = F.get(col, i)
         for name, idxs in rest:
             col = col.getField(name)
             for i in idxs:
-                col = col.getItem(i)
+                col = F.get(col, i)
         return col
 
     def __str__(self) -> str:

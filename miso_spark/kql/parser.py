@@ -65,19 +65,30 @@ _CASTS = {
 _AGG_KEYWORDS = {"count", "countif", "dcount", "sum", "avg", "min", "max"}
 
 
+_DT_NOW = object()  # sentinel: datetime() with no argument means now()
+
+
 def _parse_datetime_literal(text: str) -> object:
+    """Accepts ISO-8601 (date, date-time, offsets, millis) and RFC 2822
+    — the formats the reference's datetime() accepts. Empty → now,
+    null → null."""
     text = text.strip().strip("\"'")
-    if not text or text == "null":
+    if not text:
+        return _DT_NOW
+    if text == "null":
         return None
-    for fmt in (None,):  # fromisoformat handles most shapes
+    try:
+        dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
+    except ValueError:
         try:
-            dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
-            if dt.tzinfo is not None:
-                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-            return dt
-        except ValueError:
-            pass
-    raise ParseError(f"cannot parse datetime literal {text!r}")
+            from email.utils import parsedate_to_datetime
+
+            dt = parsedate_to_datetime(text)
+        except (ValueError, TypeError):
+            raise ParseError(f"cannot parse datetime literal {text!r}") from None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 class Parser:
@@ -209,7 +220,6 @@ class Parser:
     def _project_fields(self) -> list[P.ProjectField]:
         out: list[P.ProjectField] = []
         used: set[str] = set()
-        anon = 0
         while True:
             name = None
             if (
@@ -220,18 +230,15 @@ class Parser:
                 name = str(self.next().value)
                 self.next()  # '='
             e = self.parse_expr()
-            if name is None:
-                name = _expr_default_name(e)
-                if name is None:
-                    anon += 1
-                    name = f"Column{anon}"
-            # unique-ify (parser.rs generate_unique_name)
-            base, cand, c = name, name, 0
-            while cand in used:
-                c += 1
-                cand = f"{base}{c}"
-            used.add(cand)
-            out.append(P.ProjectField(e, cand))
+            if name is not None:
+                name = _unique_name(name, name, used)
+            else:
+                default = _expr_default_name(e)
+                if default is not None:
+                    name = _unique_name(default, default, used)
+                else:
+                    name = _unique_name("Column", "Column1", used)
+            out.append(P.ProjectField(e, name))
             if not self.accept(","):
                 break
         return out
@@ -271,37 +278,45 @@ class Parser:
         by: list[P.ByField] = []
         if self.accept("by"):
             used: set[str] = set()
-            anon = 0
             while True:
                 name = None
                 if self.peek().kind == "ident" and self.peek(1).kind == "=":
                     name = str(self.next().value)
                     self.next()
                 e = self.parse_expr()
-                if name is None:
-                    name = _expr_default_name(e)
-                    if name is None:
-                        anon += 1
-                        name = f"Column{anon}"
-                base, cand, c = name, name, 0
-                while cand in used:
-                    c += 1
-                    cand = f"{base}{c}"
-                used.add(cand)
-                by.append(P.ByField(e, cand))
+                if name is not None:
+                    name = _unique_name(name, name, used)
+                else:
+                    default = _expr_default_name(e)
+                    if default is not None:
+                        name = _unique_name(default, default, used)
+                    else:
+                        name = _unique_name("Column", "Column1", used)
+                by.append(P.ByField(e, name))
                 if not self.accept(","):
                     break
-        # default agg names (parser.rs agg_default_name)
+        # default agg names (parser.rs agg_default_name): explicitly
+        # named aggs claim their names first, then unnamed ones pick
+        # unique defaults — matching the reference's two-pass naming
         named: dict[str, P.Agg] = {}
+        order: list[tuple[str | None, P.Agg]] = []
         for name, agg in aggs:
+            if name is not None:
+                if name in named:
+                    raise ParseError(f"duplicate aggregation name {name!r}")
+                named[name] = agg
+            order.append((name, agg))
+        out: list[tuple[str, P.Agg]] = []
+        for name, agg in order:
             if name is None:
-                name = _agg_default_name(agg)
-                base, c = name, 0
+                base = _agg_default_name(agg)
+                name, c = base, 0
                 while name in named:
                     c += 1
                     name = f"{base}{c}"
-            named[name] = agg
-        return P.SummarizeStep(tuple(named.items()), tuple(by))
+                named[name] = agg
+            out.append((name, agg))
+        return P.SummarizeStep(tuple(out), tuple(by))
 
     def _agg(self) -> P.Agg:
         t = self.next()
@@ -448,7 +463,8 @@ class Parser:
             return Duration(float(t.value))  # type: ignore[arg-type]
         if k == "datetime_lit":
             self.next()
-            return Lit(_parse_datetime_literal(str(t.value)))
+            v = _parse_datetime_literal(str(t.value))
+            return Now() if v is _DT_NOW else Lit(v)
         if k == "null":
             self.next()
             return Lit(None)
@@ -534,6 +550,17 @@ class Parser:
                 continue
             break
         return Field(FieldPath.parse(".".join(parts)))
+
+
+def _unique_name(base: str, initial: str, used: set[str]) -> str:
+    """parser.rs generate_unique_name: try ``initial``, then base+1,
+    base+2, ... until free."""
+    cand, c = initial, 0
+    while cand in used:
+        c += 1
+        cand = f"{base}{c}"
+    used.add(cand)
+    return cand
 
 
 def _expr_default_name(e: Expr) -> str | None:

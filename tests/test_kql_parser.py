@@ -125,3 +125,60 @@ def test_exists_and_count_step():
     s = steps("t.events | where exists(props) | count")
     assert s[1].expr == Exists(Field.of("props"))
     assert s[2] == P.CountStep()
+
+
+def test_summarize_naming_reference_edge_cases():
+    # unnamed dups: count_, count_1 (parser.rs generate_unique_name)
+    s = steps("t.x | summarize count(), count(), sum(f)")
+    assert [n for n, _ in s[1].aggs] == ["count_", "count_1", "sum_f"]
+    # explicit name claims count_ even when an unnamed count precedes it
+    s = steps("t.x | summarize count(), count_ = sum(f)")
+    assert [n for n, _ in s[1].aggs] == ["count_1", "count_"]
+
+
+def test_datetime_literal_formats():
+    from miso_spark.exprs import Now
+
+    for text, check in [
+        ("datetime(2015-12-31)", lambda v: v.year == 2015 and v.day == 31),
+        ("datetime(2015-12-31 23:59:59)", lambda v: v.hour == 23),
+        ("datetime(2015-12-31 23:59:59.999)", lambda v: v.microsecond == 999000),
+        ("datetime(2015-12-31T23:59:59Z)", lambda v: v.hour == 23),
+        ("datetime(2015-12-31T23:59:59+02:00)", lambda v: v.hour == 21),  # UTC-normalized
+        ("datetime(Thu, 31 Dec 2015 23:59:59 GMT)", lambda v: v.year == 2015),
+    ]:
+        lit = steps(f"t.x | where f == {text}")[1].expr.right
+        assert check(lit.value), (text, lit)
+    # datetime() == now(); datetime(null) == null literal
+    assert isinstance(steps("t.x | where f == datetime()")[1].expr.right, Now)
+    assert steps("t.x | where f == datetime(null)")[1].expr.right.value is None
+
+
+def test_invalid_datetime_rejected():
+    import pytest
+    from miso_spark.kql.parser import ParseError
+
+    for bad in ["datetime(2020-13-01)", "datetime(2020-01-32)", "datetime(invalid)"]:
+        with pytest.raises(ParseError):
+            steps(f"t.x | where f == {bad}")
+
+
+def test_precedence_and_negation():
+    from miso_spark.exprs import BinOp, Field, Lit
+
+    e = steps("t.x | extend r = f1 + f2 * f3 - f4 / 2")[1].fields[0].expr
+    # ((f1 + (f2*f3)) - (f4/2))
+    assert e.op == "sub" and e.left.op == "add" and e.left.right.op == "mul" and e.right.op == "div"
+    e = steps("t.x | where r == -5 * 2")[1].expr
+    assert e.right == BinOp("mul", Lit(-5), Lit(2))
+    e = steps("t.x | where (f1 + f2) * f3 == 100")[1].expr
+    assert e.left.op == "mul" and e.left.left.op == "add"
+
+
+def test_project_default_column_names():
+    # single-pass naming exactly as parser.rs name_project_fields: the
+    # later explicit Column2 collides with the second anon default and
+    # is uniqued to Column21
+    s = steps("t.x | project f3 + 1, f3 + 1, f3, Column2 = 5, f5")
+    names = [f.name for f in s[1].fields]
+    assert names == ["Column1", "Column2", "f3", "Column21", "f5"]
