@@ -54,8 +54,10 @@ def main() -> None:
     spark = get_spark("miso_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once with a trivial action
-    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    # warm the JVM, codegen, noop sink, and parquet reader paths once so
+    # per-query timings measure the queries, not first-use setup
+    warm = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    warm.limit(1000).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -36,13 +36,11 @@ TABLES = (
 
 
 def make_registry(spark: SparkSession, sf_dir: str) -> SourceRegistry:
-    """Connector ``t`` → the sf directory's parquet tables, plus temp
-    views for raw-SQL scans (ScanRaw parity with connector-native
-    queries)."""
-    reg = SourceRegistry(spark).register_parquet_dir("t", sf_dir)
-    for t in TABLES:
-        reg.table("t", t).createOrReplaceTempView(t)
-    return reg
+    """Connector ``t`` → the sf directory's parquet tables. Raw-SQL
+    scans register their own collection's view at compile time
+    (compiler.ScanRaw), so no eager per-table setup happens here —
+    registering all 10 views cost ~1s of analysis per query call."""
+    return SourceRegistry(spark).register_parquet_dir("t", sf_dir)
 
 
 def run_kql(spark: SparkSession, sf_dir: str, kql: str, rounding: dict[str, int] | None = None) -> DataFrame:

@@ -235,6 +235,13 @@ def _compile_binop(e: BinOp) -> Column:
     if op == "lte":
         return l <= r
     if op == "add":
+        # miso's Plus concatenates when both operands are strings
+        # (interpreter/mod.rs:234). Types aren't known at build time;
+        # a string literal on either side forces the concat path.
+        if (isinstance(e.left, Lit) and isinstance(e.left.value, str)) or (
+            isinstance(e.right, Lit) and isinstance(e.right.value, str)
+        ):
+            return F.concat(l.cast("string"), r.cast("string"))
         return l + r
     if op == "sub":
         return l - r

@@ -182,3 +182,11 @@ def test_project_default_column_names():
     s = steps("t.x | project f3 + 1, f3 + 1, f3, Column2 = 5, f5")
     names = [f.name for f in s[1].fields]
     assert names == ["Column1", "Column2", "f3", "Column21", "f5"]
+
+
+def test_string_plus_concat():
+    from miso_spark.exprs import BinOp, Field, Lit, compile_expr
+
+    e = steps("t.x | extend label = 'id-' + f1")[1].fields[0].expr
+    assert e == BinOp("add", Lit("id-"), Field.of("f1"))
+    assert "concat" in str(compile_expr(e)).lower()

@@ -83,3 +83,21 @@ def test_whole_stage_codegen_everywhere(compiler):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
     assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_partition_pruning(spark, compiler, tmp_path_factory):
+    """Partitioned layout + a partition-key filter prunes at planning
+    time (PartitionFilters on the scan, non-matching dirs never read)."""
+    import pyspark.sql.functions as F
+    from miso_spark.sources import ParquetDirSource, SourceRegistry
+    from miso_spark.compiler import Compiler
+
+    d = str(tmp_path_factory.mktemp("parts"))
+    ev = ParquetDirSource("/root/testdata/sf0.001").table(spark, "events")
+    ev.write.partitionBy("event_type").parquet(d + "/events.parquet")
+
+    reg = SourceRegistry(spark).register_parquet_dir("p", d)
+    df = Compiler(reg).run(parse_kql("p.events | where event_type == 'error' | count"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert df.first()["Count"] == ev.filter(F.col("event_type") == "error").count()
