@@ -151,20 +151,56 @@ class Compiler:
         raise TypeError(f"unknown step {type(step).__name__}")
 
     def _expand(self, df: DataFrame, step: P.Expand) -> DataFrame:
+        """mv-expand with the reference's semantics (expand.rs):
+
+        - multiple fields ZIP element-wise, shorter ones padded with
+          null (not a cross product);
+        - a row whose expandable collections are all empty is DROPPED;
+        - rows where every named field is missing/scalar pass through;
+        - objects (maps) expand to single-entry maps under kind=bag and
+          to flattened [k1, v1, k2, v2, ...] elements under kind=array.
+        """
+        exp: dict[str, Column] = {}
         for name in step.fields:
             dtype = df.schema[name].dataType
             col = F.col(f"`{name}`")
             if isinstance(dtype, ArrayType):
-                df = df.withColumn(name, F.explode_outer(col))
+                exp[name] = col
             elif isinstance(dtype, MapType):
-                # bag expansion: one row per entry as {key, value} struct
-                entry = F.explode_outer(F.map_entries(col))
-                df = df.withColumn(name, entry)
-            else:
-                # scalar: expanding a non-collection is the identity,
-                # matching mv-expand's pass-through on scalars
-                pass
-        return df
+                entries = F.map_entries(col)
+                if step.kind == "array":
+                    exp[name] = F.flatten(
+                        F.transform(
+                            entries,
+                            lambda e: F.array(e.getField("key"), e.getField("value").cast("string")),
+                        )
+                    )
+                else:
+                    exp[name] = F.transform(
+                        entries,
+                        lambda e: F.map_from_arrays(
+                            F.array(e.getField("key")), F.array(e.getField("value"))
+                        ),
+                    )
+            # scalar/other types: pass through untouched
+
+        if not exp:
+            return df
+
+        # m: longest present collection (-1 when all are null/missing)
+        m = F.greatest(*[F.coalesce(F.size(c), F.lit(-1)) for c in exp.values()]) if len(exp) > 1 else F.coalesce(F.size(next(iter(exp.values()))), F.lit(-1))
+        # rows to emit: 1 for all-missing (passthrough), m otherwise —
+        # filter (not sequence stop) handles m==0 because Spark's
+        # sequence(0, -1) counts DOWN instead of returning empty
+        n_rows = F.when(m <= -1, F.lit(1)).otherwise(m)
+        idx_list = F.filter(
+            F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
+            lambda i: i < n_rows,
+        )
+        df = df.withColumn("__mv_idx", F.explode(idx_list))
+        for name, arr in exp.items():
+            df = df.withColumn(name, F.get(arr, F.col("__mv_idx")))
+        return df.drop("__mv_idx")
 
     def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
         right = self._run(step.sub, env)

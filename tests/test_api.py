@@ -61,11 +61,42 @@ def test_mv_expand_bag_on_map(miso):
         " | mv-expand kind=bag m"
     )
     rows = df.collect()
-    # 5 regions × 2 map entries
+    # 5 regions × 2 map entries, each a single-entry map (expand.rs bag)
     assert len(rows) == 10
     sample = [r for r in rows if r["r_regionkey"] == 2]
-    vals = {(r["m"]["key"], r["m"]["value"]) for r in sample}
+    vals = {next(iter(r["m"].items())) for r in sample}
     assert vals == {("a", 2), ("b", 20)}
+
+
+def test_mv_expand_zip_semantics(miso, spark):
+    """Reference expand.rs: multiple fields zip with null padding;
+    empty collections drop the row; missing collections pass through."""
+    df = spark.createDataFrame(
+        [
+            (1, ["x", "y"], [5, 4, 3]),
+            (2, [], []),          # all empty → dropped
+            (3, None, None),      # all missing → passthrough
+            (4, ["only"], None),  # one present → null-padded
+        ],
+        ["id", "b", "c"],
+    )
+    miso.registry.source("mem").put("zipin", df)
+    rows = {(r["id"], r["b"], r["c"]) for r in miso.query("mem.zipin | mv-expand b, c").collect()}
+    assert rows == {
+        (1, "x", 5),
+        (1, "y", 4),
+        (1, None, 3),
+        (3, None, None),
+        (4, "only", None),
+    }
+
+
+def test_mv_expand_array_kind_on_map_flattens(miso):
+    df = miso.query(
+        "t.region.raw('SELECT r_regionkey AS k, map(\\'env\\', \\'prod\\') AS meta FROM region WHERE r_regionkey = 0')"
+        " | mv-expand kind=array meta"
+    )
+    assert [r["meta"] for r in df.collect()] == ["env", "prod"]
 
 
 def test_let_scoping_inside_subquery(miso):

@@ -71,8 +71,8 @@ def test_mv_expand_dynamic_array(logs_miso):
         )
     )
     counts = {r["tags"]: r["n"] for r in rows}
-    # explode_outer keeps empty/missing-array rows as null tags
-    assert counts == {"prod": 2, "canary": 1, "dev": 1, None: 1}
+    # reference semantics: the empty-tags row is dropped by mv-expand
+    assert counts == {"prod": 2, "canary": 1, "dev": 1}
 
 
 def test_summarize_over_nested_by(logs_miso):
