@@ -36,32 +36,32 @@ def _sort_cols(sorts: tuple[P.Sort, ...]) -> list[Column]:
     return cols
 
 
-def _agg_col(name: str, agg: P.Agg) -> Column:
+def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
     k = agg.kind
     if k == "count":
         c = F.count(F.lit(1))
     elif k == "countif":
         assert agg.arg is not None
-        c = F.count(F.when(compile_expr(agg.arg), F.lit(1)))
+        c = F.count(F.when(compile_expr(agg.arg, schema), F.lit(1)))
     elif k == "dcount":
         assert agg.arg is not None
-        c = F.count_distinct(compile_expr(agg.arg))
+        c = F.count_distinct(compile_expr(agg.arg, schema))
     elif k == "dcount_approx":
         # 100 TB path: HLL sketch instead of exact two-phase distinct
         assert agg.arg is not None
-        c = F.approx_count_distinct(compile_expr(agg.arg))
+        c = F.approx_count_distinct(compile_expr(agg.arg, schema))
     elif k == "sum":
         assert agg.arg is not None
-        c = F.sum(compile_expr(agg.arg))
+        c = F.sum(compile_expr(agg.arg, schema))
     elif k == "avg":
         assert agg.arg is not None
-        c = F.avg(compile_expr(agg.arg))
+        c = F.avg(compile_expr(agg.arg, schema))
     elif k == "min":
         assert agg.arg is not None
-        c = F.min(compile_expr(agg.arg))
+        c = F.min(compile_expr(agg.arg, schema))
     elif k == "max":
         assert agg.arg is not None
-        c = F.max(compile_expr(agg.arg))
+        c = F.max(compile_expr(agg.arg, schema))
     else:
         raise ValueError(f"unknown aggregation {k}")
     return c.alias(name)
@@ -107,11 +107,11 @@ class Compiler:
         assert df is not None, f"{type(step).__name__} requires an input"
 
         if isinstance(step, P.Filter):
-            return df.filter(compile_expr(step.expr))
+            return df.filter(compile_expr(step.expr, df.schema))
         if isinstance(step, P.Project):
-            return df.select(*[compile_expr(f.expr).alias(f.name) for f in step.fields])
+            return df.select(*[compile_expr(f.expr, df.schema).alias(f.name) for f in step.fields])
         if isinstance(step, P.Extend):
-            return df.withColumns({f.name: compile_expr(f.expr) for f in step.fields})
+            return df.withColumns({f.name: compile_expr(f.expr, df.schema) for f in step.fields})
         if isinstance(step, P.Rename):
             return df.withColumnsRenamed(dict(step.pairs))
         if isinstance(step, P.Expand):
@@ -125,9 +125,9 @@ class Compiler:
             # reference's topn.rs heap, distributed)
             return df.orderBy(*_sort_cols(step.sorts)).limit(step.n)
         if isinstance(step, P.SummarizeStep):
-            aggs = [_agg_col(name, agg) for name, agg in step.aggs]
+            aggs = [_agg_col(name, agg, df.schema) for name, agg in step.aggs]
             if step.by:
-                by = [compile_expr(b.expr).alias(b.name) for b in step.by]
+                by = [compile_expr(b.expr, df.schema).alias(b.name) for b in step.by]
                 return df.groupBy(*by).agg(*aggs)
             return df.agg(*aggs)
         if isinstance(step, P.Distinct):
@@ -204,11 +204,33 @@ class Compiler:
 
     def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
         right = self._run(step.sub, env)
+
+        # KQL-style collision handling (join.rs:57): right-side columns
+        # that collide with left-side names get numeric suffixes (x →
+        # x1, or x2 if x1 is taken; x1 → x11). The merged join key is
+        # exempt when both sides name it identically.
+        merged_key = step.left_on == step.right_on
+        right_on = step.right_on
+        left_cols = set(left.columns)
+        taken = left_cols | set(right.columns)
+        renames: dict[str, str] = {}
+        for c in right.columns:
+            if merged_key and c == step.right_on:
+                continue
+            if c in left_cols:
+                n = 1
+                while f"{c}{n}" in taken:
+                    n += 1
+                renames[c] = f"{c}{n}"
+                taken.add(f"{c}{n}")
+        if renames:
+            right = right.withColumnsRenamed(renames)
+            right_on = renames.get(right_on, right_on)
+
         if step.broadcast:
             right = F.broadcast(right)
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}[step.how]
-        lcol = FieldPath.parse(step.left_on)
-        rcol = FieldPath.parse(step.right_on)
-        if step.left_on == step.right_on:
+        if merged_key:
             return left.join(right, on=[step.left_on], how=how)
-        return left.join(right, on=left[str(lcol)] == right[str(rcol)], how=how)
+        lcol = FieldPath.parse(step.left_on)
+        return left.join(right, on=left[str(lcol)] == right[right_on], how=how)

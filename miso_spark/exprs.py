@@ -155,8 +155,35 @@ _CAST_TYPES = {
 }
 
 
-def compile_expr(e: Expr) -> Column:
-    """Compile an Expr AST node into a PySpark Column."""
+def _is_string_typed(e: Expr, schema) -> bool:
+    """Best-effort static check that an expression is string-valued —
+    drives miso's string-Plus-concat semantics (interpreter/mod.rs:234).
+    Works from literals, casts, and (when ``schema`` is provided by the
+    compiler) column types."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(e, Lit):
+        return isinstance(e.value, str)
+    if isinstance(e, Cast):
+        return e.type == "string"
+    if isinstance(e, Field) and schema is not None:
+        return isinstance(e.path.resolve_type(schema), StringType)
+    if isinstance(e, BinOp) and e.op == "add":
+        return _is_string_typed(e.left, schema) or _is_string_typed(e.right, schema)
+    if isinstance(e, Case):
+        return any(_is_string_typed(v, schema) for _, v in e.branches) or _is_string_typed(
+            e.default, schema
+        )
+    if isinstance(e, Extract):
+        return True
+    return False
+
+
+def compile_expr(e: Expr, schema=None) -> Column:
+    """Compile an Expr AST node into a PySpark Column.
+
+    ``schema`` (the input DataFrame's StructType, when the caller has
+    one) enables type-directed choices like string-Plus → concat."""
     if isinstance(e, Field):
         return e.path.to_column()
     if isinstance(e, Lit):
@@ -165,46 +192,46 @@ def compile_expr(e: Expr) -> Column:
         # day-time interval keeps timestamp arithmetic exact
         return F.expr(f"INTERVAL '{e.seconds}' SECOND")
     if isinstance(e, BinOp):
-        return _compile_binop(e)
+        return _compile_binop(e, schema)
     if isinstance(e, Not):
-        return ~compile_expr(e.expr)
+        return ~compile_expr(e.expr, schema)
     if isinstance(e, Exists):
-        return compile_expr(e.expr).isNotNull()
+        return compile_expr(e.expr, schema).isNotNull()
     if isinstance(e, In):
-        return compile_expr(e.expr).isin(*[compile_expr(i) for i in e.items])
+        return compile_expr(e.expr, schema).isin(*[compile_expr(i, schema) for i in e.items])
     if isinstance(e, Between):
-        c = compile_expr(e.expr).between(compile_expr(e.low), compile_expr(e.high))
+        c = compile_expr(e.expr, schema).between(compile_expr(e.low, schema), compile_expr(e.high, schema))
         return ~c if e.negated else c
     if isinstance(e, Case):
         col: Optional[Column] = None
         for cond, val in e.branches:
             if col is None:
-                col = F.when(compile_expr(cond), compile_expr(val))
+                col = F.when(compile_expr(cond, schema), compile_expr(val, schema))
             else:
-                col = col.when(compile_expr(cond), compile_expr(val))
+                col = col.when(compile_expr(cond, schema), compile_expr(val, schema))
         assert col is not None, "case requires at least one branch"
-        return col.otherwise(compile_expr(e.default))
+        return col.otherwise(compile_expr(e.default, schema))
     if isinstance(e, Extract):
         if not isinstance(e.pattern, Lit) or not isinstance(e.group, Lit):
             raise ValueError("extract(regex, group, src) requires literal regex+group")
-        src = compile_expr(e.source)
+        src = compile_expr(e.source, schema)
         extracted = F.regexp_extract(src, str(e.pattern.value), int(e.group.value))
         # regexp_extract yields '' on no-match; miso yields null (string_ops.rs:14)
         matched = src.rlike(str(e.pattern.value))
         return F.when(matched, extracted)
     if isinstance(e, Bin):
-        return _compile_bin(e)
+        return _compile_bin(e, schema)
     if isinstance(e, Cast):
-        return compile_expr(e.expr).cast(_CAST_TYPES[e.type])
+        return compile_expr(e.expr, schema).cast(_CAST_TYPES[e.type])
     if isinstance(e, Now):
         return F.current_timestamp()
     raise TypeError(f"cannot compile {type(e).__name__}")
 
 
-def _compile_binop(e: BinOp) -> Column:
+def _compile_binop(e: BinOp, schema=None) -> Column:
     op = e.op
     if op in _STR_OPS:
-        l, r = compile_expr(e.left), compile_expr(e.right)
+        l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
         if op == "contains":
             return l.contains(r)
         if op == "startswith":
@@ -217,7 +244,7 @@ def _compile_binop(e: BinOp) -> Column:
         return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
 
     # timestamp +/- duration stays exact via intervals
-    l, r = compile_expr(e.left), compile_expr(e.right)
+    l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
     if op == "and":
         return l & r
     if op == "or":
@@ -235,12 +262,10 @@ def _compile_binop(e: BinOp) -> Column:
     if op == "lte":
         return l <= r
     if op == "add":
-        # miso's Plus concatenates when both operands are strings
-        # (interpreter/mod.rs:234). Types aren't known at build time;
-        # a string literal on either side forces the concat path.
-        if (isinstance(e.left, Lit) and isinstance(e.left.value, str)) or (
-            isinstance(e.right, Lit) and isinstance(e.right.value, str)
-        ):
+        # miso's Plus concatenates strings (interpreter/mod.rs:234):
+        # string literals, string-typed columns (schema-resolved), and
+        # string-valued sub-expressions all take the concat path.
+        if _is_string_typed(e.left, schema) or _is_string_typed(e.right, schema):
             return F.concat(l.cast("string"), r.cast("string"))
         return l + r
     if op == "sub":
@@ -252,13 +277,13 @@ def _compile_binop(e: BinOp) -> Column:
     raise AssertionError(op)
 
 
-def _compile_bin(e: Bin) -> Column:
-    x = compile_expr(e.expr)
+def _compile_bin(e: Bin, schema=None) -> Column:
+    x = compile_expr(e.expr, schema)
     if isinstance(e.size, Duration):
         secs = e.size.seconds
         bucket = F.floor(F.unix_timestamp(x) / F.lit(secs)) * F.lit(int(secs))
         return F.timestamp_seconds(bucket)
-    size = compile_expr(e.size)
+    size = compile_expr(e.size, schema)
     return F.floor(x / size) * size
 
 

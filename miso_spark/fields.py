@@ -58,6 +58,21 @@ class FieldPath:
                 col = F.get(col, i)
         return col
 
+    def resolve_type(self, schema) -> object | None:
+        """Walk a StructType to this path's data type (None if absent)."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        dtype = schema
+        for name, idxs in self.segments:
+            if not isinstance(dtype, StructType) or name not in dtype.fieldNames():
+                return None
+            dtype = dtype[name].dataType
+            for _ in idxs:
+                if not isinstance(dtype, ArrayType):
+                    return None
+                dtype = dtype.elementType
+        return dtype
+
     def __str__(self) -> str:
         parts = []
         for name, idxs in self.segments:

@@ -128,3 +128,24 @@ def test_dcount_approx_close_to_exact(miso, spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / max(e, 1) < 0.15, (k, approx[k], e)
+
+
+def test_join_column_suffix_increments(miso, spark):
+    """join.rs:57 — colliding right columns get KQL-style suffixes:
+    x → x2 (x1 taken by the left side), x1 → x11."""
+    left = spark.createDataFrame([(1, "a", "b")], ["id", "x", "x1"])
+    right = spark.createDataFrame([(1, "A", "B")], ["id", "x", "x1"])
+    miso.registry.source("mem").put("jl", left)
+    miso.registry.source("mem").put("jr", right)
+    rows = miso.query("mem.jl | join (mem.jr) on id").collect()
+    assert len(rows) == 1
+    assert rows[0].asDict() == {"id": 1, "x": "a", "x1": "b", "x2": "A", "x11": "B"}
+
+
+def test_join_empty_and_no_match(miso, spark):
+    left = spark.createDataFrame([(1, "a")], ["id", "v"])
+    miso.registry.source("mem").put("el", left)
+    miso.registry.source("mem").put("er", spark.createDataFrame([], "id long, w string"))
+    assert miso.query("mem.el | join (mem.er) on id").count() == 0
+    miso.registry.source("mem").put("nr", spark.createDataFrame([(99, "b")], ["id", "w"]))
+    assert miso.query("mem.el | join (mem.nr) on id").count() == 0

@@ -1,0 +1,97 @@
+"""Null/edge semantics mirrored from miso-workflow/src/tests.rs
+(null_in_* / summarize_* / case_* / short_circuit_* groups)."""
+
+from __future__ import annotations
+
+import pytest
+
+from miso_spark.api import MisoSpark
+
+
+@pytest.fixture(scope="module")
+def m(spark):
+    mi = MisoSpark(spark)
+    mem = mi.registry.source("mem")
+    mem.put(
+        "vals",
+        spark.createDataFrame(
+            [(1, 10, "x"), (2, None, "y"), (3, 5, None)], "id long, v long, s string"
+        ),
+    )
+    return mi
+
+
+def rows(m, q):
+    return [r.asDict() for r in m.query(q).collect()]
+
+
+def test_null_comparisons_drop_rows(m):
+    # null >= / <= / == → unknown → filtered (tests.rs null_in_gte_operator)
+    assert {r["id"] for r in rows(m, "mem.vals | where v >= 5")} == {1, 3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v <= 100")} == {1, 3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v != 10")} == {3}
+
+
+def test_null_in_bool_ops(m):
+    # null OR true = true; null AND true = unknown → dropped
+    assert {r["id"] for r in rows(m, "mem.vals | where v > 0 or true")} == {1, 2, 3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v > 0 and true")} == {1, 3}
+
+
+def test_short_circuit_where_false(m):
+    assert rows(m, "mem.vals | where false | count")[0]["Count"] == 0
+    assert rows(m, "mem.vals | where true and false") == []
+
+
+def test_countif_all_false_and_agg_nulls(m):
+    r = rows(
+        m,
+        "mem.vals | summarize z = countif(v > 1000), mn = min(v), mx = max(v),"
+        " d = dcount(v), n = count()",
+    )[0]
+    assert r == {"z": 0, "mn": 5, "mx": 10, "d": 2, "n": 3}  # dcount ignores nulls
+
+
+def test_summarize_group_by_null_key(m):
+    r = {row["s"]: row["n"] for row in rows(m, "mem.vals | summarize n = count() by s")}
+    assert r == {"x": 1, "y": 1, None: 1}
+
+
+def test_summarize_by_literal(m):
+    # tests.rs summarize_by_literal: grouping by a constant collapses all
+    r = rows(m, "mem.vals | summarize n = count() by g = 1")
+    assert r == [{"g": 1, "n": 3}]
+
+
+def test_case_no_conditions_match_uses_default(m):
+    r = rows(m, "mem.vals | where id == 1 | project o = case(v > 100, 'big', v > 50, 'mid', 'small')")
+    assert r == [{"o": "small"}]
+
+
+def test_count_on_count(m):
+    assert rows(m, "mem.vals | count | count")[0]["Count"] == 1
+
+
+def test_limit_zero(m):
+    assert rows(m, "mem.vals | take 0") == []
+
+
+def test_divide_by_zero_errors_like_reference(m):
+    # miso bails on division by zero (interpreter/mod.rs:313); Spark's
+    # ANSI mode (our default) matches. DuckDB would return NULL — the
+    # catalog never divides by a zeroable expression.
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
+        m.query("mem.vals | project v = id / 0").collect()
+
+
+def test_empty_string_string_ops(m):
+    # ''-contains: every string contains the empty string
+    assert len(rows(m, "mem.vals | where s contains ''")) == 2  # null s drops
+    assert len(rows(m, "mem.vals | where s startswith ''")) == 2
+    assert len(rows(m, "mem.vals | where s endswith ''")) == 2
+
+
+def test_string_column_plus_concat(m):
+    # string + string on COLUMNS concats (schema-directed; mod.rs:234)
+    r = rows(m, "mem.vals | where id == 1 | project c = s + s, lc = 'v' + s")
+    assert r == [{"c": "xx", "lc": "vx"}]
