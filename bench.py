@@ -30,6 +30,7 @@ HEADLINE = [
     "summarize_countif_dcount",
     "join_inner",
     "join_left",
+    "q5_local_supplier",
     "union_op",
     "top_n",
     "distinct_op",

@@ -742,6 +742,60 @@ q(
 )
 
 
+q(
+    "q5_local_supplier",  # TPC-H Q5 shape: 5 joins, dims broadcast
+    kql="""
+    t.customer
+    | join kind=inner (t.orders) on $left.c_custkey == $right.o_custkey
+    | join kind=inner (t.lineitem) on $left.o_orderkey == $right.l_orderkey
+    | join kind=inner (t.supplier) on $left.l_suppkey == $right.s_suppkey
+    | where c_nationkey == s_nationkey
+        and o_orderdate between (datetime(1996-01-01) .. datetime(1997-01-01))
+    | join kind=inner (t.nation) on $left.s_nationkey == $right.n_nationkey
+    | join kind=inner (t.region) on $left.n_regionkey == $right.r_regionkey
+    | where r_name == 'ASIA'
+    | summarize revenue = sum(l_extendedprice * (1 - l_discount)) by n_name
+    | sort by revenue desc
+    """,
+    rounding={"revenue": 2},
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+
+q(
+    "union_mixed_schema",  # heterogeneous-log union (allowMissingColumns)
+    kql="""
+    t.orders
+    | project k = o_orderkey, price = o_totalprice
+    | union (t.customer | project k = c_custkey, bal = c_acctbal)
+    | summarize n = count(), with_price = countif(exists(price)),
+                with_bal = countif(exists(bal))
+    """,
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, NULL::DOUBLE AS bal FROM orders
+      UNION ALL
+      SELECT c_custkey, NULL, c_acctbal FROM customer
+    )
+    SELECT COUNT(*) AS n,
+           COUNT(CASE WHEN price IS NOT NULL THEN 1 END) AS with_price,
+           COUNT(CASE WHEN bal IS NOT NULL THEN 1 END) AS with_bal
+    FROM u
+    """,
+)
+
+
 def _b_dcount_approx(spark, sf_dir):
     """HLL-sketch distinct — the 100 TB path where exact dcount's
     two-phase shuffle is too expensive. No oracle (approximate);
