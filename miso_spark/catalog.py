@@ -39,7 +39,13 @@ def make_registry(spark: SparkSession, sf_dir: str) -> SourceRegistry:
     """Connector ``t`` → the sf directory's parquet tables. Raw-SQL
     scans register their own collection's view at compile time
     (compiler.ScanRaw), so no eager per-table setup happens here —
-    registering all 10 views cost ~1s of analysis per query call."""
+    registering all 10 views cost ~1s of analysis per query call.
+
+    The session may be externally provided (the driver's) — re-apply
+    the confs the engine depends on (ns-timestamp reads, UTC)."""
+    from miso_spark.session import tune_session
+
+    tune_session(spark)
     return SourceRegistry(spark).register_parquet_dir("t", sf_dir)
 
 

@@ -13,6 +13,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: session-level confs the engine depends on; applied at build time in
+#: get_spark and re-applied at runtime by tune_session for externally
+#: provided sessions (e.g. the driver's)
+RUNTIME_CONFS = {
+    # parquet timestamp[ns] (events.ts) reads as nano longs, converted
+    # in the source layer — without this the read hard-fails
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive datetime literals and epoch conversions assume UTC, matching
+    # the DuckDB oracle's naive timestamps
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required session confs to an existing session
+    (all of RUNTIME_CONFS is session-settable, no restart needed)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked-down conf is non-fatal; reads may still work
+    try:
+        # stock default (200) on a local harness wastes scheduler time,
+        # and stateful streaming partitions don't AQE-coalesce; respect
+        # any non-default value the caller chose
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+            )
+    except Exception:
+        pass
+    return spark
+
+
 def get_spark(app_name: str = "miso_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -21,15 +59,9 @@ def get_spark(app_name: str = "miso_spark", shuffle_partitions: int | None = Non
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # parquet timestamp[ns] columns (e.g. events.ts) are read as
-        # nano longs and converted to timestamps in the source layer
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune_session(builder.getOrCreate())
