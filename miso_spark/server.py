@@ -1,0 +1,213 @@
+"""HTTP + SSE server — the reference's user-facing API, stdlib-only.
+
+Parity: miso-server/src/http_server.rs routes:
+- ``POST /query``   {"query": "...", "query_id"?} → SSE stream, one
+  ``data: {json row}`` frame per result row as Spark produces
+  partitions (the reference streams rows the same way), then
+  ``event: done``.
+- ``POST /explain`` {"query": "..."} → the physical plan.
+- ``GET /health``, ``GET /metrics`` (basic counters).
+- ``GET|POST|DELETE /connectors/{id}`` — registry management
+  (types: parquet_dir | json_dir | csv_dir | memory).
+- ``GET|POST|DELETE /views/{id}`` — named KQL views, referenced from
+  queries like let-bound variables (``myview | where ...``).
+
+A reference user's ``curl -N localhost:8080/query -d '{"query": ...}'``
+works unchanged against this server.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from miso_spark.api import MisoSpark
+from miso_spark.kql import parse_kql
+from miso_spark.plan import Let, Plan
+from miso_spark.sources import (
+    CsvDirSource,
+    JsonDirSource,
+    MemorySource,
+    ParquetDirSource,
+)
+
+_SOURCE_TYPES = {
+    "parquet_dir": lambda cfg: ParquetDirSource(cfg["path"]),
+    "json_dir": lambda cfg: JsonDirSource(cfg["path"]),
+    "csv_dir": lambda cfg: CsvDirSource(cfg["path"]),
+    "memory": lambda cfg: MemorySource(),
+}
+
+#: external connector types the reference supports; the services are
+#: not reachable from this environment so registration fails loudly
+_EXTERNAL_TYPES = {"quickwit", "elasticsearch", "splunk"}
+
+
+class MisoServer:
+    def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 8080):
+        self.miso = MisoSpark(spark)
+        self.views: dict[str, str] = {}
+        self.connector_configs: dict[str, dict] = {"mem": {"type": "memory"}}
+        self.metrics = {"queries_total": 0, "query_errors_total": 0}
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_port
+
+    # -- registry / views --------------------------------------------------
+    def add_connector(self, name: str, cfg: dict) -> None:
+        ctype = cfg.get("type")
+        if ctype in _EXTERNAL_TYPES:
+            raise ValueError(
+                f"connector type {ctype!r} requires an external service not "
+                "available in this environment; use parquet_dir/json_dir/"
+                "csv_dir/memory"
+            )
+        if ctype not in _SOURCE_TYPES:
+            raise ValueError(f"unknown connector type {ctype!r}")
+        self.miso.registry.register(name, _SOURCE_TYPES[ctype](cfg))
+        self.connector_configs[name] = cfg
+
+    def load_config(self, path: str) -> None:
+        """Load a reference-style config.json ({"connectors": {...}})."""
+        with open(path) as f:
+            cfg = json.load(f)
+        for name, ccfg in cfg.get("connectors", {}).items():
+            self.add_connector(name, ccfg)
+
+    def _query_df(self, kql: str):
+        plan = parse_kql(kql)
+        # views resolve like let bindings prepended to the query
+        lets = tuple(
+            Let(name, parse_kql(text)) for name, text in self.views.items()
+        )
+        return self.miso.compiler.run(Plan(lets + plan.steps))
+
+    # -- http --------------------------------------------------------------
+    def _make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._json(200, {"status": "ok"})
+                if self.path == "/metrics":
+                    return self._json(200, server_self.metrics)
+                if self.path == "/connectors":
+                    return self._json(200, server_self.connector_configs)
+                if self.path.startswith("/connectors/"):
+                    name = self.path.rsplit("/", 1)[1]
+                    cfg = server_self.connector_configs.get(name)
+                    return self._json(200 if cfg else 404, cfg or {"error": "not found"})
+                if self.path == "/views":
+                    return self._json(200, server_self.views)
+                if self.path.startswith("/views/"):
+                    name = self.path.rsplit("/", 1)[1]
+                    v = server_self.views.get(name)
+                    return self._json(200 if v else 404, {"query": v} if v else {"error": "not found"})
+                self._json(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/connectors/"):
+                    name = self.path.rsplit("/", 1)[1]
+                    server_self.connector_configs.pop(name, None)
+                    server_self.miso.registry._sources.pop(name, None)
+                    return self._json(200, {"deleted": name})
+                if self.path.startswith("/views/"):
+                    server_self.views.pop(self.path.rsplit("/", 1)[1], None)
+                    return self._json(200, {"deleted": self.path.rsplit("/", 1)[1]})
+                self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    if self.path == "/query":
+                        return self._query()
+                    if self.path == "/explain":
+                        body = self._body()
+                        df = server_self._query_df(body["query"])
+                        plan = df._sc._jvm.PythonSQLUtils.explainString(
+                            df._jdf.queryExecution(), "formatted"
+                        )
+                        return self._json(200, {"plan": plan})
+                    if self.path.startswith("/connectors/"):
+                        server_self.add_connector(self.path.rsplit("/", 1)[1], self._body())
+                        return self._json(200, {"status": "ok"})
+                    if self.path.startswith("/views/"):
+                        name = self.path.rsplit("/", 1)[1]
+                        body = self._body()
+                        parse_kql(body["query"])  # validate
+                        server_self.views[name] = body["query"]
+                        return self._json(200, {"status": "ok"})
+                    self._json(404, {"error": "not found"})
+                except Exception as e:  # noqa: BLE001
+                    server_self.metrics["query_errors_total"] += 1
+                    self._json(400, {"error": str(e)[:500]})
+
+            def _query(self):
+                body = self._body()
+                qid = body.get("query_id") or str(uuid.uuid4())
+                df = server_self._query_df(body["query"])
+                server_self.metrics["queries_total"] += 1
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("X-Query-Id", qid)
+                self.end_headers()
+                # rows stream out as Spark completes partitions — the
+                # SSE behavior of the reference
+                for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
+                    self.wfile.write(f"data: {line}\n\n".encode())
+                self.wfile.write(b"event: done\ndata: {}\n\n")
+
+        return Handler
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+
+
+def main() -> None:  # pragma: no cover
+    import argparse
+
+    from miso_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--data-dir", default=None, help="register as parquet_dir connector 't'")
+    args = ap.parse_args()
+
+    srv = MisoServer(get_spark("miso_spark_server"), port=args.port)
+    if args.config:
+        srv.load_config(args.config)
+    if args.data_dir:
+        srv.add_connector("t", {"type": "parquet_dir", "path": args.data_dir})
+    print(f"miso_spark server on :{srv.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

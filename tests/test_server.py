@@ -1,0 +1,109 @@
+"""HTTP/SSE server tests — the reference's curl workflow against our
+server: POST /query streams SSE data frames, /explain, connector and
+view management."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from miso_spark.server import MisoServer
+
+    srv = MisoServer(spark, port=0)
+    srv.add_connector("t", {"type": "parquet_dir", "path": SF_DIR})
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req)
+
+
+def _get(server, path):
+    return urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}")
+
+
+def test_health_and_metrics(server):
+    assert json.load(_get(server, "/health")) == {"status": "ok"}
+    assert "queries_total" in json.load(_get(server, "/metrics"))
+
+
+def test_query_streams_sse(server):
+    resp = _post(server, "/query", {"query": "t.region | sort by r_regionkey"})
+    assert resp.headers["Content-Type"] == "text/event-stream"
+    assert resp.headers["X-Query-Id"]
+    rows, done = [], False
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("data: ") and not done:
+            rows.append(json.loads(line[6:]))
+        elif line.startswith("event: done"):
+            done = True
+    assert done
+    assert [r["r_regionkey"] for r in rows[:5]] == [0, 1, 2, 3, 4]
+
+
+def test_readme_style_pipeline_query(server):
+    """The reference README's query shape: union + summarize + bin +
+    join + top, over our connectors."""
+    q = """
+    t.events
+    | union (t.events | where event_type == 'error')
+    | where ts > datetime(2024-01-02) - 1d
+    | summarize minUser = min(user_id), maxUser = max(user_id),
+                cnt = countif(value between (50 .. 100))
+      by bin(ts, 1h)
+    | join (t.events | where user_id > 3) on $left.minUser == $right.user_id
+    | top 10 by cnt desc
+    """
+    resp = _post(server, "/query", {"query": q})
+    rows = [json.loads(l.decode()[6:]) for l in resp if l.decode().startswith("data: ")]
+    assert 0 < len(rows) <= 10 * 1000  # join can fan out; top caps pre-join rows
+    assert {"minUser", "maxUser", "cnt", "ts"} <= set(rows[0])
+
+
+def test_explain_endpoint(server):
+    resp = _post(server, "/explain", {"query": "t.orders | top 3 by o_totalprice desc"})
+    plan = json.load(resp)["plan"]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_views_lifecycle(server):
+    _post(server, "/views/big_orders", {"query": "t.orders | where o_totalprice > 300000"})
+    assert json.load(_get(server, "/views/big_orders"))["query"]
+    resp = _post(server, "/query", {"query": "big_orders | count"})
+    rows = [json.loads(l.decode()[6:]) for l in resp if l.decode().startswith("data: ")]
+    assert rows[0]["Count"] > 0
+    urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/views/big_orders", method="DELETE"
+        )
+    )
+    assert json.load(_get(server, "/views")) == {}
+
+
+def test_connector_management_and_errors(server):
+    _post(server, "/connectors/extra", {"type": "parquet_dir", "path": SF_DIR})
+    assert "extra" in json.load(_get(server, "/connectors"))
+    # external connector types fail loudly
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/connectors/qw", {"type": "quickwit", "url": "http://localhost:7280"})
+    assert ei.value.code == 400
+    # bad KQL → 400 with message
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/query", {"query": "t.orders | frobnicate"})
+    assert ei.value.code == 400
+    assert "error" in json.load(ei.value)
