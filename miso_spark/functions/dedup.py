@@ -338,9 +338,18 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine within a blocking key.
 
-    The block join keeps this from being a cross join; at 100 TB the
-    block key would be an LSH bucket (see similarity.lsh_buckets).
+    The block join keeps this from being a cross join. ``block_col``
+    may be an existing column, or the string ``"lsh"`` to derive
+    random-hyperplane LSH buckets (the 100 TB path — identical/near
+    vectors land in the same bucket with high probability, everything
+    else never gets compared).
     """
+    if block_col == "lsh":
+        from miso_spark.functions.similarity import with_lsh_buckets
+
+        dim = len(df.select(vec_col).first()[0])
+        df = with_lsh_buckets(df, vec_col, num_planes=4, dim=dim)
+        block_col = "lsh_bucket"
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

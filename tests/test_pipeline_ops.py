@@ -122,3 +122,18 @@ def test_exact_dedup_counts(docs):
     assert d.agg(F.sum("dup_count")).first()[0] == total
     # canonical ids are real doc ids
     assert d.join(docs, d.canonical_id == docs.doc_id, "left_anti").count() == 0
+
+
+def test_embedding_dedup_lsh_blocking(spark, emb):
+    """The 'lsh' block derives hyperplane buckets; identical vectors
+    share a bucket by construction, so the planted pair must survive."""
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+
+    first = emb.filter(F.col("vec_id") == 0).first()
+    clone = spark.createDataFrame(
+        [(999999, first["embedding"], first["label"])], ["vec_id", "embedding", "label"]
+    )
+    pairs = embedding_dedup_pairs(
+        emb.unionByName(clone), block_col="lsh", threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 999999)}
