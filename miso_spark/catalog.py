@@ -92,7 +92,7 @@ q(
     "pricing_summary",  # flagship; TPC-H Q1 shape through the KQL path
     kql="""
     t.lineitem
-    | where l_shipdate <= datetime(2024-10-01)
+    | where l_shipdate <= datetime(1998-09-02)
     | summarize sum_qty=sum(l_quantity), sum_base=sum(l_extendedprice),
                 avg_qty=avg(l_quantity), avg_price=avg(l_extendedprice),
                 avg_disc=avg(l_discount), count_order=count()
@@ -108,7 +108,7 @@ q(
            ROUND(AVG(l_discount), 4)       AS avg_disc,
            COUNT(*)                        AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-10-01'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
 )

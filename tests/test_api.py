@@ -149,3 +149,14 @@ def test_join_empty_and_no_match(miso, spark):
     assert miso.query("mem.el | join (mem.er) on id").count() == 0
     miso.registry.source("mem").put("nr", spark.createDataFrame([(99, "b")], ["id", "w"]))
     assert miso.query("mem.el | join (mem.nr) on id").count() == 0
+
+
+def test_csv_source_roundtrip(miso, spark, tmp_path_factory):
+    from miso_spark.sources import CsvDirSource
+
+    d = tmp_path_factory.mktemp("csvsrc")
+    with open(d / "people.csv", "w") as f:
+        f.write("pid,name,age\n1,ann,30\n2,bo,45\n3,cy,22\n")
+    miso.registry.register("csv", CsvDirSource(str(d)))
+    rows = list(miso.query_rows("csv.people | where age > 25 | sort by pid | project name"))
+    assert [r["name"] for r in rows] == ["ann", "bo"]
