@@ -136,8 +136,8 @@ q(
     """,
     oracle="""
     SELECT p_partkey, p_name, p_type FROM part
-    WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'
-       OR p_name LIKE '%blue'
+    WHERE contains(p_name, 'red') OR starts_with(p_type, 'SMALL')
+       OR ends_with(p_name, 'blue')
        OR regexp_matches(p_type, '(?i)(^|[^A-Za-z0-9])steel([^A-Za-z0-9]|$)')
     """,
 )

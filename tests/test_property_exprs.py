@@ -115,6 +115,45 @@ def harness(spark):
     return Compiler(reg), con
 
 
+STR_COL = "n_name"
+_words = st.sampled_from(["NATION", "_1", "N", "ATION_2", "X", "", "2"])
+
+
+def str_pred():
+    """contains/startswith/endswith/== over the string column — KQL and
+    SQL renderings compared verbatim."""
+
+    def rend(op, w):
+        kql_op = {"contains": "contains", "startswith": "startswith",
+                  "endswith": "endswith", "==": "=="}[op]
+        # literal-semantics functions, not LIKE ('_'/'%' are wildcards)
+        if op == "contains":
+            sql = f"contains({STR_COL}, '{w}')"
+        elif op == "startswith":
+            sql = f"starts_with({STR_COL}, '{w}')"
+        elif op == "endswith":
+            sql = f"ends_with({STR_COL}, '{w}')"
+        else:
+            sql = f"({STR_COL} = '{w}')"
+        return (f"({STR_COL} {kql_op} '{w}')", sql)
+
+    return st.tuples(
+        st.sampled_from(["contains", "startswith", "endswith", "=="]), _words
+    ).map(lambda t: rend(*t))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sp=str_pred())
+def test_random_string_op_equivalence(harness, sp):
+    compiler, con = harness
+    kql_pred, sql_pred = sp
+    kql = f"t.nation | where {kql_pred} | project n_nationkey"
+    sql = f"SELECT n_nationkey FROM nation WHERE {sql_pred}"
+    srows = sorted(r[0] for r in compiler.run(parse_kql(kql)).collect())
+    drows = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert srows == drows, f"\nKQL: {kql}\nSQL: {sql}"
+
+
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(pred=bool_expr(2), val=int_expr(2))
 def test_random_expression_equivalence(harness, pred, val):
