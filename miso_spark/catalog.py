@@ -156,6 +156,23 @@ q(
 )
 
 q(
+    "where_negations",
+    kql="""
+    t.part
+    | where p_size !between (20 .. 40) and not(p_type has_cs 'promo')
+        and p_type has 'PROMO' or p_type has_cs 'ECONOMY'
+    | project p_partkey, p_size, p_type
+    """,
+    oracle="""
+    SELECT p_partkey, p_size, p_type FROM part
+    WHERE p_size NOT BETWEEN 20 AND 40
+      AND NOT regexp_matches(p_type, '(^|[^A-Za-z0-9])promo([^A-Za-z0-9]|$)')
+      AND regexp_matches(p_type, '(?i)(^|[^A-Za-z0-9])PROMO([^A-Za-z0-9]|$)')
+       OR regexp_matches(p_type, '(^|[^A-Za-z0-9])ECONOMY([^A-Za-z0-9]|$)')
+    """,
+)
+
+q(
     "project_extend",
     kql="""
     t.lineitem
