@@ -267,9 +267,11 @@ q(
     kql="""
     t.orders
     | summarize n = count() by price_bucket = bin(o_totalprice, 50000)
+    | project price_bucket = tolong(price_bucket), n
     """,
     oracle="""
-    SELECT FLOOR(o_totalprice / 50000) * 50000 AS price_bucket, COUNT(*) AS n
+    SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bucket,
+           COUNT(*) AS n
     FROM orders GROUP BY 1
     """,
 )
@@ -306,6 +308,19 @@ q(
            CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen,
            MAX(value) AS peak
     FROM events GROUP BY event_type
+    """,
+)
+
+q(
+    # agg-less summarize (parser.rs:1033 admits zero aggregations):
+    # `summarize by x, y` is distinct over the group keys
+    "summarize_by_only",
+    kql="""
+    t.orders
+    | summarize by o_orderpriority, status = o_orderstatus
+    """,
+    oracle="""
+    SELECT DISTINCT o_orderpriority, o_orderstatus AS status FROM orders
     """,
 )
 
@@ -429,7 +444,7 @@ q(
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(TRUNC(l_quantity) AS INTEGER) AS q_int,
+           CAST(TRUNC(l_quantity) AS BIGINT) AS q_int,
            CAST(l_linenumber AS VARCHAR) AS q_str,
            CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS BOOLEAN) AS big,
            CAST(TRUNC(l_extendedprice) AS BIGINT) AS price_long
@@ -444,7 +459,7 @@ q(
     | project event_id, k = toint(extract('"k": (\\d+)', 1, props))
     """,
     oracle="""
-    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
     FROM events
     """,
 )

@@ -126,8 +126,15 @@ class Compiler:
             return df.orderBy(*_sort_cols(step.sorts)).limit(step.n)
         if isinstance(step, P.SummarizeStep):
             aggs = [_agg_col(name, agg, df.schema) for name, agg in step.aggs]
-            if step.by:
-                by = [compile_expr(b.expr, df.schema).alias(b.name) for b in step.by]
+            by = [compile_expr(b.expr, df.schema).alias(b.name) for b in step.by]
+            if not aggs:
+                # reference grammar admits zero aggregations
+                # (miso-kql/src/parser.rs:1033): `summarize by x, y` is
+                # distinct over the group keys
+                if not by:
+                    raise ValueError("summarize requires aggregations or a by clause")
+                return df.select(*by).distinct()
+            if by:
                 return df.groupBy(*by).agg(*aggs)
             return df.agg(*aggs)
         if isinstance(step, P.Distinct):
@@ -158,37 +165,42 @@ class Compiler:
         - a row whose expandable collections are all empty is DROPPED;
         - rows where every named field is missing/scalar pass through;
         - objects (maps) expand to single-entry maps under kind=bag and
-          to flattened [k1, v1, k2, v2, ...] elements under kind=array.
+          to flattened [k1, v1, k2, v2, ...] elements under kind=array;
+        - nested field paths (``a.b``) expand in place, like the
+          reference's insert_field_value at the original path.
         """
-        exp: dict[str, Column] = {}
+        exp: dict[str, tuple[FieldPath, Column]] = {}
         for name in step.fields:
-            dtype = df.schema[name].dataType
-            col = F.col(f"`{name}`")
+            fp = FieldPath.parse(name)
+            dtype = fp.resolve_type(df.schema)
+            col = fp.to_column()
             if isinstance(dtype, ArrayType):
-                exp[name] = col
+                exp[name] = (fp, col)
             elif isinstance(dtype, MapType):
                 entries = F.map_entries(col)
                 if step.kind == "array":
-                    exp[name] = F.flatten(
+                    arr = F.flatten(
                         F.transform(
                             entries,
                             lambda e: F.array(e.getField("key"), e.getField("value").cast("string")),
                         )
                     )
                 else:
-                    exp[name] = F.transform(
+                    arr = F.transform(
                         entries,
                         lambda e: F.map_from_arrays(
                             F.array(e.getField("key")), F.array(e.getField("value"))
                         ),
                     )
-            # scalar/other types: pass through untouched
+                exp[name] = (fp, arr)
+            # scalar/missing fields: pass through untouched
 
         if not exp:
             return df
 
         # m: longest present collection (-1 when all are null/missing)
-        m = F.greatest(*[F.coalesce(F.size(c), F.lit(-1)) for c in exp.values()]) if len(exp) > 1 else F.coalesce(F.size(next(iter(exp.values()))), F.lit(-1))
+        sizes = [F.coalesce(F.size(c), F.lit(-1)) for _, c in exp.values()]
+        m = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
         # rows to emit: 1 for all-missing (passthrough), m otherwise —
         # filter (not sequence stop) handles m==0 because Spark's
         # sequence(0, -1) counts DOWN instead of returning empty
@@ -198,9 +210,31 @@ class Compiler:
             lambda i: i < n_rows,
         )
         df = df.withColumn("__mv_idx", F.explode(idx_list))
-        for name, arr in exp.items():
-            df = df.withColumn(name, F.get(arr, F.col("__mv_idx")))
+        for _, (fp, arr) in exp.items():
+            df = self._set_field(df, fp, F.get(arr, F.col("__mv_idx")))
         return df.drop("__mv_idx")
+
+    @staticmethod
+    def _set_field(df: DataFrame, fp: FieldPath, value: Column) -> DataFrame:
+        """Write ``value`` back at a (possibly nested) field path —
+        expand.rs insert_field_value parity."""
+        root = fp.segments[0][0]
+        if fp.is_simple():
+            return df.withColumn(root, value)
+        if any(idxs for _, idxs in fp.segments):
+            raise ValueError(
+                f"mv-expand: cannot write back through array index in {fp}"
+            )
+        col = F.col(f"`{root}`")
+        nested = [name for name, _ in fp.segments[1:]]
+        # build withField from the innermost segment outward
+        def rebuild(base: Column, names: list[str]) -> Column:
+            if len(names) == 1:
+                return base.withField(names[0], value)
+            return base.withField(
+                names[0], rebuild(base.getField(names[0]), names[1:])
+            )
+        return df.withColumn(root, rebuild(col, nested))
 
     def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
         right = self._run(step.sub, env)

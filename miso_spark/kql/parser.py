@@ -53,12 +53,16 @@ _CMP_OPS = {
     "has_cs": "has_cs",
 }
 
+# Reference cast semantics (miso-kql/src/parser.rs:663-664): ToInt and
+# ToLong both lower to CastType::Int (i64); ToReal and ToDecimal both
+# lower to CastType::Float (f64). Map accordingly so toint/todecimal
+# match reference results for |x| >= 2^31 and float rounding.
 _CASTS = {
     "tobool": "bool",
-    "toint": "int",
+    "toint": "long",
     "tolong": "long",
     "toreal": "float",
-    "todecimal": "decimal",
+    "todecimal": "float",
     "tostring": "string",
 }
 

@@ -170,9 +170,21 @@ class MisoServer:
                 self.send_header("X-Query-Id", qid)
                 self.end_headers()
                 # rows stream out as Spark completes partitions — the
-                # SSE behavior of the reference
-                for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
-                    self.wfile.write(f"data: {line}\n\n".encode())
+                # SSE behavior of the reference. Runtime failures after
+                # this point can't become an HTTP error code (headers
+                # are gone); emit an SSE error frame instead, like the
+                # reference surfaces mid-stream errors in-band.
+                try:
+                    for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
+                        self.wfile.write(f"data: {line}\n\n".encode())
+                except Exception as e:  # noqa: BLE001
+                    server_self.metrics["query_errors_total"] += 1
+                    try:
+                        payload = json.dumps({"error": str(e)[:500]})
+                        self.wfile.write(f"event: error\ndata: {payload}\n\n".encode())
+                    except OSError:
+                        pass  # client already gone
+                    return
                 self.wfile.write(b"event: done\ndata: {}\n\n")
 
         return Handler

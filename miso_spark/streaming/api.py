@@ -120,6 +120,22 @@ def _sessionize_group(
     else:
         start_us, last_us, n = None, None, 0
 
+    # processing-time timeout fired with no new data: the session went
+    # idle — flush the buffered session row and drop the state (leaving
+    # it would re-arm the timeout and pin the session open forever)
+    if use_timeout and state.hasTimedOut:
+        state.remove()
+        if last_us is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
     out = []
     for pdf in pdfs:
         for ts in sorted(pdf["ts"]):

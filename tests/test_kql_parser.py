@@ -115,6 +115,17 @@ def test_casts_and_datetime():
     assert s[2].fields[0].expr == Cast("long", Field.of("value"))
 
 
+def test_cast_parity_with_reference():
+    # parser.rs:663-664: ToInt|ToLong → CastType::Int (i64),
+    # ToReal|ToDecimal → CastType::Float (f64)
+    s = steps(
+        "t.events | extend a = toint(value), b = tolong(value),"
+        " c = toreal(value), d = todecimal(value)"
+    )
+    types = [f.expr.type for f in s[1].fields]
+    assert types == ["long", "long", "float", "float"]
+
+
 def test_mv_expand_and_raw():
     s = steps("t.events.raw('SELECT 1 AS one') | mv-expand kind=array tags")
     assert s[0] == P.ScanRaw("t", "events", "SELECT 1 AS one")
@@ -184,7 +195,7 @@ def test_project_default_column_names():
     assert names == ["Column1", "Column2", "f3", "Column21", "f5"]
 
 
-def test_string_plus_concat():
+def test_string_plus_concat(spark):
     from miso_spark.exprs import BinOp, Field, Lit, compile_expr
 
     e = steps("t.x | extend label = 'id-' + f1")[1].fields[0].expr

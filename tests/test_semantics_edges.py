@@ -63,6 +63,12 @@ def test_summarize_by_literal(m):
     assert r == [{"g": 1, "n": 3}]
 
 
+def test_summarize_by_only_is_distinct(m):
+    # parser.rs:1033 admits zero aggregations: `summarize by x` ≡ distinct
+    got = {r["s"] for r in rows(m, "mem.vals | summarize by s")}
+    assert got == {"x", "y", None}
+
+
 def test_case_no_conditions_match_uses_default(m):
     r = rows(m, "mem.vals | where id == 1 | project o = case(v > 100, 'big', v > 50, 'mid', 'small')")
     assert r == [{"o": "small"}]

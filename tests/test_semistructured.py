@@ -75,6 +75,26 @@ def test_mv_expand_dynamic_array(logs_miso):
     assert counts == {"prod": 2, "canary": 1, "dev": 1}
 
 
+def test_mv_expand_nested_path(spark):
+    # expand.rs insert_field_value: `mv-expand a.b` expands in place at
+    # the nested path
+    m = MisoSpark(spark)
+    m.registry.source("mem").put(
+        "nested",
+        spark.createDataFrame(
+            [(1, (["a", "b"],)), (2, ([],)), (3, (None,))],
+            "id long, svc struct<eps: array<string>>",
+        ),
+    )
+    rows = [
+        r.asDict()
+        for r in m.query("mem.nested | mv-expand svc.eps | project id, e = svc.eps").collect()
+    ]
+    got = sorted(((r["id"], r["e"]) for r in rows), key=lambda t: (t[0], t[1] or ""))
+    # empty array drops the row; null array passes through as null
+    assert got == [(1, "a"), (1, "b"), (3, None)]
+
+
 def test_summarize_over_nested_by(logs_miso):
     rows = list(
         logs_miso.query_rows(

@@ -71,6 +71,45 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (1, 2) in closed
 
 
+def test_sessionize_timeout_flushes_idle_session():
+    """Processing-time timeout invocation (no new data) must emit the
+    buffered session and drop the state — not silently re-arm."""
+    from miso_spark.streaming.api import _sessionize_group
+
+    class FakeState:
+        def __init__(self, value):
+            self._value = value
+            self.exists = value is not None
+            self.hasTimedOut = True
+            self.removed = False
+            self.updated = None
+
+        @property
+        def get(self):
+            return self._value
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.rearmed = True
+
+    st = FakeState((1_000_000, 2_000_000, 3))
+    out = list(_sessionize_group((42,), iter([]), st, gap_s=1800.0, use_timeout=True))
+    assert st.removed and st.updated is None
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["user_id"], row["n_events"]) == (42, 3)
+
+    # timed-out key with no buffered session: just clean up
+    st2 = FakeState(None)
+    out2 = list(_sessionize_group((7,), iter([]), st2, gap_s=1800.0, use_timeout=True))
+    assert st2.removed and out2 == []
+
+
 def test_tee_stream_side_write(spark, events_stream_dir, tmp_path):
     from miso_spark.streaming import stream_events, tee_stream
 
