@@ -517,6 +517,23 @@ q(
     """,
 )
 
+q(
+    # lexer literal parity (lexer.rs:208-247): bare datetime literals
+    # (no datetime() wrapper) and long-form timespan units
+    "datetime_literal_forms",
+    kql="""
+    t.events
+    | where ts >= 2024-01-10 and ts < 2024-01-10 00:00:00 + 36hours + 30minutes
+    | summarize n = count() by event_type
+    """,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10'
+      AND ts < TIMESTAMP '2024-01-10' + INTERVAL 36 HOUR + INTERVAL 30 MINUTE
+    GROUP BY event_type
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # §2.5 LLM-data-pipeline operators (documents / embeddings tables)

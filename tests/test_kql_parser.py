@@ -115,6 +115,65 @@ def test_casts_and_datetime():
     assert s[2].fields[0].expr == Cast("long", Field.of("value"))
 
 
+def test_timespan_long_form_units():
+    # lexer.rs:247 long-form unit surface; values mirror the short forms
+    cases = {
+        "30seconds": 30.0,
+        "5minutes": 300.0,
+        "2hours": 7200.0,
+        "1day": 86400.0,
+        "3days": 3 * 86400.0,
+        "90sec": 90.0,
+        "10mins": 600.0,
+        "4hrs": 4 * 3600.0,
+        "250millis": 0.25,
+        "7microseconds": 7e-6,
+        "9nanos": 9e-9,
+        "100ticks": 1e-5,
+        "1.5h": 5400.0,
+    }
+    for text, secs in cases.items():
+        s = steps(f"t.events | where ts > now() - {text}")
+        dur = s[1].expr.right.right
+        assert isinstance(dur, Duration) and abs(dur.seconds - secs) < 1e-12, (text, dur)
+
+
+def test_bare_datetime_literals():
+    # lexer.rs:208-227 priority-3 regexes: datetimes without the
+    # datetime() wrapper
+    from datetime import datetime
+
+    s = steps("t.events | where ts >= 2015-12-31")
+    assert s[1].expr.right == Lit(datetime(2015, 12, 31))
+    s = steps("t.events | where ts >= 2015-12-31 23:59:59")
+    assert s[1].expr.right == Lit(datetime(2015, 12, 31, 23, 59, 59))
+    s = steps("t.events | where ts >= 2015-12-31T23:59:59.500Z")
+    assert s[1].expr.right == Lit(datetime(2015, 12, 31, 23, 59, 59, 500000))
+    s = steps("t.events | where ts >= Thu, 31 Dec 2015 23:59:59 GMT")
+    assert s[1].expr.right == Lit(datetime(2015, 12, 31, 23, 59, 59))
+
+
+def test_bool_case_variants_and_hex():
+    # lexer.rs:199-204 True/TRUE/False/FALSE; hex integer literals
+    s = steps("t.events | where True or FALSE")
+    assert s[1].expr == BinOp("or", Lit(True), Lit(False))
+    s = steps("t.events | where value == 0x1F")
+    assert s[1].expr.right == Lit(31)
+
+
+def test_multiline_and_raw_strings():
+    # lexer.rs:234-236: triple-backtick/tilde multiline strings (no
+    # escape processing), @-raw strings with doubled-quote escapes
+    s = steps("t.events | where msg == ```line1\nline2```")
+    assert s[1].expr.right == Lit("line1\nline2")
+    s = steps("t.events | where msg == ~~~a\\no~~~")
+    assert s[1].expr.right == Lit("a\\no")  # raw: backslash kept
+    s = steps("""t.events | where msg == @"say ""hi" """)
+    assert s[1].expr.right == Lit('say "hi')
+    s = steps("t.events | where msg == @'it''s'")
+    assert s[1].expr.right == Lit("it's")
+
+
 def test_cast_parity_with_reference():
     # parser.rs:663-664: ToInt|ToLong → CastType::Int (i64),
     # ToReal|ToDecimal → CastType::Float (f64)
