@@ -363,6 +363,24 @@ q(
 )
 
 q(
+    # hint.partitions=N (join.rs:720): N-way partitioned hash join;
+    # results identical to join_inner-style joins, plan asserted in
+    # tests/test_plans.py::test_join_partitions_hint_honored
+    "join_hint_partitions",
+    kql="""
+    t.orders
+    | join hint.partitions=8 (t.customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count(), total = sum(o_totalprice) by c_mktsegment
+    """,
+    rounding={"total": 2},
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+q(
     "join_left",
     kql="""
     t.customer

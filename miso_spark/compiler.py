@@ -17,7 +17,7 @@ from pyspark.sql.types import ArrayType, MapType
 from miso_spark import plan as P
 from miso_spark.exprs import compile_expr
 from miso_spark.fields import FieldPath
-from miso_spark.sources import SourceRegistry
+from miso_spark.sources import CAP_RAW, CAP_WRITE, SourceRegistry
 
 #: miso names the bare `count` step's output column "Count"
 #: (miso-workflow-types/src/log.rs:9)
@@ -98,7 +98,10 @@ class Compiler:
         if isinstance(step, P.ScanRaw):
             # the raw query targets the scanned collection: expose it as
             # a view first (connector-native-query parity — the raw
-            # string goes "to the connector" for this collection)
+            # string goes "to the connector" for this collection).
+            # Capability negotiation mirrors Connector::raw_query being
+            # optional (lib.rs: only quickwit implements it).
+            self._require_cap(step.connector, CAP_RAW, "raw query")
             self.registry.table(step.connector, step.collection).createOrReplaceTempView(
                 step.collection
             )
@@ -148,14 +151,23 @@ class Compiler:
             return self._join(df, step, env)
         if isinstance(step, P.CountStep):
             return df.agg(F.count(F.lit(1)).alias(COUNT_FIELD_NAME))
-        if isinstance(step, P.Tee):
-            self.registry.source(step.connector).write(df, step.collection)
-            return df
-        if isinstance(step, P.Write):
+        if isinstance(step, (P.Tee, P.Write)):
+            # create_sink negotiation (lib.rs:create_sink returns None
+            # on read-only connectors)
+            self._require_cap(step.connector, CAP_WRITE, "write/tee")
             self.registry.source(step.connector).write(df, step.collection)
             return df
 
         raise TypeError(f"unknown step {type(step).__name__}")
+
+    def _require_cap(self, connector: str, cap: str, what: str) -> None:
+        src = self.registry.source(connector)
+        if cap not in src.capabilities:
+            raise ValueError(
+                f"connector {connector!r} ({type(src).__name__}) does not "
+                f"support {what}; declared capabilities: "
+                f"{sorted(src.capabilities)}"
+            )
 
     def _expand(self, df: DataFrame, step: P.Expand) -> DataFrame:
         """mv-expand with the reference's semantics (expand.rs):
@@ -261,7 +273,16 @@ class Compiler:
             right = right.withColumnsRenamed(renames)
             right_on = renames.get(right_on, right_on)
 
-        if step.broadcast:
+        if step.partitions > 1:
+            # hint.partitions=N (join.rs:720: N-way partitioned hash
+            # join): shuffle both sides into N hash partitions on the
+            # join key. The explicit hint also opts out of broadcast —
+            # the user asked for a partitioned join.
+            left = left.repartition(step.partitions, FieldPath.parse(step.left_on).to_column())
+            right = right.repartition(step.partitions, F.col(f"`{right_on}`")).hint(
+                "shuffle_hash"  # build a hash table per partition, not a broadcast
+            )
+        elif step.broadcast:
             right = F.broadcast(right)
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}[step.how]
         if merged_key:

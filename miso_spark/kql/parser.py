@@ -355,6 +355,11 @@ class Parser:
             self.expect("partitions")
             self.expect("=")
             partitions = int(self.expect("int").value)
+            if partitions <= 0:
+                # parser.rs:1188 parity
+                raise ParseError(
+                    "partition count must be positive. Use 'hint.partitions=2' or similar"
+                )
         self.expect("(")
         sub = self.parse_query()
         self.expect(")")

@@ -34,17 +34,24 @@ from miso_spark.sources import (
     MemorySource,
     ParquetDirSource,
 )
+from miso_spark.sources.external import (
+    ElasticsearchSource,
+    QuickwitSource,
+    SplunkSource,
+)
 
+#: external types register like the reference's config.json connectors
+#: and fail at connect time (ConnectorUnavailableError) when queried —
+#: the services aren't reachable in this environment
 _SOURCE_TYPES = {
     "parquet_dir": lambda cfg: ParquetDirSource(cfg["path"]),
     "json_dir": lambda cfg: JsonDirSource(cfg["path"]),
     "csv_dir": lambda cfg: CsvDirSource(cfg["path"]),
     "memory": lambda cfg: MemorySource(),
+    "quickwit": lambda cfg: QuickwitSource(cfg["url"]),
+    "elasticsearch": lambda cfg: ElasticsearchSource(cfg["url"]),
+    "splunk": lambda cfg: SplunkSource(cfg["url"]),
 }
-
-#: external connector types the reference supports; the services are
-#: not reachable from this environment so registration fails loudly
-_EXTERNAL_TYPES = {"quickwit", "elasticsearch", "splunk"}
 
 
 class MisoServer:
@@ -60,12 +67,6 @@ class MisoServer:
     # -- registry / views --------------------------------------------------
     def add_connector(self, name: str, cfg: dict) -> None:
         ctype = cfg.get("type")
-        if ctype in _EXTERNAL_TYPES:
-            raise ValueError(
-                f"connector type {ctype!r} requires an external service not "
-                "available in this environment; use parquet_dir/json_dir/"
-                "csv_dir/memory"
-            )
         if ctype not in _SOURCE_TYPES:
             raise ValueError(f"unknown connector type {ctype!r}")
         self.miso.registry.register(name, _SOURCE_TYPES[ctype](cfg))

@@ -1,9 +1,13 @@
 """Source ("connector") registry.
 
 Parity: miso-connectors/src/lib.rs — a connector exposes named
-collections and declares which query steps it can absorb (predicate
-pushdown). In Spark the pushdown negotiation is Catalyst's job: the
-parquet/json/csv sources get filter+projection+limit pushdown for free,
+collections and declares which query steps it can absorb via its
+``apply_*`` methods (lib.rs:189-296: filter/project/extend/limit/topn/
+count/summarize/union, plus ``raw_query`` and ``create_sink``). Here
+each ``Source`` declares the same surface as a ``capabilities`` set the
+compiler consults (raw-scan and write negotiation); for the filesystem
+sources the scan-step pushdowns execute through Catalyst (PushedFilters
+/ column pruning / limit pushdown, asserted in tests/test_plans.py),
 which subsumes miso's push_*_into_scan passes (SURVEY.md §6).
 
 Connector kinds:
@@ -12,6 +16,9 @@ Connector kinds:
 - ``JsonDirSource`` / ``CsvDirSource``: semi-structured log files.
 - ``MemorySource``: in-session named DataFrames
   (parity: miso-connectors/src/memory.rs).
+- ``QuickwitSource`` / ``ElasticsearchSource`` / ``SplunkSource``
+  (miso_spark.sources.external): register + declare capabilities, fail
+  at connect time — the services aren't reachable in this environment.
 """
 
 from __future__ import annotations
@@ -22,9 +29,31 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# capability vocabulary — one name per Connector::apply_* hook in the
+# reference (miso-connectors/src/lib.rs:189-296) plus raw_query/sink
+CAP_FILTER = "filter"
+CAP_PROJECT = "project"
+CAP_EXTEND = "extend"
+CAP_LIMIT = "limit"
+CAP_TOPN = "topn"
+CAP_COUNT = "count"
+CAP_SUMMARIZE = "summarize"
+CAP_UNION = "union"
+CAP_RAW = "raw"        # connector-native query string (ScanRaw)
+CAP_WRITE = "write"    # create_sink analog (tee / write steps)
+
 
 class Source:
-    """A named connector serving collections as DataFrames."""
+    """A named connector serving collections as DataFrames.
+
+    ``capabilities`` declares which steps the source can absorb at the
+    scan. The compiler enforces the negotiated subset (raw scans,
+    writes); Catalyst executes the scan-step pushdowns for file-backed
+    sources.
+    """
+
+    capabilities: frozenset[str] = frozenset()
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         raise NotImplementedError
@@ -52,6 +81,13 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 
 class ParquetDirSource(Source):
+    # columnar scan: Catalyst pushes filters/columns/limits into the
+    # parquet reader (asserted in tests/test_plans.py); raw = Spark SQL
+    # over the collection view; write = parquet sink
+    capabilities = frozenset(
+        {CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_COUNT, CAP_RAW, CAP_WRITE}
+    )
+
     def __init__(self, directory: str):
         self.directory = directory
 
@@ -68,6 +104,8 @@ class ParquetDirSource(Source):
 
 
 class JsonDirSource(Source):
+    capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW, CAP_WRITE})
+
     def __init__(self, directory: str):
         self.directory = directory
 
@@ -79,6 +117,9 @@ class JsonDirSource(Source):
 
 
 class CsvDirSource(Source):
+    # read-only: no write() → no CAP_WRITE; tee/write negotiation fails
+    capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})
+
     def __init__(self, directory: str):
         self.directory = directory
 
@@ -89,7 +130,11 @@ class CsvDirSource(Source):
 
 
 class MemorySource(Source):
-    """In-session tables (miso-connectors/src/memory.rs parity)."""
+    """In-session tables (miso-connectors/src/memory.rs parity:
+    no apply_* pushdowns, but create_sink/create_updatable_sink —
+    memory.rs:181-188)."""
+
+    capabilities = frozenset({CAP_RAW, CAP_WRITE})
 
     def __init__(self):
         self._tables: dict[str, DataFrame] = {}

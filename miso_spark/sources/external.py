@@ -1,0 +1,127 @@
+"""External service connectors: Quickwit / Elasticsearch / Splunk.
+
+Parity: miso-connectors/src/{quickwit.rs, elasticsearch.rs, splunk/}.
+The services are not reachable from this environment, so these are
+honest skeletons: they **register** like any source, **declare** the
+same pushdown capability surface their reference counterparts implement
+(the connector's ``apply_*`` methods — quickwit.rs:1268-1552,
+elasticsearch.rs:1264-1487, splunk/mod.rs:1182-1380), and **fail at
+connect time** with a precise error when a query first touches them.
+
+The Spark-side integration path, when a service is reachable, is
+documented per class: each maps to an existing Spark DataSource
+(``org.elasticsearch.spark.sql`` for ES, REST/Arrow ingest for
+Quickwit, the Splunk REST export API via a JSON-lines reader) and the
+declared capabilities become the predicate/projection/limit parameters
+of that source — the same negotiation the reference performs through
+``apply_filter``/``apply_project``/``apply_limit``.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+
+from miso_spark.sources import (
+    CAP_COUNT,
+    CAP_EXTEND,
+    CAP_FILTER,
+    CAP_LIMIT,
+    CAP_PROJECT,
+    CAP_RAW,
+    CAP_SUMMARIZE,
+    CAP_TOPN,
+    CAP_UNION,
+    Source,
+)
+
+
+class ConnectorUnavailableError(ConnectionError):
+    """The external service behind a connector cannot be reached."""
+
+
+class ExternalHttpSource(Source):
+    """Base for HTTP-service connectors: holds the endpoint, probes a
+    health route on first use, and reports unreachability precisely."""
+
+    connector_type = "external"
+    health_path = "/"
+
+    def __init__(self, url: str, timeout_s: float = 2.0):
+        self.url = url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def _connect(self) -> None:
+        probe = f"{self.url}{self.health_path}"
+        try:
+            with urllib.request.urlopen(probe, timeout=self.timeout_s):
+                return
+        except (urllib.error.URLError, OSError, ValueError) as e:
+            raise ConnectorUnavailableError(
+                f"{self.connector_type} connector: service at {self.url!r} is "
+                f"not reachable ({e}); this environment has no external "
+                f"services — use parquet_dir/json_dir/csv_dir/memory"
+            ) from None
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        self._connect()
+        raise NotImplementedError(  # pragma: no cover - needs a live service
+            f"{self.connector_type} query translation: reachable service "
+            f"found, but the DataFrame bridge is not implemented in this "
+            f"environment (see class docstring for the integration path)"
+        )
+
+
+class QuickwitSource(ExternalHttpSource):
+    """Quickwit (quickwit.rs): sub-second search over object storage.
+
+    Reference pushdowns: filter/project/limit/topn/count/summarize/union
+    + raw_query (quickwit.rs:1268,1277,1300,1313,1354,1365,1513,1552).
+    Spark path: REST ``/api/v1/{index}/search`` with the query DSL built
+    from pushed filters, paged scroll → ``spark.read.json`` over the
+    fetched batches, or the Quickwit gRPC Arrow export when available.
+    """
+
+    connector_type = "quickwit"
+    health_path = "/api/v1/version"
+    capabilities = frozenset(
+        {CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_TOPN, CAP_COUNT,
+         CAP_SUMMARIZE, CAP_UNION, CAP_RAW}
+    )
+
+
+class ElasticsearchSource(ExternalHttpSource):
+    """Elasticsearch (elasticsearch.rs).
+
+    Reference pushdowns: filter/project/limit/topn/count/summarize/union
+    (elasticsearch.rs:1264-1487; no raw_query).
+    Spark path: the official ``org.elasticsearch.spark.sql`` DataSource
+    (``es.query`` carries pushed filters; column pruning via
+    ``es.read.field.include``).
+    """
+
+    connector_type = "elasticsearch"
+    health_path = "/_cluster/health"
+    capabilities = frozenset(
+        {CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_TOPN, CAP_COUNT,
+         CAP_SUMMARIZE, CAP_UNION}
+    )
+
+
+class SplunkSource(ExternalHttpSource):
+    """Splunk (splunk/mod.rs).
+
+    Reference pushdowns: filter/project/extend/limit/topn/count/
+    summarize/union (splunk/mod.rs:1182-1380; extend at :1343).
+    Spark path: the REST ``/services/search/jobs/export`` endpoint in
+    JSON mode (pushed steps rendered into SPL) → ``spark.read.json``.
+    """
+
+    connector_type = "splunk"
+    health_path = "/services/server/info"
+    capabilities = frozenset(
+        {CAP_FILTER, CAP_PROJECT, CAP_EXTEND, CAP_LIMIT, CAP_TOPN,
+         CAP_COUNT, CAP_SUMMARIZE, CAP_UNION}
+    )

@@ -51,6 +51,19 @@ def test_small_dim_join_broadcasts(compiler):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_join_partitions_hint_honored(compiler):
+    """hint.partitions=N (join.rs:720): both sides hash-partitioned to N
+    and joined with a per-partition hash join, never a broadcast."""
+    plan = physical(
+        compiler,
+        "t.customer | join hint.partitions=7 (t.nation)"
+        " on $left.c_nationkey == $right.n_nationkey",
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count(", 7), REPARTITION_BY_NUM") == 2, plan
+
+
 def test_summarize_partial_aggregation(compiler):
     """mux/partial-aggregate parity: map-side partial HashAggregate."""
     plan = physical(compiler, "t.lineitem | summarize sum(l_quantity) by l_returnflag")

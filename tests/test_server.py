@@ -98,10 +98,14 @@ def test_views_lifecycle(server):
 def test_connector_management_and_errors(server):
     _post(server, "/connectors/extra", {"type": "parquet_dir", "path": SF_DIR})
     assert "extra" in json.load(_get(server, "/connectors"))
-    # external connector types fail loudly
+    # external connector types register (reference config.json parity)
+    # but fail at connect time when a query touches them
+    _post(server, "/connectors/qw", {"type": "quickwit", "url": "http://localhost:7280"})
+    assert "qw" in json.load(_get(server, "/connectors"))
     with pytest.raises(urllib.error.HTTPError) as ei:
-        _post(server, "/connectors/qw", {"type": "quickwit", "url": "http://localhost:7280"})
+        _post(server, "/query", {"query": "qw.logs | count"})
     assert ei.value.code == 400
+    assert "not reachable" in json.load(ei.value)["error"]
     # bad KQL → 400 with message
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, "/query", {"query": "t.orders | frobnicate"})
