@@ -1,10 +1,14 @@
 """HTTP + SSE server — the reference's user-facing API, stdlib-only.
 
 Parity: miso-server/src/http_server.rs routes:
-- ``POST /query``   {"query": "...", "query_id"?} → SSE stream, one
-  ``data: {json row}`` frame per result row as Spark produces
-  partitions (the reference streams rows the same way), then
-  ``event: done``.
+- ``POST /query``   {"query": "...", "query_id"?, "partial_stream"?} →
+  SSE stream, one ``data: {json row}`` frame per result row as Spark
+  produces partitions (the reference streams rows the same way), then
+  ``event: done``. With ``partial_stream`` (true or
+  {"debounce": "500ms"}), aggregation queries additionally stream
+  debounced partial-state rounds tagged with ``_miso_metadata.id`` and
+  per-round done markers (partial_stream.rs parity) before the final
+  rows.
 - ``POST /explain`` {"query": "..."} → the physical plan.
 - ``GET /health``, ``GET /metrics`` (basic counters).
 - ``GET|POST|DELETE /connectors/{id}`` — registry management
@@ -19,6 +23,7 @@ works unchanged against this server.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -54,6 +59,26 @@ _SOURCE_TYPES = {
 }
 
 
+def _parse_partial_stream(value) -> float | None:
+    """``partial_stream`` request option (http_server.rs:111-147):
+    ``true`` → default 1s debounce; ``false``/absent → off;
+    ``{"debounce": "500ms" | seconds}`` → custom debounce."""
+    if value is None or value is False:
+        return None
+    if value is True:
+        return 1.0
+    if isinstance(value, dict):
+        d = value.get("debounce", 1.0)
+        if isinstance(d, (int, float)):
+            return float(d)
+        m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)?", str(d).strip())
+        if not m:
+            raise ValueError(f"bad partial_stream debounce {d!r}")
+        mult = {"ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, None: 1.0}[m.group(2)]
+        return float(m.group(1)) * mult
+    raise ValueError(f"bad partial_stream option {value!r}")
+
+
 class MisoServer:
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 8080):
         self.miso = MisoSpark(spark)
@@ -79,13 +104,16 @@ class MisoServer:
         for name, ccfg in cfg.get("connectors", {}).items():
             self.add_connector(name, ccfg)
 
-    def _query_df(self, kql: str):
+    def _plan(self, kql: str) -> Plan:
         plan = parse_kql(kql)
         # views resolve like let bindings prepended to the query
         lets = tuple(
             Let(name, parse_kql(text)) for name, text in self.views.items()
         )
-        return self.miso.compiler.run(Plan(lets + plan.steps))
+        return Plan(lets + plan.steps)
+
+    def _query_df(self, kql: str):
+        return self.miso.compiler.run(self._plan(kql))
 
     # -- http --------------------------------------------------------------
     def _make_handler(server_self):
@@ -161,23 +189,67 @@ class MisoServer:
                     self._json(400, {"error": str(e)[:500]})
 
             def _query(self):
+                from miso_spark.streaming.partial import (
+                    METADATA_FIELD,
+                    PARTIAL_DONE_FIELD,
+                    PARTIAL_ID_FIELD,
+                    plan_supports_partial_stream,
+                    run_partial_stream,
+                )
+
                 body = self._body()
                 qid = body.get("query_id") or str(uuid.uuid4())
-                df = server_self._query_df(body["query"])
+                debounce = _parse_partial_stream(body.get("partial_stream"))
+                plan = server_self._plan(body["query"])
+                # partial streaming (http_server.rs:111, partial_stream.rs):
+                # only aggregation plans over stream-capable sources; other
+                # plans fall back to the row-streaming path (which is
+                # already incremental per partition)
+                use_partial = debounce is not None and plan_supports_partial_stream(
+                    plan, server_self.miso.registry
+                )
+                df = None if use_partial else server_self.miso.compiler.run(plan)
                 server_self.metrics["queries_total"] += 1
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("X-Query-Id", qid)
                 self.end_headers()
-                # rows stream out as Spark completes partitions — the
-                # SSE behavior of the reference. Runtime failures after
-                # this point can't become an HTTP error code (headers
-                # are gone); emit an SSE error frame instead, like the
-                # reference surfaces mid-stream errors in-band.
+                # Runtime failures after this point can't become an HTTP
+                # error code (headers are gone); emit an SSE error frame
+                # instead, like the reference surfaces mid-stream errors
+                # in-band.
                 try:
-                    for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
-                        self.wfile.write(f"data: {line}\n\n".encode())
+                    if use_partial:
+                        def emit(rid: int, rows: list[str], final: bool) -> None:
+                            if final:
+                                for line in rows:
+                                    self.wfile.write(f"data: {line}\n\n".encode())
+                                return
+                            for line in rows:
+                                obj = json.loads(line)
+                                obj[METADATA_FIELD] = {PARTIAL_ID_FIELD: rid}
+                                self.wfile.write(
+                                    f"data: {json.dumps(obj)}\n\n".encode()
+                                )
+                            marker = {
+                                METADATA_FIELD: {
+                                    PARTIAL_ID_FIELD: rid,
+                                    PARTIAL_DONE_FIELD: True,
+                                }
+                            }
+                            self.wfile.write(
+                                f"data: {json.dumps(marker)}\n\n".encode()
+                            )
+
+                        run_partial_stream(
+                            server_self.miso.compiler, plan, emit, debounce_s=debounce
+                        )
+                    else:
+                        # rows stream out as Spark completes partitions —
+                        # the SSE behavior of the reference
+                        for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
+                            self.wfile.write(f"data: {line}\n\n".encode())
                 except Exception as e:  # noqa: BLE001
                     server_self.metrics["query_errors_total"] += 1
                     try:

@@ -102,6 +102,29 @@ class ParquetDirSource(Source):
     def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(os.path.join(self.directory, f"{collection}.parquet"))
 
+    def stream_table(
+        self, spark: SparkSession, collection: str, max_files_per_trigger: int = 1
+    ) -> DataFrame:
+        """Incremental file-stream over the collection (one trigger per
+        ``max_files_per_trigger`` files) — feeds partial-stream queries
+        (miso-workflow/src/partial_stream.rs analog)."""
+        path = os.path.join(self.directory, f"{collection}.parquet")
+        schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+        if os.path.isdir(path):
+            df = reader.parquet(path)
+        else:
+            # the file-stream source needs a directory: stream the
+            # parent dir filtered down to this collection's file
+            df = reader.option("pathGlobFilter", f"{collection}.parquet").parquet(
+                self.directory
+            )
+        for c in _nano_ts_columns(path):
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+        return df
+
 
 class JsonDirSource(Source):
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW, CAP_WRITE})

@@ -95,6 +95,55 @@ def test_views_lifecycle(server):
     assert json.load(_get(server, "/views")) == {}
 
 
+def test_partial_stream_progressive_aggregates(server, spark, tmp_path):
+    """partial_stream (http_server.rs:111, partial_stream.rs): ≥2
+    partial rounds (tagged + done-marked), then a final frame equal to
+    the batch result."""
+    # multi-file collection → one streaming trigger per file
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src.repartition(3).write.parquet(str(tmp_path / "orders3.parquet"))
+    _post(server, "/connectors/pstream", {"type": "parquet_dir", "path": str(tmp_path)})
+
+    resp = _post(
+        server,
+        "/query",
+        {
+            "query": "pstream.orders3 | summarize n = count() by o_orderstatus",
+            "partial_stream": {"debounce": 0},
+        },
+    )
+    partial_rounds, markers, final_rows, done = {}, [], [], False
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("event: done"):
+            done = True
+        elif line.startswith("data: ") and not done:
+            obj = json.loads(line[6:])
+            meta = obj.get("_miso_metadata")
+            if meta is None:
+                final_rows.append(obj)
+            elif meta.get("done"):
+                markers.append(meta["id"])
+            else:
+                partial_rounds.setdefault(meta["id"], []).append(obj)
+
+    assert done
+    assert len(partial_rounds) >= 2, partial_rounds  # 3 files → 3 rounds
+    assert sorted(markers) == sorted(partial_rounds)
+    # final frame equals the batch answer
+    expected = {
+        (r["o_orderstatus"], r["count"])
+        for r in src.groupBy("o_orderstatus").count().collect()
+    }
+    got = {(r["o_orderstatus"], r["n"]) for r in final_rows}
+    assert got == expected
+    # each partial round's counts are <= final (monotone accumulation)
+    final_by_status = dict(expected)
+    for rows in partial_rounds.values():
+        for r in rows:
+            assert r["n"] <= final_by_status[r["o_orderstatus"]]
+
+
 def test_connector_management_and_errors(server):
     _post(server, "/connectors/extra", {"type": "parquet_dir", "path": SF_DIR})
     assert "extra" in json.load(_get(server, "/connectors"))
