@@ -662,10 +662,16 @@ q(
 )
 
 
-#: fixed ANN query vector: embedding of vec_id=0 is loaded at call time
+#: fixed ANN query vector: embedding of vec_id=0, fetched once per
+#: sf_dir (a 1-row pushed-filter scan) and cached across calls
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).first()
-    return [float(x) for x in row["embedding"]]
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def _b_ann_bruteforce(spark, sf_dir):

@@ -132,6 +132,24 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return minhash_signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` (the standard
+    guard for the banded self-join at scale: one degenerate bucket —
+    boilerplate/near-empty docs — otherwise goes quadratic). Capped-out
+    buckets are exact-or-near-identical clusters that the exact-dedup
+    pass catches far cheaper. One window count, no extra join."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -140,12 +158,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
     Band signatures bucket candidates (rows sharing any band collide);
     candidates are verified with exact n-gram Jaccard. Returns
     (id_a, id_b, jaccard >= threshold).
+
+    ``max_bucket_size`` bounds the per-bucket candidate blow-up
+    (quadratic in bucket size): buckets above the cap are dropped, so
+    worst-case candidate volume is bands × (N/cap) × cap² = bands × N
+    × cap pairs instead of unbounded. Identical-doc floods excluded
+    this way are exact duplicates — ``exact_dedup`` handles them with
+    one linear pass.
     """
     rows_per_band = num_hashes // bands
 
@@ -176,6 +202,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     cand = (
         banded.alias("x")
@@ -282,35 +309,70 @@ def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return votes.select("id", sim.alias("sim"))
 
 
+def _simhash_block_keys(num_blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """Block-combination bucket scheme (Manku et al., WWW'07 §3): split
+    the 64-bit signature into ``num_blocks`` blocks; hamming ≤ h leaves
+    ≥ num_blocks − h blocks untouched, so two near-dups share at least
+    one full combination of num_blocks − h blocks. Bucketing on every
+    such combination guarantees recall with bucket keys of
+    64·(k−h)/k bits — the knob that keeps buckets sparse at scale."""
+    from itertools import combinations
+
+    if max_hamming >= num_blocks:
+        raise ValueError("num_blocks must exceed max_hamming (pigeonhole)")
+    return list(combinations(range(num_blocks), num_blocks - max_hamming))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    num_blocks: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit simhash chunk
-    (pigeonhole: hamming ≤ 3 guarantees one of 4 chunks equal), scored
-    by exact hamming distance."""
+    """Near-dup candidates by simhash block-combination buckets, scored
+    by exact hamming distance.
+
+    ``num_blocks=4, max_hamming=3`` is the classic 4×16-bit chunk
+    scheme (each combination is a single chunk). At billions of docs
+    16-bit keys collapse (~N/65536 docs per bucket → quadratic
+    self-join); raise ``num_blocks`` to widen keys: k=6 → C(6,3)=20
+    bucket tables with ~32-bit keys, k=8 → 56 tables with 40-bit keys.
+    Recall stays guaranteed by pigeonhole; candidate volume is
+    #tables × N rows shuffled. ``max_bucket_size`` additionally caps
+    degenerate buckets (see ``minhash_lsh_pairs``).
+    """
     sig = simhash_rows(df, text_col, id_col)
-    chunk_structs = F.array(
+
+    # block c spans bits [starts[c], starts[c+1])
+    bounds = [round(c * 64 / num_blocks) for c in range(num_blocks + 1)]
+
+    def block_val(c: int) -> Column:
+        width = bounds[c + 1] - bounds[c]
+        return F.shiftrightunsigned(F.col("sim"), bounds[c]).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    combos = _simhash_block_keys(num_blocks, max_hamming)
+    key_structs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("sim"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("val"),
+                F.lit(t).alias("tbl"),
+                F.xxhash64(F.lit(t), *[block_val(c) for c in combo]).alias("val"),
             )
-            for c in range(4)
+            for t, combo in enumerate(combos)
         ]
     )
-    chunked = sig.select("id", "sim", F.explode(chunk_structs).alias("ck")).select(
-        "id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    chunked = sig.select("id", "sim", F.explode(key_structs).alias("ck")).select(
+        "id", "sim", F.col("ck.tbl").alias("tbl"), F.col("ck.val").alias("val")
     )
+    chunked = _cap_buckets(chunked, ["tbl", "val"], max_bucket_size)
     pairs = (
         chunked.alias("x")
         .join(
             chunked.alias("y"),
-            (F.col("x.chunk") == F.col("y.chunk"))
+            (F.col("x.tbl") == F.col("y.tbl"))
             & (F.col("x.val") == F.col("y.val"))
             & (F.col("x.id") < F.col("y.id")),
         )
@@ -335,6 +397,8 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.99,
+    dim: int | None = None,
+    num_planes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine within a blocking key.
 
@@ -342,13 +406,22 @@ def embedding_dedup_pairs(
     may be an existing column, or the string ``"lsh"`` to derive
     random-hyperplane LSH buckets (the 100 TB path — identical/near
     vectors land in the same bucket with high probability, everything
-    else never gets compared).
+    else never gets compared). Pass ``dim`` (vector length) and
+    ``num_planes`` explicitly at scale; when omitted, dim comes from a
+    limit-1 size probe and num_planes from the row count
+    (``planes_for_rows``: ≈log2(N / target bucket size)).
     """
     if block_col == "lsh":
-        from miso_spark.functions.similarity import with_lsh_buckets
+        from miso_spark.functions.similarity import planes_for_rows, with_lsh_buckets
 
-        dim = len(df.select(vec_col).first()[0])
-        df = with_lsh_buckets(df, vec_col, num_planes=4, dim=dim)
+        if dim is None:
+            # limit-1 probe: reads one row's length, not the vector data
+            # of a full scan (arrays are variable-length — the schema
+            # can't carry the dimension)
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+        if num_planes is None:
+            num_planes = planes_for_rows(df.count())
+        df = with_lsh_buckets(df, vec_col, num_planes=num_planes, dim=dim)
         block_col = "lsh_bucket"
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:

@@ -49,13 +49,12 @@ def bruteforce_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
-def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
-    """sign(v · h_p) where h_p[j] ∈ {−1,+1} derives from xxhash64(p, j).
-
-    A deterministic pseudo-random hyperplane: no broadcast matrix, and
-    every executor computes the same planes locally.
-    """
-    signs = F.transform(
+def _plane_signs(plane_id: int, dim: int) -> Column:
+    """The ±1 hyperplane vector h_p, where h_p[j] derives from
+    xxhash64(p, j) — a deterministic pseudo-random hyperplane: no
+    broadcast matrix, and every executor computes the same planes
+    locally."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.when(
             F.xxhash64(F.concat_ws(":", F.lit(str(plane_id)), j.cast("string")))
@@ -64,7 +63,23 @@ def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
             F.lit(1.0),
         ).otherwise(F.lit(-1.0)),
     )
-    return F.when(_dot(vec, signs) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
+    """sign(v · h_p) as a 0/1 bit."""
+    return F.when(_dot(vec, _plane_signs(plane_id, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def planes_for_rows(n_rows: int, target_bucket: int = 256) -> int:
+    """Scale-derived default for ``num_planes``: ≈log2(N / target
+    bucket size), floor 4. 16 buckets are fine at 10⁴ vectors but
+    O(N²/16) at 10⁹ — planes must grow with N. At cluster scale pass
+    N from table statistics instead of counting."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
@@ -89,23 +104,51 @@ def lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 4,
-    dim: int = 64,
+    num_planes: int | None = 4,
+    dim: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k: scan only the query's LSH bucket, then exact cosine.
+    """ANN top-k: scan the query's LSH bucket(s), then exact cosine.
 
     At 100 TB the table would be written bucketed/partitioned by
     ``lsh_bucket`` so this prunes to 1/2^planes of the data before any
-    scoring; multi-probe (flipping the weakest plane) trades recall for
-    scan cost.
+    scoring. ``num_planes=None`` derives the bucket count from the row
+    count (``planes_for_rows``); ``probes > 1`` enables multi-probe —
+    also scanning the buckets reached by flipping the query's
+    weakest-margin planes, recovering the recall that more planes cost.
     """
+    from itertools import combinations
+
     q = [float(x) for x in query_vec]
-    # compute the query's bucket with a 1-row DataFrame through the same
-    # expression, so driver and executors can never disagree
+    if dim is None:
+        dim = len(q)
+    if num_planes is None:
+        num_planes = planes_for_rows(df.count())
+
+    # compute the query's per-plane margins with a 1-row DataFrame
+    # through the same expressions, so driver and executors can never
+    # disagree on plane derivation
     spark = df.sparkSession
     qdf = spark.range(1).select(F.array(*[F.lit(x) for x in q]).alias("qv"))
-    qbucket = qdf.select(lsh_bucket(F.col("qv"), num_planes, dim).alias("b")).first()["b"]
+    margins = qdf.select(
+        *[_dot(F.col("qv"), _plane_signs(p, dim)).alias(f"d{p}") for p in range(num_planes)]
+    ).first()
+    base = sum((1 << p) for p in range(num_planes) if margins[f"d{p}"] >= 0)
+
+    # probe sequence: exact bucket, then single flips of the
+    # weakest-margin planes, then pairs — |margin| orders how likely a
+    # true neighbor fell just across that plane
+    weakness = sorted(range(num_planes), key=lambda p: abs(margins[f"d{p}"]))
+    flip_sets: list[tuple[int, ...]] = [()]
+    flip_sets += [(p,) for p in weakness]
+    flip_sets += list(combinations(weakness, 2))
+    buckets = []
+    for fs in flip_sets[: max(1, probes)]:
+        b = base
+        for p in fs:
+            b ^= 1 << p
+        buckets.append(b)
 
     bucketed = with_lsh_buckets(df, vec_col, num_planes, dim)
-    cand = bucketed.filter(F.col("lsh_bucket") == qbucket)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return bruteforce_topk(cand, q, k, vec_col, id_col)

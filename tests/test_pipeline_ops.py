@@ -55,6 +55,86 @@ def test_simhash_candidates_find_exact_dups(spark):
     assert pairs[0]["hamming"] == 0
 
 
+def test_bucket_cap_bounds_adversarial_skew(spark):
+    """1k identical docs would make every LSH/simhash bucket self-join
+    quadratic (~500k pairs per band); the bucket-size cap drops the
+    degenerate bucket so candidate volume stays bounded while normal
+    near-dups elsewhere are still found. The flood itself is exact-dup
+    territory (exact_dedup, one linear pass)."""
+    from miso_spark.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_candidates,
+    )
+
+    flood = [(i, "spam spam spam wonderful spam spam eggs and spam") for i in range(1000)]
+    normal = [
+        (2000, "the quick brown fox jumps over the lazy dog today"),
+        (2001, "the quick brown fox jumps over the lazy dog tonight"),
+        (2002, "the quick brown fox jumps over the lazy dog today"),
+        (2003, "entirely unrelated text about distributed query engines"),
+    ]
+    df = spark.createDataFrame(flood + normal, ["doc_id", "text"])
+
+    mh = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=100).collect()
+    assert len(mh) < 5000  # uncapped would exceed 499,500 flood pairs
+    assert (2000, 2001) in {(r["id_a"], r["id_b"]) for r in mh}
+
+    sh = simhash_candidates(df, max_bucket_size=100).collect()
+    assert len(sh) < 5000
+    # small buckets survive the cap: the hamming-0 pair is still found
+    assert (2000, 2002) in {(r["id_a"], r["id_b"]) for r in sh}
+
+    # the flood is fully accounted for by the linear exact-dedup pass
+    groups = exact_dedup(df).collect()
+    assert max(r["dup_count"] for r in groups) == 1000
+
+
+def test_simhash_wider_blocks_same_verified_pairs(spark):
+    """Manku-style block-combination buckets: k=6 (32-bit keys, the
+    billions-of-docs setting) must verify the same pair set as the
+    classic k=4 16-bit chunks — recall is pigeonhole-guaranteed in
+    both."""
+    from miso_spark.functions.dedup import simhash_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "one two three four five six seven"),
+        (5, "totally different words everywhere here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p4 = {(r["id_a"], r["id_b"]) for r in simhash_candidates(df, num_blocks=4).collect()}
+    p6 = {(r["id_a"], r["id_b"]) for r in simhash_candidates(df, num_blocks=6).collect()}
+    assert p4 == p6
+
+
+def test_lsh_planes_scale_with_rows_and_multiprobe_recall(emb):
+    """planes_for_rows grows with N; multi-probe recovers neighbors a
+    single bucket misses."""
+    from miso_spark.functions.similarity import (
+        bruteforce_topk,
+        lsh_topk,
+        planes_for_rows,
+    )
+
+    assert planes_for_rows(10_000) < planes_for_rows(10_000_000) < planes_for_rows(10**10)
+    assert planes_for_rows(100) == 4
+
+    row = emb.filter(F.col("vec_id") == 7).first()
+    q = [float(x) for x in row["embedding"]]
+    exact = [r["id"] for r in bruteforce_topk(emb, q, k=5).collect()]
+    single = {r["id"] for r in lsh_topk(emb, q, k=5, num_planes=6, probes=1).collect()}
+    multi = {r["id"] for r in lsh_topk(emb, q, k=5, num_planes=6, probes=4).collect()}
+    # multi-probe scans a candidate superset → recall@5 vs exact can
+    # only improve (returned ids may differ: better candidates displace)
+    assert len(multi & set(exact)) >= len(single & set(exact))
+    assert len(multi & set(exact)) >= 2
+    # the exact-match id itself is always in its own bucket
+    assert 7 in multi
+
+
 def test_minhash_lsh_recall_vs_exact(docs):
     """LSH candidates must recover every high-Jaccard pair the exact
     n-gram method finds (recall at threshold 0.7 ≈ 1 with 8 bands)."""
