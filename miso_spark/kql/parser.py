@@ -68,6 +68,17 @@ _CASTS = {
 
 _AGG_KEYWORDS = {"count", "countif", "dcount", "sum", "avg", "min", "max"}
 
+#: keyword tokens usable as identifiers (parser.rs ident_parser):
+#: everything except boolean operators and the bool literals
+from miso_spark.kql.lexer import KEYWORDS as _ALL_KEYWORDS
+
+_IDENT_KEYWORDS = _ALL_KEYWORDS - {"and", "or", "not", "true", "false", "null"}
+
+#: function-style keywords: parsed as calls only when followed by "(",
+#: otherwise they act as plain field names (the reference resolves the
+#: same ambiguity by trying the call grammar first)
+_FUNC_KEYWORDS = {"now", "exists", "iff", "case", "bin", "extract", *_CASTS}
+
 
 _DT_NOW = object()  # sentinel: datetime() with no argument means now()
 
@@ -121,6 +132,23 @@ class Parser:
             raise ParseError(f"expected {kind!r}, got {t.kind!r} at pos {t.pos}")
         return self.next()
 
+    # Keywords double as identifiers in field/name positions, exactly
+    # like the reference's ident_parser (miso-kql/src/parser.rs:152-224
+    # converts every keyword token except and/or/not and the Bool
+    # literals back to its identifier spelling).
+    @staticmethod
+    def _is_ident_tok(t: Token) -> bool:
+        return t.kind == "ident" or t.kind in _IDENT_KEYWORDS
+
+    def _expect_ident_like(self) -> str:
+        t = self.peek()
+        if t.kind == "ident":
+            return str(self.next().value)
+        if t.kind in _IDENT_KEYWORDS:
+            self.next()
+            return t.kind
+        raise ParseError(f"expected identifier, got {t.kind!r} at pos {t.pos}")
+
     # -- query ------------------------------------------------------------
     def parse_query(self) -> list[P.Step]:
         steps: list[P.Step] = []
@@ -137,10 +165,10 @@ class Parser:
         return steps
 
     def parse_scan(self) -> P.Step:
-        connector = str(self.expect("ident").value)
-        if self.peek().kind == "." and self.peek(1).kind in ("ident", *(k for k in ())):
+        connector = self._expect_ident_like()
+        if self.peek().kind == "." and self._is_ident_tok(self.peek(1)):
             self.next()
-            collection = str(self.expect("ident").value)
+            collection = self._expect_ident_like()
             if self.peek().kind == "." and self.peek(1).kind == "raw":
                 self.next()
                 self.next()
@@ -173,7 +201,7 @@ class Parser:
             return P.Rename(tuple(pairs))
         if k == "mv-expand":
             kind = "bag"
-            if self.peek().kind == "kind":
+            if self.peek().kind == "kind" and self.peek(1).kind == "=":
                 self.next()
                 self.expect("=")
                 kt = self.next()
@@ -199,7 +227,7 @@ class Parser:
             fields = []
             if self.peek().kind == "*":
                 self.next()
-            elif self.peek().kind == "ident":
+            elif self._is_ident_tok(self.peek()):
                 fields.append(str(self._field().path))
                 while self.accept(","):
                     fields.append(str(self._field().path))
@@ -214,9 +242,9 @@ class Parser:
         if k == "count":
             return P.CountStep()
         if k in ("tee", "write"):
-            connector = str(self.expect("ident").value)
+            connector = self._expect_ident_like()
             self.expect(".")
-            collection = str(self.expect("ident").value)
+            collection = self._expect_ident_like()
             cls = P.Tee if k == "tee" else P.Write
             return cls(connector, collection)
         raise ParseError(f"unknown query step {k!r} at pos {t.pos}")
@@ -227,11 +255,11 @@ class Parser:
         while True:
             name = None
             if (
-                self.peek().kind == "ident"
+                self._is_ident_tok(self.peek())
                 and self.peek(1).kind == "="
                 and self.peek(2).kind != "="
             ):
-                name = str(self.next().value)
+                name = self._expect_ident_like()
                 self.next()  # '='
             e = self.parse_expr()
             if name is not None:
@@ -268,13 +296,13 @@ class Parser:
 
     def _summarize(self) -> P.SummarizeStep:
         aggs: list[tuple[str | None, P.Agg]] = []
-        if self.peek().kind in _AGG_KEYWORDS or (
-            self.peek().kind == "ident" and self.peek(1).kind == "="
+        if (self.peek().kind in _AGG_KEYWORDS and self.peek(1).kind == "(") or (
+            self._is_ident_tok(self.peek()) and self.peek(1).kind == "="
         ):
             while True:
                 name = None
-                if self.peek().kind == "ident" and self.peek(1).kind == "=":
-                    name = str(self.next().value)
+                if self._is_ident_tok(self.peek()) and self.peek(1).kind == "=":
+                    name = self._expect_ident_like()
                     self.next()
                 aggs.append((name, self._agg()))
                 if not self.accept(","):
@@ -284,8 +312,8 @@ class Parser:
             used: set[str] = set()
             while True:
                 name = None
-                if self.peek().kind == "ident" and self.peek(1).kind == "=":
-                    name = str(self.next().value)
+                if self._is_ident_tok(self.peek()) and self.peek(1).kind == "=":
+                    name = self._expect_ident_like()
                     self.next()
                 e = self.parse_expr()
                 if name is not None:
@@ -483,6 +511,9 @@ class Parser:
         if k == "false":
             self.next()
             return Lit(False)
+        if k in _FUNC_KEYWORDS and self.peek(1).kind != "(":
+            # a function keyword with no call syntax is a field name
+            return self._field()
         if k == "now":
             self.next()
             self.expect("(")
@@ -541,20 +572,20 @@ class Parser:
             e = self.parse_expr()
             self.expect(")")
             return Cast(_CASTS[k], e)
-        if k == "ident":
+        if k == "ident" or k in _IDENT_KEYWORDS:
             return self._field()
         raise ParseError(f"unexpected token {k!r} at pos {t.pos}")
 
     def _field(self) -> Field:
         parts = []
         while True:
-            seg = str(self.expect("ident").value)
+            seg = self._expect_ident_like()
             while self.peek().kind == "[" and self.peek(1).kind == "int":
                 self.next()
                 seg += f"[{self.expect('int').value}]"
                 self.expect("]")
             parts.append(seg)
-            if self.peek().kind == "." and self.peek(1).kind == "ident":
+            if self.peek().kind == "." and self._is_ident_tok(self.peek(1)):
                 self.next()
                 continue
             break
@@ -596,8 +627,26 @@ def _agg_default_name(agg: P.Agg) -> str:
 
 
 def parse_kql(text: str) -> P.Plan:
-    p = Parser(tokenize(text))
-    steps = p.parse_query()
-    if p.peek().kind != "eof":
-        raise ParseError(f"trailing input at pos {p.peek().pos}: {p.peek().kind!r}")
-    return P.Plan(tuple(steps))
+    try:
+        p = Parser(tokenize(text))
+        steps = p.parse_query()
+        if p.peek().kind != "eof":
+            raise ParseError(f"trailing input at pos {p.peek().pos}: {p.peek().kind!r}")
+        return P.Plan(tuple(steps))
+    except ParseError as e:
+        raise _with_line_col(e, text) from None
+
+
+def _with_line_col(e: ParseError, text: str) -> ParseError:
+    """Annotate ``at pos N`` errors with 1-based line/column, like the
+    reference's errors (parser_tests.rs
+    test_parse_error_includes_line_and_column)."""
+    import re as _re
+
+    m = _re.search(r"at pos (\d+)", str(e))
+    if not m:
+        return e
+    pos = int(m.group(1))
+    line = text.count("\n", 0, pos) + 1
+    col = pos - (text.rfind("\n", 0, pos) + 1) + 1
+    return ParseError(f"{e} (line {line}, column {col})")

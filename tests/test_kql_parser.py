@@ -115,6 +115,32 @@ def test_casts_and_datetime():
     assert s[2].fields[0].expr == Cast("long", Field.of("value"))
 
 
+def test_parse_error_includes_line_and_column():
+    # parser_tests.rs:1157 expects (line 2, column 3) for this shape
+    import pytest
+
+    from miso_spark.kql.parser import ParseError
+
+    with pytest.raises(ParseError, match=r"line 2, column 3"):
+        steps('t.x | where field1 == "value"\n| invalid_operator field2')
+
+
+def test_keywords_as_identifiers():
+    # parser.rs ident_parser (parser.rs:152-224): keywords double as
+    # field names everywhere except and/or/not and bool literals
+    s = steps("t.x | where in == 'test'")
+    assert s[1] == P.Filter(BinOp("eq", Field.of("in"), Lit("test")))
+    s = steps("t.x | where count > 5 and toint(count) >= 2")
+    assert s[1].expr.left == BinOp("gt", Field.of("count"), Lit(5))
+    assert s[1].expr.right == BinOp("gte", Cast("long", Field.of("count")), Lit(2))
+    s = steps("t.x | project sum = a + b | summarize n = count() by count")
+    assert s[1].fields[0].name == "sum"
+    assert s[2].by[0].expr == Field.of("count")
+    # function keyword without call syntax is a field
+    s = steps("t.x | where bin > 1")
+    assert s[1] == P.Filter(BinOp("gt", Field.of("bin"), Lit(1)))
+
+
 def test_timespan_long_form_units():
     # lexer.rs:247 long-form unit surface; values mirror the short forms
     cases = {
