@@ -589,10 +589,10 @@ def _b_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
-q(
-    "dedup_ngram_jaccard",
-    builder=_b_dedup_ngram,
-    oracle="""
+#: exact word-3-gram Jaccard pairs at threshold 0.5 — shared by
+#: dedup_ngram_jaccard (the exact method) and dedup_minhash_verified
+#: (the LSH path, whose verified output must equal the exact set)
+_NGRAM_JACCARD_ORACLE = """
     WITH w AS (
       SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
       FROM documents
@@ -615,8 +615,9 @@ q(
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
-    """,
-)
+    """
+
+q("dedup_ngram_jaccard", builder=_b_dedup_ngram, oracle=_NGRAM_JACCARD_ORACLE)
 
 
 def _b_dedup_minhash(spark, sf_dir):
@@ -626,6 +627,22 @@ def _b_dedup_minhash(spark, sf_dir):
 
 
 q("dedup_minhash", builder=_b_dedup_minhash)  # non-SQL: LSH banding
+
+
+def _b_dedup_minhash_verified(spark, sf_dir):
+    """MinHash-LSH at max-recall banding (bands = num_hashes: a pair
+    collides if ANY of the 16 minhash values agree) whose exact-Jaccard
+    verified output is held to the *exact* n-gram oracle set — LSH
+    recall failures become a red driver cell instead of a pytest-only
+    signal."""
+    from miso_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(spark, sf_dir), num_hashes=16, bands=16, threshold=0.5
+    )
+
+
+q("dedup_minhash_verified", builder=_b_dedup_minhash_verified, oracle=_NGRAM_JACCARD_ORACLE)
 
 
 def _b_dedup_simhash(spark, sf_dir):
