@@ -942,5 +942,60 @@ q(
 )
 
 
+def _b_stream_sessionize(spark, sf_dir):
+    """applyInPandasWithState sessionization drained with availableNow:
+    append mode emits exactly the CLOSED sessions (a >30min gap after
+    them); each user's final session stays open in state. The batch
+    oracle reproduces that with LAG-gap sessionization minus each
+    user's last session."""
+    import uuid
+
+    from miso_spark.streaming import run_to_memory, sessionize, stream_events
+
+    sess = sessionize(
+        stream_events(spark, sf_dir, glob_filter="events.parquet"), gap_s=1800
+    )
+    got = run_to_memory(sess, "sess_" + uuid.uuid4().hex[:8], mode="append")
+    return got.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
+q(
+    "stream_sessionize",
+    builder=_b_stream_sessionize,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(epoch_us(session_start) AS BIGINT) AS start_us,
+           CAST(epoch_us(session_end) AS BIGINT) AS end_us,
+           n_events
+    FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS last_sid FROM agg)
+    WHERE sid < last_sid
+    """,
+)
+
+
 def get(name: str) -> Q:
     return CATALOG[name]

@@ -136,17 +136,21 @@ def _sessionize_group(
             )
         return
 
-    out = []
+    # gather the batch's rows across ALL Arrow chunks before sorting —
+    # a group larger than one chunk must still process in time order
+    stamps: list[int] = []
     for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            us = int(pd.Timestamp(ts).value // 1000)
-            if last_us is not None and us - last_us > gap_s * 1e6:
-                out.append((user_id, start_us, last_us, n))
-                start_us, n = us, 0
-            if start_us is None:
-                start_us = us
-            last_us = us
-            n += 1
+        stamps.extend(int(pd.Timestamp(ts).value // 1000) for ts in pdf["ts"])
+
+    out = []
+    for us in sorted(stamps):
+        if last_us is not None and us - last_us > gap_s * 1e6:
+            out.append((user_id, start_us, last_us, n))
+            start_us, n = us, 0
+        if start_us is None:
+            start_us = us
+        last_us = us
+        n += 1
     state.update((start_us, last_us, n))
     if use_timeout:
         state.setTimeoutDuration(int(gap_s * 1000))
