@@ -723,6 +723,16 @@ def _b_ann_lsh(spark, sf_dir):
 q("ann_lsh", builder=_b_ann_lsh)  # non-SQL: LSH bucket pruning
 
 
+def _b_ann_ivf(spark, sf_dir):
+    from miso_spark.functions.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=8, nprobe=4)
+
+
+q("ann_ivf", builder=_b_ann_ivf)  # non-SQL: k-means cell pruning
+
+
 def _b_text_tokens(spark, sf_dir):
     from miso_spark.functions.text import bpe_token_count, token_count
 

@@ -98,6 +98,64 @@ def with_lsh_buckets(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means cells over the vectors.
+
+    Returns (df + ``ivf_cell`` column, cell centroids). MLlib KMeans
+    runs distributed (JVM); the centroid list is k×dim floats — tiny at
+    any data scale. At 100 TB the assigned table is written
+    partitioned/bucketed by ``ivf_cell`` so a query scans only its
+    probed cells (partition pruning), which is the IVF trade: one
+    k-means build pass, then every query touches nprobe/n_cells of the
+    data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__fv", predictionCol="ivf_cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+    return assigned, [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k via IVF: score only the ``nprobe`` cells whose
+    centroids are nearest the query (cosine), exact within them.
+
+    Here the index builds in-line for self-containment; production use
+    builds ``ivf_assign`` once and persists the assigned table
+    partitioned by cell.
+    """
+    assigned, centers = ivf_assign(df, vec_col, n_cells, seed)
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+
+    def cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5 or 1e-12
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    probe = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))[:nprobe]
+    cand = assigned.filter(F.col("ivf_cell").isin(probe))
+    return bruteforce_topk(cand, q, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

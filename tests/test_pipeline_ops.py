@@ -135,6 +135,25 @@ def test_lsh_planes_scale_with_rows_and_multiprobe_recall(emb):
     assert 7 in multi
 
 
+def test_ivf_topk_recall_and_pruning(emb):
+    """IVF: probed cells are a strict subset of the data, recall vs
+    exact top-k stays high, and the exact-match vector is found."""
+    from miso_spark.functions.similarity import bruteforce_topk, ivf_assign, ivf_topk
+
+    row = emb.filter(F.col("vec_id") == 3).first()
+    q = [float(x) for x in row["embedding"]]
+    exact = {r["id"] for r in bruteforce_topk(emb, q, k=5).collect()}
+    got = {r["id"] for r in ivf_topk(emb, q, k=5, n_cells=8, nprobe=4).collect()}
+    assert 3 in got
+    assert len(got & exact) >= 3  # recall@5 ≥ 0.6 with half the cells probed
+
+    assigned, centers = ivf_assign(emb, n_cells=8)
+    assert len(centers) == 8
+    sizes = {r["ivf_cell"]: r["count"] for r in assigned.groupBy("ivf_cell").count().collect()}
+    # nprobe=4 of 8 cells scans a strict subset of rows
+    assert sum(sorted(sizes.values())[:4]) < emb.count()
+
+
 def test_minhash_lsh_recall_vs_exact(docs):
     """LSH candidates must recover every high-Jaccard pair the exact
     n-gram method finds (recall at threshold 0.7 ≈ 1 with 8 bands)."""
