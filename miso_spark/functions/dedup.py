@@ -182,8 +182,12 @@ def minhash_lsh_pairs(
     # stage 2: signature as ONE hash aggregate — k min-columns, each a
     # seed-mixed rehash of the shingle hash. Map-side partial min means
     # the shuffle carries k longs per doc, not the shingle set.
+    # folding the shingle count into the same agg removes two later
+    # size-join subtrees the optimizer cannot dedup (the shingle
+    # pipeline is expensive to recompute); shuffle carries k+1 longs
     sig = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("shh"), F.lit(s))).alias(f"m{s}") for s in range(num_hashes)]
+        F.count(F.lit(1)).alias("sz"),
+        *[F.min(F.xxhash64(F.col("shh"), F.lit(s))).alias(f"m{s}") for s in range(num_hashes)],
     )
 
     # per-band bucket from the signature columns, long-only hashing
@@ -193,6 +197,7 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "id",
+        "sz",
         F.explode(
             F.array(
                 *[
@@ -201,9 +206,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("id", "sz", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
+    # doc sizes ride along through the band join — no size joins later
     cand = (
         banded.alias("x")
         .join(
@@ -212,25 +218,25 @@ def minhash_lsh_pairs(
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.sz").alias("sz_b"),
+        )
         .distinct()
     )
 
     # stage 3: exact Jaccard verification — count common shingles for
     # candidate pairs only (semi-join pruned inverted index), never
     # materializing per-doc arrays
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col("id").alias("id_a"), F.col("shh").alias("ha"))
     shb = sh.select(F.col("id").alias("idb2"), F.col("shh").alias("hb"))
-    common = (
+    return (
         cand.join(sha, "id_a")
         .join(shb, (F.col("id_b") == F.col("idb2")) & (F.col("ha") == F.col("hb")))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
