@@ -87,19 +87,24 @@ def ngram_jaccard_pairs(
     shingle hash, count common shingles per pair, then
     |A∩B| / (|A| + |B| − |A∩B|).
     """
-    sh = shingle_rows(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    from pyspark.sql import Window
+
+    # per-doc shingle count rides along as a window column so the
+    # expensive shingle subtree is computed twice (join sides), not
+    # four times (the optimizer can't dedup separate size-agg subtrees)
+    sh = shingle_rows(df, text_col, id_col, n).withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    a, b = sh.alias("a"), sh.alias("b")
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),

@@ -95,6 +95,21 @@ def test_views_lifecycle(server):
     assert json.load(_get(server, "/views")) == {}
 
 
+def test_cli_remote_mode_and_table_format(server):
+    """The CLI client (miso-tui analog) against the live server."""
+    from miso_spark.cli import format_table, run_remote, stream_remote
+
+    url = f"http://127.0.0.1:{server.port}"
+    rows = run_remote(url, "t.region | sort by r_regionkey | project r_regionkey, r_name")
+    assert [r["r_regionkey"] for r in rows[:3]] == [0, 1, 2]
+    table = format_table(rows)
+    assert "r_regionkey" in table and f"({len(rows)} rows)" in table
+
+    with pytest.raises(RuntimeError, match="error|CALC|divide|Division"):
+        # runtime error after headers → in-band SSE error frame → raised
+        list(stream_remote(url, "t.region | project x = 1 / (r_regionkey - r_regionkey)"))
+
+
 def test_partial_stream_progressive_aggregates(server, spark, tmp_path):
     """partial_stream (http_server.rs:111, partial_stream.rs): ≥2
     partial rounds (tagged + done-marked), then a final frame equal to
