@@ -44,18 +44,31 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
         assert agg.arg is not None
         c = F.count(F.when(compile_expr(agg.arg, schema), F.lit(1)))
     elif k == "dcount":
+        # null is a distinct value when present (summarize.rs:568 seen
+        # includes Null; tests.rs dcount_with_nulls expects 3 for
+        # [1,1,null,null,2]) — count_distinct skips nulls, so add one
+        # when any null exists
         assert agg.arg is not None
-        c = F.count_distinct(compile_expr(agg.arg, schema))
+        e = compile_expr(agg.arg, schema)
+        c = F.count_distinct(e) + F.coalesce(
+            F.max(F.when(e.isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        )
     elif k == "dcount_approx":
         # 100 TB path: HLL sketch instead of exact two-phase distinct
         assert agg.arg is not None
         c = F.approx_count_distinct(compile_expr(agg.arg, schema))
     elif k == "sum":
+        # the reference's accumulator starts at 0 and only adds present
+        # values, so a group (or empty global agg) with no values emits
+        # 0, never null (summarize.rs:513,654; tests.rs
+        # summarize_without_by_empty_data). lit(0) coerces to the
+        # sum's own type.
         assert agg.arg is not None
-        c = F.sum(compile_expr(agg.arg, schema))
+        c = F.coalesce(F.sum(compile_expr(agg.arg, schema)), F.lit(0))
     elif k == "avg":
+        # avg of no values is 0.0 in the reference (summarize.rs:655)
         assert agg.arg is not None
-        c = F.avg(compile_expr(agg.arg, schema))
+        c = F.coalesce(F.avg(compile_expr(agg.arg, schema)), F.lit(0.0))
     elif k == "min":
         assert agg.arg is not None
         c = F.min(compile_expr(agg.arg, schema))

@@ -49,7 +49,25 @@ def test_countif_all_false_and_agg_nulls(m):
         "mem.vals | summarize z = countif(v > 1000), mn = min(v), mx = max(v),"
         " d = dcount(v), n = count()",
     )[0]
-    assert r == {"z": 0, "mn": 5, "mx": 10, "d": 2, "n": 3}  # dcount ignores nulls
+    # dcount counts the null as a distinct value (tests.rs dcount_with_nulls)
+    assert r == {"z": 0, "mn": 5, "mx": 10, "d": 3, "n": 3}
+
+
+def test_agg_no_values_emits_zero_not_null(m):
+    # tests.rs summarize_without_by_empty_data: sum/avg → 0, min/max →
+    # null, count/dcount → 0 on empty input
+    r = rows(
+        m,
+        "mem.vals | where false | summarize s = sum(v), a = avg(v),"
+        " mn = min(v), d = dcount(v), n = count()",
+    )[0]
+    assert r == {"s": 0, "a": 0.0, "mn": None, "d": 0, "n": 0}
+    # all-null group: the group row exists, sum accumulates nothing → 0
+    r2 = {
+        row["s"]: row["total"]
+        for row in rows(m, "mem.vals | where id == 2 | summarize total = sum(v) by s")
+    }
+    assert r2 == {"y": 0}
 
 
 def test_summarize_group_by_null_key(m):
