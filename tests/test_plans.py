@@ -98,6 +98,32 @@ def test_whole_stage_codegen_everywhere(compiler):
     assert "*(1)" in plan and "*(2)" in plan, plan
 
 
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """dynamic_filter parity (miso-optimizations): joining a partitioned
+    fact against a filtered dim prunes fact partitions at RUNTIME via a
+    dynamic-pruning subquery — the reference builds the same semi-join
+    filter by querying the small side first."""
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import MemorySource, ParquetDirSource, SourceRegistry
+
+    d = str(tmp_path_factory.mktemp("dpp"))
+    ev = ParquetDirSource("/root/testdata/sf0.001").table(spark, "events")
+    ev.write.partitionBy("event_type").parquet(d + "/events.parquet")
+    reg = SourceRegistry(spark).register_parquet_dir("p", d)
+    mem = MemorySource()
+    mem.put("dim", spark.createDataFrame([("error", 1), ("click", 0)], "et string, keep int"))
+    reg.register("mem", mem)
+
+    df = Compiler(reg).run(
+        parse_kql(
+            "p.events | join (mem.dim | where keep == 1)"
+            " on $left.event_type == $right.et | count"
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+
+
 def test_partition_pruning(spark, compiler, tmp_path_factory):
     """Partitioned layout + a partition-key filter prunes at planning
     time (PartitionFilters on the scan, non-matching dirs never read)."""
