@@ -55,6 +55,22 @@ def test_tee_keeps_flowing(miso):
     assert copied[0]["Count"] == 25 or copied[0]["Count"] == 5  # sf-dependent
 
 
+def test_mv_expand_mixed_array_and_map_zip(miso, spark):
+    """expand_mixed_array_and_object + expand_object_zip_unequal_lengths
+    (tests.rs): an array and a map expand together, zipped element-wise
+    with null padding for the shorter collection."""
+    miso.registry.source("mem").put(
+        "mx",
+        spark.createDataFrame(
+            [(1, ["x", "y", "z"], {"a": 1, "b": 2})],
+            "id long, arr array<string>, mp map<string,long>",
+        ),
+    )
+    rows = [r.asDict() for r in miso.query("mem.mx | mv-expand kind=bag arr, mp").collect()]
+    assert [r["arr"] for r in rows] == ["x", "y", "z"]
+    assert [r["mp"] for r in rows] == [{"a": 1}, {"b": 2}, None]
+
+
 def test_mv_expand_bag_on_map(miso):
     df = miso.query(
         "t.region.raw('SELECT r_regionkey, map(\\'a\\', r_regionkey, \\'b\\', r_regionkey * 10) AS m FROM region')"
