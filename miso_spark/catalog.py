@@ -723,6 +723,35 @@ def _b_ann_lsh(spark, sf_dir):
 q("ann_lsh", builder=_b_ann_lsh)  # non-SQL: LSH bucket pruning
 
 
+def _b_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing as a first-class query: documents become
+    opaque binary payloads (UTF-8 bytes, deterministic ``fake`` format)
+    and flow through the Arrow-batched mapInPandas featurizer — the
+    exact pipeline a real codec would plug into (multimodal.py). The
+    oracle recomputes byte length and md5 SQL-side."""
+    from miso_spark.functions.multimodal import extract_features
+
+    media = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("fake").alias("format"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "feature_hash")
+
+
+q(
+    "multimodal_features",
+    builder=_b_multimodal_features,
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS feature_hash
+    FROM documents
+    """,
+)
+
+
 def _b_ann_ivf(spark, sf_dir):
     from miso_spark.functions.similarity import ivf_topk
 
