@@ -73,6 +73,16 @@ class ExternalHttpSource(Source):
             f"environment (see class docstring for the integration path)"
         )
 
+    def apply_filter(self, expr) -> dict | None:
+        """Connector::apply_filter analog (lib.rs:189): the query-DSL
+        body this connector would absorb for ``expr``, or None when the
+        predicate must stay engine-side. Whole-or-nothing, like the
+        reference; successive pushed filters AND together server-side.
+        """
+        from miso_spark.sources.es_dsl import compile_filter
+
+        return compile_filter(expr)
+
 
 class QuickwitSource(ExternalHttpSource):
     """Quickwit (quickwit.rs): sub-second search over object storage.

@@ -1,0 +1,91 @@
+"""Expr → ES query-DSL translation, mirroring the reference's
+compile_filter_ast test expectations (elasticsearch.rs:1550-1700)."""
+
+from __future__ import annotations
+
+from miso_spark.kql import parse_kql
+from miso_spark.sources.es_dsl import compile_filter
+
+
+def filt(kql_cond: str):
+    plan = parse_kql(f"c.t | where {kql_cond}")
+    return compile_filter(plan.steps[1].expr)
+
+
+def test_term_eq():
+    # elasticsearch.rs:1556 expects {"term": {field: {"value": "..."}}}
+    assert filt("status == 'active'") == {"term": {"status": {"value": "active"}}}
+    assert filt("count == 42") == {"term": {"count": {"value": "42"}}}
+
+
+def test_ne_is_must_not_term():
+    assert filt("status != 'error'") == {
+        "bool": {"must_not": {"term": {"status": "error"}}}
+    }
+
+
+def test_range_ops():
+    for op, key in [(">", "gt"), (">=", "gte"), ("<", "lt"), ("<=", "lte")]:
+        assert filt(f"val {op} 100") == {"range": {"val": {key: "100"}}}
+
+
+def test_and_or_not_shapes():
+    assert filt("a == 1 and b == 2") == {
+        "bool": {
+            "must": [
+                {"term": {"a": {"value": "1"}}},
+                {"term": {"b": {"value": "2"}}},
+            ]
+        }
+    }
+    assert filt("a == 1 or b == 2") == {
+        "bool": {
+            "should": [
+                {"term": {"a": {"value": "1"}}},
+                {"term": {"b": {"value": "2"}}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    assert filt("not(a == 1)") == {
+        "bool": {"must_not": {"term": {"a": {"value": "1"}}}}
+    }
+
+
+def test_phrase_prefix_exists_terms():
+    assert filt("path startswith '/api/'") == {
+        "match_phrase_prefix": {"path": {"query": "/api/"}}
+    }
+    assert filt("msg has 'error'") == {"match_phrase": {"msg": "error"}}
+    assert filt("exists(user.name)") == {"exists": {"field": "user.name"}}
+    assert filt("code in (1, 2, 3)") == {"terms": {"code": ["1", "2", "3"]}}
+
+
+def test_between_desugars_like_reference_parser():
+    # parser.rs:754-766: between → gte AND lte; !between → lt OR gt
+    assert filt("v between (1 .. 9)") == {
+        "bool": {
+            "must": [
+                {"range": {"v": {"gte": "1"}}},
+                {"range": {"v": {"lte": "9"}}},
+            ]
+        }
+    }
+    neg = filt("v !between (1 .. 9)")
+    assert neg["bool"]["minimum_should_match"] == 1
+
+
+def test_unpushable_returns_none_whole_or_nothing():
+    assert filt("a contains 'x'") is None  # no exact ES analog in reference
+    assert filt("a + 1 == 2") is None  # non-field lhs
+    assert filt("tags[0] == 'x'") is None  # array access rejected
+    # one unpushable side poisons the whole conjunction (whole-or-nothing)
+    assert filt("a == 1 and b contains 'x'") is None
+
+
+def test_apply_filter_on_external_sources():
+    from miso_spark.sources.external import ElasticsearchSource, QuickwitSource
+
+    expr = parse_kql("c.t | where level == 'error'").steps[1].expr
+    for src in (ElasticsearchSource("http://x:1"), QuickwitSource("http://x:1")):
+        assert src.apply_filter(expr) == {"term": {"level": {"value": "error"}}}
