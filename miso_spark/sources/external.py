@@ -135,3 +135,11 @@ class SplunkSource(ExternalHttpSource):
         {CAP_FILTER, CAP_PROJECT, CAP_EXTEND, CAP_LIMIT, CAP_TOPN,
          CAP_COUNT, CAP_SUMMARIZE, CAP_UNION}
     )
+
+    def apply_filter(self, expr):
+        """Splunk speaks SPL, not the ES query DSL: `| search` terms
+        for indexed predicates, `| where` for evaluation clauses
+        (splunk/mod.rs:647 compile_filter_to_spl)."""
+        from miso_spark.sources.spl import compile_filter_spl
+
+        return compile_filter_spl(expr)
