@@ -535,6 +535,35 @@ q(
     """,
 )
 
+def _b_static_time_field(spark, sf_dir):
+    """Collection static_fields (lib.rs:137, scan.rs
+    apply_static_fields): the connector maps ``@time`` to its real
+    timestamp column at scan, so queries use the standardized name."""
+    from miso_spark.session import tune_session
+    from miso_spark.sources import ParquetDirSource, SourceRegistry
+
+    tune_session(spark)  # events.ts needs the nanosAsLong/UTC confs
+    reg = SourceRegistry(spark).register(
+        "s", ParquetDirSource(sf_dir, static_fields={"events": {"@time": "ts"}})
+    )
+    return Compiler(reg).run(
+        parse_kql(
+            "s.events | where @time >= 2024-01-10 and @time < 2024-01-12"
+            " | summarize n = count() by event_type"
+        )
+    )
+
+
+q(
+    "static_time_field",
+    builder=_b_static_time_field,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    GROUP BY event_type
+    """,
+)
+
 q(
     # lexer literal parity (lexer.rs:208-247): bare datetime literals
     # (no datetime() wrapper) and long-form timespan units

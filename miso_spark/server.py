@@ -49,9 +49,9 @@ from miso_spark.sources.external import (
 #: and fail at connect time (ConnectorUnavailableError) when queried —
 #: the services aren't reachable in this environment
 _SOURCE_TYPES = {
-    "parquet_dir": lambda cfg: ParquetDirSource(cfg["path"]),
-    "json_dir": lambda cfg: JsonDirSource(cfg["path"]),
-    "csv_dir": lambda cfg: CsvDirSource(cfg["path"]),
+    "parquet_dir": lambda cfg: ParquetDirSource(cfg["path"], cfg.get("static_fields")),
+    "json_dir": lambda cfg: JsonDirSource(cfg["path"], cfg.get("static_fields")),
+    "csv_dir": lambda cfg: CsvDirSource(cfg["path"], cfg.get("static_fields")),
     "memory": lambda cfg: MemorySource(),
     "quickwit": lambda cfg: QuickwitSource(cfg["url"]),
     "elasticsearch": lambda cfg: ElasticsearchSource(cfg["url"]),

@@ -55,6 +55,15 @@ class Source:
 
     capabilities: frozenset[str] = frozenset()
 
+    #: per-collection field replacements (Collection.static_fields,
+    #: lib.rs:137 / scan.rs apply_static_fields): {"events": {"@time":
+    #: "ts"}} renames ``ts`` to ``@time`` at scan — how the reference
+    #: standardizes e.g. the timestamp field across connectors
+    static_fields: dict[str, dict[str, str]]
+
+    def collection_static_fields(self, collection: str) -> dict[str, str]:
+        return getattr(self, "static_fields", {}).get(collection, {})
+
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         raise NotImplementedError
 
@@ -88,8 +97,9 @@ class ParquetDirSource(Source):
         {CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_COUNT, CAP_RAW, CAP_WRITE}
     )
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, static_fields: dict[str, dict[str, str]] | None = None):
         self.directory = directory
+        self.static_fields = static_fields or {}
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         path = os.path.join(self.directory, f"{collection}.parquet")
@@ -129,8 +139,9 @@ class ParquetDirSource(Source):
 class JsonDirSource(Source):
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW, CAP_WRITE})
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, static_fields: dict[str, dict[str, str]] | None = None):
         self.directory = directory
+        self.static_fields = static_fields or {}
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         return spark.read.json(os.path.join(self.directory, f"{collection}.jsonl"))
@@ -143,8 +154,9 @@ class CsvDirSource(Source):
     # read-only: no write() → no CAP_WRITE; tee/write negotiation fails
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, static_fields: dict[str, dict[str, str]] | None = None):
         self.directory = directory
+        self.static_fields = static_fields or {}
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         return spark.read.csv(
@@ -190,4 +202,11 @@ class SourceRegistry:
         return self._sources[name]
 
     def table(self, connector: str, collection: str) -> DataFrame:
-        return self.source(connector).table(self.spark, collection)
+        src = self.source(connector)
+        df = src.table(self.spark, collection)
+        # static field replacements rename (not copy) the source column,
+        # like scan.rs apply_static_fields removes the original key
+        for to, frm in src.collection_static_fields(collection).items():
+            if frm in df.columns:
+                df = df.withColumnRenamed(frm, to)
+        return df
