@@ -39,6 +39,17 @@ class ParseError(ValueError):
     pass
 
 
+class ParseErrors(ValueError):
+    """Multiple parse errors from a recovery pass (the reference's
+    parser collects every step's error rather than stopping at the
+    first — parser_tests.rs test_error_recovery_collects_multiple_errors).
+    Recovery granularity here is per pipeline step."""
+
+    def __init__(self, errors: list[ParseError]):
+        self.errors = errors
+        super().__init__("; ".join(str(e) for e in errors))
+
+
 _CMP_OPS = {
     "==": "eq",
     "!=": "ne",
@@ -162,6 +173,20 @@ class Parser:
         steps.append(self.parse_scan())
         while self.accept("|"):
             steps.append(self.parse_step())
+        return steps
+
+    def parse_query_prefix(self, errors=None, skip=None) -> list[P.Step]:
+        """Let bindings + the initial scan, without the step loop —
+        the error-recovering driver owns the ``|`` loop."""
+        steps: list[P.Step] = []
+        while self.peek().kind == "let":
+            self.next()
+            name = self.expect("ident").value
+            self.expect("=")
+            sub = self.parse_query()
+            self.expect(";")
+            steps.append(P.Let(str(name), P.Plan(tuple(sub))))
+        steps.append(self.parse_scan())
         return steps
 
     def parse_scan(self) -> P.Step:
@@ -626,7 +651,13 @@ def _agg_default_name(agg: P.Agg) -> str:
     return f"{agg.kind}_{arg}"
 
 
-def parse_kql(text: str) -> P.Plan:
+def parse_kql(text: str, collect_errors: bool = False) -> P.Plan:
+    """Parse KQL to a Plan. With ``collect_errors`` a failed step is
+    recorded and parsing resumes at the next ``|`` so ALL broken steps
+    surface in one ``ParseErrors``, like the reference's
+    error-recovering parser."""
+    if collect_errors:
+        return _parse_kql_recovering(text)
     try:
         p = Parser(tokenize(text))
         steps = p.parse_query()
@@ -635,6 +666,39 @@ def parse_kql(text: str) -> P.Plan:
         return P.Plan(tuple(steps))
     except ParseError as e:
         raise _with_line_col(e, text) from None
+
+
+def _parse_kql_recovering(text: str) -> P.Plan:
+    p = Parser(tokenize(text))
+    steps: list[P.Step] = []
+    errors: list[ParseError] = []
+
+    def skip_to_pipe() -> None:
+        while p.peek().kind not in ("|", ";", "eof"):
+            p.next()
+
+    try:
+        steps.extend(p.parse_query_prefix(errors, skip_to_pipe))
+    except ParseError as e:
+        errors.append(_with_line_col(e, text))
+        skip_to_pipe()
+    while p.peek().kind == "|":
+        p.next()
+        try:
+            steps.append(p.parse_step())
+        except ParseError as e:
+            errors.append(_with_line_col(e, text))
+            skip_to_pipe()
+    if not errors and p.peek().kind != "eof":
+        errors.append(
+            _with_line_col(
+                ParseError(f"trailing input at pos {p.peek().pos}: {p.peek().kind!r}"),
+                text,
+            )
+        )
+    if errors:
+        raise ParseErrors(errors)
+    return P.Plan(tuple(steps))
 
 
 def _with_line_col(e: ParseError, text: str) -> ParseError:

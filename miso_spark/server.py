@@ -105,7 +105,9 @@ class MisoServer:
             self.add_connector(name, ccfg)
 
     def _plan(self, kql: str) -> Plan:
-        plan = parse_kql(kql)
+        # error-recovering parse: a 400 lists every broken step, like
+        # the reference server's multi-error response
+        plan = parse_kql(kql, collect_errors=True)
         # views resolve like let bindings prepended to the query
         lets = tuple(
             Let(name, parse_kql(text)) for name, text in self.views.items()

@@ -125,6 +125,25 @@ def test_parse_error_includes_line_and_column():
         steps('t.x | where field1 == "value"\n| invalid_operator field2')
 
 
+def test_error_recovery_collects_multiple_errors():
+    # parser_tests.rs:1237: a broken pipeline reports every bad step,
+    # not just the first (our recovery granularity is per step)
+    import pytest
+
+    from miso_spark.kql.parser import ParseErrors
+
+    with pytest.raises(ParseErrors) as ei:
+        parse_kql(
+            "t.x | where | project | limit abc | sort by field1",
+            collect_errors=True,
+        )
+    assert len(ei.value.errors) >= 3
+    # a valid query parses identically in recovery mode
+    a = parse_kql("t.x | where a > 1 | count")
+    b = parse_kql("t.x | where a > 1 | count", collect_errors=True)
+    assert a == b
+
+
 def test_keywords_as_identifiers():
     # parser.rs ident_parser (parser.rs:152-224): keywords double as
     # field names everywhere except and/or/not and bool literals
