@@ -49,17 +49,31 @@ def _field_lit(l: Expr, r: Expr) -> tuple[str, object] | None:
 _RANGE_OPS = {"gt": "gt", "gte": "gte", "lt": "lt", "lte": "lte"}
 
 
-def compile_filter(e: Expr) -> dict | None:
+def compile_filter(e: Expr, minimum_should_match: bool = True) -> dict | None:
     """Compile a filter Expr to an ES bool-query dict, or None when any
-    part is not pushdown-able (whole-or-nothing, like the reference)."""
+    part is not pushdown-able (whole-or-nothing, like the reference).
+
+    ``minimum_should_match=False`` emits Quickwit's OR shape
+    (quickwit.rs:435 omits the field; elasticsearch.rs:454 sets it —
+    semantically identical for a should-only bool, but the wire shapes
+    mirror each connector exactly)."""
     if isinstance(e, BinOp):
         if e.op == "or":
-            parts = [compile_filter(e.left), compile_filter(e.right)]
+            parts = [
+                compile_filter(e.left, minimum_should_match),
+                compile_filter(e.right, minimum_should_match),
+            ]
             if any(p is None for p in parts):
                 return None
-            return {"bool": {"should": parts, "minimum_should_match": 1}}
+            out: dict = {"bool": {"should": parts}}
+            if minimum_should_match:
+                out["bool"]["minimum_should_match"] = 1
+            return out
         if e.op == "and":
-            parts = [compile_filter(e.left), compile_filter(e.right)]
+            parts = [
+                compile_filter(e.left, minimum_should_match),
+                compile_filter(e.right, minimum_should_match),
+            ]
             if any(p is None for p in parts):
                 return None
             return {"bool": {"must": parts}}
@@ -92,7 +106,7 @@ def compile_filter(e: Expr) -> dict | None:
         # analog in the reference's translation → keep engine-side
         return None
     if isinstance(e, Not):
-        inner = compile_filter(e.expr)
+        inner = compile_filter(e.expr, minimum_should_match)
         if inner is None:
             return None
         return {"bool": {"must_not": inner}}
@@ -121,15 +135,17 @@ def compile_filter(e: Expr) -> dict | None:
         name = f[0][0]
         lo, hi = _fmt(f[0][1]), _fmt(f[1][1])
         if e.negated:
-            return {
+            out = {
                 "bool": {
                     "should": [
                         {"range": {name: {"lt": lo}}},
                         {"range": {name: {"gt": hi}}},
-                    ],
-                    "minimum_should_match": 1,
+                    ]
                 }
             }
+            if minimum_should_match:
+                out["bool"]["minimum_should_match"] = 1
+            return out
         return {
             "bool": {
                 "must": [

@@ -101,6 +101,13 @@ class QuickwitSource(ExternalHttpSource):
          CAP_SUMMARIZE, CAP_UNION, CAP_RAW}
     )
 
+    def apply_filter(self, expr):
+        """Quickwit's OR shape omits minimum_should_match
+        (quickwit.rs:435); otherwise identical to the ES DSL."""
+        from miso_spark.sources.es_dsl import compile_filter
+
+        return compile_filter(expr, minimum_should_match=False)
+
 
 class ElasticsearchSource(ExternalHttpSource):
     """Elasticsearch (elasticsearch.rs).

@@ -89,3 +89,12 @@ def test_apply_filter_on_external_sources():
     expr = parse_kql("c.t | where level == 'error'").steps[1].expr
     for src in (ElasticsearchSource("http://x:1"), QuickwitSource("http://x:1")):
         assert src.apply_filter(expr) == {"term": {"level": {"value": "error"}}}
+
+    # OR-shape divergence: ES sets minimum_should_match (es.rs:454),
+    # quickwit omits it (quickwit.rs:435)
+    disj = parse_kql("c.t | where a == 1 or b == 2").steps[1].expr
+    es = ElasticsearchSource("http://x:1").apply_filter(disj)
+    qw = QuickwitSource("http://x:1").apply_filter(disj)
+    assert es["bool"]["minimum_should_match"] == 1
+    assert "minimum_should_match" not in qw["bool"]
+    assert es["bool"]["should"] == qw["bool"]["should"]
