@@ -906,6 +906,42 @@ q(
 )
 
 
+def _b_text_repetition(spark, sf_dir):
+    from miso_spark.functions.text import with_repetition
+
+    return with_repetition(_documents(spark, sf_dir))
+
+
+q(
+    "text_repetition",
+    builder=_b_text_repetition,
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             ROUND(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 4)
+               AS dup_word_frac
+      FROM n
+    ),
+    counts AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM n)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_word_frac
+      FROM counts GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_words, dup_word_frac, top_word_frac
+    FROM base JOIN top ON base.doc_id = top.doc_id
+    """,
+)
+
+
 q(
     "q5_local_supplier",  # TPC-H Q5 shape: 5 joins, dims broadcast
     kql="""

@@ -81,6 +81,41 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction (1 − distinct/total) and top-word fraction
+    (most frequent word / total). Boilerplate and degenerate generations
+    spike on both.
+
+    dup fraction is pure array built-ins (zero shuffle); the top-word
+    mode is relational — explode → (id, word) count → per-id max —
+    two hash aggregates with map-side partials, no window over raw rows.
+    """
+    norm = normalize(F.col(text_col))
+    w = words(norm)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    top = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(norm)).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total"))
+        .select("id", F.round(F.col("top_c") / F.col("total"), 4).alias("top_word_frac"))
+    )
+    return base.join(top, "id").select(
+        F.col("id").alias(id_col), "n_words", "dup_word_frac", "top_word_frac"
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = matched marker words per
     language, argmax with deterministic tie-break order en > de > fr."""
