@@ -649,6 +649,65 @@ _NGRAM_JACCARD_ORACLE = """
 q("dedup_ngram_jaccard", builder=_b_dedup_ngram, oracle=_NGRAM_JACCARD_ORACLE)
 
 
+def _b_dedup_assignments(spark, sf_dir):
+    """Pairs → decisions: connected components over the exact n-gram
+    Jaccard pair graph, min id kept per cluster (dedup.py
+    connected_components / dedup_assignments). Oracle: DuckDB recursive
+    CTE reachability over the same pair set."""
+    from miso_spark.functions.dedup import dedup_assignments, ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    return dedup_assignments(docs, ngram_jaccard_pairs(docs, threshold=0.5))
+
+
+q(
+    "dedup_assignments",
+    builder=_b_dedup_assignments,
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    canon AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id
+      FROM reach GROUP BY s
+    )
+    SELECT dd.doc_id AS id,
+           COALESCE(canon.canonical_id, dd.doc_id) AS canonical_id,
+           dd.doc_id = COALESCE(canon.canonical_id, dd.doc_id) AS is_kept
+    FROM documents dd LEFT JOIN canon ON dd.doc_id = canon.doc_id
+    """,
+)
+
+
 def _b_dedup_minhash(spark, sf_dir):
     from miso_spark.functions.dedup import minhash_lsh_pairs
 

@@ -251,6 +251,76 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, canonical_id) with
+    canonical = the minimum id reachable through the pair graph.
+
+    Iterative min-label propagation: each round joins labels across the
+    (bidirectional) edge set and keeps the per-node minimum — the
+    classic Spark CC loop (GraphX/connected-components does the same;
+    large-star/small-star halves the rounds at extreme scale). Rounds
+    needed = component diameter; near-dup clusters are shallow. Each
+    iteration localCheckpoints so lineage stays flat, and the loop
+    exits as soon as a round changes nothing.
+    """
+    edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy("d")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("d", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("canonical_id"))
+
+
+def dedup_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every doc's dedup decision: (id, canonical_id, is_kept). Docs in
+    no pair are their own canonical; within a cluster the minimum id is
+    kept — the materialized end state of the dedup pipeline."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
+        )
+        .withColumn("is_kept", F.col("id") == F.col("canonical_id"))
+    )
+
+
 def simhash(text_sql: str) -> Column:
     """64-bit SimHash of the word multiset, as bigint.
 

@@ -135,6 +135,24 @@ def test_lsh_planes_scale_with_rows_and_multiprobe_recall(emb):
     assert 7 in multi
 
 
+def test_connected_components_multi_hop(spark):
+    """A chain a-b, b-c, plus an isolated pair: every node labels to the
+    component minimum even when not directly connected to it."""
+    from miso_spark.functions.dedup import connected_components, dedup_assignments
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["canonical_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    dec = {r["id"]: (r["canonical_id"], r["is_kept"]) for r in dedup_assignments(docs, pairs).collect()}
+    assert dec[99] == (99, True)  # unpaired doc keeps itself
+    assert dec[4] == (1, False)
+    assert sum(1 for c, k in dec.values() if k) == 3  # one keeper per cluster + singleton
+
+
 def test_ivf_topk_recall_and_pruning(emb):
     """IVF: probed cells are a strict subset of the data, recall vs
     exact top-k stays high, and the exact-match vector is found."""
