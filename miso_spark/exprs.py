@@ -212,12 +212,19 @@ def compile_expr(e: Expr, schema=None) -> Column:
         assert col is not None, "case requires at least one branch"
         return col.otherwise(compile_expr(e.default, schema))
     if isinstance(e, Extract):
-        if not isinstance(e.pattern, Lit) or not isinstance(e.group, Lit):
-            raise ValueError("extract(regex, group, src) requires literal regex+group")
         src = compile_expr(e.source, schema)
-        extracted = F.regexp_extract(src, str(e.pattern.value), int(e.group.value))
         # regexp_extract yields '' on no-match; miso yields null (string_ops.rs:14)
-        matched = src.rlike(str(e.pattern.value))
+        if isinstance(e.pattern, Lit) and isinstance(e.group, Lit):
+            extracted = F.regexp_extract(src, str(e.pattern.value), int(e.group.value))
+            matched = src.rlike(str(e.pattern.value))
+        else:
+            # dynamic pattern/group (field arguments — the reference
+            # evaluates extract per-row, parser_tests.rs:1276); Spark's
+            # RegExpExtract accepts non-foldable patterns
+            pat = compile_expr(e.pattern, schema)
+            grp = compile_expr(e.group, schema).cast("int")
+            extracted = F.call_function("regexp_extract", src, pat, grp)
+            matched = F.call_function("regexp_like", src, pat)
         return F.when(matched, extracted)
     if isinstance(e, Bin):
         return _compile_bin(e, schema)

@@ -81,6 +81,23 @@ def test_summarize_by_literal(m):
     assert r == [{"g": 1, "n": 3}]
 
 
+def test_extract_with_field_arguments(m, spark):
+    # parser_tests.rs:1276: extract's regex/group/source may all be
+    # fields, evaluated per row
+    m.registry.source("mem").put(
+        "rex",
+        spark.createDataFrame(
+            [(1, "k=10", r"k=(\d+)", 1), (2, "v:7", r"v:(\d+)", 1), (3, "none", r"x(\d+)", 1)],
+            "id long, s string, p string, g int",
+        ),
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in m.query("mem.rex | project id, r = extract(p, g, s)").collect()
+    }
+    assert got == {1: "10", 2: "7", 3: None}  # no-match → null
+
+
 def test_summarize_by_only_is_distinct(m):
     # parser.rs:1033 admits zero aggregations: `summarize by x` ≡ distinct
     got = {r["s"] for r in rows(m, "mem.vals | summarize by s")}
