@@ -1127,6 +1127,48 @@ def _b_stream_sessionize(spark, sf_dir):
     )
 
 
+def _b_sessionize_native(spark, sf_dir):
+    """Built-in session_window over the batch events table — the
+    zero-Python, state-store-scalable sessionize (session end = last
+    event + gap, half-open merge bound)."""
+    from miso_spark.streaming import sessionize_native
+
+    ev = make_registry(spark, sf_dir).table("t", "events")
+    out = sessionize_native(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
+q(
+    "sessionize_native",
+    builder=_b_sessionize_native,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 1800 SECOND) AS BIGINT) AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+
+
 q(
     "stream_sessionize",
     builder=_b_stream_sessionize,

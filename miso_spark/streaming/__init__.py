@@ -2,6 +2,7 @@ from miso_spark.streaming.api import (
     stream_events,
     windowed_counts,
     sessionize,
+    sessionize_native,
     run_to_memory,
     tee_stream,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "stream_events",
     "windowed_counts",
     "sessionize",
+    "sessionize_native",
     "run_to_memory",
     "tee_stream",
 ]

@@ -202,6 +202,37 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Built-in session windows (``F.session_window``): the zero-Python
+    sessionize — state-store backed on streams, plain aggregation on
+    batch. Prefer this at scale; ``sessionize`` (applyInPandasWithState)
+    remains the custom-stateful-operator escape hatch for semantics the
+    built-in can't express.
+
+    Window end = last event + gap (half-open merge bound), unlike the
+    custom operator's end = last event; both are returned.
+    """
+    df = events
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> DataFrame:
     """Drain all currently-available input through the streaming query
     into an in-memory sink and return the result table."""
