@@ -1127,6 +1127,46 @@ def _b_stream_sessionize(spark, sf_dir):
     )
 
 
+def _b_asof_join(spark, sf_dir):
+    """Point-in-time join: each 'click' event picks up the latest
+    'purchase' value at-or-before it per user (functions/asof.py —
+    tagged-union + carry-forward window, one shuffle). Oracle: DuckDB's
+    native ASOF JOIN."""
+    from miso_spark.functions.asof import asof_join
+
+    ev = make_registry(spark, sf_dir).table("t", "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.round("value_right", 4).alias("purchase_value"),
+    )
+
+
+q(
+    "asof_join",
+    builder=_b_asof_join,
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+
+
 def _b_sessionize_native(spark, sf_dir):
     """Built-in session_window over the batch events table — the
     zero-Python, state-store-scalable sessionize (session end = last

@@ -135,6 +135,31 @@ def test_lsh_planes_scale_with_rows_and_multiprobe_recall(emb):
     assert 7 in multi
 
 
+def test_asof_join_ties_and_tolerance(spark):
+    from datetime import datetime as DT
+
+    from miso_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, DT(2024, 1, 1, 10, 0, 0)), (2, 7, DT(2024, 1, 1, 12, 0, 0)),
+         (3, 8, DT(2024, 1, 1, 9, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, DT(2024, 1, 1, 10, 0, 0), 1.0),   # tie with event 1 → matches
+         (7, DT(2024, 1, 1, 11, 0, 0), 2.0)],  # latest before event 2
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r["value_right"] for r in
+           asof_join(left, right, "user_id", "ts", ["value"]).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: None}  # tie inclusive; no match → null
+
+    # tolerance: event 2 is 1h after its match; a 30min tolerance nulls it
+    tol = {r["event_id"]: r["value_right"] for r in
+           asof_join(left, right, "user_id", "ts", ["value"], tolerance_s=1800).collect()}
+    assert tol == {1: 1.0, 2: None, 3: None}
+
+
 def test_connected_components_multi_hop(spark):
     """A chain a-b, b-c, plus an isolated pair: every node labels to the
     component minimum even when not directly connected to it."""
