@@ -1127,6 +1127,45 @@ def _b_stream_sessionize(spark, sf_dir):
     )
 
 
+def _b_range_join(spark, sf_dir):
+    """Interval containment via bin-bucketed join (functions/rangejoin
+    — hash join on overlap bins, never a nested-loop cross join):
+    lineitem prices matched into ±500 windows around order totals."""
+    from miso_spark.functions.rangejoin import range_join
+
+    reg = make_registry(spark, sf_dir)
+    li = (
+        reg.table("t", "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    ranges = (
+        reg.table("t", "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") - 500).alias("lo"),
+            (F.col("o_totalprice") + 500).alias("hi"),
+        )
+    )
+    out = range_join(li, ranges, "l_extendedprice", "lo", "hi", bin_size=1000.0)
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+q(
+    "range_join",
+    builder=_b_range_join,
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderkey
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+          FROM lineitem WHERE l_orderkey <= 200) l
+    JOIN (SELECT o_orderkey, o_totalprice - 500 AS lo, o_totalprice + 500 AS hi
+          FROM orders WHERE o_orderkey <= 1000) r
+      ON l.l_extendedprice BETWEEN r.lo AND r.hi
+    """,
+)
+
+
 def _b_asof_join(spark, sf_dir):
     """Point-in-time join: each 'click' event picks up the latest
     'purchase' value at-or-before it per user (functions/asof.py —

@@ -135,6 +135,28 @@ def test_lsh_planes_scale_with_rows_and_multiprobe_recall(emb):
     assert 7 in multi
 
 
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The binning rewrite must plan an equi-join on the bin, never a
+    BroadcastNestedLoopJoin — the whole point at scale."""
+    from miso_spark.functions.rangejoin import range_join
+
+    left = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+    right = spark.range(0, 100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 5).alias("hi"),
+    )
+    out = range_join(left, right, "v", "lo", "hi", bin_size=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan
+    # correctness vs the naive predicate
+    naive = left.crossJoin(right).filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+    assert sorted((r["k"], r["rid"]) for r in out.collect()) == sorted(
+        (r["k"], r["rid"]) for r in naive.collect()
+    )
+
+
 def test_asof_join_ties_and_tolerance(spark):
     from datetime import datetime as DT
 
