@@ -1094,6 +1094,42 @@ def _b_stream_windows(spark, sf_dir):
     )
 
 
+def _b_rollup_continuous_agg(spark, sf_dir):
+    """Persisted continuous aggregate: stream events into partial
+    rollup rows (streaming/rollup.py), then answer the daily aggregate
+    from the rollup alone — the merged partials must equal the batch
+    GROUP BY over raw events (the oracle)."""
+    import tempfile
+    import uuid
+
+    from miso_spark.streaming import stream_events
+    from miso_spark.streaming.rollup import maintain_rollup, query_rollup
+
+    base = tempfile.mkdtemp(prefix="rollup_")
+    rollup_dir = f"{base}/rollup"
+    q = maintain_rollup(
+        stream_events(spark, sf_dir, glob_filter="events.parquet"),
+        rollup_dir,
+        f"{base}/ckpt_{uuid.uuid4().hex[:8]}",
+        window="1 day",
+    )
+    q.awaitTermination()
+    return query_rollup(spark, rollup_dir).select(
+        F.col("window_start").cast("long").alias("day"), "event_type", "n", "total"
+    )
+
+
+q(
+    "rollup_continuous_agg",
+    builder=_b_rollup_continuous_agg,
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
 q(
     "stream_windowed_counts",
     builder=_b_stream_windows,

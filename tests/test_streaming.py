@@ -71,6 +71,46 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (1, 2) in closed
 
 
+def test_rollup_partials_merge_to_batch_answer(spark, tmp_path):
+    """Multi-batch rollup: several partial rows per bucket land in the
+    rollup table; merging them equals the batch aggregate over raw."""
+    from miso_spark.streaming.rollup import maintain_rollup, query_rollup
+
+    src = tmp_path / "ev"
+    from miso_spark.sources import ParquetDirSource
+
+    ev = ParquetDirSource(SF_DIR).table(spark, "events")
+    ev.repartition(3).write.parquet(str(src / "events.parquet"))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "events.parquet")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "events.parquet"))
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = maintain_rollup(stream, rollup_dir, str(tmp_path / "ckpt"), window="1 day")
+    q.awaitTermination()
+
+    partials = spark.read.parquet(rollup_dir)
+    merged = query_rollup(spark, rollup_dir)
+    # 3 micro-batches → more partial rows than final buckets
+    assert partials.count() > merged.count()
+
+    expected = {
+        (r["d"], r["event_type"], r["n"], r["total"])
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["total"])
+        for r in merged.collect()
+    }
+    assert got == expected
+
+
 def test_sessionize_timeout_flushes_idle_session():
     """Processing-time timeout invocation (no new data) must emit the
     buffered session and drop the state — not silently re-arm."""
