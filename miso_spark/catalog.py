@@ -965,6 +965,29 @@ q(
 )
 
 
+def _b_dataset_split(spark, sf_dir):
+    """Content-hash train/val/test assignment (functions/split.py):
+    stable across runs/engines — the oracle reproduces it in SQL."""
+    from miso_spark.functions.split import with_split
+
+    return with_split(_documents(spark, sf_dir)).select("doc_id", "split")
+
+
+q(
+    "dataset_split",
+    builder=_b_dataset_split,
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+
+
 def _b_text_repetition(spark, sf_dir):
     from miso_spark.functions.text import with_repetition
 
