@@ -32,6 +32,7 @@ from miso_spark.exprs import (
     Now,
 )
 from miso_spark.fields import FieldPath
+from miso_spark.kql.lexer import KEYWORDS as _ALL_KEYWORDS
 from miso_spark.kql.lexer import Token, tokenize
 
 
@@ -81,8 +82,6 @@ _AGG_KEYWORDS = {"count", "countif", "dcount", "sum", "avg", "min", "max"}
 
 #: keyword tokens usable as identifiers (parser.rs ident_parser):
 #: everything except boolean operators and the bool literals
-from miso_spark.kql.lexer import KEYWORDS as _ALL_KEYWORDS
-
 _IDENT_KEYWORDS = _ALL_KEYWORDS - {"and", "or", "not", "true", "false", "null"}
 
 #: function-style keywords: parsed as calls only when followed by "(",
