@@ -988,6 +988,81 @@ q(
 )
 
 
+def _b_split_leakage(spark, sf_dir):
+    """Train/val/test leakage audit: near-dup clusters whose members
+    land in more than one split — dedup (connected components) composed
+    with the content-hash splitter; the pre-ship QA query of a training
+    pipeline."""
+    from miso_spark.functions.dedup import dedup_assignments, ngram_jaccard_pairs
+    from miso_spark.functions.split import with_split
+
+    docs = _documents(spark, sf_dir)
+    assign = dedup_assignments(docs, ngram_jaccard_pairs(docs, threshold=0.5))
+    splits = with_split(docs).select(F.col("doc_id").alias("id"), "split")
+    return (
+        assign.join(splits, "id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_members") > 1)
+        .withColumn("leaks", F.col("n_splits") > 1)
+    )
+
+
+q(
+    "split_leakage",
+    builder=_b_split_leakage,
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    canon AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id FROM reach GROUP BY s),
+    assigned AS (
+      SELECT dd.doc_id, COALESCE(canon.canonical_id, dd.doc_id) AS canonical_id,
+             CASE WHEN substr(md5(lower(trim(regexp_replace(dd.text, '\\s+', ' ', 'g')))), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(lower(trim(regexp_replace(dd.text, '\\s+', ' ', 'g')))), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents dd LEFT JOIN canon ON dd.doc_id = canon.doc_id
+    )
+    SELECT canonical_id, COUNT(*) AS n_members,
+           COUNT(DISTINCT split) AS n_splits,
+           COUNT(DISTINCT split) > 1 AS leaks
+    FROM assigned GROUP BY canonical_id HAVING COUNT(*) > 1
+    """,
+)
+
+
 def _b_text_repetition(spark, sf_dir):
     from miso_spark.functions.text import with_repetition
 
