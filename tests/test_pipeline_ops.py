@@ -182,6 +182,55 @@ def test_asof_join_ties_and_tolerance(spark):
     assert tol == {1: 1.0, 2: None, 3: None}
 
 
+def test_asof_join_randomized_vs_duckdb(spark):
+    """Seeded random timelines, including exact-tie timestamps, against
+    DuckDB's native ASOF LEFT JOIN."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, 5, 200),
+            # second-granularity so exact ties with the right side occur
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 3600, 200)],
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 80),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 3600, 80)],
+            "value": np.round(rng.random(80), 6),
+        }
+    )
+    # dedupe (user_id, ts) on the right: with duplicates, "the" matched
+    # row is ambiguous and engines may break ties differently
+    rpd = rpd.drop_duplicates(["user_id", "ts"])
+
+    from miso_spark.functions.asof import asof_join
+
+    got = {
+        r["event_id"]: r["value_right"]
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd), "user_id", "ts", ["value"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    want = dict(
+        con.execute(
+            "SELECT l.event_id, r.value FROM l ASOF LEFT JOIN r"
+            " ON l.user_id = r.user_id AND r.ts <= l.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_connected_components_multi_hop(spark):
     """A chain a-b, b-c, plus an isolated pair: every node labels to the
     component minimum even when not directly connected to it."""
