@@ -40,7 +40,7 @@ HEADLINE = [
     "distinct_op",
     "mv_expand",
     "dedup_exact",
-    "dedup_minhash",
+    "dedup_minhash_verified",
     "dedup_simhash",
     "ann_bruteforce",
     "text_tokens",

@@ -17,6 +17,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,9 +142,15 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
 def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
     """Drop LSH buckets larger than ``max_bucket_size`` (the standard
     guard for the banded self-join at scale: one degenerate bucket —
-    boilerplate/near-empty docs — otherwise goes quadratic). Capped-out
-    buckets are exact-or-near-identical clusters that the exact-dedup
-    pass catches far cheaper. One window count, no extra join."""
+    boilerplate/near-empty docs — otherwise goes quadratic). One window
+    count, no extra join.
+
+    The cap trades recall for a bound on candidate volume: a capped
+    bucket's members may include genuinely distinct docs (with
+    rows_per_band=1 a bucket keys on a single minhash), so capping is
+    opt-in (default ``None``) and callers who enable it should measure
+    the loss — ``capped_bucket_rows`` counts the excluded rows with the
+    same window expression."""
     if max_bucket_size is None:
         return df
     from pyspark.sql import Window
@@ -155,6 +163,20 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) ->
     )
 
 
+def capped_bucket_rows(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """The rows a ``max_bucket_size`` cap would exclude, per bucket —
+    run alongside a capped dedup to make recall loss observable
+    (``.groupBy(*keys).count()`` or a plain ``.count()``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -163,7 +185,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -171,12 +193,14 @@ def minhash_lsh_pairs(
     candidates are verified with exact n-gram Jaccard. Returns
     (id_a, id_b, jaccard >= threshold).
 
-    ``max_bucket_size`` bounds the per-bucket candidate blow-up
-    (quadratic in bucket size): buckets above the cap are dropped, so
-    worst-case candidate volume is bands × (N/cap) × cap² = bands × N
-    × cap pairs instead of unbounded. Identical-doc floods excluded
-    this way are exact duplicates — ``exact_dedup`` handles them with
-    one linear pass.
+    ``max_bucket_size`` (opt-in; default None = no cap) bounds the
+    per-bucket candidate blow-up (quadratic in bucket size): buckets
+    above the cap are dropped, so worst-case candidate volume is
+    bands × N × cap pairs instead of unbounded. Capping can lose recall
+    — a bucket keyed on one minhash band can hold genuinely distinct
+    docs — so at scale pair it with ``capped_bucket_rows`` to count
+    what was dropped, and run ``exact_dedup`` first so identical-doc
+    floods never reach the band join.
     """
     rows_per_band = num_hashes // bands
 
@@ -264,10 +288,16 @@ def connected_components(
     (bidirectional) edge set and keeps the per-node minimum — the
     classic Spark CC loop (GraphX/connected-components does the same;
     large-star/small-star halves the rounds at extreme scale). Rounds
-    needed = component diameter; near-dup clusters are shallow. Each
-    iteration localCheckpoints so lineage stays flat, and the loop
-    exits as soon as a round changes nothing.
+    needed = component diameter; near-dup clusters are shallow, but
+    long chains (boilerplate crawl data) can exceed ``max_iter`` — the
+    loop then warns rather than return silently wrong labels, and the
+    caller should raise ``max_iter`` (cost is per-round, so a too-high
+    value costs nothing once converged). Each iteration
+    localCheckpoints so lineage stays flat, and the loop exits as soon
+    as a round changes nothing.
     """
+    import warnings
+
     edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = edges.union(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
@@ -275,6 +305,7 @@ def connected_components(
     labels = (
         edges.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("id", "s"), "s")
@@ -296,6 +327,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        warnings.warn(
+            f"connected_components did not converge in max_iter={max_iter} rounds "
+            f"({changed} labels still changing): canonical ids may split one "
+            "component — raise max_iter (component diameter bounds the rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("lbl").alias("canonical_id"))
 
 
@@ -358,19 +397,40 @@ def simhash(text_sql: str) -> Column:
     )
 
 
-def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """``(id, sim)`` via the codegen path: explode words → xxhash64 →
+def md5_word_hash(w: Column) -> Column:
+    """Lower 64 bits of md5 (the last 16 hex chars, big-endian) as a
+    long — a word hash an external SQL engine can reproduce (DuckDB has
+    md5 but not xxhash64), which is what lets ``dedup_simhash_verified``
+    hold the whole simhash pipeline to a relational oracle. Built from
+    two 32-bit conv() halves because a single 16-hex-digit conv can
+    exceed Long.MAX and null out under non-ANSI casts; shiftleft wraps
+    bit-exactly."""
+    hx = F.md5(w)
+    hi = F.conv(F.substring(hx, 17, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 25, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """``(id, sim)`` via the codegen path: explode words → word hash →
     ONE hash aggregate with 64 bit-vote sum columns → recombine.
 
     Semantically identical to the ``simhash()`` column expression but
     every operator is whole-stage-codegen (the column version's nested
     array lambdas run interpreted — fine for ad-hoc use, ~10× slower in
     bulk). Map-side partial sums keep the shuffle at 64 ints per doc.
+    ``word_hash`` defaults to xxhash64; pass ``md5_word_hash`` for the
+    oracle-reproducible variant.
     """
     wrds = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize(F.col(text_col)), " ")).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", word_hash(F.col("w")).alias("h"))
     votes = wrds.groupBy("id").agg(
         *[
             F.sum(
@@ -410,7 +470,8 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_blocks: int = 4,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
+    word_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """Near-dup candidates by simhash block-combination buckets, scored
     by exact hamming distance.
@@ -421,10 +482,12 @@ def simhash_candidates(
     self-join); raise ``num_blocks`` to widen keys: k=6 → C(6,3)=20
     bucket tables with ~32-bit keys, k=8 → 56 tables with 40-bit keys.
     Recall stays guaranteed by pigeonhole; candidate volume is
-    #tables × N rows shuffled. ``max_bucket_size`` additionally caps
-    degenerate buckets (see ``minhash_lsh_pairs``).
+    #tables × N rows shuffled. ``max_bucket_size`` (opt-in, default
+    None) additionally caps degenerate buckets — with it unset the
+    pigeonhole recall guarantee is exact (see ``minhash_lsh_pairs`` for
+    the cap trade-off).
     """
-    sig = simhash_rows(df, text_col, id_col)
+    sig = simhash_rows(df, text_col, id_col, word_hash)
 
     # block c spans bits [starts[c], starts[c+1])
     bounds = [round(c * 64 / num_blocks) for c in range(num_blocks + 1)]
