@@ -85,8 +85,18 @@ def _nano_ts_columns(path: str) -> list[str]:
         if not files:
             return []
         target = os.path.join(path, files[0])
-    schema = pq.read_schema(target)
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    # the *parquet* schema, not the arrow view: INT96 timestamps
+    # (Spark's own default output) also surface as arrow timestamp[ns]
+    # but Spark reads them back as TimestampType — only physical INT64
+    # with a nanosecond logical type becomes a long under nanosAsLong
+    ps = pq.ParquetFile(target).schema
+    out = []
+    for i in range(len(ps)):
+        c = ps.column(i)
+        lt = str(c.logical_type).lower()
+        if c.physical_type == "INT64" and "timestamp" in lt and "nano" in lt:
+            out.append(c.name)
+    return out
 
 
 class ParquetDirSource(Source):

@@ -67,15 +67,24 @@ def run_partial_stream(
     scan = plan.steps[0]
     src = compiler.registry.source(scan.connector)
     sdf = src.stream_table(compiler.spark, scan.collection, max_files_per_trigger)
+    # apply collection static_fields renames exactly as the batch path
+    # does (SourceRegistry.table) so @time-style fields resolve the same
+    # whether the query runs batch or partial-stream
+    for to, frm in src.collection_static_fields(scan.collection).items():
+        if frm in sdf.columns:
+            sdf = sdf.withColumnRenamed(frm, to)
     for step in plan.steps[1:]:
         sdf = compiler._apply(step, sdf, {})
 
-    rounds: list[tuple[int, list[str]]] = []
+    # only the LATEST round is retained (the final emit needs just the
+    # last state; buffering every round would grow driver memory by
+    # O(rounds) for long streams)
+    latest: list[tuple[int, list[str]]] = []
     last_emit = [0.0]
 
     def on_batch(batch_df, batch_id: int) -> None:
         rows = batch_df.toJSON().collect()
-        rounds.append((int(batch_id), rows))
+        latest[:] = [(int(batch_id), rows)]
         now = time.monotonic()
         if now - last_emit[0] >= debounce_s:
             last_emit[0] = now
@@ -89,8 +98,8 @@ def run_partial_stream(
     )
     query.awaitTermination()
 
-    if not rounds:
+    if not latest:
         emit(0, [], True)
         return
-    final_id, final_rows = rounds[-1]
+    final_id, final_rows = latest[0]
     emit(final_id, final_rows, True)

@@ -157,6 +157,50 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     )
 
 
+def test_range_join_outer_modes_match_naive(spark):
+    """left/right/outer must null-pad unmatched rows exactly once —
+    including intervals spanning several bins whose only match is in a
+    non-first bin (the case a canonical-bin dedupe would get wrong),
+    and bin-colliding but range-missing pairs."""
+    from miso_spark.functions.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 17.0), (3, 42.0), (4, 99.0)], "k long, v double"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 4.0, 6.0),    # matches k=1 within one bin
+            (11, 12.0, 19.0),  # spans bins 1-1; matches k=2
+            (12, 8.0, 18.0),   # spans bins 0-1, match (k=2) only in bin 1
+            (13, 30.0, 36.0),  # overlaps k=3's bin but misses the range
+            (14, 200.0, 210.0),  # no match at all
+        ],
+        "rid long, lo double, hi double",
+    )
+    naive_inner = left.crossJoin(right).filter(
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+
+    def key(p):
+        return tuple((v is None, v if v is not None else 0) for v in p)
+
+    def pairs(df):
+        return sorted(((r["k"], r["rid"]) for r in df.select("k", "rid").collect()), key=key)
+
+    inner = pairs(naive_inner)
+    matched_k = {k for k, _ in inner}
+    matched_rid = {rid for _, rid in inner}
+    want = {
+        "inner": inner,
+        "left": inner + [(r, None) for r in sorted({1, 2, 3, 4} - matched_k)],
+        "right": inner + [(None, r) for r in sorted({10, 11, 12, 13, 14} - matched_rid)],
+    }
+    want["outer"] = want["left"] + [p for p in want["right"] if p[0] is None]
+    for how, expect in want.items():
+        got = pairs(range_join(left, right, "v", "lo", "hi", bin_size=10.0, how=how))
+        assert got == sorted(expect, key=key), f"{how}: {got}"
+
+
 def test_asof_join_ties_and_tolerance(spark):
     from datetime import datetime as DT
 

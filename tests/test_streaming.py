@@ -195,3 +195,39 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_payload("png", b"\x89PNG...")
+
+
+def test_partial_stream_applies_static_fields(spark, tmp_path):
+    """ADVICE r2: run_partial_stream must apply collection static_fields
+    renames like the batch path (SourceRegistry.table) — a @time query
+    that works batch must work partial-stream and agree with it."""
+    import json
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import ParquetDirSource, SourceRegistry
+    from miso_spark.streaming.partial import (
+        plan_supports_partial_stream,
+        run_partial_stream,
+    )
+
+    ev = ParquetDirSource(SF_DIR).table(spark, "events")
+    ev.repartition(2).write.parquet(str(tmp_path / "events2.parquet"))
+    reg = SourceRegistry(spark).register(
+        "s",
+        ParquetDirSource(str(tmp_path), static_fields={"events2": {"@time": "ts"}}),
+    )
+    plan = parse_kql(
+        "s.events2 | where @time >= 2024-01-10 | summarize n = count() by event_type"
+    )
+    assert plan_supports_partial_stream(plan, reg)
+
+    comp = Compiler(reg)
+    emits = []
+    run_partial_stream(comp, plan, lambda rid, rows, fin: emits.append((rid, rows, fin)))
+    assert emits and emits[-1][2] is True
+    final = {
+        (r["event_type"], r["n"]) for r in map(json.loads, emits[-1][1])
+    }
+    batch = {(r["event_type"], r["n"]) for r in comp.run(plan).collect()}
+    assert final == batch and final
