@@ -2,12 +2,19 @@
 has no built-in for.
 
 Composition of existing DataFrame ops, not a UDF: tag both sides, union
-them, sort within each key by (ts, side) and carry the right side's
-values forward with ``last(ignorenulls)`` over a running window, then
-keep only left rows. ONE shuffle on the key (the window's partition),
-no join explosion, no Python — survives arbitrarily large inputs as
-long as a single key's timeline fits a partition (same contract as any
-windowed operator; salt the key upstream if one entity dominates).
+them, sort within each key by (ts, side) and carry the right side's row
+forward as ONE struct with ``last(ignorenulls)`` over a running window,
+then keep only left rows. The struct carry is what makes the attached
+columns row-consistent: every output column comes from the SAME matched
+right row, even when that row holds nulls (per-column carries would
+silently substitute older non-null values).
+
+ONE shuffle on the key (the window's partition) in the default mode, no
+join explosion, no Python. A single hyperactive key serializes through
+one task, though — ``salt_bucket_s`` splits each key's timeline into
+fixed time buckets, runs the carry per (key, bucket) in parallel, and
+stitches bucket boundaries with a tiny per-bucket prefix pass (the
+standard parallel-scan decomposition: local scan + carry-in merge).
 
 Backward semantics: each left row gets the latest right row with
 ``right.ts <= left.ts`` (ties: the right row wins, i.e. inclusive) —
@@ -28,40 +35,79 @@ def asof_join(
     value_cols: list[str],
     suffix: str = "_right",
     tolerance_s: float | None = None,
+    salt_bucket_s: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row's
     ``value_cols`` (and its timestamp as ``{ts}{suffix}``) with
     ``right.{ts} <= left.{ts}`` per ``key``; null when no earlier right
     row exists. ``tolerance_s`` drops matches older than the given gap
     (nulls the attached columns, like pandas.merge_asof tolerance).
+
+    ``salt_bucket_s`` (seconds) enables the hot-key path: the window
+    partitions on (key, time-bucket) so one dominant key's timeline
+    spreads over timeline/salt_bucket_s tasks instead of one. Bucket
+    boundaries are stitched by carrying each bucket's LAST right row
+    across later buckets of the same key — an aggregate over
+    (key, bucket) rows, vanishingly small next to the data. Results are
+    identical to the unsalted mode (asserted in tests); pick a bucket
+    width around timeline_span / desired_parallelism.
     """
     matched_ts = f"{ts}{suffix}"
-    out_cols = [f"{c}{suffix}" for c in value_cols]
+    out_names = [matched_ts] + [f"{c}{suffix}" for c in value_cols]
 
     l = left.withColumn("__side", F.lit(1))
     r = right.select(
         F.col(key),
         F.col(ts),
-        F.col(ts).alias(matched_ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(
+            F.col(ts).alias(matched_ts),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__r"),
     ).withColumn("__side", F.lit(0))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
+    part = [key]
+    if salt_bucket_s is not None:
+        unioned = unioned.withColumn(
+            "__bkt", F.floor(F.unix_micros(F.col(ts)) / F.lit(int(salt_bucket_s * 1e6)))
+        )
+        part = [key, "__bkt"]
+
     # right rows sort before left rows at equal ts → ties are inclusive
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*part)
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [matched_ts, *out_cols]:
-        unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    unioned = unioned.withColumn("__carry", F.last("__r", ignorenulls=True).over(w))
 
-    out = unioned.filter(F.col("__side") == 1).drop("__side")
-    if tolerance_s is not None:
-        within = (
-            F.col(matched_ts).isNotNull()
-            & (F.unix_micros(ts) - F.unix_micros(matched_ts) <= int(tolerance_s * 1e6))
+    if salt_bucket_s is not None:
+        # per-(key, bucket) last right row — struct max orders by its
+        # first field (the right ts); buckets with no right rows stay
+        # null and last(ignorenulls) skips them
+        bounds = unioned.groupBy(key, "__bkt").agg(
+            F.max(F.when(F.col("__side") == 0, F.col("__r"))).alias("__last_r")
         )
-        for c in [matched_ts, *out_cols]:
-            out = out.withColumn(c, F.when(within, F.col(c)))
-    return out
+        wb = (
+            Window.partitionBy(key)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = bounds.withColumn(
+            "__prev", F.last("__last_r", ignorenulls=True).over(wb)
+        ).select(key, "__bkt", "__prev")
+        unioned = unioned.join(prev, [key, "__bkt"], "left").withColumn(
+            "__carry", F.coalesce("__carry", "__prev")
+        )
+
+    out = unioned.filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        within = F.col(f"__carry.{matched_ts}").isNotNull() & (
+            F.unix_micros(ts) - F.unix_micros(F.col(f"__carry.{matched_ts}"))
+            <= int(tolerance_s * 1e6)
+        )
+        out = out.withColumn("__carry", F.when(within, F.col("__carry")))
+    return out.select(
+        *left.columns,
+        *[F.col(f"__carry.{n}").alias(n) for n in out_names],
+    )

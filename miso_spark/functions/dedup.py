@@ -564,7 +564,10 @@ def embedding_dedup_pairs(
             # can't carry the dimension)
             dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
         if num_planes is None:
-            num_planes = planes_for_rows(df.count())
+            from miso_spark.functions.stats import approx_row_count
+
+            # parquet-footer / env-hint estimate before any full scan
+            num_planes = planes_for_rows(approx_row_count(df))
         df = with_lsh_buckets(df, vec_col, num_planes=num_planes, dim=dim)
         block_col = "lsh_bucket"
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]

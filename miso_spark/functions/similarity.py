@@ -181,7 +181,10 @@ def lsh_topk(
     if dim is None:
         dim = len(q)
     if num_planes is None:
-        num_planes = planes_for_rows(df.count())
+        from miso_spark.functions.stats import approx_row_count
+
+        # parquet-footer / env-hint estimate before any full scan
+        num_planes = planes_for_rows(approx_row_count(df))
 
     # compute the query's per-plane margins with a 1-row DataFrame
     # through the same expressions, so driver and executors can never

@@ -79,3 +79,25 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path_factory):
         assert j.count() == n_plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_row_count_uses_footers_not_scan(spark):
+    """File-backed frames size from parquet footer metadata (VERDICT r2
+    #4): exact for a plain scan, env hint wins, and non-file frames
+    fall back to count()."""
+    import os
+
+    from miso_spark.functions.stats import approx_row_count
+    from tests.conftest import SF_DIR
+
+    df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    assert approx_row_count(df) == df.count()
+
+    os.environ["MISO_SPARK_ROWCOUNT_HINT"] = "123456"
+    try:
+        assert approx_row_count(df) == 123456
+    finally:
+        del os.environ["MISO_SPARK_ROWCOUNT_HINT"]
+
+    mem = spark.range(777)
+    assert approx_row_count(mem) == 777
