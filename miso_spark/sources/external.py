@@ -126,6 +126,44 @@ class ElasticsearchSource(ExternalHttpSource):
          CAP_SUMMARIZE, CAP_UNION}
     )
 
+    def search(
+        self,
+        spark: SparkSession,
+        collection: str,
+        query: dict | None = None,
+        size: int = 1000,
+    ) -> DataFrame:
+        """POST ``/{index}/_search`` with a compiled es_dsl query and
+        return the hits' ``_source`` docs as a DataFrame.
+
+        This is the real wire bridge (round-tripped against an
+        in-process stub in tests/test_es_dsl.py): the DSL that
+        ``apply_filter`` builds is exactly what lands on the wire, as
+        in elasticsearch.rs:443-630. It is a driver-side single-page
+        fetch — the bootstrap/test path; a production deployment scans
+        distributed through the official
+        ``org.elasticsearch.spark.sql`` DataSource with the same DSL in
+        ``es.query``."""
+        import json
+
+        self._connect()
+        body = {"query": query or {"match_all": {}}, "size": size}
+        req = urllib.request.Request(
+            f"{self.url}/{collection}/_search",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            payload = json.load(resp)
+        docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+        # json-lines through spark.read.json: schema inference matches
+        # how the json_dir source types documents
+        rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+        return spark.read.json(rdd)
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return self.search(spark, collection)
+
 
 class SplunkSource(ExternalHttpSource):
     """Splunk (splunk/mod.rs).
