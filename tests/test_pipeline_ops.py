@@ -491,3 +491,25 @@ def test_asof_join_hot_key_salted(spark):
     bad = out.filter(F.col("value_right") != F.floor(F.col("event_id") / 1000)).count()
     assert bad == 0
     assert out.count() == n
+
+
+def test_minhash_materialize_shingles_same_pairs(spark):
+    """materialize_shingles is a pure execution knob (the 100 TB
+    shuffle-reuse path): identical verified pairs either way."""
+    from miso_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(df, threshold=0.3, **kw).collect()
+        }
+
+    assert pairs(materialize_shingles=True) == pairs() != set()
