@@ -4,10 +4,15 @@ Token surface parity: miso-kql/src/lexer.rs — keywords, timespan
 literals in short and long form (1d / 2hours / 3minutes / 4seconds /
 5ms / 6microseconds / 7nanos / 8ticks — lexer.rs:247), datetime(...)
 plus bare datetime literals (lexer.rs:208-227, priority-3 regexes),
-strings (quoted, ``@``-raw with doubled-quote escapes, triple-backtick
-and triple-tilde multiline — lexer.rs:224-236), numbers incl. hex ints,
-``True/TRUE/False/FALSE`` variants (lexer.rs:199-204), ``@``-prefixed
-identifiers, operators incl. ``..`` ``$`` ``|``.
+strings (quoted with the full escape set incl. \\xHH/\\uHHHH/
+\\UHHHHHHHH/octal + the reference's literal-fallback rules, ``@``-raw
+with doubled-quote escapes, triple-backtick and triple-tilde multiline
+— lexer.rs:224-236), ``h``/``H``-prefixed hex (byte) strings in every
+form (tokenized as ``bytestring``; the parser rejects them with the
+reference's verbatim message, parser.rs:482), numbers incl. hex ints,
+scientific floats and trailing-dot floats, digit-led identifiers
+(``123xyz``), ``True/TRUE/False/FALSE`` variants (lexer.rs:199-204),
+``@``-prefixed identifiers, operators incl. ``..`` ``$`` ``|``.
 """
 
 from __future__ import annotations
@@ -72,39 +77,95 @@ _BARE_DT_RE = (
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<comment>//[^\n]*)
+  | (?P<comment>//[^\n\r]*)
   | (?P<special>project-rename|mv-expand|!between)
   | (?P<datetime>datetime\s*\(\s*[^)]*\))
   | (?P<baredt>""" + _BARE_DT_RE + r""")
   | (?P<timespan>\d+(?:\.\d+)?""" + _TIMESPAN_UNIT_RE + r"""\b)
-  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
-  | (?P<hexint>0[xX][0-9a-fA-F]+)
+  | (?P<float>\d+\.(?!\.)\d*(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<hexint>0[xX][0-9a-fA-F]+(?![\w@]))
+  | (?P<identnum>\d+[A-Za-z_][\w@]*)
   | (?P<int>\d+)
+  | (?P<hexml>[hH](?:```[\s\S]*?(?:```|$)|~~~[\s\S]*?(?:~~~|$)))
+  | (?P<hexraw>[hH]@"(?:[^"]|"")*"|[hH]@'(?:[^']|'')*')
+  | (?P<hexstring>[hH]"(?:\\"|[^"])*"|[hH]'(?:\\'|[^'])*')
   | (?P<mlstring>```[\s\S]*?(?:```|$)|~~~[\s\S]*?(?:~~~|$))
   | (?P<rawstring>@"(?:[^"]|"")*"|@'(?:[^']|'')*')
   | (?P<ident>[@_A-Za-z][\w@]*)
-  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<string>"(?:\\"|[^"])*"|'(?:\\'|[^'])*')
   | (?P<op>==|!=|<=|>=|\.\.|[|.,()\[\]<>=+\-*/$;])
     """,
     re.VERBOSE,
 )
 
-_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+#: single-char escapes (lexer.rs parse_string_literal:289-300)
+_ESCAPES = {
+    "'": "'",
+    '"': '"',
+    "\\": "\\",
+    "a": "\x07",
+    "b": "\x08",
+    "f": "\x0c",
+    "n": "\n",
+    "r": "\r",
+    "t": "\t",
+    "v": "\x0b",
+}
 
 
 def _unescape(body: str) -> str:
+    """Escape processing with the reference's exact fallback rules
+    (lexer.rs parse_string_literal): full C-style set, ``\\xHH``,
+    ``\\uHHHH``, ``\\UHHHHHHHH`` (invalid length / codepoint → kept
+    literally), 1-3 digit octal ≤ 0o377 (overflow → kept literally),
+    unknown escapes and a trailing backslash kept as-is."""
     out = []
     i = 0
-    while i < len(body):
+    n = len(body)
+    while i < n:
         ch = body[i]
-        if ch == "\\" and i + 1 < len(body):
-            nxt = body[i + 1]
-            # unknown escapes (e.g. \d in a regex literal) keep the backslash
-            out.append(_ESCAPES[nxt] if nxt in _ESCAPES else "\\" + nxt)
-            i += 2
-        else:
+        if ch != "\\":
             out.append(ch)
             i += 1
+            continue
+        if i + 1 >= n:
+            out.append("\\")  # trailing backslash
+            i += 1
+            continue
+        nxt = body[i + 1]
+        if nxt in _ESCAPES:
+            out.append(_ESCAPES[nxt])
+            i += 2
+        elif nxt in "xuU":
+            width = {"x": 2, "u": 4, "U": 8}[nxt]
+            hexpart = body[i + 2 : i + 2 + width]
+            if len(hexpart) == width and all(c in "0123456789abcdefABCDEF" for c in hexpart):
+                cp = int(hexpart, 16)
+                # char::from_u32 rejects surrogates and > U+10FFFF
+                if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                    out.append(chr(cp))
+                else:
+                    out.append("\\" + nxt + hexpart)
+                i += 2 + width
+            else:
+                out.append("\\" + nxt)
+                i += 2
+        elif nxt in "01234567":
+            octal = nxt
+            j = i + 2
+            while j < n and len(octal) < 3 and body[j] in "01234567":
+                octal += body[j]
+                j += 1
+            code = int(octal, 8)
+            if code <= 0xFF:
+                out.append(chr(code))
+            else:
+                out.append("\\" + octal)
+            i = j
+        else:
+            # unknown escapes (e.g. \d in a regex literal) keep the backslash
+            out.append("\\" + nxt)
+            i += 2
     return "".join(out)
 
 
@@ -163,6 +224,21 @@ def tokenize(text: str) -> list[Token]:
             tokens.append(Token("int", int(raw, 16), pos))
         elif kind == "int":
             tokens.append(Token("int", int(raw), pos))
+        elif kind == "identnum":
+            # digit-led identifiers (lexer.rs:251 `[0-9]+[_a-zA-Z][...]`,
+            # e.g. `123xyz`, `5msABC` where the timespan \b fails)
+            tokens.append(Token("ident", raw, pos))
+        elif kind == "hexml":
+            body = raw[4:]
+            delim = raw[1:4]
+            if body.endswith(delim):
+                body = body[:-3]
+            tokens.append(Token("bytestring", body, pos))
+        elif kind == "hexraw":
+            quote = raw[2]
+            tokens.append(Token("bytestring", raw[3:-1].replace(quote * 2, quote), pos))
+        elif kind == "hexstring":
+            tokens.append(Token("bytestring", _unescape(raw[2:-1]), pos))
         elif kind == "ident":
             # keywords are case-sensitive except the documented bool
             # variants (a field named `Count` stays an identifier,

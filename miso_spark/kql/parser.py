@@ -519,6 +519,13 @@ class Parser:
         if k == "string":
             self.next()
             return Lit(t.value)
+        if k == "bytestring":
+            # parser.rs:482 parity: the lexer recognizes h/H-prefixed
+            # hex strings but the engine rejects them, verbatim message
+            raise ParseError(
+                "byte strings are currently not supported. Use regular "
+                f"strings with double quotes at pos {t.pos}"
+            )
         if k == "timespan":
             self.next()
             return Duration(float(t.value))  # type: ignore[arg-type]

@@ -513,3 +513,33 @@ def test_minhash_materialize_shingles_same_pairs(spark):
         }
 
     assert pairs(materialize_shingles=True) == pairs() != set()
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """large-star/small-star must produce identical components to
+    min-label propagation on random graphs, and converge on a long
+    chain whose diameter far exceeds label propagation's default
+    round budget."""
+    import random
+
+    from miso_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+    def comp(df):
+        return {(r["id"], r["canonical_id"]) for r in df.collect()}
+
+    assert comp(connected_components_star(pdf)) == comp(
+        connected_components(pdf, max_iter=50)
+    )
+
+    # path graph 0-1-2-...-150: diameter 150
+    chain = spark.createDataFrame([(i, i + 1) for i in range(150)], ["id_a", "id_b"])
+    got = comp(connected_components_star(chain))
+    assert got == {(i, 0) for i in range(151)}
