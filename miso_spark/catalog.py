@@ -1401,6 +1401,52 @@ q(
 )
 
 
+def _b_text_redaction(spark, sf_dir):
+    """PII scrub (functions/text.redact): emails/URLs/IPs/phone runs →
+    typed placeholders via a JVM regexp_replace chain; the patterns are
+    RE2-compatible by design so DuckDB replays the identical chain."""
+    from miso_spark.functions.text import with_redaction
+
+    return with_redaction(_documents(spark, sf_dir)).select("doc_id", "redacted")
+
+
+def _redaction_oracle() -> str:
+    from miso_spark.functions.text import REDACTION_PATTERNS
+
+    expr = "text"
+    for pat, token in REDACTION_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+def _b_dataset_sample(spark, sf_dir):
+    """Deterministic md5-threshold Bernoulli sample (functions/split.
+    hash_sample): stable across engines/runs/partitionings — the
+    reproducible-corpus-subset primitive."""
+    from miso_spark.functions.split import hash_sample
+
+    return hash_sample(_documents(spark, sf_dir), 0.3).select("doc_id")
+
+
+q(
+    # registered AFTER the core 50 on purpose: keeps the guaranteed
+    # driver window stable; still oracle-verified locally (test_oracle)
+    "text_redaction",
+    builder=_b_text_redaction,
+    oracle=_redaction_oracle(),
+)
+
+q(
+    "dataset_sample",
+    builder=_b_dataset_sample,
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < {int(0.3 * 0x100000000)}
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries — registered LAST, on purpose. These operators are
 # approximate / LSH-pruned by design, so no ANSI-SQL oracle exists for

@@ -42,3 +42,61 @@ def with_split(
     last: str = "test",
 ) -> DataFrame:
     return df.withColumn("split", split_assignment(F.col(text_col), bounds, last))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose
+    md5(seed || key) falls below ``rate`` of the hash space.
+
+    Unlike ``df.sample()`` this is stable across runs, engines, Spark
+    versions, partitionings and retries — the property a training
+    pipeline needs so a re-run reproduces the same corpus subset. The
+    decision is per-KEY, so rows sharing a key are kept or dropped
+    together (downstream of dedup that means per-document). Zero
+    shuffle: one hash + compare per row, fully pushdown-friendly.
+
+    ``seed`` namespaces the hash so independent samples of the same
+    table don't correlate (sample(0.1, seed="a") and seed="b" overlap
+    on ~1% of keys, not 10%).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    # first 8 hex chars → 32-bit uniform; threshold on the integer
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(rate * 0x100000000)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value
+    → keep rate (e.g. {"en": 0.1, "de": 0.5}) — how a multilingual
+    corpus is rebalanced without a shuffle. Strata absent from
+    ``rates`` keep ``default_rate``."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thresh = F.lit(int(default_rate * 0x100000000))
+    for value, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {rate} for {value!r}")
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * 0x100000000))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

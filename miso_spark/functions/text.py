@@ -138,3 +138,32 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (The rolling-hash/shingle variant lives in dedup.simhash.)"""
     return F.md5(normalize(text))
+
+
+#: redaction patterns: deliberately simple, anchor-free regexes that
+#: DuckDB's regexp_replace evaluates identically (RE2-compatible — no
+#: backrefs/lookaround), so the whole scrub is SQL-oracle-checkable.
+#: Order matters: emails before bare domains, URLs before IPs-in-URLs.
+REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact(text: Column, patterns: tuple[tuple[str, str], ...] = REDACTION_PATTERNS) -> Column:
+    """PII scrub: replace emails, URLs, IPv4 addresses and phone-like
+    digit runs with typed placeholder tokens — the standard hygiene
+    pass before LLM training text leaves the pipeline. A chain of JVM
+    ``regexp_replace`` calls (one pass per pattern, whole-stage
+    codegen, zero shuffle)."""
+    out = text
+    for pat, token in patterns:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` + ``redacted`` column (see ``redact``)."""
+    return df.withColumn("redacted", redact(F.col(text_col)))

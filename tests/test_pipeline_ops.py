@@ -543,3 +543,88 @@ def test_connected_components_star_matches_label_propagation(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(150)], ["id_a", "id_b"])
     got = comp(connected_components_star(chain))
     assert got == {(i, 0) for i in range(151)}
+
+
+def test_redaction_matches_duckdb_oracle(spark, docs):
+    """PII scrub equals the same regexp_replace chain in DuckDB (the
+    patterns are RE2-compatible by design) — engine-portable hygiene."""
+    import duckdb
+
+    from miso_spark.functions.text import REDACTION_PATTERNS, with_redaction
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: r["redacted"]
+        for r in with_redaction(docs).select("doc_id", "redacted").collect()
+    }
+    expr = "text"
+    for pat, token in REDACTION_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {expr} FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_redaction_replaces_pii_forms(spark):
+    from miso_spark.functions.text import with_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or visit https://x.io/a?b=1 from 10.0.0.1 "
+             "or call +1 (555) 123-4567 today")],
+        ["doc_id", "text"],
+    )
+    out = with_redaction(df).collect()[0]["redacted"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "bob@" not in out and "10.0.0.1" not in out and "555" not in out
+
+
+def test_hash_sample_deterministic_and_oracle(spark, docs):
+    """Deterministic sampling: same keys every run, rate within
+    tolerance, DuckDB reproduces the exact subset, and different seeds
+    decorrelate."""
+    import duckdb
+
+    from miso_spark.functions.split import hash_sample
+    from tests.conftest import SF_DIR
+
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert a == b and 0.15 < len(a) / docs.count() < 0.45
+
+    con = duckdb.connect()
+    want = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet('{}/documents.parquet') "
+            "WHERE ('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+            " < {}".format(SF_DIR, int(0.3 * 0x100000000))
+        ).fetchall()
+    }
+    assert a == want
+
+    # nested rates: sample(0.1) is a subset of sample(0.3) (same seed)
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert small <= a
+    # a different seed decorrelates (overlap ~ rate^2, not rate)
+    other = {r["doc_id"] for r in hash_sample(docs, 0.3, seed="v2").select("doc_id").collect()}
+    assert other != a
+
+
+def test_stratified_hash_sample(spark):
+    from miso_spark.functions.split import stratified_hash_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_hash_sample(df, {"en": 0.1, "de": 0.8}, "lang").collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    assert 50 < en < 150      # ~100 of 1000
+    assert 700 < de < 900     # ~800 of 1000
+    # absent stratum defaults to 0
+    df2 = df.withColumn("lang", df.lang.substr(1, 99))
+    got = stratified_hash_sample(df2, {"en": 0.5}, "lang").collect()
+    assert all(r["lang"] == "en" for r in got)
