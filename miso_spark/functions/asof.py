@@ -16,15 +16,22 @@ fixed time buckets, runs the carry per (key, bucket) in parallel, and
 stitches bucket boundaries with a tiny per-bucket prefix pass (the
 standard parallel-scan decomposition: local scan + carry-in merge).
 
-Backward semantics: each left row gets the latest right row with
-``right.ts <= left.ts`` (ties: the right row wins, i.e. inclusive) —
-matching DuckDB's ``ASOF JOIN`` which the catalog uses as the oracle.
+Directions (pandas ``merge_asof`` parity, ties inclusive):
+``backward`` (default) — latest right row with right.ts <= left.ts,
+matching DuckDB's ``ASOF JOIN`` which the catalog uses as the oracle;
+``forward`` — earliest right row with right.ts >= left.ts;
+``nearest`` — whichever of the two is closer (exact-distance ties →
+backward, like pandas). backward and forward are the same window
+with reversed ordering; nearest computes both carries in ONE pass
+(same partitioning, two sorts) and picks per row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def asof_join(
@@ -36,24 +43,30 @@ def asof_join(
     suffix: str = "_right",
     tolerance_s: float | None = None,
     salt_bucket_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row's
-    ``value_cols`` (and its timestamp as ``{ts}{suffix}``) with
-    ``right.{ts} <= left.{ts}`` per ``key``; null when no earlier right
-    row exists. ``tolerance_s`` drops matches older than the given gap
-    (nulls the attached columns, like pandas.merge_asof tolerance).
+    """For every left row, attach the matched right row's
+    ``value_cols`` (and its timestamp as ``{ts}{suffix}``) per
+    ``key`` and ``direction``; null when no matching right row exists.
+    ``tolerance_s`` drops matches farther than the given gap (nulls
+    the attached columns, like pandas.merge_asof tolerance).
 
     ``salt_bucket_s`` (seconds) enables the hot-key path: the window
     partitions on (key, time-bucket) so one dominant key's timeline
     spreads over timeline/salt_bucket_s tasks instead of one. Bucket
-    boundaries are stitched by carrying each bucket's LAST right row
-    across later buckets of the same key — an aggregate over
-    (key, bucket) rows, vanishingly small next to the data. Results are
-    identical to the unsalted mode (asserted in tests); pick a bucket
-    width around timeline_span / desired_parallelism.
+    boundaries are stitched by carrying each bucket's last (backward) /
+    first (forward) right row across neighboring buckets — an
+    aggregate over (key, bucket) rows, vanishingly small next to the
+    data. Results are identical to the unsalted mode (asserted in
+    tests); pick a bucket width around timeline_span /
+    desired_parallelism.
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
     matched_ts = f"{ts}{suffix}"
     out_names = [matched_ts] + [f"{c}{suffix}" for c in value_cols]
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
 
     l = left.withColumn("__side", F.lit(1))
     r = right.select(
@@ -74,36 +87,85 @@ def asof_join(
         part = [key, "__bkt"]
 
     # right rows sort before left rows at equal ts → ties are inclusive
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    unioned = unioned.withColumn("__carry", F.last("__r", ignorenulls=True).over(w))
+    # in both directions
+    frame = (Window.unboundedPreceding, 0)
+    if need_b:
+        wb = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(ts).asc(), F.col("__side").asc())
+            .rowsBetween(*frame)
+        )
+        unioned = unioned.withColumn("__cb", F.last("__r", ignorenulls=True).over(wb))
+    if need_f:
+        wf = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(ts).desc(), F.col("__side").asc())
+            .rowsBetween(*frame)
+        )
+        unioned = unioned.withColumn("__cf", F.last("__r", ignorenulls=True).over(wf))
 
     if salt_bucket_s is not None:
-        # per-(key, bucket) last right row — struct max orders by its
-        # first field (the right ts); buckets with no right rows stay
-        # null and last(ignorenulls) skips them
+        # per-(key, bucket) boundary right rows; struct min/max order by
+        # the first field (the right ts). Buckets with no right rows
+        # stay null and last(ignorenulls) skips them.
+        right_struct = F.when(F.col("__side") == 0, F.col("__r"))
         bounds = unioned.groupBy(key, "__bkt").agg(
-            F.max(F.when(F.col("__side") == 0, F.col("__r"))).alias("__last_r")
+            F.max(right_struct).alias("__last_r"),
+            F.min(right_struct).alias("__first_r"),
         )
-        wb = (
-            Window.partitionBy(key)
-            .orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prev = bounds.withColumn(
-            "__prev", F.last("__last_r", ignorenulls=True).over(wb)
-        ).select(key, "__bkt", "__prev")
-        unioned = unioned.join(prev, [key, "__bkt"], "left").withColumn(
-            "__carry", F.coalesce("__carry", "__prev")
-        )
+        sel = [F.col(key), F.col("__bkt")]
+        if need_b:
+            wprev = (
+                Window.partitionBy(key)
+                .orderBy(F.col("__bkt").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            bounds = bounds.withColumn(
+                "__prev", F.last("__last_r", ignorenulls=True).over(wprev)
+            )
+            sel.append(F.col("__prev"))
+        if need_f:
+            wnext = (
+                Window.partitionBy(key)
+                .orderBy(F.col("__bkt").desc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            bounds = bounds.withColumn(
+                "__next", F.last("__first_r", ignorenulls=True).over(wnext)
+            )
+            sel.append(F.col("__next"))
+        unioned = unioned.join(bounds.select(*sel), [key, "__bkt"], "left")
+        if need_b:
+            unioned = unioned.withColumn("__cb", F.coalesce("__cb", "__prev"))
+        if need_f:
+            unioned = unioned.withColumn("__cf", F.coalesce("__cf", "__next"))
 
     out = unioned.filter(F.col("__side") == 1)
+
+    def gap(carry: str) -> Column:
+        return F.abs(
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{carry}.{matched_ts}"))
+        )
+
+    if direction == "backward":
+        carry = F.col("__cb")
+    elif direction == "forward":
+        carry = F.col("__cf")
+    else:  # nearest: closer of the two; exact tie → backward (pandas)
+        carry = (
+            F.when(F.col("__cb").isNull(), F.col("__cf"))
+            .when(F.col("__cf").isNull(), F.col("__cb"))
+            .when(gap("__cb") <= gap("__cf"), F.col("__cb"))
+            .otherwise(F.col("__cf"))
+        )
+    out = out.withColumn("__carry", carry)
+
     if tolerance_s is not None:
         within = F.col(f"__carry.{matched_ts}").isNotNull() & (
-            F.unix_micros(ts) - F.unix_micros(F.col(f"__carry.{matched_ts}"))
+            F.abs(
+                F.unix_micros(F.col(ts))
+                - F.unix_micros(F.col(f"__carry.{matched_ts}"))
+            )
             <= int(tolerance_s * 1e6)
         )
         out = out.withColumn("__carry", F.when(within, F.col("__carry")))

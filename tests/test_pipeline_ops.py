@@ -628,3 +628,53 @@ def test_stratified_hash_sample(spark):
     df2 = df.withColumn("lang", df.lang.substr(1, 99))
     got = stratified_hash_sample(df2, {"en": 0.5}, "lang").collect()
     assert all(r["lang"] == "en" for r in got)
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """forward/nearest (and backward) against pandas.merge_asof — the
+    canonical reference for direction semantics, ties included; salted
+    mode must agree in every direction."""
+    import numpy as np
+    import pandas as pd
+
+    from miso_spark.functions.asof import asof_join
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame(
+        {
+            "event_id": np.arange(250),
+            "user_id": rng.integers(0, 4, 250),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 3600, 250)],
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 4, 90),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 3600, 90)],
+            "value": np.round(rng.random(90), 6),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    l, r = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+
+    for direction in ("backward", "forward", "nearest"):
+        want_pd = pd.merge_asof(
+            lpd.sort_values("ts", kind="stable"),
+            rpd.sort_values("ts", kind="stable"),
+            on="ts",
+            by="user_id",
+            direction=direction,
+            suffixes=("", "_right"),
+        )
+        want = {
+            int(row.event_id): (None if pd.isna(row.value) else round(float(row.value), 6))
+            for row in want_pd.itertuples()
+        }
+        for kw in ({}, {"salt_bucket_s": 313.0}):
+            got = {
+                r2["event_id"]: (None if r2["value_right"] is None else round(r2["value_right"], 6))
+                for r2 in asof_join(
+                    l, r, "user_id", "ts", ["value"], direction=direction, **kw
+                ).collect()
+            }
+            assert got == want, f"{direction} {kw}"
