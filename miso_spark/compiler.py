@@ -81,9 +81,19 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
 
 
 class Compiler:
-    def __init__(self, registry: SourceRegistry):
+    def __init__(self, registry: SourceRegistry, null_safe_joins: bool = True):
+        """``null_safe_joins`` (default True) matches the reference:
+        null join keys match each other (its hash join hashes
+        Value::Null like any value — tests.rs join_with_null_keys).
+        Catalyst plans EqualNullSafe as a normal equi-join
+        (hash/broadcast), but will NOT build a dynamic-partition-pruning
+        subquery for it — pipelines whose join keys are known non-null
+        can pass False to restore SQL `=` semantics and unlock DPP on
+        partitioned fact tables (tests/test_plans.py documents the
+        trade-off)."""
         self.registry = registry
         self.spark = registry.spark
+        self.null_safe_joins = null_safe_joins
 
     def run(self, plan: P.Plan) -> DataFrame:
         return self._run(plan, {})
@@ -142,7 +152,14 @@ class Compiler:
             return df.orderBy(*_sort_cols(step.sorts)).limit(step.n)
         if isinstance(step, P.SummarizeStep):
             aggs = [_agg_col(name, agg, df.schema) for name, agg in step.aggs]
-            by = [compile_expr(b.expr, df.schema).alias(b.name) for b in step.by]
+            by_cols = [compile_expr(b.expr, df.schema) for b in step.by]
+            by = [c.alias(b.name) for c, b in zip(by_cols, step.by)]
+            # the reference drops rows whose group key evaluates to null
+            # BEFORE grouping — per key (summarize.rs:151 `if value ==
+            # Value::Null { return None; }`; tests.rs
+            # summarize_group_by_with_null_key/_missing_field/_all_nulls)
+            for c in by_cols:
+                df = df.filter(c.isNotNull())
             if not aggs:
                 # reference grammar admits zero aggregations
                 # (miso-kql/src/parser.rs:1033): `summarize by x, y` is
@@ -298,7 +315,23 @@ class Compiler:
         elif step.broadcast:
             right = F.broadcast(right)
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}[step.how]
+        # null join keys MATCH each other in the reference (its hash
+        # join hashes Value::Null like any value — tests.rs
+        # join_with_null_keys) → null-safe equality by default.
+        # EqualNullSafe still plans as an equi-join (hash/broadcast);
+        # see __init__ for the DPP trade-off `null_safe_joins=False`
+        # recovers.
+        def key_eq(lc: Column, rc: Column) -> Column:
+            return lc.eqNullSafe(rc) if self.null_safe_joins else lc == rc
+
         if merged_key:
-            return left.join(right, on=[step.left_on], how=how)
+            cond = key_eq(left[step.left_on], right[right_on])
+            joined = left.join(right, on=cond, how=how)
+            # merge the key pair into one column like a USING join
+            return joined.select(
+                F.coalesce(left[step.left_on], right[right_on]).alias(step.left_on),
+                *[left[c] for c in left.columns if c != step.left_on],
+                *[right[c] for c in right.columns if c != right_on],
+            )
         lcol = FieldPath.parse(step.left_on)
-        return left.join(right, on=left[str(lcol)] == right[right_on], how=how)
+        return left.join(right, on=key_eq(left[str(lcol)], right[right_on]), how=how)

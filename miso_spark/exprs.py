@@ -198,9 +198,29 @@ def compile_expr(e: Expr, schema=None) -> Column:
     if isinstance(e, Exists):
         return compile_expr(e.expr, schema).isNotNull()
     if isinstance(e, In):
-        return compile_expr(e.expr, schema).isin(*[compile_expr(i, schema) for i in e.items])
+        # a null literal in the list matches null values (tests.rs
+        # in_operator_with_null_in_list: In is a chain of the
+        # reference's null-aware equality)
+        base = compile_expr(e.expr, schema)
+        items = [i for i in e.items if not (isinstance(i, Lit) and i.value is None)]
+        c = base.isin(*[compile_expr(i, schema) for i in items]) if items else F.lit(False)
+        if len(items) != len(e.items):
+            c = c | base.isNull()
+        return c
     if isinstance(e, Between):
-        c = compile_expr(e.expr, schema).between(compile_expr(e.low, schema), compile_expr(e.high, schema))
+        # a null endpoint leaves that side unbounded (tests.rs
+        # between_null_endpoints: `x between (null .. 10)` keeps x<=10)
+        x = compile_expr(e.expr, schema)
+        low_null = isinstance(e.low, Lit) and e.low.value is None
+        high_null = isinstance(e.high, Lit) and e.high.value is None
+        if low_null and high_null:
+            c = x.isNotNull()
+        elif low_null:
+            c = x <= compile_expr(e.high, schema)
+        elif high_null:
+            c = x >= compile_expr(e.low, schema)
+        else:
+            c = x.between(compile_expr(e.low, schema), compile_expr(e.high, schema))
         return ~c if e.negated else c
     if isinstance(e, Case):
         col: Optional[Column] = None
@@ -257,8 +277,19 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
     if op == "or":
         return l | r
     if op == "eq":
+        # `x == null` is a null test in the reference (tests.rs
+        # filter_eq_null) — but field-vs-field equality stays SQL-style
+        # (null == null does NOT match, tests.rs filter_eq_fields)
+        if isinstance(e.right, Lit) and e.right.value is None:
+            return l.isNull()
+        if isinstance(e.left, Lit) and e.left.value is None:
+            return r.isNull()
         return l == r
     if op == "ne":
+        if isinstance(e.right, Lit) and e.right.value is None:
+            return l.isNotNull()
+        if isinstance(e.left, Lit) and e.left.value is None:
+            return r.isNotNull()
         return l != r
     if op == "gt":
         return l > r

@@ -114,7 +114,10 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     mem.put("dim", spark.createDataFrame([("error", 1), ("click", 0)], "et string, keep int"))
     reg.register("mem", mem)
 
-    df = Compiler(reg).run(
+    # DPP requires plain EqualTo join keys: the default null-safe join
+    # semantics (reference parity, tests.rs join_with_null_keys) trade
+    # it away, so a pipeline with known non-null keys opts out to prune
+    df = Compiler(reg, null_safe_joins=False).run(
         parse_kql(
             "p.events | join (mem.dim | where keep == 1)"
             " on $left.event_type == $right.et | count"

@@ -71,8 +71,10 @@ def test_agg_no_values_emits_zero_not_null(m):
 
 
 def test_summarize_group_by_null_key(m):
+    # null group keys drop pre-grouping (summarize.rs:151; tests.rs
+    # summarize_group_by_with_null_key)
     r = {row["s"]: row["n"] for row in rows(m, "mem.vals | summarize n = count() by s")}
-    assert r == {"x": 1, "y": 1, None: 1}
+    assert r == {"x": 1, "y": 1}
 
 
 def test_summarize_by_literal(m):
@@ -101,7 +103,7 @@ def test_extract_with_field_arguments(m, spark):
 def test_summarize_by_only_is_distinct(m):
     # parser.rs:1033 admits zero aggregations: `summarize by x` ≡ distinct
     got = {r["s"] for r in rows(m, "mem.vals | summarize by s")}
-    assert got == {"x", "y", None}
+    assert got == {"x", "y"}  # null keys drop like any summarize
 
 
 def test_case_no_conditions_match_uses_default(m):

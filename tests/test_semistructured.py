@@ -104,4 +104,6 @@ def test_summarize_over_nested_by(logs_miso):
     by = {r["svc.name"]: (r["n"], r["max_lat"]) for r in rows}
     assert by["api"] == (2, 120)
     assert by["worker"] == (1, 250)
-    assert by[None] == (1, None)
+    # rows whose group key is missing/null are dropped pre-grouping
+    # (summarize.rs:151; tests.rs summarize_group_by_missing_field)
+    assert None not in by

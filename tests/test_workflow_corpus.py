@@ -1,0 +1,252 @@
+"""Port of the reference's workflow e2e edge-case corpus
+(miso-workflow/src/tests.rs) not already covered by
+test_semantics_edges / test_api / test_semistructured: null-equality
+rules, null group keys, null join keys, between/in with nulls, topn
+ties, summarize by-field naming edge cases, union chains, chained lets,
+and short-circuit joins. Each test cites the reference test name.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from miso_spark.compiler import Compiler
+from miso_spark.kql import parse_kql
+from miso_spark.sources import MemorySource, SourceRegistry
+
+
+@pytest.fixture(scope="module")
+def mem(spark):
+    return MemorySource()
+
+
+@pytest.fixture(scope="module")
+def run(spark, mem):
+    comp = Compiler(SourceRegistry(spark).register("test", mem))
+
+    def _run(q, **tables):
+        for name, (schema, rows) in tables.items():
+            mem.put(name, spark.createDataFrame(rows, schema))
+        return [r.asDict() for r in comp.run(parse_kql(q)).collect()]
+
+    return _run
+
+
+def test_filter_eq_null_matches_null_rows(run):
+    # tests.rs filter_eq_null: `== null` is a null test
+    out = run("test.a | where w == null", a=("w int", [(1,), (None,)]))
+    assert out == [{"w": None}]
+
+
+def test_filter_ne_null_literal_is_not_null(run):
+    out = run("test.a | where w != null", a=("w int", [(1,), (None,)]))
+    assert out == [{"w": 1}]
+
+
+def test_filter_eq_fields_null_does_not_match(run):
+    # tests.rs filter_eq_fields: field-vs-field equality is SQL-style
+    out = run(
+        "test.b | where w == w2",
+        b=("w int, w2 int", [(1, 1), (None, None), (2, 3)]),
+    )
+    assert out == [{"w": 1, "w2": 1}]
+
+
+def test_in_operator_with_null_in_list(run):
+    # tests.rs in_operator_with_null_in_list: null item matches nulls
+    out = run(
+        "test.c | where x in (1, null, 3) | sort by x asc nulls first",
+        c=("x int", [(1,), (2,), (None,), (3,)]),
+    )
+    assert [r["x"] for r in out] == [None, 1, 3]
+
+
+def test_between_null_endpoints(run):
+    # tests.rs between_null_endpoints: null bound = unbounded side
+    out = run("test.d | where x between (null .. 10)", d=("x int", [(5,), (15,)]))
+    assert out == [{"x": 5}]
+    out = run("test.d | where x between (10 .. null)", d=("x int", [(5,), (15,)]))
+    assert out == [{"x": 15}]
+
+
+def test_null_comparison_drops(run):
+    # tests.rs null_in_gte_operator / null_in_lte_operator
+    out = run("test.e | where x >= 5", e=("x int", [(10,), (5,), (None,), (3,)]))
+    assert sorted(r["x"] for r in out) == [5, 10]
+
+
+def test_summarize_group_by_null_key_dropped(run):
+    # tests.rs summarize_group_by_with_null_key / _missing_field
+    out = run(
+        "test.f | summarize cnt = count() by y",
+        f=("x int, y string", [(1, "a"), (2, None), (3, "a"), (4, None)]),
+    )
+    assert out == [{"y": "a", "cnt": 2}]
+
+
+def test_summarize_group_by_all_nulls_empty(run):
+    # tests.rs summarize_group_by_all_nulls
+    out = run(
+        "test.g | summarize cnt = count() by y",
+        g=("x int, y string", [(1, None), (2, None)]),
+    )
+    assert out == []
+
+
+def test_summarize_by_only_drops_null_keys(run):
+    # agg-less summarize shares extract_group_keys' null-drop
+    out = run("test.h | summarize by y", h=("y string", [("a",), (None,), ("a",)]))
+    assert out == [{"y": "a"}]
+
+
+def test_summarize_min_max_all_nulls_stay_null(run):
+    # tests.rs summarize_min_max_all_nulls (keys non-null, values null)
+    out = run(
+        "test.i | summarize min_x = min(x), max_x = max(x) by y",
+        i=("x int, y string", [(None, "a"), (None, "a"), (None, "b")]),
+    )
+    assert sorted(out, key=lambda r: r["y"]) == [
+        {"y": "a", "min_x": None, "max_x": None},
+        {"y": "b", "min_x": None, "max_x": None},
+    ]
+
+
+def test_summarize_by_duplicate_field_suffixes(run):
+    # tests.rs summarize_by_duplicate_field: by x, x → columns x, x1
+    out = run("test.j | summarize by x, x", j=("x int", [(1,), (2,)]))
+    assert sorted(out, key=lambda r: r["x"]) == [
+        {"x": 1, "x1": 1},
+        {"x": 2, "x1": 2},
+    ]
+
+
+def test_summarize_by_cast_names_underlying_field(run):
+    # tests.rs summarize_by_cast: by tostring(x) → column named x
+    out = run(
+        "test.k | summarize count() by tostring(x)",
+        k=("x int", [(1,), (2,), (1,)]),
+    )
+    assert sorted(out, key=lambda r: r["x"]) == [
+        {"x": "1", "count_": 2},
+        {"x": "2", "count_": 1},
+    ]
+
+
+def test_join_with_null_keys_match(run, spark, mem):
+    # tests.rs join_with_null_keys: Value::Null hashes like any value
+    mem.put("right7", spark.createDataFrame([(1, "A"), (None, "B")], "id int, value string"))
+    out = run(
+        "test.left7 | join (test.right7) on id",
+        left7=("id int, value string", [(1, "a"), (None, "b")]),
+    )
+    got = {(r["id"], r["value"], r["value1"]) for r in out}
+    assert got == {(1, "a", "A"), (None, "b", "B")}
+
+
+def test_join_null_keys_with_partitions_hint(run, spark, mem):
+    mem.put("right8", spark.createDataFrame([(None, "B")], "id int, value string"))
+    out = run(
+        "test.left8 | join hint.partitions=4 (test.right8) on id",
+        left8=("id int, value string", [(None, "b")]),
+    )
+    assert [(r["id"], r["value"], r["value1"]) for r in out] == [(None, "b", "B")]
+
+
+@pytest.mark.parametrize("kind,expect_left", [("inner", False), ("right", False),
+                                              ("left", True), ("outer", True)])
+def test_short_circuit_join_empty_right(run, spark, mem, kind, expect_left):
+    # tests.rs short_circuit_join_returns_empty / _returns_left_side
+    mem.put("right9", spark.createDataFrame([(1, "A")], "id int, value string"))
+    out = run(
+        f"test.left9 | join kind={kind} (test.right9 | where false) on id",
+        left9=("id int, value string", [(1, "a"), (2, "b")]),
+    )
+    if expect_left:
+        assert {(r["id"], r["value"]) for r in out} == {(1, "a"), (2, "b")}
+        assert all(r["value1"] is None for r in out)
+    else:
+        assert out == []
+
+
+def test_topn_with_ties_at_boundary(run):
+    # tests.rs topn_with_ties_at_boundary: exactly N rows, ties cut
+    out = run(
+        "test.m | top 2 by value desc",
+        m=("id int, value int", [(1, 10), (2, 10), (3, 5)]),
+    )
+    assert len(out) == 2 and all(r["value"] == 10 for r in out)
+
+
+def test_union_chain_count(run, spark, mem):
+    # tests.rs union_count: 3 + 10×4 = 43
+    mem.put("y10", spark.createDataFrame([(3,), (4,), (5,), (6,)], "x int"))
+    q = "test.x10 " + "| union (test.y10) " * 10 + "| count"
+    out = run(q, x10=("x int", [(0,), (1,), (2,)]))
+    assert out == [{"Count": 43}]
+
+
+def test_let_chained_variables(run):
+    # tests.rs let_chained_variables
+    out = run(
+        """
+        let filtered = test.n | where age > 20;
+        let sorted = filtered | sort by age;
+        sorted
+        """,
+        n=("name string, age int", [("alice", 25), ("bob", 35), ("charlie", 15)]),
+    )
+    assert [r["name"] for r in out] == ["alice", "bob"]
+
+
+def test_let_variable_in_union(run, spark, mem):
+    # tests.rs let_variable_in_union
+    out = run(
+        """
+        let extra = test.p2 | where x > 10;
+        test.p1 | union (extra) | count
+        """,
+        p1=("x int", [(1,), (2,)]),
+        p2=("x int", [(5,), (20,), (30,)]),
+    )
+    assert out == [{"Count": 4}]
+
+
+def test_negative_number_operations(run):
+    # tests.rs negative_number_operations
+    out = run("test.q1 | where result == -5 * 2", q1=("result double", [(-10.0,), (10.0,)]))
+    assert out == [{"result": -10.0}]
+
+
+def test_filter_gt_now_constant_true(run):
+    # tests.rs filter_gt_now: now() comparison as a constant predicate
+    out = run(
+        "test.r | where now() > datetime(1980-01-01)",
+        r=("x int", [(1,), (2,), (3,)]),
+    )
+    assert len(out) == 3
+
+
+def test_case_nested(run):
+    # tests.rs case_nested
+    out = run(
+        'test.s | project r = case(x == 1, case(x == 1, "inner", "no"), "outer")',
+        s=("x int", [(1,), (2,)]),
+    )
+    assert [r["r"] for r in out] == ["inner", "outer"]
+
+
+def test_expand_array_with_nulls(run):
+    # tests.rs expand_array_with_nulls / expand_null_value: null
+    # elements survive, null arrays pass through as one null row
+    out = run(
+        "test.t | mv-expand kind=array items",
+        t=("id int, items array<int>", [(1, [1, None, 3]), (2, None)]),
+    )
+    got = sorted(((r["id"], r["items"]) for r in out), key=lambda p: (p[0], p[1] is None, p[1]))
+    assert got == [(1, 1), (1, 3), (1, None), (2, None)]
+
+
+def test_mixed_int_arithmetic_in_filter(run):
+    # tests.rs mixed_int_uint_arithmetic
+    out = run("test.u | where result == toint(5) + toint(-3)", u=("result int", [(2,), (3,)]))
+    assert out == [{"result": 2}]
