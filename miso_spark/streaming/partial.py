@@ -1,25 +1,35 @@
-"""Progressive partial results for long-running aggregation queries.
+"""Progressive partial results for long-running queries.
 
 Parity: miso-workflow/src/partial_stream.rs — while a query runs, the
-engine periodically emits the aggregation's *current state*, tagged
-with an incrementing partial-stream id plus a per-round done marker
+engine periodically emits the operator's *current state*, tagged with
+an incrementing partial-stream id plus a per-round done marker
 (PARTIAL_STREAM_ID_FIELD_NAME / PARTIAL_STREAM_DONE_FIELD_NAME), with
 debouncing so rounds aren't flooded; the final exact rows follow.
 
-Spark-first mapping: the same logical plan is compiled against a
-*file-stream* scan (``maxFilesPerTrigger=1``) and executed as a
-Structured Streaming query in **complete** output mode — each
-micro-batch materializes exactly "the aggregation's current state over
-everything read so far", which is what the reference's ``get_partial``
-returns. ``foreachBatch`` forwards every round to the caller;
-``availableNow`` drains the input and terminates, after which the last
-round is the exact final answer (same plan, all data).
+Spark-first mapping — three plan shapes, same shapes the reference's
+``get_partial``-capable operators cover (tests.rs partial_stream_*):
+
+- **aggregate**: ``scan | row-local* | union* | summarize/count |
+  row-local*`` compiles onto a file-stream scan
+  (``maxFilesPerTrigger``) in **complete** output mode — each
+  micro-batch materializes the aggregation's current state over
+  everything read so far; post-aggregate row-local steps (e.g.
+  ``count | where Count > 0``) ride on top of the streaming aggregate.
+- **top-n / limit tail**: ``scan | row-local* | union* | (top|take)+``
+  runs the scan in **append** mode and folds each micro-batch into a
+  bounded accumulator: state = the tail applied to (previous state ∪
+  new batch), which for monotone-shrinking tails (sort+limit, limit)
+  is exactly the current top-N — the reference's topn get_partial.
+- **unions** stream every scan (the reference emits a partial round
+  per finished union source).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
 
 from miso_spark import plan as P
 
@@ -28,25 +38,76 @@ METADATA_FIELD = "_miso_metadata"
 PARTIAL_ID_FIELD = "id"
 PARTIAL_DONE_FIELD = "done"
 
-#: plan steps that compile unchanged onto a streaming scan in complete
-#: mode (no sorts/limits/joins — same scope the reference's
-#: get_partial-capable operator chain covers for aggregations)
-_STREAMABLE_MID_STEPS = (P.Filter, P.Project, P.Extend, P.Rename, P.Expand)
-_STREAMABLE_LAST_STEPS = (P.SummarizeStep, P.CountStep)
+#: row-local steps that compile unchanged onto a streaming scan
+_ROW_LOCAL = (P.Filter, P.Project, P.Extend, P.Rename, P.Expand)
+
+
+def _streamable_scan(step, registry) -> bool:
+    if not isinstance(step, P.Scan):
+        return False
+    src = registry._sources.get(step.connector)
+    return src is not None and hasattr(src, "stream_table")
+
+
+def _classify(plan: P.Plan, registry) -> Optional[tuple[str, int]]:
+    """(mode, head_end) where steps[:head_end] is the streamable head
+    (scan + row-local + unions-of-streamable-scans) and steps[head_end:]
+    is either an aggregate (+ row-local post-steps) or a top/limit
+    tail. None → not partial-streamable."""
+    steps = plan.steps
+    if not steps or not _streamable_scan(steps[0], registry):
+        return None
+    i = 1
+    while i < len(steps) and isinstance(steps[i], _ROW_LOCAL + (P.Union,)):
+        if isinstance(steps[i], P.Union):
+            sub = steps[i].sub.steps
+            if not (
+                sub
+                and _streamable_scan(sub[0], registry)
+                and all(isinstance(s, _ROW_LOCAL) for s in sub[1:])
+            ):
+                return None
+        i += 1
+    if i < len(steps) and isinstance(steps[i], (P.SummarizeStep, P.CountStep)):
+        if all(isinstance(s, _ROW_LOCAL) for s in steps[i + 1 :]):
+            return ("agg", i)
+        return None
+    j = i
+    while j < len(steps) and isinstance(steps[j], (P.Top, P.Limit)):
+        j += 1
+    if j > i and j == len(steps):
+        return ("tail", i)
+    return None
 
 
 def plan_supports_partial_stream(plan: P.Plan, registry) -> bool:
-    """True when the plan is `scan | row-local steps... | aggregate`
-    over a source that can serve an incremental file stream."""
-    steps = plan.steps
-    if len(steps) < 2 or not isinstance(steps[0], P.Scan):
-        return False
-    src = registry._sources.get(steps[0].connector)
-    if src is None or not hasattr(src, "stream_table"):
-        return False
-    if not isinstance(steps[-1], _STREAMABLE_LAST_STEPS):
-        return False
-    return all(isinstance(s, _STREAMABLE_MID_STEPS) for s in steps[1:-1])
+    return _classify(plan, registry) is not None
+
+
+def _stream_scan(compiler, scan: P.Scan, max_files_per_trigger: int) -> DataFrame:
+    src = compiler.registry.source(scan.connector)
+    sdf = src.stream_table(compiler.spark, scan.collection, max_files_per_trigger)
+    # apply collection static_fields renames exactly as the batch path
+    # does (SourceRegistry.table) so @time-style fields resolve the same
+    # whether the query runs batch or partial-stream
+    for to, frm in src.collection_static_fields(scan.collection).items():
+        if frm in sdf.columns:
+            sdf = sdf.withColumnRenamed(frm, to)
+    return sdf
+
+
+def _compile_head(compiler, steps, max_files_per_trigger: int) -> DataFrame:
+    sdf = _stream_scan(compiler, steps[0], max_files_per_trigger)
+    for step in steps[1:]:
+        if isinstance(step, P.Union):
+            sub = step.sub.steps
+            other = _stream_scan(compiler, sub[0], max_files_per_trigger)
+            for s in sub[1:]:
+                other = compiler._apply(s, other, {})
+            sdf = sdf.unionByName(other, allowMissingColumns=True)
+        else:
+            sdf = compiler._apply(step, sdf, {})
+    return sdf
 
 
 def run_partial_stream(
@@ -64,17 +125,11 @@ def run_partial_stream(
     arriving sooner than ``debounce_s`` after the last emitted round is
     dropped — except the final one, which always emits.
     """
-    scan = plan.steps[0]
-    src = compiler.registry.source(scan.connector)
-    sdf = src.stream_table(compiler.spark, scan.collection, max_files_per_trigger)
-    # apply collection static_fields renames exactly as the batch path
-    # does (SourceRegistry.table) so @time-style fields resolve the same
-    # whether the query runs batch or partial-stream
-    for to, frm in src.collection_static_fields(scan.collection).items():
-        if frm in sdf.columns:
-            sdf = sdf.withColumnRenamed(frm, to)
-    for step in plan.steps[1:]:
-        sdf = compiler._apply(step, sdf, {})
+    mode, head_end = _classify(plan, compiler.registry) or (None, 0)
+    if mode is None:
+        raise ValueError("plan does not support partial streaming")
+    sdf = _compile_head(compiler, plan.steps[:head_end], max_files_per_trigger)
+    tail_steps = plan.steps[head_end:]
 
     # only the LATEST round is retained (the final emit needs just the
     # last state; buffering every round would grow driver memory by
@@ -82,16 +137,43 @@ def run_partial_stream(
     latest: list[tuple[int, list[str]]] = []
     last_emit = [0.0]
 
-    def on_batch(batch_df, batch_id: int) -> None:
-        rows = batch_df.toJSON().collect()
-        latest[:] = [(int(batch_id), rows)]
+    def record(batch_id: int, rows: list[str]) -> None:
+        latest[:] = [(batch_id, rows)]
         now = time.monotonic()
         if now - last_emit[0] >= debounce_s:
             last_emit[0] = now
-            emit(int(batch_id), rows, False)
+            emit(batch_id, rows, False)
+
+    if mode == "agg":
+        for step in tail_steps:
+            sdf = compiler._apply(step, sdf, {})
+
+        def on_batch(batch_df, batch_id: int) -> None:
+            record(int(batch_id), batch_df.toJSON().collect())
+
+        out_mode = "complete"
+    else:  # top/limit tail: bounded accumulator in append mode
+        acc: list = []  # current top rows (bounded by the tail's limit)
+        schema = sdf.schema
+
+        def apply_tail(df):
+            for step in tail_steps:
+                df = compiler._apply(step, df, {})
+            return df
+
+        def on_batch(batch_df, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            combined = batch_df
+            if acc:
+                combined = spark.createDataFrame(acc, schema).unionByName(batch_df)
+            rows = apply_tail(combined).collect()
+            acc[:] = rows
+            record(int(batch_id), _rows_to_json(spark, rows, schema))
+
+        out_mode = "append"
 
     query = (
-        sdf.writeStream.outputMode("complete")
+        sdf.writeStream.outputMode(out_mode)
         .foreachBatch(on_batch)
         .trigger(availableNow=True)
         .start()
@@ -103,3 +185,9 @@ def run_partial_stream(
         return
     final_id, final_rows = latest[0]
     emit(final_id, final_rows, True)
+
+
+def _rows_to_json(spark, rows: list, schema) -> list[str]:
+    if not rows:
+        return []
+    return spark.createDataFrame(rows, schema).toJSON().collect()

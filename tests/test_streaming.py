@@ -231,3 +231,60 @@ def test_partial_stream_applies_static_fields(spark, tmp_path):
     }
     batch = {(r["event_type"], r["n"]) for r in comp.run(plan).collect()}
     assert final == batch and final
+
+
+def test_partial_stream_topn_limit_filter_union(spark, tmp_path):
+    """Reference partial_stream_topn/_limit/_filter/_multi_union shapes
+    (tests.rs): top-N tails fold each micro-batch into a bounded
+    accumulator; post-aggregate row-local steps ride on the streaming
+    aggregate; unions stream every scan."""
+    import json
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import ParquetDirSource, SourceRegistry
+    from miso_spark.streaming.partial import (
+        plan_supports_partial_stream,
+        run_partial_stream,
+    )
+
+    orders = ParquetDirSource(SF_DIR).table(spark, "orders")
+    orders.repartition(3).write.parquet(str(tmp_path / "o3.parquet"))
+    orders.limit(500).write.parquet(str(tmp_path / "o3b.parquet"))
+    reg = SourceRegistry(spark).register("s", ParquetDirSource(str(tmp_path)))
+    comp = Compiler(reg)
+
+    def drive(q):
+        plan = parse_kql(q)
+        assert plan_supports_partial_stream(plan, reg), q
+        emits = []
+        run_partial_stream(comp, plan, lambda rid, rows, fin: emits.append((rid, rows, fin)),
+                           debounce_s=0)
+        assert emits and emits[-1][2] is True
+        partial_rounds = [e for e in emits if not e[2]]
+        return partial_rounds, [json.loads(r) for r in emits[-1][1]]
+
+    # top-N tail: final equals the batch answer, every partial is a
+    # valid current-top (subset of schema, <= N rows, sorted desc)
+    partials, final = drive("s.o3 | top 5 by o_totalprice desc")
+    batch = comp.run(parse_kql("s.o3 | top 5 by o_totalprice desc")).collect()
+    assert [r["o_orderkey"] for r in final] == [r["o_orderkey"] for r in batch]
+    assert len(partials) >= 2  # 3 files -> 3 rounds
+    for _, rows, _ in partials:
+        vals = [json.loads(r)["o_totalprice"] for r in rows]
+        assert len(vals) <= 5 and vals == sorted(vals, reverse=True)
+
+    # topn + take tail (partial_stream_limit shape)
+    _, final = drive("s.o3 | top 3 by o_totalprice desc | take 2")
+    assert len(final) == 2
+    assert [r["o_orderkey"] for r in final] == [r["o_orderkey"] for r in batch[:2]]
+
+    # post-aggregate filter (partial_stream_filter shape)
+    partials, final = drive("s.o3 | count | where Count > 0")
+    assert final[0]["Count"] == orders.count()
+    for _, rows, _ in partials:
+        assert all(json.loads(r)["Count"] > 0 for r in rows)
+
+    # multi-union of streamed scans (partial_stream_multi_union shape)
+    _, final = drive("s.o3 | union (s.o3b) | count")
+    assert final[0]["Count"] == orders.count() + 500
