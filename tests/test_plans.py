@@ -143,3 +143,31 @@ def test_partition_pruning(spark, compiler, tmp_path_factory):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
     assert df.first()["Count"] == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_summarize_null_key_filter_pushed_to_scan(compiler):
+    """The reference-parity null-group-key drop compiles to an
+    IsNotNull filter that must reach the parquet scan as a pushed
+    filter, not run post-scan."""
+    df = compiler.run(parse_kql("t.orders | summarize n = count() by o_orderpriority"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderpriority)]" in plan, plan
+
+
+def test_range_join_outer_modes_stay_hash_joins(spark):
+    """right/outer recovery (surrogate-id anti-join + union) must keep
+    every join an equi hash join — no BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F
+
+    from miso_spark.functions.rangejoin import range_join
+
+    left = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+    right = spark.range(0, 50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 5).alias("hi"),
+    )
+    for how in ("right", "outer"):
+        out = range_join(left, right, "v", "lo", "hi", bin_size=10.0, how=how)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan, (how, plan)
