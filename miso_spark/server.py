@@ -79,12 +79,79 @@ def _parse_partial_stream(value) -> float | None:
     raise ValueError(f"bad partial_stream option {value!r}")
 
 
+class QueryStatusWriter:
+    """Query-status history sink (query_status.rs parity): every query
+    upserts a row keyed by its id — planning → running →
+    success/internal_error/cancelled — with the reference's exact field
+    names (query_status.rs:9-17), into a registry collection the user
+    can then QUERY like any table (``mem.query_status | where status ==
+    'internal_error'``). Status tables are small (one row per query),
+    so the upsert rewrites the collection from a driver-held dict."""
+
+    def __init__(self, registry, connector: str, collection: str):
+        self.registry = registry
+        self.connector = connector
+        self.collection = collection
+        self._rows: dict[str, dict] = {}
+
+    _SCHEMA = (
+        "id string, status string, error string, start_time timestamp, "
+        "end_time timestamp, run_time string, run_time_secs double, "
+        "update_time timestamp, query string"
+    )
+
+    def write(self, qid: str, query: str, status: str, error: str | None,
+              start_time, end_time=None) -> None:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        run_secs = (end_time - start_time).total_seconds() if end_time else None
+        self._rows[qid] = {
+            "id": qid,
+            "status": status,
+            "error": error,
+            "start_time": start_time,
+            "end_time": end_time,
+            "run_time": f"{run_secs:.3f}s" if run_secs is not None else None,
+            "run_time_secs": run_secs,
+            "update_time": now,
+            "query": query,
+        }
+        spark = self.registry.spark
+        df = spark.createDataFrame(
+            [tuple(r[k] for k in (
+                "id", "status", "error", "start_time", "end_time",
+                "run_time", "run_time_secs", "update_time", "query",
+            )) for r in self._rows.values()],
+            self._SCHEMA,
+        )
+        self.registry.source(self.connector).write(df, self.collection)
+
+
 class MisoServer:
-    def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        query_status_collection: str | None = None,
+    ):
+        """``query_status_collection``: "connector.collection" target
+        for query-status history rows (config.rs:39
+        query_status_collection), e.g. "mem.query_status"."""
         self.miso = MisoSpark(spark)
         self.views: dict[str, str] = {}
         self.connector_configs: dict[str, dict] = {"mem": {"type": "memory"}}
         self.metrics = {"queries_total": 0, "query_errors_total": 0}
+        self.status_writer: QueryStatusWriter | None = None
+        if query_status_collection is not None:
+            conn, _, coll = query_status_collection.partition(".")
+            if not conn or not coll:
+                raise ValueError(
+                    "query_status_collection must be in format "
+                    f"'connector.collection', got: {query_status_collection}"
+                )
+            self.status_writer = QueryStatusWriter(self.miso.registry, conn, coll)
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_port
@@ -98,11 +165,21 @@ class MisoServer:
         self.connector_configs[name] = cfg
 
     def load_config(self, path: str) -> None:
-        """Load a reference-style config.json ({"connectors": {...}})."""
+        """Load a reference-style config.json ({"connectors": {...},
+        "query_status_collection"?: "connector.collection"})."""
         with open(path) as f:
             cfg = json.load(f)
         for name, ccfg in cfg.get("connectors", {}).items():
             self.add_connector(name, ccfg)
+        qsc = cfg.get("query_status_collection")
+        if qsc:
+            conn, _, coll = qsc.partition(".")
+            if not conn or not coll:
+                raise ValueError(
+                    "query_status_collection must be in format "
+                    f"'connector.collection', got: {qsc}"
+                )
+            self.status_writer = QueryStatusWriter(self.miso.registry, conn, coll)
 
     def _plan(self, kql: str) -> Plan:
         # error-recovering parse: a 400 lists every broken step, like
@@ -199,10 +276,31 @@ class MisoServer:
                     run_partial_stream,
                 )
 
+                from datetime import datetime, timezone
+
                 body = self._body()
                 qid = body.get("query_id") or str(uuid.uuid4())
+                started = datetime.now(timezone.utc).replace(tzinfo=None)
+                sw = server_self.status_writer
+
+                def status(st: str, error: str | None = None, done: bool = False):
+                    # query_status.rs lifecycle: planning → running →
+                    # success/internal_error, timestamped + upserted by id
+                    if sw is not None:
+                        end = (
+                            datetime.now(timezone.utc).replace(tzinfo=None)
+                            if done
+                            else None
+                        )
+                        sw.write(qid, body.get("query", ""), st, error, started, end)
+
+                status("planning")
                 debounce = _parse_partial_stream(body.get("partial_stream"))
-                plan = server_self._plan(body["query"])
+                try:
+                    plan = server_self._plan(body["query"])
+                except Exception as e:
+                    status("internal_error", str(e)[:500], done=True)
+                    raise
                 # partial streaming (http_server.rs:111, partial_stream.rs):
                 # only aggregation plans over stream-capable sources; other
                 # plans fall back to the row-streaming path (which is
@@ -210,7 +308,12 @@ class MisoServer:
                 use_partial = debounce is not None and plan_supports_partial_stream(
                     plan, server_self.miso.registry
                 )
-                df = None if use_partial else server_self.miso.compiler.run(plan)
+                try:
+                    df = None if use_partial else server_self.miso.compiler.run(plan)
+                except Exception as e:
+                    status("internal_error", str(e)[:500], done=True)
+                    raise
+                status("running")
                 server_self.metrics["queries_total"] += 1
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -254,12 +357,14 @@ class MisoServer:
                             self.wfile.write(f"data: {line}\n\n".encode())
                 except Exception as e:  # noqa: BLE001
                     server_self.metrics["query_errors_total"] += 1
+                    status("internal_error", str(e)[:500], done=True)
                     try:
                         payload = json.dumps({"error": str(e)[:500]})
                         self.wfile.write(f"event: error\ndata: {payload}\n\n".encode())
                     except OSError:
                         pass  # client already gone
                     return
+                status("success", done=True)
                 self.wfile.write(b"event: done\ndata: {}\n\n")
 
         return Handler

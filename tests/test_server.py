@@ -175,3 +175,37 @@ def test_connector_management_and_errors(server):
         _post(server, "/query", {"query": "t.orders | frobnicate"})
     assert ei.value.code == 400
     assert "error" in json.load(ei.value)
+
+
+def test_query_status_collection(spark):
+    """query_status.rs parity: a configured query_status_collection
+    records planning→running→success / internal_error rows, upserted by
+    query id with the reference's field names — and the history is
+    itself queryable through the engine."""
+    from miso_spark.server import MisoServer
+
+    srv = MisoServer(spark, port=0, query_status_collection="mem.query_status")
+    srv.add_connector("t", {"type": "parquet_dir", "path": SF_DIR})
+    srv.start_background()
+    try:
+        ok = _post(srv, "/query", {"query": "t.region | count", "query_id": "q-ok"})
+        assert any(l.startswith(b"event: done") for l in ok)
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "/query", {"query": "t.region | bogus_step", "query_id": "q-bad"})
+
+        rows = {
+            r["id"]: r
+            for r in srv.miso.query(
+                "mem.query_status | project id, status, error, run_time_secs"
+            ).collect()
+        }
+        assert rows["q-ok"]["status"] == "success"
+        assert rows["q-ok"]["error"] is None
+        assert rows["q-ok"]["run_time_secs"] >= 0
+        assert rows["q-bad"]["status"] == "internal_error"
+        assert rows["q-bad"]["error"]  # the parse failure is recorded
+    finally:
+        srv.shutdown()
