@@ -135,9 +135,9 @@ class Compiler:
         if isinstance(step, P.Filter):
             return df.filter(compile_expr(step.expr, df.schema))
         if isinstance(step, P.Project):
-            return df.select(*[compile_expr(f.expr, df.schema).alias(f.name) for f in step.fields])
+            return self._project(df, step.fields)
         if isinstance(step, P.Extend):
-            return df.withColumns({f.name: compile_expr(f.expr, df.schema) for f in step.fields})
+            return self._extend(df, step.fields)
         if isinstance(step, P.Rename):
             return df.withColumnsRenamed(dict(step.pairs))
         if isinstance(step, P.Expand):
@@ -277,6 +277,53 @@ class Compiler:
                 names[0], rebuild(base.getField(names[0]), names[1:])
             )
         return df.withColumn(root, rebuild(col, nested))
+
+    @staticmethod
+    def _fresh_nested(path: list[str], val: Column) -> Column:
+        """Structs down ``path`` holding ``val`` at the leaf —
+        interpreter insert_field_value creating a nested path."""
+        out = val
+        for seg in reversed(path):
+            out = F.struct(out.alias(seg))
+        return out
+
+    def _project(self, df: DataFrame, fields) -> DataFrame:
+        """Project with (possibly nested) target names. A dotted target
+        (``project outer.inner = x``) builds a struct column; several
+        targets under one top-level name merge into the same struct
+        (interpreter insert_field_value semantics on a fresh log)."""
+        cols: dict[str, Column] = {}
+        for f in fields:
+            expr = compile_expr(f.expr, df.schema)
+            if "." not in f.name:
+                cols[f.name] = expr
+                continue
+            top, *rest = f.name.split(".")
+            if top in cols:
+                cols[top] = cols[top].withField(".".join(rest), expr)
+            else:
+                cols[top] = self._fresh_nested(rest, expr)
+        return df.select(*[c.alias(n) for n, c in cols.items()])
+
+    def _extend(self, df: DataFrame, fields) -> DataFrame:
+        """Extend with nested targets: adds/overwrites a field inside
+        an EXISTING struct column (Column.withField), or creates the
+        struct path when the top-level column is absent or not a
+        struct — insert_field_value parity (interpreter/mod.rs)."""
+        from pyspark.sql.types import StructType
+
+        for f in fields:
+            expr = compile_expr(f.expr, df.schema)
+            if "." not in f.name:
+                df = df.withColumn(f.name, expr)
+                continue
+            top, *rest = f.name.split(".")
+            is_struct = top in df.columns and isinstance(df.schema[top].dataType, StructType)
+            if is_struct:
+                df = df.withColumn(top, F.col(top).withField(".".join(rest), expr))
+            else:
+                df = df.withColumn(top, self._fresh_nested(rest, expr))
+        return df
 
     def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
         right = self._run(step.sub, env)

@@ -273,18 +273,35 @@ class Parser:
             return cls(connector, collection)
         raise ParseError(f"unknown query step {k!r} at pos {t.pos}")
 
+    def _assign_target(self) -> str | None:
+        """A (possibly dotted) field path followed by ``=`` (not
+        ``==``) — ProjectField.to is a full Field in the reference
+        (query.rs ProjectField, interpreter insert_field_value creates
+        nested paths). Consumes the path and the ``=`` when matched."""
+        j = 0
+        parts = 0
+        while True:
+            if not self._is_ident_tok(self.peek(j)):
+                return None
+            j += 1
+            parts += 1
+            if self.peek(j).kind != ".":
+                break
+            j += 1
+        if self.peek(j).kind != "=" or self.peek(j + 1).kind == "=":
+            return None
+        names = []
+        for _ in range(parts):
+            names.append(self._expect_ident_like())
+            self.accept(".")
+        self.next()  # '='
+        return ".".join(names)
+
     def _project_fields(self) -> list[P.ProjectField]:
         out: list[P.ProjectField] = []
         used: set[str] = set()
         while True:
-            name = None
-            if (
-                self._is_ident_tok(self.peek())
-                and self.peek(1).kind == "="
-                and self.peek(2).kind != "="
-            ):
-                name = self._expect_ident_like()
-                self.next()  # '='
+            name = self._assign_target()
             e = self.parse_expr()
             if name is not None:
                 name = _unique_name(name, name, used)

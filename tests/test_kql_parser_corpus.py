@@ -609,3 +609,12 @@ def test_parse_extract_with_field_arguments():
 def test_parse_extract_in_filter():
     e = filt('extract("(\\d+)", 1, message) == "123"')
     assert isinstance(e.left, Extract)
+
+
+def test_project_nested_assignment_target():
+    """ProjectField.to is a full Field in the reference (query.rs):
+    a dotted assignment target parses as the nested path."""
+    s = steps("connector.table | extend outer.inner = 5")[1]
+    assert s.fields[0].name == "outer.inner" and s.fields[0].expr == Lit(5)
+    s = steps("connector.table | project a.b.c = 1, plain = 2")[1]
+    assert [f.name for f in s.fields] == ["a.b.c", "plain"]

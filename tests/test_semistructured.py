@@ -40,7 +40,10 @@ def test_nested_field_filter_and_project(logs_miso):
             "logs.applogs | where svc.name == 'api' | project svc.region, latency_ms"
         )
     )
-    assert sorted(r["svc.region"] for r in rows) == ["eu", "us"]
+    # a dotted project target re-creates the nested shape, like the
+    # reference's insert_field_value (interpreter/tests.rs) — not a
+    # flat "svc.region" column
+    assert sorted(r["svc"]["region"] for r in rows) == ["eu", "us"]
 
 
 def test_missing_field_exists_semantics(logs_miso):

@@ -250,3 +250,46 @@ def test_mixed_int_arithmetic_in_filter(run):
     # tests.rs mixed_int_uint_arithmetic
     out = run("test.u | where result == toint(5) + toint(-3)", u=("result int", [(2,), (3,)]))
     assert out == [{"result": 2}]
+
+
+def test_extend_nested_target_creates_path(run):
+    # interpreter/tests.rs insert_field_value_creates_path: a dotted
+    # assignment target builds the nested object
+    out = run(
+        "test.w1 | extend outer.inner = 99 | project v = outer.inner",
+        w1=("id int", [(1,)]),
+    )
+    assert out == [{"v": 99}]
+
+
+def test_extend_nested_target_into_existing_struct(run, spark, mem):
+    # insert into an existing object keeps sibling keys and overwrites
+    # the targeted one (insert_field_value_overwrites_existing)
+    mem.put(
+        "w2",
+        spark.createDataFrame(
+            [(1, {"a": 10, "b": 20})],
+            "id int, o struct<a:int, b:int>",
+        ),
+    )
+    out = run("test.w2 | extend o.b = 99 | project a = o.a, b = o.b", )
+    assert out == [{"a": 10, "b": 99}]
+
+
+def test_project_nested_targets_merge_one_struct(run):
+    # two targets under one top-level name build one object
+    out = run(
+        "test.w3 | project o.x = id + 1, o.y = 'z'"
+        " | project x = o.x, y = o.y",
+        w3=("id int", [(41,)]),
+    )
+    assert out == [{"x": 42, "y": "z"}]
+
+
+def test_deep_nested_extend_roundtrip(run):
+    # interpreter/tests.rs roundtrip_insert_and_get (object path)
+    out = run(
+        "test.w4 | extend alpha.beta.gamma = true | project g = alpha.beta.gamma",
+        w4=("id int", [(1,)]),
+    )
+    assert out == [{"g": True}]
