@@ -1447,6 +1447,47 @@ q(
 )
 
 
+#: exact cosine top-10 from vec_id=0 — shared by ann_bruteforce and the
+#: exhaustive-probe ANN variants, whose pruning machinery must
+#: reproduce it EXACTLY when told to probe everything
+_ANN_TOP10_ORACLE = """
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS id,
+           ROUND(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q, q))), 4) AS cosine
+    FROM embeddings, qv
+    ORDER BY cosine DESC, id ASC LIMIT 10
+    """
+
+
+def _b_ann_lsh_verified(spark, sf_dir):
+    """LSH top-k probing EVERY bucket (num_planes=2, probes=4 = the
+    full flip set): the bucket assignment + multi-probe sequence is
+    exercised end-to-end, and the result must equal exact brute force
+    — a red driver cell if the LSH machinery drops or double-counts a
+    bucket. The production config (more planes, fewer probes) stays
+    recall-tested in pytest."""
+    from miso_spark.functions.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10, num_planes=2, probes=4)
+
+
+def _b_ann_ivf_verified(spark, sf_dir):
+    """IVF top-k probing EVERY cell (nprobe = n_cells): k-means
+    assignment + centroid ranking + cell pruning run end-to-end and
+    must reproduce exact brute force."""
+    from miso_spark.functions.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=8, nprobe=8)
+
+
+q("ann_lsh_verified", builder=_b_ann_lsh_verified, oracle=_ANN_TOP10_ORACLE)
+q("ann_ivf_verified", builder=_b_ann_ivf_verified, oracle=_ANN_TOP10_ORACLE)
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries — registered LAST, on purpose. These operators are
 # approximate / LSH-pruned by design, so no ANSI-SQL oracle exists for
