@@ -260,3 +260,30 @@ def tee_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per
+    normalized-content hash — the ingest-time dedup stage of a training
+    pipeline (new crawl batches arrive as files; duplicates of anything
+    already ingested are dropped on the fly).
+
+    ``dropDuplicates`` keeps per-key state in the state store; without
+    a watermark that state grows with the number of DISTINCT hashes
+    (16 bytes + row each — fine for dedup-by-content, where the state
+    IS the dedup index). Pass ``watermark=(ts_col, "7 days")`` to bound
+    state when only a recency window must be dedup-exact.
+    """
+    from miso_spark.functions.text import normalize
+
+    out = stream_df.withColumn("content_hash", F.md5(normalize(F.col(text_col))))
+    if watermark is not None:
+        ts_col, delay = watermark
+        out = out.withWatermark(ts_col, delay)
+        return out.dropDuplicates(["content_hash", ts_col])
+    return out.dropDuplicates(["content_hash"])

@@ -288,3 +288,31 @@ def test_partial_stream_topn_limit_filter_union(spark, tmp_path):
     # multi-union of streamed scans (partial_stream_multi_union shape)
     _, final = drive("s.o3 | union (s.o3b) | count")
     assert final[0]["Count"] == orders.count() + 500
+
+
+def test_dedup_stream_keeps_one_per_content(spark, tmp_path):
+    """Streaming exact dedup: drained with availableNow, exactly one
+    surviving doc per content hash, consistent with batch exact_dedup's
+    group count."""
+    from pyspark.sql import functions as F
+
+    from miso_spark.functions.dedup import exact_dedup
+    from miso_spark.sources import ParquetDirSource
+    from miso_spark.streaming import run_to_memory
+    from miso_spark.streaming.api import dedup_stream
+
+    docs = ParquetDirSource(SF_DIR).table(spark, "documents")
+    d = tmp_path / "docs_in"
+    docs.repartition(3).write.parquet(str(d / "documents.parquet"))
+
+    schema = spark.read.parquet(str(d / "documents.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "documents.parquet"))
+    )
+    got = run_to_memory(dedup_stream(sdf), "dedup_stream_t", mode="append")
+    n_groups = exact_dedup(docs).count()
+    kept = got.collect()
+    assert len(kept) == n_groups
+    assert got.select(F.count_distinct("content_hash")).first()[0] == n_groups

@@ -293,3 +293,13 @@ def test_deep_nested_extend_roundtrip(run):
         w4=("id int", [(1,)]),
     )
     assert out == [{"g": True}]
+
+
+def test_project_array_access_path(run, spark, mem):
+    # tests.rs:865 project world=world[0].x[1]
+    mem.put(
+        "w5",
+        spark.createDataFrame([([{"x": [1, 2]}],)], "world array<struct<x:array<int>>>"),
+    )
+    out = run("test.w5 | project world=world[0].x[1]")
+    assert out == [{"world": 2}]
