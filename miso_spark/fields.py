@@ -44,6 +44,11 @@ class FieldPath:
     def is_simple(self) -> bool:
         return len(self.segments) == 1 and not self.segments[0][1]
 
+    def has_array_access(self) -> bool:
+        """Any ``[idx]`` in the path (Field::has_array_access,
+        miso-workflow-types/src/field.rs)."""
+        return any(idx for _, idx in self.segments)
+
     def to_column(self) -> Column:
         # F.get (not getItem) for array indices: out-of-bounds yields
         # null instead of an ANSI INVALID_ARRAY_INDEX error, matching

@@ -110,3 +110,15 @@ def test_summarize_over_nested_by(logs_miso):
     # rows whose group key is missing/null are dropped pre-grouping
     # (summarize.rs:151; tests.rs summarize_group_by_missing_field)
     assert None not in by
+
+
+def test_field_path_multi_index_roundtrip():
+    """field_tests.rs: multi-index access (foo[0][42]) and mixed
+    object/array paths parse and print back exactly."""
+    from miso_spark.fields import FieldPath
+
+    for s in ["foo", "foo[0][42]", "foo.bar", "foo[1].bar[2][3].baz"]:
+        p = FieldPath.parse(s)
+        assert str(p) == s
+    assert not FieldPath.parse("foo.bar").has_array_access()
+    assert FieldPath.parse("foo[1].bar").has_array_access()
