@@ -388,6 +388,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (id, canonical_id) with
     canonical = the minimum id reachable through the pair graph.
@@ -397,9 +398,10 @@ def connected_components(
     classic Spark CC loop (GraphX/connected-components does the same).
     Rounds needed = component diameter; near-dup clusters are shallow,
     but long chains (boilerplate crawl data) can exceed ``max_iter`` —
-    the loop then warns rather than return silently wrong labels; use
-    ``connected_components_star`` for deep graphs (O(log² n) rounds
-    independent of diameter). Each iteration localCheckpoints so
+    then, instead of returning silently wrong labels, the function
+    warns and finishes with ``connected_components_star`` (O(log² n)
+    rounds independent of diameter; ``fallback_star=False`` restores
+    the warn-only behavior). Each iteration localCheckpoints so
     lineage stays flat, and the loop exits as soon as a round changes
     nothing.
     """
@@ -437,11 +439,17 @@ def connected_components(
     if changed > 0:
         warnings.warn(
             f"connected_components did not converge in max_iter={max_iter} rounds "
-            f"({changed} labels still changing): canonical ids may split one "
-            "component — raise max_iter (component diameter bounds the rounds)",
+            f"({changed} labels still changing)"
+            + (
+                "; finishing with large-star/small-star"
+                if fallback_star
+                else ": canonical ids may split one component — raise max_iter"
+            ),
             RuntimeWarning,
             stacklevel=2,
         )
+        if fallback_star:
+            return connected_components_star(pairs, id_a, id_b)
     return labels.select("id", F.col("lbl").alias("canonical_id"))
 
 

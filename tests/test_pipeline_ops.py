@@ -678,3 +678,19 @@ def test_asof_join_directions_match_pandas(spark):
                 ).collect()
             }
             assert got == want, f"{direction} {kw}"
+
+
+def test_connected_components_deep_chain_fallback(spark):
+    """Exhausting max_iter on a deep chain must still return exact
+    labels (star fallback), with a warning — never silently split
+    components."""
+    import warnings
+
+    from miso_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {(r["id"], r["canonical_id"]) for r in connected_components(chain, max_iter=3).collect()}
+    assert any("did not converge" in str(x.message) for x in w)
+    assert out == {(i, 0) for i in range(61)}
