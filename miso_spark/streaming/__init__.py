@@ -1,4 +1,5 @@
 from miso_spark.streaming.api import (
+    dedup_stream,
     stream_events,
     windowed_counts,
     sessionize,
@@ -8,6 +9,7 @@ from miso_spark.streaming.api import (
 )
 
 __all__ = [
+    "dedup_stream",
     "stream_events",
     "windowed_counts",
     "sessionize",
