@@ -44,6 +44,20 @@ def with_split(
     return df.withColumn("split", split_assignment(F.col(text_col), bounds, last))
 
 
+def sample_flag(rate: float, key_col: str = "doc_id", seed: str = "") -> Column:
+    """Boolean keep-decision of :func:`hash_sample` as a column —
+    md5(seed || key) below ``rate`` of the 32-bit hash space."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    # first 8 hex chars → 32-bit uniform; threshold on the integer
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return bucket < F.lit(int(rate * 0x100000000))
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,
@@ -64,15 +78,7 @@ def hash_sample(
     table don't correlate (sample(0.1, seed="a") and seed="b" overlap
     on ~1% of keys, not 10%).
     """
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    # first 8 hex chars → 32-bit uniform; threshold on the integer
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return df.filter(bucket < F.lit(int(rate * 0x100000000)))
+    return df.filter(sample_flag(rate, key_col, seed))
 
 
 def stratified_hash_sample(
