@@ -20,6 +20,13 @@ RUNTIME_CONFS = {
     # parquet timestamp[ns] (events.ts) reads as nano longs, converted
     # in the source layer — without this the read hard-fails
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive timestamp[us] parquet (the current testdata layout) would
+    # otherwise infer as TIMESTAMP_NTZ under Spark 4's default, which
+    # rejects cast-to-long / unix_micros / withWatermark; engine
+    # semantics are session-TZ TIMESTAMP (= UTC here, matching the
+    # DuckDB oracle), so read it as such — the source layer additionally
+    # casts any NTZ column that slips through an untuned session
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # naive datetime literals and epoch conversions assume UTC, matching
     # the DuckDB oracle's naive timestamps
     "spark.sql.session.timeZone": "UTC",

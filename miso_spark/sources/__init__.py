@@ -99,6 +99,24 @@ def _nano_ts_columns(path: str) -> list[str]:
     return out
 
 
+def _denaive_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    Belt-and-braces for externally built sessions that didn't apply
+    RUNTIME_CONFS (``spark.sql.parquet.inferTimestampNTZ.enabled=false``):
+    under Spark 4's default, naive timestamp[us] parquet infers as NTZ,
+    which rejects ``cast(long)`` / ``unix_micros`` / ``withWatermark``.
+    The engine's timestamp semantics are session-TZ TIMESTAMP (UTC),
+    matching the DuckDB oracle's naive reading, so the cast is a
+    wall-clock-preserving relabel under UTC."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 class ParquetDirSource(Source):
     # columnar scan: Catalyst pushes filters/columns/limits into the
     # parquet reader (asserted in tests/test_plans.py); raw = Spark SQL
@@ -117,7 +135,7 @@ class ParquetDirSource(Source):
         for c in _nano_ts_columns(path):
             # ns → µs truncation matches how µs-native engines read the file
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
-        return df
+        return _denaive_ntz(df)
 
     def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(os.path.join(self.directory, f"{collection}.parquet"))
@@ -143,7 +161,7 @@ class ParquetDirSource(Source):
             )
         for c in _nano_ts_columns(path):
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
-        return df
+        return _denaive_ntz(df)
 
 
 class JsonDirSource(Source):
