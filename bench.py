@@ -41,7 +41,7 @@ HEADLINE = [
     "mv_expand",
     "dedup_exact",
     "dedup_minhash_verified",
-    "dedup_simhash",
+    "dedup_simhash_verified",
     "ann_bruteforce",
     "text_tokens",
     "text_quality",

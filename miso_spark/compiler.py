@@ -87,10 +87,12 @@ class Compiler:
         Value::Null like any value — tests.rs join_with_null_keys).
         Catalyst plans EqualNullSafe as a normal equi-join
         (hash/broadcast), but will NOT build a dynamic-partition-pruning
-        subquery for it — pipelines whose join keys are known non-null
-        can pass False to restore SQL `=` semantics and unlock DPP on
-        partitioned fact tables (tests/test_plans.py documents the
-        trade-off)."""
+        subquery for it. When either key's schema field is non-nullable
+        the compiler downgrades to plain `=` automatically (identical
+        semantics — null<=>null can't occur — and DPP is preserved);
+        pipelines whose keys are nullable-typed but known to hold no
+        nulls can pass False to force `=` everywhere
+        (tests/test_plans.py documents the trade-off)."""
         self.registry = registry
         self.spark = registry.spark
         self.null_safe_joins = null_safe_joins
@@ -365,14 +367,25 @@ class Compiler:
         # null join keys MATCH each other in the reference (its hash
         # join hashes Value::Null like any value — tests.rs
         # join_with_null_keys) → null-safe equality by default.
-        # EqualNullSafe still plans as an equi-join (hash/broadcast);
-        # see __init__ for the DPP trade-off `null_safe_joins=False`
-        # recovers.
-        def key_eq(lc: Column, rc: Column) -> Column:
-            return lc.eqNullSafe(rc) if self.null_safe_joins else lc == rc
+        # EqualNullSafe still plans as an equi-join (hash/broadcast)
+        # but forfeits dynamic partition pruning, so auto-downgrade to
+        # plain `=` when either key is provably non-nullable: <=> and
+        # = differ only on the null<=>null pair, which can't occur
+        # then. `null_safe_joins=False` (__init__) remains the manual
+        # opt-out for nullable-schema keys known to hold no nulls.
+        def nullable(df: DataFrame, name: str) -> bool:
+            # nested / computed paths: conservatively nullable
+            return df.schema[name].nullable if name in df.columns else True
+
+        def key_eq(lc: Column, rc: Column, can_null: bool) -> Column:
+            return lc.eqNullSafe(rc) if self.null_safe_joins and can_null else lc == rc
 
         if merged_key:
-            cond = key_eq(left[step.left_on], right[right_on])
+            cond = key_eq(
+                left[step.left_on],
+                right[right_on],
+                nullable(left, step.left_on) and nullable(right, right_on),
+            )
             joined = left.join(right, on=cond, how=how)
             # merge the key pair into one column like a USING join
             return joined.select(
@@ -380,5 +393,13 @@ class Compiler:
                 *[left[c] for c in left.columns if c != step.left_on],
                 *[right[c] for c in right.columns if c != right_on],
             )
-        lcol = FieldPath.parse(step.left_on)
-        return left.join(right, on=key_eq(left[str(lcol)], right[right_on]), how=how)
+        lcol = str(FieldPath.parse(step.left_on))
+        return left.join(
+            right,
+            on=key_eq(
+                left[lcol],
+                right[right_on],
+                nullable(left, lcol) and nullable(right, right_on),
+            ),
+            how=how,
+        )

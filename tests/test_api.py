@@ -129,21 +129,22 @@ def test_explain_returns_plan(miso):
 
 
 def test_dcount_approx_close_to_exact(miso, spark):
+    # the catalog entry self-checks: approx_ok is the HLL-estimate-
+    # within-10%-of-exact assertion, and custs must equal exact dcount
     from miso_spark.catalog import CATALOG
     from tests.conftest import SF_DIR
 
-    approx = {
-        r["o_orderpriority"]: r["approx_custs"]
-        for r in CATALOG["dcount_approx"](spark, SF_DIR).collect()
-    }
+    rows = CATALOG["dcount_approx"](spark, SF_DIR).collect()
     exact = {
         r["o_orderpriority"]: r["n"]
         for r in miso.query(
             "t.orders | summarize n = dcount(o_custkey) by o_orderpriority"
         ).collect()
     }
-    for k, e in exact.items():
-        assert abs(approx[k] - e) / max(e, 1) < 0.15, (k, approx[k], e)
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["custs"] == exact[r["o_orderpriority"]]
+        assert r["approx_ok"], (r["o_orderpriority"], r["custs"])
 
 
 def test_join_column_suffix_increments(miso, spark):

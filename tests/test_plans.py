@@ -127,6 +127,48 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     assert "dynamicpruningexpression" in plan, plan
 
 
+def test_dpp_through_nonnullable_key_downgrade(spark, tmp_path_factory):
+    """When either join key's schema field is non-nullable, <=> and =
+    are semantically identical (null<=>null can't occur), so the
+    DEFAULT null-safe compiler downgrades to plain = and keeps dynamic
+    partition pruning — no opt-out needed."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import MemorySource, ParquetDirSource, SourceRegistry
+
+    d = str(tmp_path_factory.mktemp("dppnn"))
+    ev = ParquetDirSource("/root/testdata/sf0.001").table(spark, "events")
+    ev.write.partitionBy("event_type").parquet(d + "/events.parquet")
+    reg = SourceRegistry(spark).register_parquet_dir("p", d)
+    from pyspark.sql.types import IntegerType
+
+    mem = MemorySource()
+    mem.put(
+        "dim",
+        spark.createDataFrame(
+            [("error", 1), ("click", 0)],
+            StructType(
+                [
+                    StructField("et", StringType(), nullable=False),
+                    StructField("keep", IntegerType(), nullable=False),
+                ]
+            ),
+        ),
+    )
+    reg.register("mem", mem)
+
+    df = Compiler(reg).run(  # default null_safe_joins=True
+        parse_kql(
+            "p.events | join (mem.dim | where keep == 1)"
+            " on $left.event_type == $right.et | count"
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    assert "<=>" not in plan, plan
+
+
 def test_partition_pruning(spark, compiler, tmp_path_factory):
     """Partitioned layout + a partition-key filter prunes at planning
     time (PartitionFilters on the scan, non-matching dirs never read)."""
