@@ -88,10 +88,14 @@ class QuickwitSource(ExternalHttpSource):
     """Quickwit (quickwit.rs): sub-second search over object storage.
 
     Reference pushdowns: filter/project/limit/topn/count/summarize/union
-    + raw_query (quickwit.rs:1268,1277,1300,1313,1354,1365,1513,1552).
-    Spark path: REST ``/api/v1/{index}/search`` with the query DSL built
-    from pushed filters, paged scroll → ``spark.read.json`` over the
-    fetched batches, or the Quickwit gRPC Arrow export when available.
+    + raw_query (quickwit.rs:1268,1277,1300,1313,1354,1365,1513,1552) —
+    mirrored by :class:`miso_spark.sources.pushdown.PushHandle`, whose
+    ``apply_*`` guards and request JSON match the reference hook for
+    hook. The wire protocol is Quickwit's ES-compatible surface, the
+    same routes the reference speaks: ``/api/v1/_elastic/{index}/
+    _search`` with scroll paging (quickwit.rs:655), scroll continuation
+    at ``/api/v1/_elastic/_search/scroll`` (:694), counts at
+    ``/api/v1/_elastic/{index}/_count`` (:720).
     """
 
     connector_type = "quickwit"
@@ -101,12 +105,112 @@ class QuickwitSource(ExternalHttpSource):
          CAP_SUMMARIZE, CAP_UNION, CAP_RAW}
     )
 
+    #: paging defaults (quickwit.rs default_scroll_timeout/_size)
+    scroll_timeout_ms = 30_000
+    scroll_size = 5_000
+
+    def __init__(self, url: str, timeout_s: float = 2.0,
+                 timestamp_fields: dict[str, str] | None = None):
+        super().__init__(url, timeout_s)
+        #: index → timestamp field, as the reference learns from
+        #: ``/api/v1/indexes`` doc_mapping (quickwit.rs get_indexes)
+        self.timestamp_fields = timestamp_fields or {}
+
     def apply_filter(self, expr):
         """Quickwit's OR shape omits minimum_should_match
         (quickwit.rs:435); otherwise identical to the ES DSL."""
         from miso_spark.sources.es_dsl import compile_filter
 
         return compile_filter(expr, minimum_should_match=False)
+
+    def handle(self, collection: str):
+        """Fresh pushdown handle for ``collection`` (get_handle analog:
+        quickwit.rs:1131 binds the index's timestamp field)."""
+        from miso_spark.sources.pushdown import PushHandle
+
+        return PushHandle(
+            flavor="quickwit",
+            timestamp_field=self.timestamp_fields.get(collection),
+        )
+
+    def _request_json(self, path: str, body: dict | None, method: str = "GET"):
+        import json
+
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            f"{self.url}{path}",
+            data=data,
+            headers={"Content-Type": "application/json"} if data else {},
+            method=method,  # the reference sends GET-with-JSON-body
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.load(resp)
+
+    def search(self, spark: SparkSession, collection: str, handle=None) -> DataFrame:
+        """Execute a pushed-down query against the live service and
+        return the rows as a DataFrame (quickwit.rs query(), :1142).
+
+        Count handles hit ``_count``; aggregation handles run one
+        ``_search`` with size=0 and decode the nested buckets; plain
+        searches page through the scroll API honoring the handle's
+        limit. Driver-side fetch — the bootstrap/test path, like the
+        ES bridge below; bulk ingest at scale goes through parquet or
+        a distributed DataSource."""
+        import json
+
+        from miso_spark.sources.pushdown import decode_aggregations
+
+        handle = handle if handle is not None else self.handle(collection)
+        self._connect()
+        body = handle.build_search_body()
+        indexes = handle.indexes(collection)
+
+        if handle.count:
+            payload = self._request_json(f"/api/v1/_elastic/{indexes}/_count", body)
+            n = payload["count"]
+            if handle.limit is not None:
+                n = min(n, handle.limit)
+            # miso COUNT_FIELD_NAME="Count", like the compiler's count
+            return spark.createDataFrame([(n,)], "Count long")
+
+        if handle.aggs is not None:
+            payload = self._request_json(f"/api/v1/_elastic/{indexes}/_search", body)
+            rows = decode_aggregations(payload, handle)
+            rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+            return spark.read.json(rdd) if rows else spark.createDataFrame([], "")
+
+        scroll_size = self.scroll_size
+        if handle.limit is not None:
+            scroll_size = min(scroll_size, handle.limit)
+        include = (
+            f"_source_includes={','.join(handle.source_includes)}&"
+            if handle.source_includes
+            else ""
+        )
+        path = (
+            f"/api/v1/_elastic/{indexes}/_search?{include}"
+            f"scroll={self.scroll_timeout_ms}ms&size={scroll_size}"
+        )
+        payload = self._request_json(path, body)
+        docs = [h["_source"] for h in payload["hits"]["hits"]]
+        scroll_id = payload.get("_scroll_id")
+        while docs and scroll_id and (handle.limit is None or len(docs) < handle.limit):
+            payload = self._request_json(
+                "/api/v1/_elastic/_search/scroll",
+                {"scroll_id": scroll_id, "scroll": f"{self.scroll_timeout_ms}ms"},
+            )
+            page = [h["_source"] for h in payload["hits"]["hits"]]
+            if not page:
+                break
+            docs.extend(page)
+            scroll_id = payload.get("_scroll_id", scroll_id)
+        if handle.limit is not None:
+            docs = docs[: handle.limit]
+        rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+        return spark.read.json(rdd)
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return self.search(spark, collection)
 
 
 class ElasticsearchSource(ExternalHttpSource):
@@ -125,6 +229,22 @@ class ElasticsearchSource(ExternalHttpSource):
         {CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_TOPN, CAP_COUNT,
          CAP_SUMMARIZE, CAP_UNION}
     )
+
+    def __init__(self, url: str, timeout_s: float = 2.0,
+                 timestamp_fields: dict[str, str] | None = None):
+        super().__init__(url, timeout_s)
+        self.timestamp_fields = timestamp_fields or {}
+
+    def handle(self, collection: str):
+        """Fresh pushdown handle — the ES flavor differs from Quickwit
+        only in the top-n nulls shape ("missing": _first/_last,
+        elasticsearch.rs:1322) and minimum_should_match in OR filters."""
+        from miso_spark.sources.pushdown import PushHandle
+
+        return PushHandle(
+            flavor="elasticsearch",
+            timestamp_field=self.timestamp_fields.get(collection),
+        )
 
     def search(
         self,

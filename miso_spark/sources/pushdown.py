@@ -1,0 +1,296 @@
+"""Pushdown handle for the external search connectors (Quickwit / ES).
+
+Behavioral parity with the reference's connector handles:
+``QuickwitHandle`` (miso-connectors/src/quickwit.rs:84-172) and
+``ElasticsearchHandle`` (elasticsearch.rs) — an immutable accumulator
+of absorbed query steps. Each ``apply_*`` method mirrors the guard
+conditions of the reference's same-named ``Connector`` hook
+(quickwit.rs:1268-1552, elasticsearch.rs:1264-1487) and returns a new
+handle, or ``None`` when the step must stay engine-side (the exact
+``Option<Box<dyn QueryHandle>>`` contract). ``build_search_body``
+assembles the request JSON the way quickwit.rs ``query()`` does
+(:1174-1210): bool/must for stacked filters, ``sort`` for top-n,
+``size: 0`` + ``aggs`` for summarize, ``size`` for limit.
+
+Everything here is pure and unit-tested with no live service
+(tests/test_pushdown.py asserts the emitted JSON equals the reference
+shapes); the wire layer (external.py) ships the body to ``/_search``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field, replace
+
+from miso_spark import plan as P
+from miso_spark.exprs import Bin, Duration, Exists, Expr, Field, Lit
+
+#: quickwit.rs:46 — nested bucket names summarize_0, summarize_1, ...
+AGGREGATION_RESULTS_NAME = "summarize"
+#: quickwit.rs:51 — placeholder agg so a count-only summarize still
+#: returns doc_count buckets; stripped from decoded rows
+ONLY_COUNT_AGG_FIELD_NAME = "_remove_me"
+#: quickwit.rs:55 — terms-bucket size
+MAX_NUM_GROUPS = 65000
+
+#: Aggregation kind → ES/Quickwit metric aggregation name
+#: (quickwit.rs:1395-1415: min/max/sum/avg verbatim, dcount →
+#: cardinality, countif(exists(f)) → value_count)
+_AGG_OPS = {"min": "min", "max": "max", "sum": "sum", "avg": "avg"}
+
+
+def _plain_field(e: Expr) -> str | None:
+    """Pushable field: plain (possibly nested) path, no array access."""
+    if not isinstance(e, Field):
+        return None
+    if any(idxs for _, idxs in e.path.segments):
+        return None
+    return str(e.path)
+
+
+@dataclass(frozen=True)
+class PushHandle:
+    """One connector-bound query being pushed down, step by step."""
+
+    flavor: str = "quickwit"  # "quickwit" | "elasticsearch"
+    timestamp_field: str | None = None
+    queries: tuple = ()  # stacked filter DSL dicts → bool/must
+    source_includes: tuple = ()
+    sorts: tuple | None = None  # JSON sort array (top-n)
+    aggs: dict | None = None  # {"aggs": {...}} wrapper, like the handle
+    group_by: tuple = ()
+    count_fields: tuple = ()
+    agg_timestamp_fields: frozenset = frozenset()
+    limit: int | None = None
+    count: bool = False
+    collections: tuple = ()  # extra union indexes
+    raw_query: dict | None = None
+
+    # ---- apply_* hooks (return None = engine keeps the step) ---------
+
+    def apply_filter(self, expr: Expr):
+        # quickwit.rs:1268: cannot filter over raw / top-n / group-by
+        if self.raw_query is not None or self.sorts is not None or self.group_by:
+            return None
+        from miso_spark.sources.es_dsl import compile_filter
+
+        dsl = compile_filter(
+            expr, minimum_should_match=self.flavor == "elasticsearch"
+        )
+        if dsl is None:
+            return None
+        return replace(self, queries=self.queries + (dsl,))
+
+    def apply_project(self, fields: tuple[P.ProjectField, ...]):
+        # quickwit.rs:1277: only identity projections (from == to) of
+        # plain fields narrow _source_includes; raw/count/group-by out
+        if self.raw_query is not None or self.count or self.group_by:
+            return None
+        includes = []
+        for pf in fields:
+            name = _plain_field(pf.expr)
+            if name is None or name != pf.name:
+                return None
+            includes.append(name)
+        return replace(self, source_includes=tuple(includes))
+
+    def apply_limit(self, n: int):
+        # quickwit.rs:1300: min with any already-absorbed limit
+        if self.raw_query is not None:
+            return None
+        if self.limit is not None and self.limit < n:
+            n = self.limit
+        return replace(self, limit=n)
+
+    def apply_topn(self, sorts: tuple[P.Sort, ...], n: int):
+        # quickwit.rs:1313: no top-n over raw / top-n / group-by
+        if self.raw_query is not None or self.sorts is not None or self.group_by:
+            return None
+        if self.limit is not None and self.limit < n:
+            n = self.limit
+        if self.flavor == "elasticsearch":
+            # elasticsearch.rs:1322: nulls → "missing": _first/_last
+            sort_json = tuple(
+                {s.by: {"order": s.order, "missing": f"_{s.nulls}"}} for s in sorts
+            )
+        else:
+            # quickwit.rs:1338: {"order", "nulls"}
+            sort_json = tuple(
+                {s.by: {"order": s.order, "nulls": s.nulls}} for s in sorts
+            )
+        return replace(self, sorts=sort_json, limit=n)
+
+    def apply_count(self):
+        # quickwit.rs:1354: count over group-by would count rows, not
+        # groups — engine-side. Clears source_includes (outputs change).
+        if self.raw_query is not None or self.group_by:
+            return None
+        return replace(self, count=True, source_includes=())
+
+    def apply_summarize(self, step: P.SummarizeStep):
+        # quickwit.rs:1365: the service aggregates before sort/limit
+        # regardless of pipeline order, so refuse after any of those
+        if (
+            self.raw_query is not None
+            or self.limit is not None
+            or self.sorts is not None
+            or self.group_by
+        ):
+            return None
+
+        count_fields: list[str] = []
+        agg_ts_fields: set[str] = set()
+        inner_aggs: dict = {}
+        for name, agg in step.aggs:
+            if agg.kind == "count":
+                # always available as the bucket's doc_count
+                count_fields.append(name)
+                continue
+            if agg.kind in _AGG_OPS:
+                op = _AGG_OPS[agg.kind]
+                agg_field = _plain_field(agg.arg)
+            elif agg.kind == "dcount":
+                op = "cardinality"
+                agg_field = _plain_field(agg.arg)
+            elif agg.kind == "countif" and isinstance(agg.arg, Exists):
+                # countif(exists(f)) → value_count (quickwit.rs:1402)
+                op = "value_count"
+                agg_field = _plain_field(agg.arg.expr)
+            else:
+                # arbitrary countif predicates / approx sketches stay
+                # engine-side (quickwit.rs:1419 returns None)
+                return None
+            if agg_field is None:
+                return None
+            if self.timestamp_field is not None and agg_field == self.timestamp_field:
+                agg_ts_fields.add(name)
+            inner_aggs[name] = {op: {"field": agg_field}}
+
+        if count_fields and not inner_aggs:
+            # count-only: quickwit.rs:1427 inserts a throwaway agg so
+            # buckets (and their doc_count) come back at all
+            inner_aggs[ONLY_COUNT_AGG_FIELD_NAME] = {"max": {"field": "a"}}
+
+        # nested bucket chain summarize_0 → summarize_1 → ... → metrics
+        aggs: dict = {}
+        current = aggs
+        for i, bf in enumerate(step.by):
+            name = f"{AGGREGATION_RESULTS_NAME}_{i}"
+            if isinstance(bf.expr, Field):
+                f = _plain_field(bf.expr)
+                if f is None:
+                    return None
+                bucket = {"terms": {"field": f, "size": MAX_NUM_GROUPS}}
+            elif isinstance(bf.expr, Bin):
+                f = _plain_field(bf.expr.expr)
+                if f is None:
+                    return None
+                size = bf.expr.size
+                if isinstance(size, Duration):
+                    # timespan → date_histogram (ms, elasticsearch.rs
+                    # fixed_interval format)
+                    bucket = {
+                        "date_histogram": {
+                            "field": f,
+                            "fixed_interval": f"{int(size.seconds * 1000)}ms",
+                        }
+                    }
+                elif isinstance(size, Lit):
+                    bucket = {"histogram": {"field": f, "interval": size.value}}
+                else:
+                    return None
+            else:
+                return None
+            bucket["aggs"] = {}
+            current[name] = bucket
+            current = bucket["aggs"]
+
+        current.update(inner_aggs)
+
+        return replace(
+            self,
+            aggs={"aggs": aggs},
+            group_by=tuple(bf.name for bf in step.by),
+            count_fields=tuple(count_fields),
+            agg_timestamp_fields=frozenset(agg_ts_fields),
+            source_includes=(),
+        )
+
+    def apply_union(self, other: "PushHandle", collection: str):
+        # quickwit.rs:1513: multi-index search only for the exact same
+        # query on indexes sharing the timestamp field
+        if self.raw_query is not None:
+            return None
+        if replace(other, collections=()) != replace(self, collections=()):
+            return None
+        if other.timestamp_field != self.timestamp_field:
+            return None
+        return replace(self, collections=self.collections + (collection,))
+
+    def with_raw_query(self, query: dict):
+        return replace(self, raw_query=query)
+
+    # ---- request assembly (quickwit.rs query(), :1174-1210) ----------
+
+    def indexes(self, collection: str) -> str:
+        """Comma-joined, sorted, deduped index list (quickwit.rs:1166)."""
+        names = sorted({collection, *self.collections})
+        return ",".join(names)
+
+    def build_search_body(self) -> dict | None:
+        if self.raw_query is not None:
+            return self.raw_query
+        body: dict = {}
+        if self.queries:
+            body["query"] = {"bool": {"must": list(self.queries)}}
+        if self.sorts is not None:
+            body["sort"] = list(self.sorts)
+        if self.aggs is not None:
+            body["size"] = 0
+            body.update(self.aggs)
+        elif self.limit is not None:
+            body["size"] = self.limit
+        return body or None
+
+
+# ---- aggregation response decoding (quickwit.rs:997-1110) -------------
+
+
+def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
+    """Walk the nested ``summarize_i`` buckets of a search-aggregation
+    response into flat rows: group keys from bucket ``key``s, count
+    aggs from ``doc_count``, metric aggs from their ``value`` leaves.
+    Empty date_histogram gap buckets (doc_count 0) are dropped and the
+    count-only placeholder agg is stripped, like the reference."""
+    rows: list[dict] = []
+    group_by = list(handle.group_by)
+
+    def leaf(bucket: dict, doc_count: int, keys: list) -> None:
+        if doc_count == 0:
+            return  # quickwit fills date_histogram gaps — drop them
+        row = dict(zip(group_by, keys))
+        for name in handle.count_fields:
+            row[name] = doc_count
+        for name, value_wrap in bucket.items():
+            if name == ONLY_COUNT_AGG_FIELD_NAME or not isinstance(value_wrap, dict):
+                continue
+            if "value" in value_wrap:
+                row[name] = value_wrap["value"]
+        rows.append(row)
+
+    def walk(buckets_wrap: dict, depth: int, keys: list) -> None:
+        for bucket in buckets_wrap.get("buckets", []):
+            keys.append(bucket.get("key"))  # reference ignores key_as_string
+            if len(keys) == len(group_by):
+                leaf(bucket, bucket.get("doc_count", 0), keys)
+            else:
+                walk(bucket[f"{AGGREGATION_RESULTS_NAME}_{depth}"], depth + 1, keys)
+            keys.pop()
+
+    aggregations = payload.get("aggregations", {})
+    first = aggregations.get(f"{AGGREGATION_RESULTS_NAME}_0")
+    if first is not None:
+        walk(first, 1, [])
+    else:
+        total = payload.get("hits", {}).get("total", {}).get("value", 0)
+        leaf(aggregations, total, [])
+    return rows

@@ -1,0 +1,369 @@
+"""External-connector pushdown emission + wire tests.
+
+The emitted request JSON is asserted against the reference's output
+shapes: quickwit.rs apply_topn/apply_count/apply_summarize
+(:1313,:1354,:1365) and query() body assembly (:1174-1210);
+elasticsearch.rs apply_topn (:1305) for the ES-flavor deltas. The
+Quickwit wire bridge is round-tripped against an in-process HTTP stub
+speaking the same ES-compatible routes the reference calls
+(begin_search :655, continue_scroll :694, count :720).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from miso_spark import parse_kql
+from miso_spark import plan as P
+from miso_spark.sources.pushdown import (
+    AGGREGATION_RESULTS_NAME,
+    MAX_NUM_GROUPS,
+    ONLY_COUNT_AGG_FIELD_NAME,
+    PushHandle,
+    decode_aggregations,
+)
+
+
+def _summarize_step(kql: str) -> P.SummarizeStep:
+    step = parse_kql(kql).steps[-1]
+    assert isinstance(step, P.SummarizeStep)
+    return step
+
+
+def _filter_expr(kql: str):
+    step = parse_kql(kql).steps[-1]
+    assert isinstance(step, P.Filter)
+    return step.expr
+
+
+# ---------------------------------------------------------------------------
+# emission shapes
+
+
+def test_topn_emission_quickwit_vs_es():
+    top = parse_kql("c.t | top 3 by ts desc").steps[-1]
+    assert isinstance(top, P.Top)
+
+    qw = PushHandle(flavor="quickwit").apply_topn(top.sorts, top.n)
+    assert qw.build_search_body() == {
+        "sort": [{"ts": {"order": "desc", "nulls": "last"}}],
+        "size": 3,
+    }
+
+    es = PushHandle(flavor="elasticsearch").apply_topn(top.sorts, top.n)
+    # elasticsearch.rs:1322: nulls spelled as "missing": _first/_last
+    assert es.build_search_body() == {
+        "sort": [{"ts": {"order": "desc", "missing": "_last"}}],
+        "size": 3,
+    }
+
+
+def test_count_uses_count_route_and_clears_includes():
+    h = PushHandle().apply_project(
+        parse_kql("c.t | project a, b").steps[-1].fields
+    )
+    assert h.source_includes == ("a", "b")
+    h = h.apply_count()
+    assert h.count and h.source_includes == ()
+    # count over group-by must stay engine-side (quickwit.rs:1354:
+    # the service would count rows, not groups)
+    s = PushHandle().apply_summarize(_summarize_step("c.t | summarize n = count() by k"))
+    assert s.apply_count() is None
+
+
+def test_summarize_emission_matches_reference_shape():
+    step = _summarize_step(
+        "c.events | summarize n = count(), peak = max(value),"
+        " users = dcount(user_id), seen = countif(exists(props))"
+        " by event_type, day = bin(ts, 1d)"
+    )
+    h = PushHandle(flavor="quickwit", timestamp_field="ts").apply_summarize(step)
+    assert h.group_by == ("event_type", "day")
+    assert h.count_fields == ("n",)
+    body = h.build_search_body()
+    assert body["size"] == 0
+    # nested summarize_0 → summarize_1 → metric aggs, quickwit.rs:1438
+    assert body["aggs"] == {
+        "summarize_0": {
+            "terms": {"field": "event_type", "size": MAX_NUM_GROUPS},
+            "aggs": {
+                "summarize_1": {
+                    "date_histogram": {"field": "ts", "fixed_interval": "86400000ms"},
+                    "aggs": {
+                        "peak": {"max": {"field": "value"}},
+                        "users": {"cardinality": {"field": "user_id"}},
+                        "seen": {"value_count": {"field": "props"}},
+                    },
+                }
+            },
+        }
+    }
+
+
+def test_summarize_numeric_bin_is_histogram():
+    step = _summarize_step("c.t | summarize s = sum(v) by b = bin(price, 100)")
+    h = PushHandle().apply_summarize(step)
+    assert h.build_search_body()["aggs"]["summarize_0"]["histogram"] == {
+        "field": "price",
+        "interval": 100,
+    }
+
+
+def test_summarize_count_only_inserts_placeholder_agg():
+    # quickwit.rs:1427: a count-only summarize still needs one metric
+    # agg for buckets to come back; it is stripped on decode
+    step = _summarize_step("c.t | summarize n = count() by k")
+    h = PushHandle().apply_summarize(step)
+    inner = h.build_search_body()["aggs"]["summarize_0"]["aggs"]
+    assert inner == {ONLY_COUNT_AGG_FIELD_NAME: {"max": {"field": "a"}}}
+
+
+def test_summarize_timestamp_agg_fields_tracked():
+    step = _summarize_step("c.t | summarize first = min(ts), peak = max(v) by k")
+    h = PushHandle(timestamp_field="ts").apply_summarize(step)
+    assert h.agg_timestamp_fields == frozenset({"first"})
+
+
+def test_pushdown_guards_match_reference():
+    top = parse_kql("c.t | top 3 by ts desc").steps[-1]
+    summarize = _summarize_step("c.t | summarize n = count() by k")
+    flt = _filter_expr("c.t | where a == 1")
+
+    topn_h = PushHandle().apply_topn(top.sorts, top.n)
+    # no filter / topn over topn (quickwit.rs:1268,:1313)
+    assert topn_h.apply_filter(flt) is None
+    assert topn_h.apply_topn(top.sorts, top.n) is None
+    # no summarize after limit/sort — the service aggregates first
+    # regardless of pipeline order (quickwit.rs:1376)
+    assert topn_h.apply_summarize(summarize) is None
+    assert PushHandle().apply_limit(5).apply_summarize(summarize) is None
+    # nothing composes over group-by engine-side
+    sum_h = PushHandle().apply_summarize(summarize)
+    assert sum_h.apply_filter(flt) is None
+    assert sum_h.apply_project(parse_kql("c.t | project k").steps[-1].fields) is None
+    # non-identity projections can't narrow _source (quickwit.rs:1286)
+    renamed = parse_kql("c.t | project x = a").steps[-1].fields
+    assert PushHandle().apply_project(renamed) is None
+    # arbitrary countif predicates stay engine-side (quickwit.rs:1419)
+    hard = _summarize_step("c.t | summarize n = countif(v > 5) by k")
+    assert PushHandle().apply_summarize(hard) is None
+    # raw query absorbs nothing further (quickwit.rs:1270)
+    raw = PushHandle().with_raw_query({"query": {"match_all": {}}})
+    assert raw.apply_filter(flt) is None
+    assert raw.apply_limit(3) is None
+    assert raw.apply_count() is None
+
+
+def test_limit_takes_min_and_filters_stack():
+    flt1 = _filter_expr("c.t | where a == 1")
+    flt2 = _filter_expr("c.t | where b == 2")
+    h = PushHandle().apply_filter(flt1).apply_filter(flt2).apply_limit(10).apply_limit(50)
+    body = h.build_search_body()
+    assert body["size"] == 10  # min(10, 50), quickwit.rs:1300
+    assert body["query"]["bool"]["must"] == [
+        {"term": {"a": {"value": "1"}}},
+        {"term": {"b": {"value": "2"}}},
+    ]
+
+
+def test_union_requires_identical_query_and_timestamp_field():
+    flt = _filter_expr("c.t | where a == 1")
+    h1 = PushHandle(timestamp_field="ts").apply_filter(flt)
+    h2 = PushHandle(timestamp_field="ts").apply_filter(flt)
+    merged = h1.apply_union(h2, "other")
+    assert merged.collections == ("other",)
+    assert merged.indexes("t") == "other,t"  # sorted + deduped
+    # different query → engine-side (quickwit.rs:1520)
+    assert h1.apply_union(PushHandle(timestamp_field="ts"), "other") is None
+    # different timestamp field → engine-side (quickwit.rs:1536)
+    assert h1.apply_union(
+        PushHandle(timestamp_field="when").apply_filter(flt), "other"
+    ) is None
+
+
+def test_decode_aggregations_nested_buckets():
+    step = _summarize_step(
+        "c.t | summarize n = count(), peak = max(v) by k, day = bin(ts, 1d)"
+    )
+    h = PushHandle().apply_summarize(step)
+    payload = {
+        "aggregations": {
+            f"{AGGREGATION_RESULTS_NAME}_0": {
+                "buckets": [
+                    {
+                        "key": "click",
+                        "doc_count": 7,
+                        f"{AGGREGATION_RESULTS_NAME}_1": {
+                            "buckets": [
+                                {"key": 1700000000000, "doc_count": 4, "peak": {"value": 9.5}},
+                                # date_histogram gap bucket — dropped
+                                {"key": 1700086400000, "doc_count": 0, "peak": {"value": None}},
+                                {"key": 1700172800000, "doc_count": 3, "peak": {"value": 2.0}},
+                            ]
+                        },
+                    }
+                ]
+            }
+        }
+    }
+    rows = decode_aggregations(payload, h)
+    assert rows == [
+        {"k": "click", "day": 1700000000000, "n": 4, "peak": 9.5},
+        {"k": "click", "day": 1700172800000, "n": 3, "peak": 2.0},
+    ]
+
+
+def test_decode_aggregations_no_group_by_strips_placeholder():
+    step = _summarize_step("c.t | summarize n = count()")
+    h = PushHandle().apply_summarize(step)
+    payload = {
+        "hits": {"total": {"value": 42}},
+        "aggregations": {ONLY_COUNT_AGG_FIELD_NAME: {"value": 1.0}},
+    }
+    assert decode_aggregations(payload, h) == [{"n": 42}]
+
+
+# ---------------------------------------------------------------------------
+# wire round-trip against an in-process stub
+
+
+class _QuickwitStub:
+    """Just enough of Quickwit's ES-compatible API for the bridge:
+    version probe, scrolled _search, scroll continuation, _count."""
+
+    def __init__(self, pages, count=0, aggregations=None):
+        import http.server
+        import threading
+
+        stub = self
+        stub.pages = pages
+        stub.count = count
+        stub.aggregations = aggregations
+        stub.requests = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _send(self, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _read_body(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n)) if n else None
+
+            def do_GET(self):
+                body = self._read_body()
+                stub.requests.append((self.path, body))
+                if self.path == "/api/v1/version":
+                    self._send({"version": "stub"})
+                elif self.path.endswith("/_count"):
+                    self._send({"count": stub.count})
+                elif self.path == "/api/v1/_elastic/_search/scroll":
+                    page = stub.pages.pop(0) if stub.pages else []
+                    self._send(
+                        {"_scroll_id": "s1", "hits": {"hits": [{"_source": d} for d in page]}}
+                    )
+                elif "/_search" in self.path:
+                    if stub.aggregations is not None:
+                        self._send(stub.aggregations)
+                    else:
+                        page = stub.pages.pop(0) if stub.pages else []
+                        self._send(
+                            {"_scroll_id": "s1", "hits": {"hits": [{"_source": d} for d in page]}}
+                        )
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        self.url = f"http://127.0.0.1:{self.server.server_port}"
+
+    def shutdown(self):
+        self.server.shutdown()
+
+
+def test_quickwit_search_round_trip_live_wire(spark):
+    """The compiled DSL lands on the wire exactly as built (reference
+    route quickwit.rs:655) and scroll pages concatenate into the
+    DataFrame until an empty page."""
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(
+        pages=[
+            [{"level": "error", "msg": "boom"}, {"level": "error", "msg": "bad"}],
+            [{"level": "error", "msg": "worse"}],
+            [],
+        ]
+    )
+    try:
+        src = QuickwitSource(stub.url)
+        h = src.handle("logs").apply_filter(
+            _filter_expr("c.logs | where level == 'error'")
+        )
+        df = src.search(spark, "logs", h)
+        assert {r["msg"] for r in df.collect()} == {"boom", "bad", "worse"}
+
+        search_reqs = [(p, b) for p, b in stub.requests if "/_search" in p]
+        path, body = search_reqs[0]
+        assert path.startswith("/api/v1/_elastic/logs/_search?scroll=30000ms&size=")
+        # quickwit flavor: no minimum_should_match, filters under bool/must
+        assert body == {
+            "query": {"bool": {"must": [{"term": {"level": {"value": "error"}}}]}}
+        }
+        # scroll continuation on the reference's route with its body shape
+        assert search_reqs[1][0] == "/api/v1/_elastic/_search/scroll"
+        assert search_reqs[1][1] == {"scroll_id": "s1", "scroll": "30000ms"}
+    finally:
+        stub.shutdown()
+
+
+def test_quickwit_count_round_trip_live_wire(spark):
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(pages=[], count=1234)
+    try:
+        src = QuickwitSource(stub.url)
+        h = src.handle("logs").apply_count()
+        df = src.search(spark, "logs", h)
+        assert [tuple(r) for r in df.collect()] == [(1234,)]
+        assert df.columns == ["Count"]  # miso COUNT_FIELD_NAME
+        assert any(p == "/api/v1/_elastic/logs/_count" for p, _ in stub.requests)
+    finally:
+        stub.shutdown()
+
+
+def test_quickwit_aggregation_round_trip_live_wire(spark):
+    from miso_spark.sources.external import QuickwitSource
+
+    agg_payload = {
+        "hits": {"total": {"value": 10}},
+        "aggregations": {
+            f"{AGGREGATION_RESULTS_NAME}_0": {
+                "buckets": [
+                    {"key": "a", "doc_count": 6, "peak": {"value": 3.5}},
+                    {"key": "b", "doc_count": 4, "peak": {"value": 1.0}},
+                ]
+            }
+        },
+    }
+    stub = _QuickwitStub(pages=[], aggregations=agg_payload)
+    try:
+        src = QuickwitSource(stub.url)
+        step = _summarize_step("c.logs | summarize n = count(), peak = max(v) by k")
+        h = src.handle("logs").apply_summarize(step)
+        df = src.search(spark, "logs", h)
+        got = {(r["k"], r["n"], r["peak"]) for r in df.collect()}
+        assert got == {("a", 6, 3.5), ("b", 4, 1.0)}
+        # the aggregation body went out with size=0 + nested aggs
+        body = next(b for p, b in stub.requests if "/_search" in p)
+        assert body["size"] == 0 and "summarize_0" in body["aggs"]
+    finally:
+        stub.shutdown()
