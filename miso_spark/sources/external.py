@@ -301,6 +301,16 @@ class SplunkSource(ExternalHttpSource):
          CAP_COUNT, CAP_SUMMARIZE, CAP_UNION}
     )
 
+    #: job-protocol knobs (splunk/query_runner.rs poll_interval /
+    #: timeout / batch_size)
+    poll_interval_s = 0.05
+    job_timeout_s = 30.0
+    batch_size = 1000
+
+    def __init__(self, url: str, timeout_s: float = 2.0, token: str | None = None):
+        super().__init__(url, timeout_s)
+        self.token = token  # SplunkAuth bearer (splunk/mod.rs:70)
+
     def apply_filter(self, expr):
         """Splunk speaks SPL, not the ES query DSL: `| search` terms
         for indexed predicates, `| where` for evaluation clauses
@@ -308,3 +318,88 @@ class SplunkSource(ExternalHttpSource):
         from miso_spark.sources.spl import compile_filter_spl
 
         return compile_filter_spl(expr)
+
+    # ---- job protocol (splunk/query_runner.rs) -----------------------
+
+    def _request(self, path: str, data: bytes | None = None,
+                 content_type: str | None = None) -> dict:
+        import json
+
+        headers = {}
+        if content_type:
+            headers["Content-Type"] = content_type
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(f"{self.url}{path}", data=data, headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.load(resp)
+
+    def create_job(self, spl: str) -> str:
+        """POST /services/search/jobs with the form body the reference
+        sends (query_runner.rs:152: search + output_mode=json +
+        exec_mode=normal) → the job's sid."""
+        import urllib.parse
+
+        form = urllib.parse.urlencode(
+            [("search", spl), ("output_mode", "json"), ("exec_mode", "normal")]
+        ).encode()
+        payload = self._request(
+            "/services/search/jobs", form, "application/x-www-form-urlencoded"
+        )
+        return payload["sid"]
+
+    def poll_until_done(self, sid: str) -> int:
+        """GET /services/search/jobs/{sid} until isDone, with the
+        reference's terminal-state handling (query_runner.rs:201:
+        FAILED/PAUSED error out; anything else keeps polling until the
+        timeout). Returns resultCount."""
+        import time
+
+        deadline = time.monotonic() + self.job_timeout_s
+        while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"Search job {sid} timed out")
+            payload = self._request(f"/services/search/jobs/{sid}?output_mode=json")
+            entries = payload.get("entry", [])
+            if entries:
+                content = entries[0]["content"]
+                if content.get("isDone"):
+                    return int(content.get("resultCount", 0))
+                state = content.get("dispatchState", "")
+                if state == "FAILED":
+                    raise RuntimeError(f"Search job {sid} failed")
+                if state in ("PAUSE", "PAUSED"):
+                    raise RuntimeError(f"Search job {sid} paused unexpectedly")
+            time.sleep(self.poll_interval_s)
+
+    def fetch_results(self, sid: str) -> list[dict]:
+        """Page GET /services/search/jobs/{sid}/results with
+        offset/count until an empty page (query_runner.rs:375)."""
+        docs: list[dict] = []
+        offset = 0
+        while True:
+            payload = self._request(
+                f"/services/search/jobs/{sid}/results?output_mode=json"
+                f"&offset={offset}&count={self.batch_size}"
+            )
+            page = payload.get("results", [])
+            if not page:
+                return docs
+            docs.extend(page)
+            offset += len(page)
+
+    def run_job(self, spark: SparkSession, spl: str) -> DataFrame:
+        """Full job lifecycle — submit, poll, fetch — returning the
+        results as a DataFrame (query_runner.rs run())."""
+        import json
+
+        self._connect()
+        sid = self.create_job(spl)
+        self.poll_until_done(sid)
+        docs = self.fetch_results(sid)
+        rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+        return spark.read.json(rdd)
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        # splunk/mod.rs builds `search index=...` as the scan root
+        return self.run_job(spark, f"search index={collection}")

@@ -367,3 +367,113 @@ def test_quickwit_aggregation_round_trip_live_wire(spark):
         assert body["size"] == 0 and "summarize_0" in body["aggs"]
     finally:
         stub.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Splunk job protocol (splunk/query_runner.rs) against an in-process stub
+
+
+def test_splunk_job_protocol_round_trip_live_wire(spark):
+    """Submit → poll (RUNNING then DONE) → paged fetch, with the
+    compiled SPL in the creation form exactly as spl.py built it
+    (query_runner.rs:152 create_job, :201 poll_until_done, :375
+    offset/count result paging)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.sources.external import SplunkSource
+    from miso_spark.sources.spl import compile_filter_spl
+
+    state = {"polls": 0, "creates": [], "result_offsets": []}
+    pages = {0: [{"level": "error", "n": 1}, {"level": "error", "n": 2}],
+             2: [{"level": "error", "n": 3}]}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            state["creates"].append(form)
+            self._send({"sid": "job42"})
+
+        def do_GET(self):
+            if "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                off = int(q["offset"][0])
+                state["result_offsets"].append(off)
+                self._send({"results": pages.get(off, [])})
+            elif "/services/search/jobs/job42" in self.path:
+                state["polls"] += 1
+                done = state["polls"] >= 2
+                self._send(
+                    {"entry": [{"content": {
+                        "dispatchState": "DONE" if done else "RUNNING",
+                        "isDone": done, "resultCount": 3}}]}
+                )
+            else:  # health probe
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = SplunkSource(f"http://127.0.0.1:{srv.server_port}", token="tok")
+        flt = compile_filter_spl(_filter_expr("c.logs | where level == 'error'"))
+        spl = f"search index=logs {flt.search}"
+        df = src.run_job(spark, spl)
+        assert {r["n"] for r in df.collect()} == {1, 2, 3}
+        # the SPL and reference form fields landed in the creation body
+        form = state["creates"][0]
+        assert form["search"] == [spl]
+        assert form["output_mode"] == ["json"] and form["exec_mode"] == ["normal"]
+        assert state["polls"] >= 2  # saw RUNNING before DONE
+        assert state["result_offsets"] == [0, 2, 3]  # paged until empty
+    finally:
+        srv.shutdown()
+
+
+def test_splunk_failed_job_raises(spark):
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import SplunkSource
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self._send({"sid": "dead"})
+
+        def do_GET(self):
+            if "/services/search/jobs/dead" in self.path:
+                self._send({"entry": [{"content": {
+                    "dispatchState": "FAILED", "isDone": False}}]})
+            else:
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = SplunkSource(f"http://127.0.0.1:{srv.server_port}")
+        with pytest.raises(RuntimeError, match="failed"):
+            src.run_job(spark, "search index=x")
+    finally:
+        srv.shutdown()
