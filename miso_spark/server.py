@@ -320,6 +320,14 @@ class MisoServer:
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("X-Query-Id", qid)
                 self.end_headers()
+                # every query executes inside its own Spark job group so
+                # a client disconnect can abort the in-flight jobs — the
+                # reference's CancellationToken drop-guard
+                # (http_server.rs:340-371, cancel_iter.rs)
+                qgroup = f"miso-query-{qid}"
+                server_self.miso.spark.sparkContext.setJobGroup(
+                    qgroup, body.get("query", "")[:100], interruptOnCancel=True
+                )
                 # Runtime failures after this point can't become an HTTP
                 # error code (headers are gone); emit an SSE error frame
                 # instead, like the reference surfaces mid-stream errors
@@ -355,6 +363,18 @@ class MisoServer:
                         # the SSE behavior of the reference
                         for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
                             self.wfile.write(f"data: {line}\n\n".encode())
+                except OSError:
+                    # client dropped mid-stream: abort the Spark jobs
+                    # still computing rows nobody will read — the
+                    # reference cancels the workflow via its
+                    # CancellationToken when the SSE stream drops
+                    # (http_server.rs:347 cancel.cancel())
+                    server_self.miso.spark.sparkContext.cancelJobGroup(qgroup)
+                    server_self.metrics["queries_cancelled_total"] = (
+                        server_self.metrics.get("queries_cancelled_total", 0) + 1
+                    )
+                    status("cancelled", done=True)
+                    return
                 except Exception as e:  # noqa: BLE001
                     server_self.metrics["query_errors_total"] += 1
                     status("internal_error", str(e)[:500], done=True)
@@ -362,10 +382,13 @@ class MisoServer:
                         payload = json.dumps({"error": str(e)[:500]})
                         self.wfile.write(f"event: error\ndata: {payload}\n\n".encode())
                     except OSError:
-                        pass  # client already gone
+                        server_self.miso.spark.sparkContext.cancelJobGroup(qgroup)
                     return
                 status("success", done=True)
-                self.wfile.write(b"event: done\ndata: {}\n\n")
+                try:
+                    self.wfile.write(b"event: done\ndata: {}\n\n")
+                except OSError:
+                    pass  # client gone after the last row — nothing to cancel
 
         return Handler
 

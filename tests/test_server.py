@@ -209,3 +209,73 @@ def test_query_status_collection(spark):
         assert rows["q-bad"]["error"]  # the parse failure is recorded
     finally:
         srv.shutdown()
+
+
+def test_client_disconnect_cancels_job_group(server, spark):
+    """cancel_iter.rs parity: dropping the SSE stream mid-query aborts
+    the in-flight Spark jobs — the server's write loop turns the broken
+    pipe into a cancelJobGroup on the query's own group."""
+    import socket
+    import threading
+
+    cancelled = threading.Event()
+    orig = spark.sparkContext.cancelJobGroup
+
+    def spy(group):
+        if group.startswith("miso-query-"):
+            cancelled.set()
+        return orig(group)
+
+    spark.sparkContext.cancelJobGroup = spy
+    try:
+        # a result big enough to outlive the socket buffers
+        body = json.dumps({"query": "t.lineitem | union (t.lineitem)"}).encode()
+        s = socket.create_connection(("127.0.0.1", server.port))
+        s.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        assert s.recv(200)  # the stream started (headers + first bytes)
+        s.close()  # drop the client mid-stream
+        assert cancelled.wait(timeout=60), "disconnect did not cancel the job group"
+    finally:
+        spark.sparkContext.cancelJobGroup = orig
+
+
+def test_disconnect_cancel_records_cancelled_status(spark):
+    """With a query-status sink configured, a dropped client leaves the
+    query's history row in status 'cancelled' (query_status.rs
+    lifecycle)."""
+    import socket
+    import time
+
+    from miso_spark.server import MisoServer
+    from tests.conftest import SF_DIR
+
+    srv = MisoServer(spark, port=0, query_status_collection="mem.qstatus")
+    srv.add_connector("t", {"type": "parquet_dir", "path": SF_DIR})
+    srv.start_background()
+    try:
+        body = json.dumps(
+            {"query": "t.lineitem | union (t.lineitem)", "query_id": "drop-me"}
+        ).encode()
+        s = socket.create_connection(("127.0.0.1", srv.port))
+        s.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        assert s.recv(200)
+        s.close()
+        deadline = time.monotonic() + 60
+        status = None
+        while time.monotonic() < deadline:
+            rows = srv.status_writer._rows
+            if rows.get("drop-me", {}).get("status") in ("cancelled", "success"):
+                status = rows["drop-me"]["status"]
+                break
+            time.sleep(0.2)
+        assert status == "cancelled"
+    finally:
+        srv.shutdown()
