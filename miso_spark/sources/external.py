@@ -133,6 +133,28 @@ class QuickwitSource(ExternalHttpSource):
             timestamp_field=self.timestamp_fields.get(collection),
         )
 
+    def fetch_indexes(self) -> dict[str, str | None]:
+        """GET /api/v1/indexes → {index_id: timestamp_field} from each
+        index's doc_mapping (quickwit.rs:769 get_indexes; the reference
+        refreshes this at an interval). Populates the static-fields
+        source of truth: indexes with a timestamp field expose it as
+        ``@time`` (quickwit.rs:1113-1125 get_collection)."""
+        payload = self._request_json("/api/v1/indexes", None)
+        self.timestamp_fields = {
+            e["index_config"]["index_id"]: e["index_config"]
+            .get("doc_mapping", {})
+            .get("timestamp_field")
+            for e in payload
+        }
+        # collection static_fields like every other source: @time maps
+        # to the index's real timestamp column at scan
+        self.static_fields = {
+            idx: {"@time": ts}
+            for idx, ts in self.timestamp_fields.items()
+            if ts is not None
+        }
+        return self.timestamp_fields
+
     def _request_json(self, path: str, body: dict | None, method: str = "GET"):
         import json
 

@@ -68,8 +68,17 @@ class PushHandle:
     # ---- apply_* hooks (return None = engine keeps the step) ---------
 
     def apply_filter(self, expr: Expr):
-        # quickwit.rs:1268: cannot filter over raw / top-n / group-by
-        if self.raw_query is not None or self.sorts is not None or self.group_by:
+        # quickwit.rs:1268: cannot filter over raw / top-n / group-by.
+        # Deliberately stricter than the reference: also refuse over an
+        # absorbed limit — the service evaluates query before size, so
+        # pushing `take N | where p` would filter BEFORE the take and
+        # change the result set; that filter stays engine-side.
+        if (
+            self.raw_query is not None
+            or self.sorts is not None
+            or self.group_by
+            or self.limit is not None
+        ):
             return None
         from miso_spark.sources.es_dsl import compile_filter
 
@@ -250,6 +259,53 @@ class PushHandle:
         elif self.limit is not None:
             body["size"] = self.limit
         return body or None
+
+
+# ---- plan negotiation (miso-optimizations push_into_scan/mod.rs) ------
+
+
+def negotiate(plan: P.Plan, handle: PushHandle) -> tuple[PushHandle, P.Plan]:
+    """The PushIntoScan fixpoint: absorb the steps directly following
+    the scan into the connector handle, one at a time, until a step
+    refuses (``apply_*`` returns None) or an unpushable step kind
+    appears — everything after that point stays engine-side. Returns
+    the final handle and the residual plan (scan + unabsorbed steps),
+    exactly the split the reference's optimizer leaves behind."""
+    steps = list(plan.steps)
+    if not steps or not isinstance(steps[0], (P.Scan, P.ScanRaw)):
+        raise ValueError("negotiate() expects a plan starting at a scan")
+    if isinstance(steps[0], P.ScanRaw):
+        # raw_query hook (quickwit.rs:1552): the native query must be
+        # valid JSON; afterwards nothing else is absorbable
+        import json
+
+        try:
+            handle = handle.with_raw_query(json.loads(steps[0].query))
+        except ValueError:
+            return handle, P.Plan(tuple(steps))
+
+    i = 1
+    while i < len(steps):
+        step = steps[i]
+        if isinstance(step, P.Filter):
+            nh = handle.apply_filter(step.expr)
+        elif isinstance(step, P.Project):
+            nh = handle.apply_project(step.fields)
+        elif isinstance(step, P.Limit):
+            nh = handle.apply_limit(step.n)
+        elif isinstance(step, P.Top):
+            nh = handle.apply_topn(step.sorts, step.n)
+        elif isinstance(step, P.SummarizeStep):
+            nh = handle.apply_summarize(step)
+        elif isinstance(step, P.CountStep):
+            nh = handle.apply_count()
+        else:
+            break
+        if nh is None:
+            break
+        handle = nh
+        i += 1
+    return handle, P.Plan((steps[0],) + tuple(steps[i:]))
 
 
 # ---- aggregation response decoding (quickwit.rs:997-1110) -------------

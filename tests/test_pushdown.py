@@ -477,3 +477,138 @@ def test_splunk_failed_job_raises(spark):
             src.run_job(spark, "search index=x")
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# plan negotiation (miso-optimizations push_into_scan)
+
+
+def test_negotiate_absorbs_prefix_until_refusal():
+    from miso_spark.sources.pushdown import negotiate
+
+    plan = parse_kql(
+        "c.logs | where level == 'error' | project level, msg | take 10"
+        " | where msg == 'x'"
+    )
+    h, residual = negotiate(plan, PushHandle())
+    assert h.limit == 10
+    assert h.source_includes == ("level", "msg")
+    assert len(h.queries) == 1
+    # the post-take filter must stay engine-side: the service would
+    # evaluate it BEFORE the take (query precedes size)
+    kinds = [type(s).__name__ for s in residual.steps]
+    assert kinds == ["Scan", "Filter"]
+
+
+def test_negotiate_stops_at_engine_side_step():
+    from miso_spark.sources.pushdown import negotiate
+
+    plan = parse_kql("c.logs | top 5 by ts desc | where level == 'error'")
+    h, residual = negotiate(plan, PushHandle())
+    assert h.sorts is not None and h.limit == 5
+    # filter over top-n refused (quickwit.rs:1268) → stays engine-side
+    kinds = [type(s).__name__ for s in residual.steps]
+    assert kinds == ["Scan", "Filter"]
+
+
+def test_negotiate_summarize_then_sort_keeps_sort_engine_side():
+    from miso_spark.sources.pushdown import negotiate
+
+    plan = parse_kql(
+        "c.logs | summarize n = count() by level | sort by n desc"
+    )
+    h, residual = negotiate(plan, PushHandle())
+    assert h.group_by == ("level",)
+    kinds = [type(s).__name__ for s in residual.steps]
+    assert kinds == ["Scan", "SortStep"]
+
+
+def test_negotiate_raw_scan_absorbs_json_only():
+    from miso_spark.sources.pushdown import negotiate
+
+    raw = parse_kql("c.logs.raw('{\"query\": {\"match_all\": {}}}') | take 5")
+    h, residual = negotiate(raw, PushHandle())
+    assert h.raw_query == {"query": {"match_all": {}}}
+    # nothing composes over raw (quickwit.rs:1270)
+    kinds = [type(s).__name__ for s in residual.steps]
+    assert kinds == ["ScanRaw", "Limit"]
+
+
+def test_negotiate_end_to_end_over_the_wire(spark):
+    """KQL → negotiate → Quickwit wire: the absorbed prefix becomes the
+    request body, the residual plan is empty, rows come back."""
+    from miso_spark.sources.external import QuickwitSource
+    from miso_spark.sources.pushdown import negotiate
+
+    stub = _QuickwitStub(pages=[[{"level": "error", "msg": "a"}], []])
+    try:
+        src = QuickwitSource(stub.url)
+        plan = parse_kql("c.logs | where level == 'error' | take 2")
+        h, residual = negotiate(plan, src.handle("logs"))
+        assert len(residual.steps) == 1
+        df = src.search(spark, "logs", h)
+        assert [r["msg"] for r in df.collect()] == ["a"]
+        path, body = next((p, b) for p, b in stub.requests if "/_search?" in p)
+        assert "size=2" in path  # scroll page size capped by the limit
+        assert body["size"] == 2
+        assert body["query"]["bool"]["must"] == [
+            {"term": {"level": {"value": "error"}}}
+        ]
+    finally:
+        stub.shutdown()
+
+
+def test_negotiate_count_end_to_end(spark):
+    from miso_spark.sources.external import QuickwitSource
+    from miso_spark.sources.pushdown import negotiate
+
+    stub = _QuickwitStub(pages=[], count=77)
+    try:
+        src = QuickwitSource(stub.url)
+        plan = parse_kql("c.logs | where level == 'error' | count")
+        h, residual = negotiate(plan, src.handle("logs"))
+        assert len(residual.steps) == 1 and h.count
+        df = src.search(spark, "logs", h)
+        assert [tuple(r) for r in df.collect()] == [(77,)]
+        # the filter rode along to the _count route
+        path, body = next((p, b) for p, b in stub.requests if "/_count" in p)
+        assert body["query"]["bool"]["must"] == [
+            {"term": {"level": {"value": "error"}}}
+        ]
+    finally:
+        stub.shutdown()
+
+
+def test_quickwit_fetch_indexes_populates_time_field():
+    """GET /api/v1/indexes → timestamp fields bound into handles and
+    exposed as @time static_fields (quickwit.rs:769,1113)."""
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(pages=[])
+    stub_indexes = [
+        {"index_config": {"index_id": "logs",
+                          "doc_mapping": {"timestamp_field": "ts"}}},
+        {"index_config": {"index_id": "audit", "doc_mapping": {}}},
+    ]
+
+    # extend the stub with the /api/v1/indexes route
+    handler_cls = stub.server.RequestHandlerClass
+    orig = handler_cls.do_GET
+
+    def do_GET(self):
+        if self.path == "/api/v1/indexes":
+            self._send(stub_indexes)
+        else:
+            orig(self)
+
+    handler_cls.do_GET = do_GET
+    try:
+        src = QuickwitSource(stub.url)
+        got = src.fetch_indexes()
+        assert got == {"logs": "ts", "audit": None}
+        assert src.static_fields == {"logs": {"@time": "ts"}}
+        assert src.handle("logs").timestamp_field == "ts"
+        assert src.handle("audit").timestamp_field is None
+    finally:
+        handler_cls.do_GET = orig
+        stub.shutdown()
