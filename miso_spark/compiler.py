@@ -103,8 +103,28 @@ class Compiler:
     def _run(self, plan: P.Plan, env: dict[str, DataFrame]) -> DataFrame:
         df: Optional[DataFrame] = None
         env = dict(env)
-        for step in plan.steps:
+        steps = list(plan.steps)
+        i = 0
+        while i < len(steps):
+            step = steps[i]
+            if df is None and isinstance(step, P.Scan):
+                src = self.registry.source(step.connector)
+                if hasattr(src, "handle") and hasattr(src, "search"):
+                    # external search connector: negotiate the step
+                    # prefix into the service (PushIntoScan parity) and
+                    # execute over the wire; the unabsorbed residual
+                    # continues engine-side on the returned DataFrame
+                    from miso_spark.sources.pushdown import negotiate
+
+                    handle, residual = negotiate(
+                        P.Plan(tuple(steps[i:])), src.handle(step.collection)
+                    )
+                    df = src.search(self.spark, step.collection, handle)
+                    absorbed = len(steps) - i - len(residual.steps)
+                    i += 1 + absorbed
+                    continue
             df = self._apply(step, df, env)
+            i += 1
         if df is None:
             raise ValueError("plan produced no DataFrame (missing scan?)")
         return df

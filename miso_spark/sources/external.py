@@ -42,6 +42,27 @@ class ConnectorUnavailableError(ConnectionError):
     """The external service behind a connector cannot be reached."""
 
 
+def _quickwit_agg_timestamps(df: DataFrame, handle) -> DataFrame:
+    """Aggregation-response datetime parity (quickwit.rs:905-931): a
+    group key on the index's timestamp field comes back as epoch
+    MILLIS (group_by_value_to_datetime multiplies by 1e6 to nanos); a
+    min/max over it comes back as epoch NANOS (agg_value_to_datetime).
+    Convert numeric columns accordingly so the engine sees timestamps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    ts = handle.timestamp_field
+    numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
+    if ts is not None and ts in set(handle.group_by) & numeric:
+        df = df.withColumn(ts, F.timestamp_millis(F.col(ts).cast("long")))
+    for name in handle.agg_timestamp_fields:
+        if name in numeric:
+            df = df.withColumn(
+                name, F.timestamp_micros((F.col(name) / 1000).cast("long"))
+            )
+    return df
+
+
 class ExternalHttpSource(Source):
     """Base for HTTP-service connectors: holds the endpoint, probes a
     health route on first use, and reports unreachability precisely."""
@@ -198,8 +219,13 @@ class QuickwitSource(ExternalHttpSource):
         if handle.aggs is not None:
             payload = self._request_json(f"/api/v1/_elastic/{indexes}/_search", body)
             rows = decode_aggregations(payload, handle)
+            if not rows:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType([]))
             rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
-            return spark.read.json(rdd) if rows else spark.createDataFrame([], "")
+            df = spark.read.json(rdd)
+            return _quickwit_agg_timestamps(df, handle)
 
         scroll_size = self.scroll_size
         if handle.limit is not None:
@@ -229,7 +255,17 @@ class QuickwitSource(ExternalHttpSource):
         if handle.limit is not None:
             docs = docs[: handle.limit]
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-        return spark.read.json(rdd)
+        df = spark.read.json(rdd)
+        # transform_log parity (quickwit.rs:838): the index's timestamp
+        # field arrives as an RFC3339 string — surface it typed
+        ts = handle.timestamp_field
+        if ts is not None and ts in df.columns:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StringType
+
+            if isinstance(df.schema[ts].dataType, StringType):
+                df = df.withColumn(ts, F.to_timestamp(ts))
+        return df
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         return self.search(spark, collection)
@@ -268,35 +304,68 @@ class ElasticsearchSource(ExternalHttpSource):
             timestamp_field=self.timestamp_fields.get(collection),
         )
 
+    def _post_json(self, path: str, body: dict) -> dict:
+        import json
+
+        req = urllib.request.Request(
+            f"{self.url}{path}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.load(resp)
+
     def search(
         self,
         spark: SparkSession,
         collection: str,
-        query: dict | None = None,
+        query=None,
         size: int = 1000,
     ) -> DataFrame:
         """POST ``/{index}/_search`` with a compiled es_dsl query and
         return the hits' ``_source`` docs as a DataFrame.
 
-        This is the real wire bridge (round-tripped against an
-        in-process stub in tests/test_es_dsl.py): the DSL that
-        ``apply_filter`` builds is exactly what lands on the wire, as
-        in elasticsearch.rs:443-630. It is a driver-side single-page
+        ``query`` is either a raw DSL dict (the original bridge, as in
+        elasticsearch.rs:443-630) or a negotiated
+        :class:`~miso_spark.sources.pushdown.PushHandle`, in which case
+        the handle's full request body goes out — counts route to
+        ``/{index}/_count`` and aggregations decode from the nested
+        buckets, like the Quickwit bridge. Driver-side single-page
         fetch — the bootstrap/test path; a production deployment scans
         distributed through the official
         ``org.elasticsearch.spark.sql`` DataSource with the same DSL in
         ``es.query``."""
         import json
 
+        from miso_spark.sources.pushdown import PushHandle, decode_aggregations
+
         self._connect()
-        body = {"query": query or {"match_all": {}}, "size": size}
-        req = urllib.request.Request(
-            f"{self.url}/{collection}/_search",
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            payload = json.load(resp)
+        if isinstance(query, PushHandle):
+            handle = query
+            body = handle.build_search_body() or {}
+            indexes = handle.indexes(collection)
+            if handle.count:
+                payload = self._post_json(f"/{indexes}/_count", body)
+                n = payload["count"]
+                if handle.limit is not None:
+                    n = min(n, handle.limit)
+                return spark.createDataFrame([(n,)], "Count long")
+            if handle.aggs is not None:
+                payload = self._post_json(f"/{indexes}/_search", body)
+                rows = decode_aggregations(payload, handle)
+                if not rows:
+                    from pyspark.sql.types import StructType
+
+                    return spark.createDataFrame([], StructType([]))
+                rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+                return spark.read.json(rdd)
+            body.setdefault("size", size)
+            if handle.source_includes:
+                body["_source"] = list(handle.source_includes)
+            payload = self._post_json(f"/{indexes}/_search", body)
+        else:
+            body = {"query": query or {"match_all": {}}, "size": size}
+            payload = self._post_json(f"/{collection}/_search", body)
         docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
         # json-lines through spark.read.json: schema inference matches
         # how the json_dir source types documents

@@ -612,3 +612,131 @@ def test_quickwit_fetch_indexes_populates_time_field():
     finally:
         handler_cls.do_GET = orig
         stub.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# compiler integration: KQL against an external connector executes
+# through negotiate() + the wire bridge, residual steps engine-side
+
+
+def test_compiler_pushes_kql_into_quickwit(spark):
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(
+        pages=[[{"level": "error", "msg": "boom", "n": 3},
+                {"level": "error", "msg": "bad", "n": 1}], []]
+    )
+    try:
+        reg = SourceRegistry(spark).register("qw", QuickwitSource(stub.url))
+        df = Compiler(reg).run(
+            parse_kql("qw.logs | where level == 'error' | take 10 | sort by n desc")
+        )
+        # where+take pushed to the service; sort stayed engine-side
+        assert [r["msg"] for r in df.collect()] == ["boom", "bad"]
+        path, body = next((p, b) for p, b in stub.requests if "/_search?" in p)
+        assert body["query"]["bool"]["must"] == [
+            {"term": {"level": {"value": "error"}}}
+        ]
+        assert body["size"] == 10
+    finally:
+        stub.shutdown()
+
+
+def test_compiler_pushes_count_into_quickwit(spark):
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(pages=[], count=321)
+    try:
+        reg = SourceRegistry(spark).register("qw", QuickwitSource(stub.url))
+        df = Compiler(reg).run(parse_kql("qw.logs | count"))
+        assert [tuple(r) for r in df.collect()] == [(321,)]
+        assert df.columns == ["Count"]
+        assert any("/_count" in p for p, _ in stub.requests)
+    finally:
+        stub.shutdown()
+
+
+def test_es_handle_search_count_and_aggs(spark):
+    """The ES flavor of the handle executes over ES routes: POST
+    /{index}/_count for counts, nested-bucket decode for summarize."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource
+
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # health
+            self._send({"status": "green"})
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = json.loads(self.rfile.read(n))
+            seen.append((self.path, body))
+            if self.path.endswith("/_count"):
+                self._send({"count": 9})
+            else:
+                self._send({
+                    "hits": {"total": {"value": 9}},
+                    "aggregations": {
+                        "summarize_0": {"buckets": [
+                            {"key": "x", "doc_count": 9, "s": {"value": 12.5}},
+                        ]}
+                    },
+                })
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = ElasticsearchSource(f"http://127.0.0.1:{srv.server_port}")
+        flt = _filter_expr("c.logs | where level == 'error'")
+        cnt = src.handle("logs").apply_filter(flt).apply_count()
+        df = src.search(spark, "logs", cnt)
+        assert [tuple(r) for r in df.collect()] == [(9,)]
+        path, body = seen[0]
+        assert path == "/logs/_count"
+        # ES flavor: minimum_should_match present in OR shapes; simple
+        # term here but the bool/must stack is the ES body
+        assert body["query"]["bool"]["must"][0] == {"term": {"level": {"value": "error"}}}
+
+        step = _summarize_step("c.logs | summarize s = sum(v) by k")
+        agg = src.handle("logs").apply_summarize(step)
+        df = src.search(spark, "logs", agg)
+        assert [(r["k"], r["s"]) for r in df.collect()] == [("x", 12.5)]
+    finally:
+        srv.shutdown()
+
+
+def test_quickwit_agg_timestamp_conversion(spark):
+    """quickwit.rs:905-931 parity: timestamp-field group keys arrive as
+    epoch millis, min/max aggs over the timestamp field as epoch nanos
+    — both surface as typed timestamps."""
+    from miso_spark.sources.external import _quickwit_agg_timestamps
+
+    step = _summarize_step("c.t | summarize first = min(ts), n = count() by ts")
+    h = PushHandle(timestamp_field="ts").apply_summarize(step)
+    assert h.agg_timestamp_fields == frozenset({"first"})
+    df = spark.createDataFrame(
+        [(1700000000000, 1700000000123456789, 4)], "ts long, first long, n long"
+    )
+    out = _quickwit_agg_timestamps(df, h)
+    row = out.collect()[0]
+    assert str(row["ts"]).startswith("2023-11-14")
+    assert str(row["first"]).startswith("2023-11-14")
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    assert out.schema["first"].dataType.typeName() == "timestamp"
