@@ -706,3 +706,69 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
     )
+
+
+def near_dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 2000,
+    materialize_shingles: bool = True,
+) -> DataFrame:
+    """The 100 TB near-dedup runbook as one composed operator.
+
+    The individual stages are safe in isolation but have one sharp
+    interaction at scale: a flood of IDENTICAL documents (boilerplate
+    pages, crawler retries) all share every minhash band, so one LSH
+    bucket goes quadratic. This pipeline sequences the stages so that
+    can't happen, which is why the bucket cap can default ON here while
+    staying opt-in on the raw ``minhash_lsh_pairs``:
+
+    1. ``exact_dedup`` pre-pass — identical docs collapse to one
+       representative each (a linear hash-groupBy), so exact floods
+       never reach the band join;
+    2. capped minhash-LSH + exact-Jaccard verify over the
+       representatives only (post-step-1, an over-cap bucket holds
+       genuinely distinct near-dup text, where dropping the tail is an
+       explicit recall trade — count it with ``capped_bucket_rows``);
+    3. connected components over the verified pairs → cluster
+       canonicals (min id);
+    4. exact-dup members re-attach to their representative's cluster.
+
+    Returns (id, canonical_id, is_kept) for EVERY input row — the same
+    shape as ``dedup_assignments``. Defaults are the cluster-scale
+    settings (cap on, shingles materialized); small-data callers can
+    flip both off.
+    """
+    ex = exact_dedup(df, text_col, id_col)  # content_hash → representative
+    # representatives only: one row per distinct content
+    reps = df.join(
+        ex.select(F.col("canonical_id").alias(id_col)), id_col, "semi"
+    )
+    pairs = minhash_lsh_pairs(
+        reps,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+        materialize_shingles=materialize_shingles,
+    )
+    rep_assign = dedup_assignments(reps, pairs, id_col)  # rep id → cluster canonical
+    # every original id → its exact representative → that rep's cluster
+    to_rep = df.select(
+        F.col(id_col).alias("id"), F.md5(normalize(F.col(text_col))).alias("content_hash")
+    ).join(ex.select("content_hash", F.col("canonical_id").alias("rep_id")), "content_hash")
+    return (
+        to_rep.join(
+            rep_assign.select(F.col("id").alias("rep_id"), "canonical_id"), "rep_id"
+        )
+        .select("id", "canonical_id")
+        .withColumn("is_kept", F.col("id") == F.col("canonical_id"))
+    )

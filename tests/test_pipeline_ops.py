@@ -694,3 +694,49 @@ def test_connected_components_deep_chain_fallback(spark):
         out = {(r["id"], r["canonical_id"]) for r in connected_components(chain, max_iter=3).collect()}
     assert any("did not converge" in str(x.message) for x in w)
     assert out == {(i, 0) for i in range(61)}
+
+
+def test_near_dedup_pipeline_matches_naive_composition(docs):
+    """The 100 TB runbook (exact pre-pass → capped LSH on reps → CC →
+    re-attach) must assign the same clusters as the naive uncapped
+    LSH+CC over all rows when no bucket overflows — the pre-pass is a
+    performance restructuring, not a semantics change."""
+    from miso_spark.functions.dedup import (
+        dedup_assignments,
+        minhash_lsh_pairs,
+        near_dedup_pipeline,
+    )
+
+    got = {
+        (r["id"], r["canonical_id"])
+        for r in near_dedup_pipeline(docs, bands=8, threshold=0.5).collect()
+    }
+    naive = {
+        (r["id"], r["canonical_id"])
+        for r in dedup_assignments(
+            docs, minhash_lsh_pairs(docs, bands=8, threshold=0.5)
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_near_dedup_pipeline_survives_identical_flood(spark):
+    """1k identical docs: the exact pre-pass collapses the flood to one
+    representative BEFORE the band join, so the default bucket cap
+    never drops near-dup recall for it — all 1000 flood rows land in
+    one cluster even with a tiny cap."""
+    from miso_spark.functions.dedup import near_dedup_pipeline
+
+    flood = [(i, "spam spam spam wonderful spam spam eggs and spam") for i in range(1000)]
+    normal = [
+        (2000, "the quick brown fox jumps over the lazy dog today"),
+        (2001, "the quick brown fox jumps over the lazy dog tonight"),
+        (2002, "completely unrelated text about distributed query engines"),
+    ]
+    df = spark.createDataFrame(flood + normal, "doc_id long, text string")
+    out = near_dedup_pipeline(df, max_bucket_size=10, threshold=0.4).collect()
+    assign = {r["id"]: r["canonical_id"] for r in out}
+    assert len(assign) == 1003  # every input row assigned
+    assert {assign[i] for i in range(1000)} == {0}  # flood → one cluster
+    assert assign[2000] == assign[2001] == 2000  # near-dups cluster
+    assert assign[2002] == 2002  # unrelated stays its own canonical
