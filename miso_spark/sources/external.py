@@ -425,17 +425,21 @@ class SplunkSource(ExternalHttpSource):
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             return json.load(resp)
 
-    def create_job(self, spl: str) -> str:
+    def create_job(self, spl: str, previews: bool = False) -> str:
         """POST /services/search/jobs with the form body the reference
         sends (query_runner.rs:152: search + output_mode=json +
-        exec_mode=normal) → the job's sid."""
+        exec_mode=normal; previews add status_buckets so Splunk keeps
+        preview results) → the job's sid."""
         import urllib.parse
 
-        form = urllib.parse.urlencode(
-            [("search", spl), ("output_mode", "json"), ("exec_mode", "normal")]
-        ).encode()
+        form = [("search", spl), ("output_mode", "json"), ("exec_mode", "normal")]
+        if previews:
+            # value doesn't matter as long as > 0 (query_runner.rs:160)
+            form.append(("status_buckets", "300"))
         payload = self._request(
-            "/services/search/jobs", form, "application/x-www-form-urlencoded"
+            "/services/search/jobs",
+            urllib.parse.urlencode(form).encode(),
+            "application/x-www-form-urlencoded",
         )
         return payload["sid"]
 
@@ -463,14 +467,14 @@ class SplunkSource(ExternalHttpSource):
                     raise RuntimeError(f"Search job {sid} paused unexpectedly")
             time.sleep(self.poll_interval_s)
 
-    def fetch_results(self, sid: str) -> list[dict]:
-        """Page GET /services/search/jobs/{sid}/results with
-        offset/count until an empty page (query_runner.rs:375)."""
+    def fetch_results(self, sid: str, route: str = "results") -> list[dict]:
+        """Page GET /services/search/jobs/{sid}/{results|results_preview}
+        with offset/count until an empty page (query_runner.rs:375)."""
         docs: list[dict] = []
         offset = 0
         while True:
             payload = self._request(
-                f"/services/search/jobs/{sid}/results?output_mode=json"
+                f"/services/search/jobs/{sid}/{route}?output_mode=json"
                 f"&offset={offset}&count={self.batch_size}"
             )
             page = payload.get("results", [])
@@ -478,6 +482,47 @@ class SplunkSource(ExternalHttpSource):
                 return docs
             docs.extend(page)
             offset += len(page)
+
+    def run_job_with_previews(self, spl: str, preview_interval_s: float = 0.05):
+        """Generator form of the reference's preview streaming
+        (query_runner.rs:232 poll_with_previews_until_done): while the
+        job is RUNNING, each poll fetches /results_preview and yields a
+        ``("partial", round_id, rows)`` tuple — the same
+        partial-stream-round shape the engine's SSE layer emits — then
+        the DONE state yields ``("final", round_id, rows)`` from
+        /results. QUEUED/PARSING/FINALIZING keep polling;
+        FAILED/PAUSED raise, like the blocking path."""
+        import time
+
+        self._connect()
+        sid = self.create_job(spl, previews=True)
+        deadline = time.monotonic() + self.job_timeout_s
+        round_id = 0
+        while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"Search job {sid} timed out")
+            payload = self._request(f"/services/search/jobs/{sid}?output_mode=json")
+            entries = payload.get("entry", [])
+            if not entries:
+                time.sleep(self.poll_interval_s)
+                continue
+            content = entries[0]["content"]
+            state = content.get("dispatchState", "")
+            if state == "FAILED":
+                raise RuntimeError(f"Search job {sid} failed")
+            if state in ("PAUSE", "PAUSED"):
+                raise RuntimeError(f"Search job {sid} paused unexpectedly")
+            if state == "RUNNING":
+                rows = self.fetch_results(sid, "results_preview")
+                if rows:
+                    yield ("partial", round_id, rows)
+                    round_id += 1
+                time.sleep(preview_interval_s)
+                continue
+            if state == "DONE" or content.get("isDone"):
+                yield ("final", round_id, self.fetch_results(sid))
+                return
+            time.sleep(self.poll_interval_s)
 
     def run_job(self, spark: SparkSession, spl: str) -> DataFrame:
         """Full job lifecycle — submit, poll, fetch — returning the

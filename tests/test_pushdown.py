@@ -740,3 +740,65 @@ def test_quickwit_agg_timestamp_conversion(spark):
     assert str(row["first"]).startswith("2023-11-14")
     assert out.schema["ts"].dataType.typeName() == "timestamp"
     assert out.schema["first"].dataType.typeName() == "timestamp"
+
+
+def test_splunk_previews_round_trip_live_wire():
+    """Preview streaming (query_runner.rs:232): status_buckets in the
+    creation form, results_preview rounds while RUNNING, final results
+    on DONE."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.sources.external import SplunkSource
+
+    state = {"polls": 0, "creates": []}
+    previews = {1: [{"n": "1"}], 2: [{"n": "1"}, {"n": "2"}]}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            state["creates"].append(urllib.parse.parse_qs(self.rfile.read(n).decode()))
+            self._send({"sid": "pv1"})
+
+        def do_GET(self):
+            if "/results_preview" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = previews.get(state["polls"], []) if int(q["offset"][0]) == 0 else []
+                self._send({"results": page})
+            elif "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = [{"n": "1"}, {"n": "2"}, {"n": "3"}] if int(q["offset"][0]) == 0 else []
+                self._send({"results": page})
+            elif "/services/search/jobs/pv1" in self.path:
+                state["polls"] += 1
+                if state["polls"] <= 2:
+                    self._send({"entry": [{"content": {
+                        "dispatchState": "RUNNING", "isDone": False}}]})
+                else:
+                    self._send({"entry": [{"content": {
+                        "dispatchState": "DONE", "isDone": True,
+                        "resultCount": 3}}]})
+            else:
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = SplunkSource(f"http://127.0.0.1:{srv.server_port}")
+        rounds = list(src.run_job_with_previews("search index=x"))
+        assert state["creates"][0]["status_buckets"] == ["300"]
+        kinds = [(k, rid, len(rows)) for k, rid, rows in rounds]
+        assert kinds == [("partial", 0, 1), ("partial", 1, 2), ("final", 2, 3)]
+    finally:
+        srv.shutdown()
