@@ -117,7 +117,7 @@ class Compiler:
                     from miso_spark.sources.pushdown import negotiate
 
                     handle, residual = negotiate(
-                        P.Plan(tuple(steps[i:])), src.handle(step.collection)
+                        P.Plan(tuple(steps[i:])), src.handle(step.collection), src
                     )
                     df = src.search(self.spark, step.collection, handle)
                     absorbed = len(steps) - i - len(residual.steps)

@@ -536,6 +536,37 @@ class SplunkSource(ExternalHttpSource):
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
         return spark.read.json(rdd)
 
+    def handle(self, collection: str):
+        """Fresh SPL pipeline handle (splunk/mod.rs get_handle)."""
+        from miso_spark.sources.spl import SplunkHandle
+
+        return SplunkHandle()
+
+    def search(self, spark: SparkSession, collection: str, handle=None) -> DataFrame:
+        """Render the negotiated handle to SPL and run the job protocol
+        — the Splunk arm of the compiler's pushdown execution. Splunk
+        returns every field as a string, so the handle's stats typing
+        is replayed Spark-side (query_runner.rs
+        fetch_results_with_stats_transform: numeric agg fields parse
+        numeric, _time-derived min/max parse as timestamps, Count
+        parses numeric)."""
+        from pyspark.sql import functions as F
+
+        from miso_spark.sources.spl import COUNT_FIELD_NAME, SplunkHandle
+
+        handle = handle if handle is not None else SplunkHandle()
+        df = self.run_job(spark, handle.build_spl(collection))
+        numeric = set(handle.stats_numeric_fields())
+        if handle.has_count():
+            numeric.add(COUNT_FIELD_NAME)
+        for c in numeric:
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast("double"))
+        for c in handle.stats_timestamp_fields():
+            if c in df.columns:
+                df = df.withColumn(c, F.to_timestamp(c))
+        return df
+
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         # splunk/mod.rs builds `search index=...` as the scan root
-        return self.run_job(spark, f"search index={collection}")
+        return self.run_job(spark, f'search (index="{collection}")')

@@ -264,21 +264,29 @@ class PushHandle:
 # ---- plan negotiation (miso-optimizations push_into_scan/mod.rs) ------
 
 
-def negotiate(plan: P.Plan, handle: PushHandle) -> tuple[PushHandle, P.Plan]:
+def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle, P.Plan]:
     """The PushIntoScan fixpoint: absorb the steps directly following
     the scan into the connector handle, one at a time, until a step
     refuses (``apply_*`` returns None) or an unpushable step kind
     appears — everything after that point stays engine-side. Returns
     the final handle and the residual plan (scan + unabsorbed steps),
-    exactly the split the reference's optimizer leaves behind."""
+    exactly the split the reference's optimizer leaves behind.
+
+    ``source`` (optional) enables the push_union_into_scan pass: a
+    union whose sub-plan scans the SAME connector and absorbs fully
+    into an identical handle merges into one multi-index search
+    (apply_union decides, like the reference — not all connectors can)."""
     steps = list(plan.steps)
     if not steps or not isinstance(steps[0], (P.Scan, P.ScanRaw)):
         raise ValueError("negotiate() expects a plan starting at a scan")
     if isinstance(steps[0], P.ScanRaw):
         # raw_query hook (quickwit.rs:1552): the native query must be
-        # valid JSON; afterwards nothing else is absorbable
+        # valid JSON, and only connectors implementing the hook absorb
+        # it (lib.rs: raw_query is optional — Splunk has none)
         import json
 
+        if not hasattr(handle, "with_raw_query"):
+            return handle, P.Plan(tuple(steps))
         try:
             handle = handle.with_raw_query(json.loads(steps[0].query))
         except ValueError:
@@ -299,6 +307,28 @@ def negotiate(plan: P.Plan, handle: PushHandle) -> tuple[PushHandle, P.Plan]:
             nh = handle.apply_summarize(step)
         elif isinstance(step, P.CountStep):
             nh = handle.apply_count()
+        elif isinstance(step, P.Extend) and hasattr(handle, "apply_extend"):
+            # apply_extend is connector-optional (lib.rs): Splunk
+            # renders rex extractions; the search connectors have none
+            nh = handle.apply_extend(step.fields)
+        elif isinstance(step, P.Union) and source is not None:
+            # push_union_into_scan.rs: the union sub-plan must scan the
+            # same connector and absorb COMPLETELY into its own handle;
+            # apply_union then decides whether the two can merge into a
+            # multi-index search
+            nh = None
+            sub = step.sub
+            if (
+                sub.steps
+                and isinstance(sub.steps[0], P.Scan)
+                and isinstance(steps[0], P.Scan)
+                and sub.steps[0].connector == steps[0].connector
+            ):
+                sub_handle, sub_residual = negotiate(
+                    sub, source.handle(sub.steps[0].collection), source
+                )
+                if len(sub_residual.steps) == 1:
+                    nh = handle.apply_union(sub_handle, sub.steps[0].collection)
         else:
             break
         if nh is None:

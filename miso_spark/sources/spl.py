@@ -173,3 +173,306 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
             return SplFilter(search=f"({f}<{lo} OR {f}>{hi})")
         return SplFilter(search=f"({f}>={lo} AND {f}<={hi})")
     return None
+
+
+# ---------------------------------------------------------------------------
+# SplunkHandle: the full SPL pipeline builder (splunk/mod.rs:141-330)
+
+
+SPLUNK_TIME_FIELD = "_time"
+COUNT_FIELD_NAME = "Count"
+
+
+def _is_time_field(name: str) -> bool:
+    # splunk/mod.rs:519 is_timestamp_field
+    return name in (SPLUNK_TIME_FIELD, "@time")
+
+
+def _epoch_seconds(v: object) -> int | None:
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            # naive datetimes are UTC engine-wide (session.py UTC conf)
+            import calendar
+
+            return calendar.timegm(v.timetuple())
+        return int(v.timestamp())
+    return None
+
+
+def extract_timestamp_range(e: Expr):
+    """(earliest, latest, remaining_expr) — expr.rs:144
+    extract_timestamp_range: comparisons of the Splunk time field
+    against datetime literals become the search clause's
+    earliest/latest (inclusive/exclusive adjusted like the reference);
+    ANDs recurse, everything else stays in the remaining expr."""
+    if isinstance(e, BinOp) and e.op in ("gt", "gte", "lt", "lte"):
+        f = _field(e.left)
+        if (
+            f is not None
+            and _is_time_field(f)
+            and isinstance(e.right, Lit)
+            and (epoch := _epoch_seconds(e.right.value)) is not None
+        ):
+            if e.op == "gte":
+                return epoch, None, None
+            if e.op == "gt":  # exclusive → +1 makes earliest inclusive
+                return epoch + 1, None, None
+            if e.op == "lt":
+                return None, epoch, None
+            return None, epoch + 1, None  # lte: latest is exclusive
+    if isinstance(e, BinOp) and e.op == "and":
+        le, ll, lr = extract_timestamp_range(e.left)
+        re_, rl, rr = extract_timestamp_range(e.right)
+        earliest = max(x for x in (le, re_) if x is not None) if (le is not None or re_ is not None) else None
+        latest = min(x for x in (ll, rl) if x is not None) if (ll is not None or rl is not None) else None
+        if lr is not None and rr is not None:
+            remaining: Expr | None = BinOp("and", lr, rr)
+        else:
+            remaining = lr if lr is not None else rr
+        return earliest, latest, remaining
+    return None, None, e
+
+
+def convert_to_splunk_named_capture(pattern: str, group: int, output: str) -> str | None:
+    """Rewrite capture group #``group`` of a regex into Splunk's named
+    form ``(?<output>...)`` (splunk/mod.rs:865): escapes pass through,
+    non-capturing/lookaround groups don't count, an existing
+    ``?<name>``/``?P<name>`` on the target group is replaced."""
+    if group <= 0:
+        return None
+    out: list[str] = []
+    i, current, n = 0, 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "(":
+            rest = pattern[i + 1 : i + 4]
+            if rest.startswith(("?:", "?=", "?!", "?<!", "?<=")):
+                out.append(c)
+                i += 1
+                continue
+            current += 1
+            if current == group:
+                out.append(f"(?<{output}>")
+                i += 1
+                if i < n and pattern[i] == "?":
+                    j = i + 1
+                    if j < n and pattern[j] == "P":
+                        j += 1
+                    if j < n and pattern[j] == "<":
+                        while j < n and pattern[j] != ">":
+                            j += 1
+                        i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out) if current >= group else None
+
+
+@dataclass(frozen=True)
+class SplunkHandle:
+    """Immutable SPL pipeline accumulator (splunk/mod.rs SplunkHandle):
+    ``pipeline`` holds rendered ops in order; ``earliest``/``latest``
+    ride in the base search clause (more efficient than filtering).
+    Implements the same duck-typed ``apply_*`` surface as
+    :class:`~miso_spark.sources.pushdown.PushHandle`, so
+    ``negotiate()`` drives it unchanged."""
+
+    indexes: tuple = ()  # extra union indexes
+    pipeline: tuple = ()  # (op, *args) tuples, rendered by build_spl
+    earliest: int | None = None
+    latest: int | None = None
+
+    def _push(self, *op) -> "SplunkHandle":
+        from dataclasses import replace
+
+        return replace(self, pipeline=self.pipeline + (op,))
+
+    # ---- apply hooks (splunk/mod.rs:1182-1380) -----------------------
+
+    def apply_filter(self, expr: Expr):
+        earliest, latest, remaining = extract_timestamp_range(expr)
+        from dataclasses import replace
+
+        h = self
+        if earliest is not None:
+            h = replace(h, earliest=earliest if h.earliest is None else max(h.earliest, earliest))
+        if latest is not None:
+            h = replace(h, latest=latest if h.latest is None else min(h.latest, latest))
+        if remaining is not None:
+            flt = compile_filter_spl(remaining)
+            if flt is None:
+                return None
+            if flt.search is not None:
+                h = h._push("search", flt.search)
+            if flt.where is not None:
+                h = h._push("where", flt.where)
+        return h
+
+    def apply_project(self, fields):
+        # splunk/mod.rs:1200: `| fields` doesn't restrict _raw, so
+        # projections can't push down — engine-side
+        return None
+
+    def apply_limit(self, n: int):
+        return self._push("head", n)
+
+    def apply_topn(self, sorts, n: int):
+        # skip `sort -_time` — Splunk's default order; forcing it would
+        # process the entire dataset (splunk/mod.rs:1223)
+        keep = [
+            (s.by, s.order)
+            for s in sorts
+            if not (_is_time_field(s.by) and s.order == "desc")
+        ]
+        h = self._push("sort", tuple(keep)) if keep else self
+        return h._push("head", n)
+
+    def apply_count(self):
+        return self._push("count")
+
+    def apply_summarize(self, step):
+        # `| stats by x` with no aggs returns default stats columns —
+        # doesn't match distinct-on-keys; engine-side (mod.rs:1255)
+        if not step.aggs:
+            return None
+        agg_parts = []
+        timestamp_fields = set()
+        numeric_fields = set()
+        for name, agg in step.aggs:
+            if agg.kind == "count":
+                numeric_fields.add(name)
+                agg_parts.append(f"count as {name}")
+                continue
+            if agg.kind == "countif":
+                if not isinstance(agg.arg, Exists):
+                    return None
+                f = _field(agg.arg.expr)
+                if f is None:
+                    return None
+                numeric_fields.add(name)
+                agg_parts.append(f"count(eval(isnotnull({f}))) as {name}")
+                continue
+            op = {"min": "min", "max": "max", "sum": "sum", "avg": "avg", "dcount": "dc"}.get(agg.kind)
+            if op is None:
+                return None
+            f = _field(agg.arg)
+            if f is None:
+                return None
+            if agg.kind in ("min", "max") and _is_time_field(f):
+                timestamp_fields.add(name)
+            else:
+                numeric_fields.add(name)
+            agg_parts.append(f"{op}({f}) as {name}")
+        by_fields = []
+        renames = []
+        for bf in step.by:
+            f = _field(bf.expr)
+            if f is None:
+                # bins / computed keys: Splunk's binning syntax differs —
+                # engine-side (mod.rs:1322)
+                return None
+            by_fields.append(f)
+            if f != bf.name:
+                renames.append((f, bf.name))
+        h = self._push(
+            "stats", ", ".join(agg_parts), tuple(by_fields),
+            frozenset(timestamp_fields), frozenset(numeric_fields),
+        )
+        if renames:
+            h = h._push("rename", tuple(renames))
+        return h
+
+    def apply_extend(self, fields):
+        from miso_spark.exprs import Extract
+
+        h = self
+        for pf in fields:
+            if not isinstance(pf.expr, Extract):
+                return None
+            if not isinstance(pf.expr.pattern, Lit) or not isinstance(pf.expr.pattern.value, str):
+                return None
+            if not isinstance(pf.expr.group, Lit) or not isinstance(pf.expr.group.value, int):
+                return None
+            src = _field(pf.expr.source)
+            if src is None:
+                return None
+            pat = convert_to_splunk_named_capture(
+                pf.expr.pattern.value, pf.expr.group.value, pf.name
+            )
+            if pat is None:
+                return None
+            h = h._push("rex", src, pat)
+        return h
+
+    def apply_union(self, other: "SplunkHandle", collection: str):
+        if other.pipeline != self.pipeline:
+            return None
+        from dataclasses import replace
+
+        return replace(self, indexes=self.indexes + (collection,))
+
+    # ---- SPL rendering (splunk/mod.rs:213-310 build_spl) -------------
+
+    def _can_use_tstats(self) -> bool:
+        return len(self.pipeline) == 1 and self.pipeline[0][0] == "count"
+
+    def stats_numeric_fields(self) -> frozenset:
+        for op in self.pipeline:
+            if op[0] == "stats":
+                return op[4]
+        return frozenset()
+
+    def stats_timestamp_fields(self) -> frozenset:
+        for op in self.pipeline:
+            if op[0] == "stats":
+                return op[3]
+        return frozenset()
+
+    def has_count(self) -> bool:
+        return any(op[0] == "count" for op in self.pipeline)
+
+    def build_spl(self, collection: str) -> str:
+        indexes = sorted({collection, *self.indexes})
+        index_clause = " OR ".join(f'index="{i}"' for i in indexes)
+        if self._can_use_tstats():
+            # tstats count is much faster for bare counts (mod.rs:227)
+            spl = f"| tstats count as {COUNT_FIELD_NAME} where ({index_clause})"
+            if self.earliest is not None:
+                spl += f" earliest={self.earliest}"
+            if self.latest is not None:
+                spl += f" latest={self.latest}"
+            return spl
+        spl = f"search ({index_clause})"
+        if self.earliest is not None:
+            spl += f" earliest={self.earliest}"
+        if self.latest is not None:
+            spl += f" latest={self.latest}"
+        for op in self.pipeline:
+            kind = op[0]
+            if kind == "search":
+                spl += f" | search {op[1]}"
+            elif kind == "where":
+                spl += f" | where {op[1]}"
+            elif kind == "sort":
+                clause = ", ".join(
+                    ("+" if order == "asc" else "-") + field for field, order in op[1]
+                )
+                spl += f" | sort {clause}"
+            elif kind == "head":
+                spl += f" | head {op[1]}"
+            elif kind == "stats":
+                spl += f" | stats {op[1]}"
+                if op[2]:
+                    spl += " by " + ", ".join(op[2])
+            elif kind == "count":
+                spl += f" | stats count as {COUNT_FIELD_NAME}"
+            elif kind == "rename":
+                clause = ", ".join(f"{a} as {b}" for a, b in op[1])
+                spl += f" | rename {clause}"
+            elif kind == "rex":
+                spl += f' | rex field={op[1]} "{op[2]}"'
+        return spl

@@ -802,3 +802,90 @@ def test_splunk_previews_round_trip_live_wire():
         assert kinds == [("partial", 0, 1), ("partial", 1, 2), ("final", 2, 3)]
     finally:
         srv.shutdown()
+
+
+def test_compiler_pushes_kql_into_splunk(spark):
+    """KQL against a Splunk connector compiles to SPL, runs the job
+    protocol, and types the stats outputs (Splunk returns strings)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import SplunkSource
+
+    state = {"spl": None, "polls": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            state["spl"] = form["search"][0]
+            self._send({"sid": "c1"})
+
+        def do_GET(self):
+            if "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = (
+                    [{"level": "error", "n": "7"}] if int(q["offset"][0]) == 0 else []
+                )
+                self._send({"results": page})
+            elif "/services/search/jobs/c1" in self.path:
+                self._send({"entry": [{"content": {
+                    "dispatchState": "DONE", "isDone": True, "resultCount": 1}}]})
+            else:
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        reg = SourceRegistry(spark).register(
+            "sp", SplunkSource(f"http://127.0.0.1:{srv.server_port}")
+        )
+        df = Compiler(reg).run(
+            parse_kql("sp.logs | where level == 'error' | summarize n = count() by level")
+        )
+        assert state["spl"] == (
+            'search (index="logs") | search level=CASE("error")'
+            " | stats count as n by level"
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["level"] == "error"
+        assert rows[0]["n"] == 7.0  # numeric stats field typed from string
+    finally:
+        srv.shutdown()
+
+
+def test_negotiate_pushes_same_connector_union():
+    """push_union_into_scan.rs: identical sub-query on the same
+    connector merges into one multi-index search; a differing sub-query
+    stays engine-side."""
+    from miso_spark.sources.external import QuickwitSource
+    from miso_spark.sources.pushdown import negotiate
+
+    src = QuickwitSource("http://x:1", timestamp_fields={"a": "ts", "b": "ts"})
+    plan = parse_kql("qw.a | where level == 'err' | union (qw.b | where level == 'err') | take 9")
+    h, residual = negotiate(plan, src.handle("a"), src)
+    assert len(residual.steps) == 1
+    assert h.collections == ("b",)
+    assert h.indexes("a") == "a,b"
+    assert h.limit == 9
+
+    # different filter in the union arm → union (and the takes after
+    # it) stay engine-side
+    plan2 = parse_kql("qw.a | where level == 'err' | union (qw.b | where level == 'warn')")
+    h2, residual2 = negotiate(plan2, src.handle("a"), src)
+    kinds = [type(s).__name__ for s in residual2.steps]
+    assert kinds == ["Scan", "Union"]
+    assert h2.collections == ()

@@ -56,3 +56,149 @@ def test_splunk_source_apply_filter():
     assert SplunkSource("http://x:1").apply_filter(expr) == SplFilter(
         search='level=CASE("error")'
     )
+
+
+# ---------------------------------------------------------------------------
+# SplunkHandle: SPL pipeline rendering (splunk/mod.rs:213-310 build_spl,
+# apply hooks :1182-1380) — expectations pinned to the reference's own
+# build_spl test strings (mod.rs:1425+)
+
+
+def _steps(kql):
+    from miso_spark import parse_kql
+
+    return parse_kql(kql).steps
+
+
+def _handle():
+    from miso_spark.sources.spl import SplunkHandle
+
+    return SplunkHandle()
+
+
+def test_build_spl_basic_index():
+    assert _handle().build_spl("myindex") == 'search (index="myindex")'
+
+
+def test_build_spl_with_search_filter():
+    h = _handle().apply_filter(_steps("c.t | where foo == 'bar'")[1].expr)
+    assert h.build_spl("myindex") == 'search (index="myindex") | search foo=CASE("bar")'
+
+
+def test_build_spl_topn_and_head():
+    top = _steps("c.t | top 100 by foo desc, bar asc")[1]
+    h = _handle().apply_topn(top.sorts, top.n)
+    assert h.build_spl("myindex") == 'search (index="myindex") | sort -foo, +bar | head 100'
+
+
+def test_build_spl_time_desc_topn_skips_sort():
+    # sort -_time is Splunk's default order; forcing it would process
+    # the entire dataset (mod.rs:1223)
+    top = _steps("c.t | top 10 by @time desc")[1]
+    h = _handle().apply_topn(top.sorts, top.n)
+    assert h.build_spl("idx") == 'search (index="idx") | head 10'
+
+
+def test_build_spl_bare_count_uses_tstats():
+    h = _handle().apply_count()
+    assert h.build_spl("myindex") == '| tstats count as Count where (index="myindex")'
+
+
+def test_build_spl_count_after_filter_uses_stats():
+    h = _handle().apply_filter(_steps("c.t | where foo == 'bar'")[1].expr).apply_count()
+    assert h.build_spl("myindex") == (
+        'search (index="myindex") | search foo=CASE("bar") | stats count as Count'
+    )
+
+
+def test_build_spl_stats_with_by_and_rename():
+    step = _steps("c.t | summarize cnt = count(), total = sum(value) by cat = category")[1]
+    h = _handle().apply_summarize(step)
+    assert h.build_spl("myindex") == (
+        'search (index="myindex") | stats count as cnt, sum(value) as total'
+        " by category | rename category as cat"
+    )
+    assert h.stats_numeric_fields() == frozenset({"cnt", "total"})
+
+
+def test_build_spl_dcount_and_countif_exists():
+    step = _steps("c.t | summarize users = dcount(uid), seen = countif(exists(props)) by k")[1]
+    h = _handle().apply_summarize(step)
+    assert " | stats dc(uid) as users, count(eval(isnotnull(props))) as seen by k" in h.build_spl("i")
+
+
+def test_summarize_guards():
+    # agg-less summarize: stats by returns default columns — refuse
+    assert _handle().apply_summarize(_steps("c.t | summarize by k")[1]) is None
+    # bin group keys: Splunk bin syntax differs — refuse (mod.rs:1322)
+    assert _handle().apply_summarize(
+        _steps("c.t | summarize n = count() by b = bin(v, 10)")[1]
+    ) is None
+    # arbitrary countif predicate — refuse
+    assert _handle().apply_summarize(
+        _steps("c.t | summarize n = countif(v > 5) by k")[1]
+    ) is None
+    # min(_time) types as timestamp, not numeric
+    h = _handle().apply_summarize(_steps("c.t | summarize first = min(@time) by k")[1])
+    assert h.stats_timestamp_fields() == frozenset({"first"})
+
+
+def test_time_range_lands_in_search_clause():
+    expr = _steps(
+        "c.t | where @time >= datetime(2024-01-01) and @time < datetime(2024-01-02)"
+        " and level == 'error'"
+    )[1].expr
+    h = _handle().apply_filter(expr)
+    spl = h.build_spl("idx")
+    # 2024-01-01/02 UTC epochs in the base clause, filter still pushed
+    assert spl.startswith('search (index="idx") earliest=1704067200 latest=1704153600')
+    assert '| search level=CASE("error")' in spl
+
+
+def test_projections_stay_engine_side():
+    # `| fields` doesn't restrict _raw (mod.rs:1200)
+    assert _handle().apply_project(_steps("c.t | project a, b")[1].fields) is None
+
+
+def test_extend_renders_rex():
+    step = _steps("c.t | extend code = extract('err-(\\\\d+)', 1, msg)")[1]
+    h = _handle().apply_extend(step.fields)
+    # the KQL literal 'err-(\\d+)' unescapes to err-(\d+) in the Expr
+    assert h.build_spl("idx") == 'search (index="idx") | rex field=msg "err-(?<code>\\d+)"'
+
+
+def test_union_same_pipeline_only():
+    flt = _steps("c.t | where a == 1")[1].expr
+    h1 = _handle().apply_filter(flt)
+    h2 = _handle().apply_filter(flt)
+    merged = h1.apply_union(h2, "other")
+    spl = merged.build_spl("myindex")
+    assert 'index="myindex"' in spl and 'index="other"' in spl and " OR " in spl
+    assert h1.apply_union(_handle(), "other") is None
+
+
+def test_named_capture_conversion_edges():
+    from miso_spark.sources.spl import convert_to_splunk_named_capture as conv
+
+    assert conv("err-(\\d+)", 1, "code") == "err-(?<code>\\d+)"
+    # second group targeted; first (non-capturing) doesn't count
+    assert conv("(?:ab)(x(y))", 2, "out") == "(?:ab)(x(?<out>y))"
+    # existing name replaced
+    assert conv("(?P<old>\\w+)", 1, "new") == "(?<new>\\w+)"
+    assert conv("no groups", 1, "x") is None
+    assert conv("(a)", 0, "x") is None
+
+
+def test_negotiate_drives_splunk_handle():
+    from miso_spark import parse_kql
+    from miso_spark.sources.pushdown import negotiate
+
+    plan = parse_kql(
+        "sp.logs | where level == 'error' | summarize n = count() by level | take 5"
+    )
+    h, residual = negotiate(plan, _handle())
+    assert len(residual.steps) == 1  # fully absorbed (SPL is pipelined)
+    assert h.build_spl("logs") == (
+        'search (index="logs") | search level=CASE("error")'
+        " | stats count as n by level | head 5"
+    )
