@@ -53,9 +53,13 @@ _SOURCE_TYPES = {
     "json_dir": lambda cfg: JsonDirSource(cfg["path"], cfg.get("static_fields")),
     "csv_dir": lambda cfg: CsvDirSource(cfg["path"], cfg.get("static_fields")),
     "memory": lambda cfg: MemorySource(),
-    "quickwit": lambda cfg: QuickwitSource(cfg["url"]),
-    "elasticsearch": lambda cfg: ElasticsearchSource(cfg["url"]),
-    "splunk": lambda cfg: SplunkSource(cfg["url"]),
+    "quickwit": lambda cfg: QuickwitSource(
+        cfg["url"], timestamp_fields=cfg.get("timestamp_fields")
+    ),
+    "elasticsearch": lambda cfg: ElasticsearchSource(
+        cfg["url"], timestamp_fields=cfg.get("timestamp_fields")
+    ),
+    "splunk": lambda cfg: SplunkSource(cfg["url"], token=cfg.get("token")),
 }
 
 
