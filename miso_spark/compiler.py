@@ -107,7 +107,7 @@ class Compiler:
         i = 0
         while i < len(steps):
             step = steps[i]
-            if df is None and isinstance(step, P.Scan):
+            if df is None and isinstance(step, (P.Scan, P.ScanRaw)):
                 src = self.registry.source(step.connector)
                 if hasattr(src, "handle") and hasattr(src, "search"):
                     # external search connector: negotiate the step
@@ -116,9 +116,21 @@ class Compiler:
                     # continues engine-side on the returned DataFrame
                     from miso_spark.sources.pushdown import negotiate
 
+                    if isinstance(step, P.ScanRaw):
+                        self._require_cap(step.connector, CAP_RAW, "raw query")
                     handle, residual = negotiate(
                         P.Plan(tuple(steps[i:])), src.handle(step.collection), src
                     )
+                    if (
+                        isinstance(step, P.ScanRaw)
+                        and getattr(handle, "raw_query", None) is None
+                    ):
+                        # raw_query hook refused (quickwit.rs:1552
+                        # parses the native query as JSON)
+                        raise ValueError(
+                            f"connector {step.connector!r} cannot absorb "
+                            f"this raw query (must be valid query-DSL JSON)"
+                        )
                     df = src.search(self.spark, step.collection, handle)
                     absorbed = len(steps) - i - len(residual.steps)
                     i += 1 + absorbed

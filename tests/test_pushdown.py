@@ -889,3 +889,38 @@ def test_negotiate_pushes_same_connector_union():
     kinds = [type(s).__name__ for s in residual2.steps]
     assert kinds == ["Scan", "Union"]
     assert h2.collections == ()
+
+
+def test_compiler_raw_scan_ships_native_query_to_quickwit(spark):
+    """`qw.logs.raw('{json}')` sends the native query verbatim
+    (quickwit.rs:1552 raw_query) and the post-raw steps stay
+    engine-side — nothing composes over a raw query."""
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(
+        pages=[[{"msg": "a", "n": 2}, {"msg": "b", "n": 1}], []]
+    )
+    try:
+        reg = SourceRegistry(spark).register("qw", QuickwitSource(stub.url))
+        df = Compiler(reg).run(
+            parse_kql('qw.logs.raw(\'{"query": {"match_all": {}}}\') | take 1')
+        )
+        assert df.count() == 1  # engine-side take over the raw results
+        _, body = next((p, b) for p, b in stub.requests if "/_search" in p)
+        assert body == {"query": {"match_all": {}}}
+    finally:
+        stub.shutdown()
+
+
+def test_compiler_raw_scan_rejects_non_json_for_search_connectors(spark):
+    import pytest as _pytest
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    reg = SourceRegistry(spark).register("qw", QuickwitSource("http://x:1"))
+    with _pytest.raises(ValueError, match="raw query"):
+        Compiler(reg).run(parse_kql("qw.logs.raw('SELECT 1') | take 1"))
