@@ -198,6 +198,29 @@ class MisoServer:
     def _query_df(self, kql: str):
         return self.miso.compiler.run(self._plan(kql))
 
+    def _splunk_preview(self, plan: Plan):
+        """(source, spl) when the plan is a Splunk scan whose steps ALL
+        absorb into one SPL pipeline — the shape the reference streams
+        previews for (query_runner.rs run_with_previews); anything with
+        an engine-side residual falls back to the normal paths."""
+        from miso_spark.plan import Scan
+        from miso_spark.sources.external import SplunkSource
+        from miso_spark.sources.pushdown import negotiate
+
+        steps = plan.steps
+        if not steps or not isinstance(steps[0], Scan):
+            return None
+        try:
+            src = self.miso.registry.source(steps[0].connector)
+        except KeyError:
+            return None
+        if not isinstance(src, SplunkSource):
+            return None
+        handle, residual = negotiate(plan, src.handle(steps[0].collection), src)
+        if len(residual.steps) != 1:
+            return None
+        return src, handle.build_spl(steps[0].collection)
+
     # -- http --------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -312,8 +335,19 @@ class MisoServer:
                 use_partial = debounce is not None and plan_supports_partial_stream(
                     plan, server_self.miso.registry
                 )
+                # Splunk preview streaming (enable_partial_stream,
+                # query_runner.rs run_with_previews): a fully-pushable
+                # Splunk plan streams the service's own preview rounds
+                splunk_preview = (
+                    None if use_partial or debounce is None
+                    else server_self._splunk_preview(plan)
+                )
                 try:
-                    df = None if use_partial else server_self.miso.compiler.run(plan)
+                    df = (
+                        None
+                        if use_partial or splunk_preview is not None
+                        else server_self.miso.compiler.run(plan)
+                    )
                 except Exception as e:
                     status("internal_error", str(e)[:500], done=True)
                     raise
@@ -337,7 +371,31 @@ class MisoServer:
                 # instead, like the reference surfaces mid-stream errors
                 # in-band.
                 try:
-                    if use_partial:
+                    if splunk_preview is not None:
+                        src, spl = splunk_preview
+                        for kind, rid, rows in src.run_job_with_previews(spl):
+                            if kind == "partial":
+                                for r in rows:
+                                    obj = dict(r)
+                                    obj[METADATA_FIELD] = {PARTIAL_ID_FIELD: rid}
+                                    self.wfile.write(
+                                        f"data: {json.dumps(obj)}\n\n".encode()
+                                    )
+                                marker = {
+                                    METADATA_FIELD: {
+                                        PARTIAL_ID_FIELD: rid,
+                                        PARTIAL_DONE_FIELD: True,
+                                    }
+                                }
+                                self.wfile.write(
+                                    f"data: {json.dumps(marker)}\n\n".encode()
+                                )
+                            else:
+                                for r in rows:
+                                    self.wfile.write(
+                                        f"data: {json.dumps(r)}\n\n".encode()
+                                    )
+                    elif use_partial:
                         def emit(rid: int, rows: list[str], final: bool) -> None:
                             if final:
                                 for line in rows:

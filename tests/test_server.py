@@ -279,3 +279,81 @@ def test_disconnect_cancel_records_cancelled_status(spark):
         assert status == "cancelled"
     finally:
         srv.shutdown()
+
+
+def test_splunk_preview_partial_stream_over_sse(spark):
+    """enable_partial_stream parity: a fully-pushable Splunk query with
+    partial_stream streams the service's preview rounds as tagged
+    partial frames before the final rows."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.server import MisoServer
+
+    state = {"polls": 0}
+    previews = {1: [{"n": "1"}], 2: [{"n": "2"}]}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self._send({"sid": "sse1"})
+
+        def do_GET(self):
+            if "/results_preview" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = previews.get(state["polls"], []) if int(q["offset"][0]) == 0 else []
+                self._send({"results": page})
+            elif "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = [{"n": "2"}] if int(q["offset"][0]) == 0 else []
+                self._send({"results": page})
+            elif "/services/search/jobs/sse1" in self.path:
+                state["polls"] += 1
+                done = state["polls"] > 2
+                self._send({"entry": [{"content": {
+                    "dispatchState": "DONE" if done else "RUNNING",
+                    "isDone": done, "resultCount": 1}}]})
+            else:
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    stub = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    srv = MisoServer(spark, port=0)
+    srv.add_connector(
+        "sp", {"type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}"}
+    )
+    srv.start_background()
+    try:
+        resp = _post(
+            srv,
+            "/query",
+            {"query": "sp.logs | where level == 'error'", "partial_stream": True},
+        )
+        frames = []
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("event: done"):
+                break
+            if line.startswith("data: "):
+                frames.append(json.loads(line[6:]))
+        partial = [f for f in frames if "_miso_metadata" in f]
+        finals = [f for f in frames if "_miso_metadata" not in f]
+        # two preview rounds (row + done marker each), then the final row
+        ids = {f["_miso_metadata"]["id"] for f in partial}
+        assert ids == {0, 1}
+        assert any(f["_miso_metadata"].get("done") for f in partial)
+        assert finals == [{"n": "2"}]
+    finally:
+        srv.shutdown()
+        stub.shutdown()
