@@ -288,6 +288,10 @@ class ElasticsearchSource(ExternalHttpSource):
          CAP_SUMMARIZE, CAP_UNION}
     )
 
+    #: paging defaults (elasticsearch.rs default_scroll_timeout/_size)
+    scroll_timeout_s = 30
+    scroll_size = 5_000
+
     def __init__(self, url: str, timeout_s: float = 2.0,
                  timestamp_fields: dict[str, str] | None = None):
         super().__init__(url, timeout_s)
@@ -359,10 +363,34 @@ class ElasticsearchSource(ExternalHttpSource):
                     return spark.createDataFrame([], StructType([]))
                 rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
                 return spark.read.json(rdd)
-            body.setdefault("size", size)
+            # scrolled fetch like the reference (elasticsearch.rs:753
+            # begin_search + :784 continue_scroll)
             if handle.source_includes:
                 body["_source"] = list(handle.source_includes)
-            payload = self._post_json(f"/{indexes}/_search", body)
+            scroll_size = self.scroll_size
+            if handle.limit is not None:
+                scroll_size = min(scroll_size, handle.limit)
+            body.pop("size", None)
+            payload = self._post_json(
+                f"/{indexes}/_search?scroll={self.scroll_timeout_s}s&size={scroll_size}",
+                body,
+            )
+            docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+            scroll_id = payload.get("_scroll_id")
+            while docs and scroll_id and (handle.limit is None or len(docs) < handle.limit):
+                payload = self._post_json(
+                    "/_search/scroll",
+                    {"scroll": f"{self.scroll_timeout_s}s", "scroll_id": scroll_id},
+                )
+                page = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+                if not page:
+                    break
+                docs.extend(page)
+                scroll_id = payload.get("_scroll_id", scroll_id)
+            if handle.limit is not None:
+                docs = docs[: handle.limit]
+            rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+            return spark.read.json(rdd)
         else:
             body = {"query": query or {"match_all": {}}, "size": size}
             payload = self._post_json(f"/{collection}/_search", body)

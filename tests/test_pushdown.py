@@ -924,3 +924,50 @@ def test_compiler_raw_scan_rejects_non_json_for_search_connectors(spark):
     reg = SourceRegistry(spark).register("qw", QuickwitSource("http://x:1"))
     with _pytest.raises(ValueError, match="raw query"):
         Compiler(reg).run(parse_kql("qw.logs.raw('SELECT 1') | take 1"))
+
+
+def test_es_handle_search_scrolls_pages(spark):
+    """ES handle hits path scrolls like the reference: begin on
+    /{index}/_search?scroll=..&size=.., continue on /_search/scroll
+    until an empty page (elasticsearch.rs:753,:784)."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource
+
+    seen = []
+    pages = [[{"m": 1}, {"m": 2}], [{"m": 3}], []]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            self._send({"status": "green"})
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            seen.append((self.path, json.loads(self.rfile.read(n))))
+            page = pages.pop(0) if pages else []
+            self._send({"_scroll_id": "sc1",
+                        "hits": {"hits": [{"_source": d} for d in page]}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = ElasticsearchSource(f"http://127.0.0.1:{srv.server_port}")
+        h = src.handle("logs").apply_filter(_filter_expr("c.logs | where a == 1"))
+        df = src.search(spark, "logs", h)
+        assert sorted(r["m"] for r in df.collect()) == [1, 2, 3]
+        assert seen[0][0].startswith("/logs/_search?scroll=30s&size=")
+        assert seen[1][0] == "/_search/scroll"
+        assert seen[1][1] == {"scroll": "30s", "scroll_id": "sc1"}
+    finally:
+        srv.shutdown()
