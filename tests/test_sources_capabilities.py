@@ -78,3 +78,30 @@ def test_external_sources_fail_at_connect_not_register(spark):
     for name in ("qw", "es", "sp"):
         with pytest.raises(ConnectorUnavailableError, match="not reachable"):
             m.query(f"{name}.logs | count").collect()
+
+
+def test_timestamp_columns_always_surface_as_timestamp(spark):
+    """Environment-drift guard (round 4 broke on this): whatever
+    physical form the testdata's timestamp columns take — timestamp[ns]
+    (read as nano longs under nanosAsLong), naive timestamp[us] (NTZ
+    under Spark 4's inferTimestampNTZ default), or tz-aware — the
+    source layer must surface session-TZ TimestampType, or every
+    cast-to-long / unix_micros / withWatermark downstream breaks."""
+    import os
+
+    from pyspark.sql.types import TimestampType
+
+    from miso_spark.sources import ParquetDirSource
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        src = ParquetDirSource(d)
+        for table, col in (("events", "ts"), ("lineitem", "l_shipdate"),
+                           ("orders", "o_orderdate")):
+            df = src.table(spark, table)
+            dt = df.schema[col].dataType
+            assert isinstance(dt, TimestampType), (sf, table, col, dt)
+            # and the scale-critical operations actually resolve
+            df.select(df[col].cast("long")).limit(1).collect()
