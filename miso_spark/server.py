@@ -219,7 +219,7 @@ class MisoServer:
         handle, residual = negotiate(plan, src.handle(steps[0].collection), src)
         if len(residual.steps) != 1:
             return None
-        return src, handle.build_spl(steps[0].collection)
+        return src, handle.build_spl(steps[0].collection), handle
 
     # -- http --------------------------------------------------------------
     def _make_handler(server_self):
@@ -372,11 +372,17 @@ class MisoServer:
                 # in-band.
                 try:
                     if splunk_preview is not None:
-                        src, spl = splunk_preview
+                        src, spl, handle = splunk_preview
+                        # Splunk returns every field as a string; the
+                        # negotiated handle's stats typing replays on
+                        # each frame so preview rows carry the same
+                        # types as the non-streamed path
+                        # (query_runner.rs
+                        # fetch_results_with_stats_transform)
                         for kind, rid, rows in src.run_job_with_previews(spl):
                             if kind == "partial":
                                 for r in rows:
-                                    obj = dict(r)
+                                    obj = src.coerce_stats_row(r, handle)
                                     obj[METADATA_FIELD] = {PARTIAL_ID_FIELD: rid}
                                     self.wfile.write(
                                         f"data: {json.dumps(obj)}\n\n".encode()
@@ -392,8 +398,9 @@ class MisoServer:
                                 )
                             else:
                                 for r in rows:
+                                    obj = src.coerce_stats_row(r, handle)
                                     self.wfile.write(
-                                        f"data: {json.dumps(r)}\n\n".encode()
+                                        f"data: {json.dumps(obj)}\n\n".encode()
                                     )
                     elif use_partial:
                         def emit(rid: int, rows: list[str], final: bool) -> None:

@@ -219,6 +219,11 @@ class QuickwitSource(ExternalHttpSource):
         if handle.aggs is not None:
             payload = self._request_json(f"/api/v1/_elastic/{indexes}/_search", body)
             rows = decode_aggregations(payload, handle)
+            if handle.limit is not None:
+                # a limit absorbed AFTER apply_summarize truncates the
+                # decoded groups, like the reference's query_aggregation
+                # stopping at limit (quickwit.rs:1101-1106)
+                rows = rows[: handle.limit]
             if not rows:
                 from pyspark.sql.types import StructType
 
@@ -357,12 +362,18 @@ class ElasticsearchSource(ExternalHttpSource):
             if handle.aggs is not None:
                 payload = self._post_json(f"/{indexes}/_search", body)
                 rows = decode_aggregations(payload, handle)
+                if handle.limit is not None:
+                    # same truncation as the Quickwit path above
+                    rows = rows[: handle.limit]
                 if not rows:
                     from pyspark.sql.types import StructType
 
                     return spark.createDataFrame([], StructType([]))
                 rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
-                return spark.read.json(rdd)
+                # group-by / min-max timestamp conversion, as the ES
+                # reference applies (elasticsearch.rs:882,893) — same
+                # epoch conventions as Quickwit's ES-compatible surface
+                return _quickwit_agg_timestamps(spark.read.json(rdd), handle)
             # scrolled fetch like the reference (elasticsearch.rs:753
             # begin_search + :784 continue_scroll)
             if handle.source_includes:
@@ -390,7 +401,18 @@ class ElasticsearchSource(ExternalHttpSource):
             if handle.limit is not None:
                 docs = docs[: handle.limit]
             rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-            return spark.read.json(rdd)
+            df = spark.read.json(rdd)
+            # transform_log parity (elasticsearch.rs:848): the index's
+            # timestamp field arrives as a string — surface it typed,
+            # like the Quickwit search() above
+            ts = handle.timestamp_field
+            if ts is not None and ts in df.columns:
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import StringType
+
+                if isinstance(df.schema[ts].dataType, StringType):
+                    df = df.withColumn(ts, F.to_timestamp(ts))
+            return df
         else:
             body = {"query": query or {"match_all": {}}, "size": size}
             payload = self._post_json(f"/{collection}/_search", body)
@@ -594,6 +616,37 @@ class SplunkSource(ExternalHttpSource):
             if c in df.columns:
                 df = df.withColumn(c, F.to_timestamp(c))
         return df
+
+    @staticmethod
+    def coerce_stats_row(row: dict, handle) -> dict:
+        """Python-side replay of ``search()``'s stats typing for rows
+        that never pass through a DataFrame — the preview-streaming SSE
+        path (query_runner.rs fetch_results_with_stats_transform):
+        numeric stats fields parse numeric, _time-derived min/max parse
+        as timestamps (serialized ISO-8601), Count parses numeric."""
+        from datetime import datetime
+
+        from miso_spark.sources.spl import COUNT_FIELD_NAME
+
+        numeric = set(handle.stats_numeric_fields())
+        if handle.has_count():
+            numeric.add(COUNT_FIELD_NAME)
+        timestamps = set(handle.stats_timestamp_fields())
+        out = dict(row)
+        for k, v in row.items():
+            if not isinstance(v, str):
+                continue
+            if k in numeric:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    pass
+            elif k in timestamps:
+                try:
+                    out[k] = datetime.fromisoformat(v.replace(" ", "T")).isoformat()
+                except ValueError:
+                    pass
+        return out
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         # splunk/mod.rs builds `search index=...` as the scan root

@@ -233,7 +233,12 @@ class PushHandle:
             return None
         if other.timestamp_field != self.timestamp_field:
             return None
-        return replace(self, collections=self.collections + (collection,))
+        # a nested union (scan a | union(scan b | union(scan c)))
+        # carries c in other.collections — keep every absorbed index
+        return replace(
+            self,
+            collections=self.collections + other.collections + (collection,),
+        )
 
     def with_raw_query(self, query: dict):
         return replace(self, raw_query=query)

@@ -297,6 +297,16 @@ class SplunkHandle:
         earliest, latest, remaining = extract_timestamp_range(expr)
         from dataclasses import replace
 
+        if (earliest is not None or latest is not None) and any(
+            op[0] in ("head", "stats", "count") for op in self.pipeline
+        ):
+            # earliest/latest ride in the BASE search clause, which
+            # would reorder this filter before an already-absorbed
+            # head/stats ('take 10 | where _time > X' must filter the
+            # 10, not pre-filter the index). Same strictness as
+            # PushHandle.apply_filter's refuse-over-limit guard —
+            # the filter stays engine-side.
+            return None
         h = self
         if earliest is not None:
             h = replace(h, earliest=earliest if h.earliest is None else max(h.earliest, earliest))

@@ -971,3 +971,153 @@ def test_es_handle_search_scrolls_pages(spark):
         assert seen[1][1] == {"scroll": "30s", "scroll_id": "sc1"}
     finally:
         srv.shutdown()
+
+
+def test_agg_limit_truncates_decoded_groups(spark):
+    """'summarize ... by k | take N' where negotiate absorbed BOTH
+    steps: the decoded groups truncate at the limit, as the reference's
+    query_aggregation stops at limit (quickwit.rs:1101-1106)."""
+    from miso_spark.sources.external import QuickwitSource
+
+    agg_payload = {
+        "hits": {"total": {"value": 10}},
+        "aggregations": {
+            f"{AGGREGATION_RESULTS_NAME}_0": {
+                "buckets": [
+                    {"key": "a", "doc_count": 6, "peak": {"value": 3.5}},
+                    {"key": "b", "doc_count": 4, "peak": {"value": 1.0}},
+                    {"key": "c", "doc_count": 1, "peak": {"value": 0.5}},
+                ]
+            }
+        },
+    }
+    stub = _QuickwitStub(pages=[], aggregations=agg_payload)
+    try:
+        src = QuickwitSource(stub.url)
+        step = _summarize_step("c.logs | summarize peak = max(v) by k")
+        h = src.handle("logs").apply_summarize(step).apply_limit(2)
+        assert h is not None and h.limit == 2
+        df = src.search(spark, "logs", h)
+        assert df.count() == 2
+    finally:
+        stub.shutdown()
+
+
+def test_es_agg_limit_and_timestamp_typing(spark):
+    """ES arm of the same truncation + the timestamp transforms the
+    reference ES connector applies (elasticsearch.rs:882,:893):
+    timestamp group keys (epoch millis) and min/max-over-time aggs
+    (epoch nanos) surface typed, not as raw numbers."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            self._send({"status": "green"})
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self._send({
+                "hits": {"total": {"value": 7}},
+                "aggregations": {
+                    "summarize_0": {"buckets": [
+                        {"key": 1700000000000, "doc_count": 4,
+                         "first": {"value": 1700000000123456789}},
+                        {"key": 1700086400000, "doc_count": 3,
+                         "first": {"value": 1700086400123456789}},
+                    ]}
+                },
+            })
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = ElasticsearchSource(
+            f"http://127.0.0.1:{srv.server_port}",
+            timestamp_fields={"logs": "ts"},
+        )
+        step = _summarize_step("c.logs | summarize first = min(ts) by ts")
+        h = src.handle("logs").apply_summarize(step)
+        df = src.search(spark, "logs", h)
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert df.schema["first"].dataType.typeName() == "timestamp"
+        assert all(str(r["ts"]).startswith("2023-11-1") for r in df.collect())
+        # limit absorbed after the summarize truncates the groups
+        df = src.search(spark, "logs", h.apply_limit(1))
+        assert df.count() == 1
+    finally:
+        srv.shutdown()
+
+
+def test_es_scroll_timestamp_field_typed(spark):
+    """transform_log parity on the ES hits path (elasticsearch.rs:848):
+    the index's timestamp field comes back as a string and surfaces as
+    a typed timestamp column, like the Quickwit bridge."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource
+
+    pages = [[{"ts": "2023-11-14T22:13:20Z", "m": 1}], []]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            self._send({"status": "green"})
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            page = pages.pop(0) if pages else []
+            self._send({"_scroll_id": "sc1",
+                        "hits": {"hits": [{"_source": d} for d in page]}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = ElasticsearchSource(
+            f"http://127.0.0.1:{srv.server_port}",
+            timestamp_fields={"logs": "ts"},
+        )
+        df = src.search(spark, "logs", src.handle("logs"))
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert str(df.collect()[0]["ts"]).startswith("2023-11-14")
+    finally:
+        srv.shutdown()
+
+
+def test_union_merges_nested_collections():
+    """A nested union (scan a | union(scan b | union(scan c))) keeps
+    every absorbed index: the inner handle's collections merge into the
+    outer multi-index search instead of silently dropping."""
+    flt = _filter_expr("c.t | where a == 1")
+    inner = PushHandle(timestamp_field="ts").apply_filter(flt)
+    inner = inner.apply_union(
+        PushHandle(timestamp_field="ts").apply_filter(flt), "c"
+    )
+    assert inner.collections == ("c",)
+    outer = PushHandle(timestamp_field="ts").apply_filter(flt)
+    merged = outer.apply_union(inner, "b")
+    assert merged is not None
+    assert set(merged.collections) == {"b", "c"}
+    assert merged.indexes("a") == "a,b,c"

@@ -357,3 +357,87 @@ def test_splunk_preview_partial_stream_over_sse(spark):
     finally:
         srv.shutdown()
         stub.shutdown()
+
+
+def test_splunk_preview_rows_replay_stats_typing(spark):
+    """The preview SSE branch threads the negotiated handle's stats
+    typing (query_runner.rs fetch_results_with_stats_transform): Splunk
+    returns every field as a string, so numeric stats fields and Count
+    coerce numeric and _time-derived min/max coerce to timestamps in
+    BOTH the partial frames and the final rows — the same types the
+    non-streamed path produces."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.server import MisoServer
+
+    state = {"polls": 0}
+    preview_rows = [{"k": "a", "n": "3", "last": "2024-01-02 03:04:05"}]
+    final_rows = [{"k": "a", "n": "4", "last": "2024-01-02 03:04:06"}]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self._send({"sid": "sse2"})
+
+        def do_GET(self):
+            if "/results_preview" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = preview_rows if (state["polls"] == 1 and int(q["offset"][0]) == 0) else []
+                self._send({"results": page})
+            elif "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                page = final_rows if int(q["offset"][0]) == 0 else []
+                self._send({"results": page})
+            elif "/services/search/jobs/sse2" in self.path:
+                state["polls"] += 1
+                done = state["polls"] > 1
+                self._send({"entry": [{"content": {
+                    "dispatchState": "DONE" if done else "RUNNING",
+                    "isDone": done, "resultCount": 1}}]})
+            else:
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    stub = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    srv = MisoServer(spark, port=0)
+    srv.add_connector(
+        "sp", {"type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}"}
+    )
+    srv.start_background()
+    try:
+        resp = _post(
+            srv,
+            "/query",
+            {"query": "sp.logs | summarize n = count(), last = max(@time) by k",
+             "partial_stream": True},
+        )
+        frames = []
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("event: done"):
+                break
+            if line.startswith("data: "):
+                frames.append(json.loads(line[6:]))
+        partial = [f for f in frames
+                   if "_miso_metadata" in f and "k" in f]
+        finals = [f for f in frames if "_miso_metadata" not in f]
+        assert partial and finals
+        assert partial[0]["n"] == 3.0 and isinstance(partial[0]["n"], float)
+        assert partial[0]["last"] == "2024-01-02T03:04:05"
+        assert finals[0]["n"] == 4.0 and isinstance(finals[0]["n"], float)
+        assert finals[0]["last"] == "2024-01-02T03:04:06"
+    finally:
+        srv.shutdown()
+        stub.shutdown()

@@ -202,3 +202,23 @@ def test_negotiate_drives_splunk_handle():
         'search (index="logs") | search level=CASE("error")'
         " | stats count as n by level | head 5"
     )
+
+
+def test_time_hoist_refused_after_head_or_stats():
+    """earliest/latest ride in the BASE search clause, so hoisting a
+    _time comparison after an absorbed head/stats would reorder the
+    filter before those ops ('take 10 | where @time > X' must filter
+    the 10). The handle refuses — same strictness as
+    PushHandle.apply_filter's refuse-over-limit guard."""
+    expr = _steps("c.t | where @time >= datetime(2024-01-01)")[1].expr
+    assert _handle().apply_limit(10).apply_filter(expr) is None
+    stats = _handle().apply_summarize(_steps("c.t | summarize n = count() by k")[1])
+    assert stats.apply_filter(expr) is None
+    cnt = _handle().apply_count()
+    assert cnt.apply_filter(expr) is None
+    # a non-time filter after head still pushes as an ordered `| search`
+    plain = _steps("c.t | where level == 'error'")[1].expr
+    h = _handle().apply_limit(10).apply_filter(plain)
+    assert h is not None
+    spl = h.build_spl("idx")
+    assert spl.index("| head 10") < spl.index('| search level=CASE("error")')
