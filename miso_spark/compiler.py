@@ -81,7 +81,18 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
 
 
 class Compiler:
-    def __init__(self, registry: SourceRegistry, null_safe_joins: bool = True):
+    #: broadcast a connector-backed join side when its provable row
+    #: bound (miso_spark/sources/dynamic_filter.py max_rows_bound) is
+    #: at or under this
+    CONNECTOR_BROADCAST_MAX_ROWS = 100_000
+
+    def __init__(
+        self,
+        registry: SourceRegistry,
+        null_safe_joins: bool = True,
+        dynamic_filter: bool = True,
+        dynamic_filter_max_distinct: int = 10_000,
+    ):
         """``null_safe_joins`` (default True) matches the reference:
         null join keys match each other (its hash join hashes
         Value::Null like any value — tests.rs join_with_null_keys).
@@ -96,6 +107,18 @@ class Compiler:
         self.registry = registry
         self.spark = registry.spark
         self.null_safe_joins = null_safe_joins
+        #: dynamic filtering (dynamic_filter.rs parity — see
+        #: miso_spark/sources/dynamic_filter.py): push one join side's
+        #: observed key values into the other side's scan when a bound
+        #: proves the producer small
+        self.dynamic_filter = dynamic_filter
+        self.dynamic_filter_max_distinct = dynamic_filter_max_distinct
+        #: observability: one record per applied dynamic filter
+        self.dynamic_filter_events: list[dict] = []
+        #: join sub-plans already computed by the scan-time hook,
+        #: keyed by id(join_step) — consumed (and the persisted
+        #: DataFrame reused) when _join reaches that step
+        self._prejoined: dict[int, DataFrame] = {}
 
     def run(self, plan: P.Plan) -> DataFrame:
         return self._run(plan, {})
@@ -104,11 +127,16 @@ class Compiler:
         df: Optional[DataFrame] = None
         env = dict(env)
         steps = list(plan.steps)
+        # position + source of the scan that produced df (dynamic
+        # filter bound walks need the steps between scan and join)
+        scan_pos: Optional[int] = None
+        scan_src = None
         i = 0
         while i < len(steps):
             step = steps[i]
             if df is None and isinstance(step, (P.Scan, P.ScanRaw)):
                 src = self.registry.source(step.connector)
+                scan_pos, scan_src = i, src
                 if hasattr(src, "handle") and hasattr(src, "search"):
                     # external search connector: negotiate the step
                     # prefix into the service (PushIntoScan parity) and
@@ -118,6 +146,14 @@ class Compiler:
 
                     if isinstance(step, P.ScanRaw):
                         self._require_cap(step.connector, CAP_RAW, "raw query")
+                    if self.dynamic_filter and isinstance(step, P.Scan):
+                        # consumer-is-this-scan dynamic filter: a
+                        # downstream join's small right side runs
+                        # first and its observed keys land here as a
+                        # Filter step, which negotiate then pushes
+                        # into the wire request (scan.rs:102
+                        # apply_dynamic_filter parity)
+                        self._scan_side_dynamic_filter(steps, i, src, env)
                     handle, residual = negotiate(
                         P.Plan(tuple(steps[i:])), src.handle(step.collection), src
                     )
@@ -135,6 +171,18 @@ class Compiler:
                     absorbed = len(steps) - i - len(residual.steps)
                     i += 1 + absorbed
                     continue
+            if isinstance(step, P.JoinStep):
+                left_steps = (
+                    tuple(steps[scan_pos + 1 : i]) if scan_pos is not None else ()
+                )
+                left_scan = (
+                    (steps[scan_pos], scan_src)
+                    if scan_pos is not None and isinstance(steps[scan_pos], P.Scan)
+                    else None
+                )
+                df = self._join(df, step, env, left_steps, left_scan)
+                i += 1
+                continue
             df = self._apply(step, df, env)
             i += 1
         if df is None:
@@ -359,8 +407,191 @@ class Compiler:
                 df = df.withColumn(top, self._fresh_nested(rest, expr))
         return df
 
-    def _join(self, left: DataFrame, step: P.JoinStep, env: dict[str, DataFrame]) -> DataFrame:
-        right = self._run(step.sub, env)
+    # ---- dynamic filtering (dynamic_filter.rs parity) ----------------
+
+    @staticmethod
+    def _is_search_source(src) -> bool:
+        return hasattr(src, "handle") and hasattr(src, "search")
+
+    def _stats_get(self, scan_info):
+        """field → connector distinct_count closure for a (Scan, Source)
+        pair; everything is advisory (None on any miss)."""
+        if scan_info is None:
+            return lambda f: None
+        scan, src = scan_info
+        return lambda f: (
+            None
+            if f is None
+            else getattr(
+                src.field_stats(scan.collection, f), "distinct_count", None
+            )
+        )
+
+    def _collect_join_keys(self, df: DataFrame, field: str) -> Optional[list]:
+        """The producer side's observed key values (DynamicFilterTx
+        values, join.rs:310) — bounded at max_distinct + 1 so an
+        underestimated bound degrades to no-filter, never to an
+        unbounded driver collect."""
+        cap = self.dynamic_filter_max_distinct
+        rows = (
+            df.select(FieldPath.parse(field).to_column().alias("__key"))
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return None
+        return [r[0] for r in rows]
+
+    def _dynamic_filter_expr(self, field: str, keys: list):
+        """``field IN (keys...)``, with null keys routed through a
+        missing-field disjunct: the engine's join matches null keys to
+        each other (join.rs hashes Value::Null like any value), and SQL
+        ``IN`` would silently drop them."""
+        from miso_spark.exprs import BinOp, Exists, Field, Not
+        from miso_spark.sources.dynamic_filter import build_in_filter
+
+        non_null = [k for k in keys if k is not None]
+        expr = build_in_filter(field, non_null)
+        if len(non_null) < len(keys):
+            expr = BinOp("or", expr, Not(Exists(Field.of(field))))
+        return expr
+
+    def _scan_side_dynamic_filter(self, steps: list, i: int, src, env) -> None:
+        """Consumer = the connector scan at ``steps[i]``; producer = the
+        right side of the nearest downstream join. When the producer's
+        key bound proves it small, run it now (memoized for _join),
+        observe its keys, and splice the terms filter in right after
+        the scan so negotiate() ships it in the wire request."""
+        from miso_spark.sources.dynamic_filter import (
+            consumer_steps_commute,
+            decide,
+            max_distinct_count,
+            resolve_field_to_scan,
+        )
+
+        scan = steps[i]
+        j = next(
+            (k for k in range(i + 1, len(steps)) if isinstance(steps[k], P.JoinStep)),
+            None,
+        )
+        if j is None or not consumer_steps_commute(steps[i + 1 : j]):
+            return
+        join = steps[j]
+        sub = join.sub
+        if not sub.steps or not isinstance(sub.steps[0], P.Scan):
+            return
+        try:
+            rsrc = self.registry.source(sub.steps[0].connector)
+        except KeyError:
+            return
+        lb = max_distinct_count(
+            join.left_on, steps[i + 1 : j], self._stats_get((scan, src))
+        )
+        rb = max_distinct_count(
+            join.right_on, sub.steps[1:], self._stats_get((sub.steps[0], rsrc))
+        )
+        d = decide(join.how, lb, rb, self.dynamic_filter_max_distinct)
+        if d is None or d[0] or d[1]:
+            # producer-left runs through _join's hook; negated plans
+            # are never executed (dynamic_filter.py divergence 1)
+            return
+        scan_field = resolve_field_to_scan(join.left_on, steps[i + 1 : j])
+        if scan_field is None:
+            return
+        right = self._run(sub, env).persist()
+        self._prejoined[id(join)] = right
+        keys = self._collect_join_keys(right, join.right_on)
+        if keys is None:
+            return
+        steps.insert(i + 1, P.Filter(self._dynamic_filter_expr(scan_field, keys)))
+        self.dynamic_filter_events.append(
+            {"producer": "right", "consumer": f"{scan.connector}.{scan.collection}",
+             "field": scan_field, "keys": len(keys)}
+        )
+
+    def _join_side_dynamic_filter(
+        self, left: DataFrame, step: P.JoinStep, env, left_steps, left_scan
+    ) -> Optional[DataFrame]:
+        """Consumer = the join's right-side connector scan; producer =
+        the already-computed left (engine) side. Returns the filtered
+        right DataFrame, or None when no dynamic filter applies."""
+        from miso_spark.sources.dynamic_filter import (
+            consumer_steps_commute,
+            decide,
+            max_distinct_count,
+            resolve_field_to_scan,
+        )
+
+        sub = step.sub
+        if not sub.steps or not isinstance(sub.steps[0], P.Scan):
+            return None
+        try:
+            rsrc = self.registry.source(sub.steps[0].connector)
+        except KeyError:
+            return None
+        if not self._is_search_source(rsrc):
+            # file-backed right sides get runtime filtering from
+            # Catalyst (DPP / runtime bloom filters) — don't double up
+            return None
+        if not consumer_steps_commute(sub.steps[1:]):
+            return None
+        lb = max_distinct_count(step.left_on, left_steps, self._stats_get(left_scan))
+        rb = max_distinct_count(
+            step.right_on, sub.steps[1:], self._stats_get((sub.steps[0], rsrc))
+        )
+        d = decide(step.how, lb, rb, self.dynamic_filter_max_distinct)
+        if d is None or not d[0] or d[1]:
+            return None
+        scan_field = resolve_field_to_scan(step.right_on, sub.steps[1:])
+        if scan_field is None:
+            return None
+        keys = self._collect_join_keys(left, step.left_on)
+        if keys is None:
+            return None
+        new_sub = P.Plan(
+            (sub.steps[0], P.Filter(self._dynamic_filter_expr(scan_field, keys)))
+            + tuple(sub.steps[1:])
+        )
+        self.dynamic_filter_events.append(
+            {"producer": "left",
+             "consumer": f"{sub.steps[0].connector}.{sub.steps[0].collection}",
+             "field": scan_field, "keys": len(keys)}
+        )
+        return self._run(new_sub, env)
+
+    def _join(
+        self,
+        left: DataFrame,
+        step: P.JoinStep,
+        env: dict[str, DataFrame],
+        left_steps: tuple = (),
+        left_scan=None,
+    ) -> DataFrame:
+        assert left is not None, "join requires an input"
+        right = self._prejoined.pop(id(step), None)
+        right_rows_bound = None
+        sub0 = step.sub.steps[0] if step.sub.steps else None
+        if isinstance(sub0, P.Scan):
+            try:
+                rsrc = self.registry.source(sub0.connector)
+            except KeyError:
+                rsrc = None
+            if rsrc is not None and self._is_search_source(rsrc):
+                from miso_spark.sources.dynamic_filter import max_rows_bound
+
+                if right is None and self.dynamic_filter:
+                    right = self._join_side_dynamic_filter(
+                        left, step, env, left_steps, left_scan
+                    )
+                # stats-driven broadcast choice for the connector side
+                # (lib.rs:295-301: the engine uses connector stats to
+                # plan joins ahead of time)
+                right_rows_bound = max_rows_bound(
+                    step.sub.steps[1:], self._stats_get((sub0, rsrc))
+                )
+        if right is None:
+            right = self._run(step.sub, env)
 
         # KQL-style collision handling (join.rs:57): right-side columns
         # that collide with left-side names get numeric suffixes (x →
@@ -394,6 +625,16 @@ class Compiler:
                 "shuffle_hash"  # build a hash table per partition, not a broadcast
             )
         elif step.broadcast:
+            right = F.broadcast(right)
+        elif (
+            right_rows_bound is not None
+            and right_rows_bound <= self.CONNECTOR_BROADCAST_MAX_ROWS
+        ):
+            # connector-side rows are provably few (absorbed limit /
+            # count / summarize over low-cardinality keys per stats):
+            # broadcast instead of shuffling the engine side. The
+            # driver-fetched DataFrame has no Catalyst size estimate,
+            # so AQE can't make this call on its own.
             right = F.broadcast(right)
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "full_outer"}[step.how]
         # null join keys MATCH each other in the reference (its hash

@@ -70,6 +70,27 @@ class Source:
     def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
         raise NotImplementedError(f"{type(self).__name__} is read-only")
 
+    def fetch_stats(self):
+        """Connector::fetch_stats analog (lib.rs:295-301): per-field
+        statistics the engine uses for optimization decisions (dynamic
+        filtering, broadcast-side choice). None = no stats support —
+        the default, like the reference's trait default."""
+        return None
+
+    def field_stats(self, collection: str, field: str):
+        """Scan::get_field_stats analog (miso-workflow/src/scan.rs:79),
+        served through a lazy-TTL :class:`~miso_spark.sources.stats.
+        StatsCache` built on first use. Advisory: None when the source
+        has no stats."""
+        if self.fetch_stats.__func__ is Source.fetch_stats:
+            return None  # no stats support — skip the cache machinery
+        cache = getattr(self, "_stats_cache", None)
+        if cache is None:
+            from miso_spark.sources.stats import StatsCache
+
+            cache = self._stats_cache = StatsCache(self)
+        return cache.get(collection, field)
+
 
 def _nano_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet timestamp[ns], which Spark reads as

@@ -131,11 +131,41 @@ class QuickwitSource(ExternalHttpSource):
     scroll_size = 5_000
 
     def __init__(self, url: str, timeout_s: float = 2.0,
-                 timestamp_fields: dict[str, str] | None = None):
+                 timestamp_fields: dict[str, str] | None = None,
+                 stats_fields: dict[str, list[str]] | None = None):
         super().__init__(url, timeout_s)
         #: index → timestamp field, as the reference learns from
         #: ``/api/v1/indexes`` doc_mapping (quickwit.rs get_indexes)
         self.timestamp_fields = timestamp_fields or {}
+        #: index → fields to profile in fetch_stats (stats.rs parity)
+        self.stats_fields = stats_fields or {}
+
+    def fetch_stats(self):
+        """Connector::fetch_stats (lib.rs:295, stats.rs ConnectorStats):
+        one size-0 search per profiled collection carrying a
+        ``cardinality`` agg per field — the same metric agg the dcount
+        pushdown emits (quickwit.rs:1414)."""
+        from miso_spark.sources.stats import FieldStats
+
+        if not self.stats_fields:
+            return None
+        self._connect()
+        out: dict[str, dict[str, FieldStats]] = {}
+        for collection, fields in self.stats_fields.items():
+            body = {
+                "size": 0,
+                "aggs": {f: {"cardinality": {"field": f}} for f in fields},
+            }
+            payload = self._request_json(
+                f"/api/v1/_elastic/{collection}/_search", body
+            )
+            aggs = payload.get("aggregations", {})
+            out[collection] = {
+                f: FieldStats(distinct_count=int(aggs[f]["value"]))
+                for f in fields
+                if isinstance(aggs.get(f), dict) and aggs[f].get("value") is not None
+            }
+        return out
 
     def apply_filter(self, expr):
         """Quickwit's OR shape omits minimum_should_match
@@ -298,9 +328,34 @@ class ElasticsearchSource(ExternalHttpSource):
     scroll_size = 5_000
 
     def __init__(self, url: str, timeout_s: float = 2.0,
-                 timestamp_fields: dict[str, str] | None = None):
+                 timestamp_fields: dict[str, str] | None = None,
+                 stats_fields: dict[str, list[str]] | None = None):
         super().__init__(url, timeout_s)
         self.timestamp_fields = timestamp_fields or {}
+        self.stats_fields = stats_fields or {}
+
+    def fetch_stats(self):
+        """Per-field distinct counts via ES ``cardinality`` aggs
+        (lib.rs:295 fetch_stats, elasticsearch.rs:1382 cardinality)."""
+        from miso_spark.sources.stats import FieldStats
+
+        if not self.stats_fields:
+            return None
+        self._connect()
+        out: dict[str, dict[str, FieldStats]] = {}
+        for collection, fields in self.stats_fields.items():
+            body = {
+                "size": 0,
+                "aggs": {f: {"cardinality": {"field": f}} for f in fields},
+            }
+            payload = self._post_json(f"/{collection}/_search", body)
+            aggs = payload.get("aggregations", {})
+            out[collection] = {
+                f: FieldStats(distinct_count=int(aggs[f]["value"]))
+                for f in fields
+                if isinstance(aggs.get(f), dict) and aggs[f].get("value") is not None
+            }
+        return out
 
     def handle(self, collection: str):
         """Fresh pushdown handle — the ES flavor differs from Quickwit
@@ -448,9 +503,39 @@ class SplunkSource(ExternalHttpSource):
     job_timeout_s = 30.0
     batch_size = 1000
 
-    def __init__(self, url: str, timeout_s: float = 2.0, token: str | None = None):
+    def __init__(self, url: str, timeout_s: float = 2.0, token: str | None = None,
+                 stats_fields: dict[str, list[str]] | None = None):
         super().__init__(url, timeout_s)
         self.token = token  # SplunkAuth bearer (splunk/mod.rs:70)
+        self.stats_fields = stats_fields or {}
+
+    def fetch_stats(self):
+        """Per-field distinct counts via ``| tstats dc(...)`` — the
+        indexed-stats path, like the bare-count tstats fast path
+        (splunk/mod.rs:227); one job per profiled collection."""
+        from miso_spark.sources.stats import FieldStats
+
+        if not self.stats_fields:
+            return None
+        self._connect()
+        out: dict[str, dict[str, FieldStats]] = {}
+        for collection, fields in self.stats_fields.items():
+            aggs = ", ".join(f"dc({f}) as {f}" for f in fields)
+            spl = f'| tstats {aggs} where (index="{collection}")'
+            sid = self.create_job(spl)
+            self.poll_until_done(sid)
+            rows = self.fetch_results(sid)
+            stats: dict[str, FieldStats] = {}
+            if rows:
+                for f in fields:
+                    v = rows[0].get(f)
+                    if v is not None:
+                        try:
+                            stats[f] = FieldStats(distinct_count=int(float(v)))
+                        except ValueError:
+                            pass
+            out[collection] = stats
+        return out
 
     def apply_filter(self, expr):
         """Splunk speaks SPL, not the ES query DSL: `| search` terms
