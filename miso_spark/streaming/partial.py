@@ -116,29 +116,47 @@ def run_partial_stream(
     emit: Callable[[int, list[str], bool], None],
     debounce_s: float = 1.0,
     max_files_per_trigger: int = 1,
-) -> None:
+    max_rows_per_round: int = 10_000,
+) -> dict:
     """Execute ``plan`` incrementally; call ``emit(round_id, json_rows,
-    is_final)`` for each debounced partial round and once for the final
-    state. ``json_rows`` are executor-serialized JSON strings.
+    is_final)`` for each debounced partial round and once (or, for a
+    large truncated final, in chunks) with ``is_final=True``.
+    ``json_rows`` are executor-serialized JSON strings.
 
     Debounce matches the reference (partial_stream.rs:41-48): a round
     arriving sooner than ``debounce_s`` after the last emitted round is
     dropped — except the final one, which always emits.
+
+    **Driver-memory bound**: aggregate partial rounds materialize at
+    most ``max_rows_per_round`` rows on the driver (pulled through
+    ``toLocalIterator``, never a full collect) — a high-cardinality
+    group key can't blow up the driver between rounds. Truncated rounds
+    are counted in the returned stats dict
+    (``{"truncated_rounds": n}``); partial rounds are best-effort
+    previews by contract, so a truncated preview is still useful. The
+    FINAL answer is never truncated: when the last round overflowed the
+    cap, the final state is recomputed as a batch query (the stream has
+    consumed all input by then, so the batch plan sees identical data)
+    and streamed out chunk-by-chunk through ``toLocalIterator`` — the
+    same delivery path the server's non-partial rows take.
     """
     mode, head_end = _classify(plan, compiler.registry) or (None, 0)
     if mode is None:
         raise ValueError("plan does not support partial streaming")
     sdf = _compile_head(compiler, plan.steps[:head_end], max_files_per_trigger)
     tail_steps = plan.steps[head_end:]
+    stats = {"truncated_rounds": 0}
 
     # only the LATEST round is retained (the final emit needs just the
     # last state; buffering every round would grow driver memory by
     # O(rounds) for long streams)
-    latest: list[tuple[int, list[str]]] = []
+    latest: list[tuple[int, list[str], bool]] = []
     last_emit = [0.0]
 
-    def record(batch_id: int, rows: list[str]) -> None:
-        latest[:] = [(batch_id, rows)]
+    def record(batch_id: int, rows: list[str], truncated: bool = False) -> None:
+        latest[:] = [(batch_id, rows, truncated)]
+        if truncated:
+            stats["truncated_rounds"] += 1
         now = time.monotonic()
         if now - last_emit[0] >= debounce_s:
             last_emit[0] = now
@@ -149,7 +167,19 @@ def run_partial_stream(
             sdf = compiler._apply(step, sdf, {})
 
         def on_batch(batch_df, batch_id: int) -> None:
-            record(int(batch_id), batch_df.toJSON().collect())
+            # count() first: every partition of the stateful batch must
+            # run to completion or the state store's commit validation
+            # fails — and it keeps the full state executor-side, where
+            # it belongs. Only ≤ max_rows_per_round rows ever reach the
+            # driver.
+            batch_df.persist()
+            try:
+                total = batch_df.count()
+                truncated = total > max_rows_per_round
+                df = batch_df.limit(max_rows_per_round) if truncated else batch_df
+                record(int(batch_id), df.toJSON().collect(), truncated)
+            finally:
+                batch_df.unpersist()
 
         out_mode = "complete"
     else:  # top/limit tail: bounded accumulator in append mode
@@ -182,9 +212,26 @@ def run_partial_stream(
 
     if not latest:
         emit(0, [], True)
-        return
-    final_id, final_rows = latest[0]
-    emit(final_id, final_rows, True)
+        return stats
+    final_id, final_rows, truncated = latest[0]
+    if not truncated:
+        emit(final_id, final_rows, True)
+        return stats
+    # the last round overflowed the cap: recompute the final state as a
+    # batch query over the (now fully consumed) input and stream it out
+    # in bounded chunks — the exact answer without driver buildup
+    from itertools import islice
+
+    it = compiler.run(plan).toJSON().toLocalIterator(prefetchPartitions=True)
+    first = True
+    while True:
+        chunk = list(islice(it, max_rows_per_round))
+        if chunk or first:
+            emit(final_id, chunk, True)
+        first = False
+        if len(chunk) < max_rows_per_round:
+            break
+    return stats
 
 
 def _rows_to_json(spark, rows: list, schema) -> list[str]:

@@ -316,3 +316,44 @@ def test_dedup_stream_keeps_one_per_content(spark, tmp_path):
     kept = got.collect()
     assert len(kept) == n_groups
     assert got.select(F.count_distinct("content_hash")).first()[0] == n_groups
+
+
+def test_partial_stream_bounded_driver_rounds(spark, tmp_path):
+    """VERDICT r5: aggregate partial rounds must not materialize the
+    full aggregate state on the driver. With a high-cardinality group
+    key and a small cap, every partial round is bounded (and counted as
+    truncated), while the final answer is still exact and complete —
+    recomputed batch-side and streamed in bounded chunks."""
+    import json
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import ParquetDirSource, SourceRegistry
+    from miso_spark.streaming.partial import run_partial_stream
+
+    orders = ParquetDirSource(SF_DIR).table(spark, "orders")
+    orders.repartition(3).write.parquet(str(tmp_path / "oh.parquet"))
+    reg = SourceRegistry(spark).register("s", ParquetDirSource(str(tmp_path)))
+    comp = Compiler(reg)
+    plan = parse_kql("s.oh | summarize n = count() by o_orderkey")
+
+    emits = []
+    stats = run_partial_stream(
+        comp, plan,
+        lambda rid, rows, fin: emits.append((rid, rows, fin)),
+        debounce_s=0, max_rows_per_round=50,
+    )
+    partials = [e for e in emits if not e[2]]
+    finals = [e for e in emits if e[2]]
+    assert partials and all(len(rows) <= 50 for _, rows, _ in partials)
+    assert stats["truncated_rounds"] >= 1
+    # every final chunk respects the cap; together they are the exact
+    # batch answer
+    assert finals and all(len(rows) <= 50 for _, rows, _ in finals)
+    got = {
+        (r["o_orderkey"], r["n"])
+        for _, rows, _ in finals
+        for r in map(json.loads, rows)
+    }
+    batch = {(r["o_orderkey"], r["n"]) for r in comp.run(plan).collect()}
+    assert got == batch and len(got) > 50
