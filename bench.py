@@ -43,7 +43,7 @@ HEADLINE = [
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "ann_bruteforce",
-    "text_tokens",
+    "near_dedup_pipeline",
     "text_quality",
     "text_lang_id",
 ]

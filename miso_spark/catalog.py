@@ -821,34 +821,92 @@ q(
 )
 
 
-def _b_text_tokens(spark, sf_dir):
-    from miso_spark.functions.text import bpe_token_count, token_count
+def _b_near_dedup_pipeline(spark, sf_dir):
+    """The composed production near-dedup runbook (exact pre-pass →
+    capped LSH over representatives → connected components → member
+    re-attach) at the max-recall banding the driver oracle demands
+    (bands = num_hashes, like dedup_minhash_verified). The bucket cap
+    keeps its production default ON — the exact pre-pass guarantees a
+    bucket only overflows on genuinely distinct near-dup text. Oracle:
+    the uncapped naive composition in DuckDB — exact groups to a min-id
+    representative, exact n-gram Jaccard pairs over representatives,
+    recursive-CTE reachability, members re-attached through their
+    representative."""
+    from miso_spark.functions.dedup import near_dedup_pipeline
 
-    d = _documents(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    return near_dedup_pipeline(
+        _documents(spark, sf_dir), num_hashes=16, bands=16, threshold=0.5
     )
 
 
 q(
-    "text_tokens",
-    builder=_b_text_tokens,
+    "near_dedup_pipeline",
+    builder=_b_near_dedup_pipeline,
     oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
-    FROM documents
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+      FROM documents
+    ),
+    grp AS (SELECT ntext, MIN(doc_id) AS rep_id FROM norm GROUP BY ntext),
+    w AS (
+      SELECT rep_id AS doc_id, string_split(ntext, ' ') AS ws FROM grp
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    canon AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS canonical_id
+      FROM reach GROUP BY s
+    ),
+    rep_canon AS (
+      SELECT g.rep_id, COALESCE(c.canonical_id, g.rep_id) AS canonical_id
+      FROM grp g LEFT JOIN canon c ON g.rep_id = c.doc_id
+    )
+    SELECT n.doc_id AS id, rc.canonical_id AS canonical_id,
+           n.doc_id = rc.canonical_id AS is_kept
+    FROM norm n
+    JOIN grp g ON n.ntext = g.ntext
+    JOIN rep_canon rc ON g.rep_id = rc.rep_id
     """,
 )
 
 
 def _b_text_quality(spark, sf_dir):
-    from miso_spark.functions.text import with_quality
+    """Quality scoring + token counting in one pass over documents
+    (token counts folded in from the former text_tokens entry to keep
+    the catalog at the driver's 50-row window)."""
+    from miso_spark.functions.text import bpe_token_count, token_count, with_quality
 
     return with_quality(_documents(spark, sf_dir)).select(
-        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio", "quality_score"
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio",
+        "quality_score",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -875,12 +933,14 @@ q(
              ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio
       FROM t
     )
-    SELECT doc_id, n_words, avg_word_len, stopword_ratio, punct_ratio,
+    SELECT r.doc_id, n_words, avg_word_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_words AS DOUBLE) / 20.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
                + least(stopword_ratio * 5.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE
                + (1.0::DOUBLE - least(punct_ratio * 4.0::DOUBLE, 1.0::DOUBLE)) * 0.3::DOUBLE, 6)
-             AS quality_score
-    FROM r
+             AS quality_score,
+           len(regexp_split_to_array(d.text, '\\s+')) AS n_tokens,
+           len(regexp_extract_all(d.text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
+    FROM r JOIN documents d ON r.doc_id = d.doc_id
     """,
 )
 
