@@ -49,6 +49,72 @@ HEADLINE = [
 ]
 
 
+# sf1 scaling arm: the five most scale-sensitive headliners run once
+# more against a 10×-scaled dataset derived from sf0.1, and the JSON
+# carries per-query scaling exponents (log10 of the time ratio across
+# one decade of data — 1.0 = linear). Gated off with SPARK_GRAFT_SF1=0.
+SF1_HEADLINE = [
+    "pricing_summary",
+    "q5_local_supplier",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "sessionize_native",
+]
+SF1_COPIES = 10
+
+
+def ensure_sf1_dir(spark, base_dir: str) -> str:
+    """Materialize (once, cached in-repo) a 10× dataset from ``base_dir``.
+
+    Fact tables replicate with shifted keys so per-copy join/group
+    structure is preserved (join fan-in scales, clusters don't merge
+    across copies); document text gets a per-copy suffix on EVERY word
+    so copies share no shingles — the near-dup pair structure scales
+    linearly like a real 10× crawl, instead of every doc gaining 9
+    exact twins (which would measure a pathological flood, not scale).
+    Dimension tables pass through unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1_cache")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    copies = F.explode(F.array(*[F.lit(i) for i in range(SF1_COPIES)])).alias("__i")
+
+    def scale(table: str, build) -> None:
+        df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
+        build(df).write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+
+    def passthrough(table: str) -> None:
+        scale(table, lambda df: df)
+
+    KEY_SHIFT = 10_000_000  # > any sf0.1 key
+    scale("lineitem", lambda df: df.select("*", copies)
+          .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__i") * KEY_SHIFT)
+          .drop("__i"))
+    scale("orders", lambda df: df.select("*", copies)
+          .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__i") * KEY_SHIFT)
+          .drop("__i"))
+    for t in ("customer", "supplier", "nation", "region"):
+        passthrough(t)
+    scale("documents", lambda df: df.select("*", copies)
+          .withColumn("doc_id", F.col("doc_id") + F.col("__i") * KEY_SHIFT)
+          # suffix EVERY word with the copy id: a bijection per copy, so
+          # within-copy Jaccard is untouched while copies share nothing
+          .withColumn("text", F.regexp_replace(
+              F.col("text"), F.lit(r"(\S+)"),
+              F.concat(F.lit(r"$1x"), F.col("__i").cast("string"))))
+          .drop("__i"))
+    scale("events", lambda df: df.select("*", copies)
+          .withColumn("user_id", F.col("user_id") + F.col("__i") * KEY_SHIFT)
+          .drop("__i"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def main() -> None:
     from miso_spark.catalog import CATALOG
     from miso_spark.session import get_spark
@@ -86,20 +152,49 @@ def main() -> None:
         singles[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_single": round(sum(singles.values()), 3),
-                "queries_single": singles,
-                "repeat": repeat,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_single": round(sum(singles.values()), 3),
+        "queries_single": singles,
+        "repeat": repeat,
+        "sf": sf,
+    }
+
+    # sf1 scaling arm (one decade up from sf0.1; single run per query —
+    # at these durations stage-launch noise is <5%)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        import math
+
+        sf1_dir = ensure_sf1_dir(spark, SF_DIR)
+        sf1_timings: dict[str, float] = {}
+        exponents: dict[str, float] = {}
+        def timed(name: str, sf_dir: str) -> float:
+            df = CATALOG[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        for name in SF1_HEADLINE:
+            if name not in CATALOG:
+                continue
+            base_t = timings.get(name)
+            if base_t is None:  # not in the sf0.1 headline set
+                base_t = timed(name, SF_DIR)
+            sf1_timings[name] = timed(name, sf1_dir)
+            # time ratio across one decade of data: 1.0 = linear
+            exponents[name] = round(
+                math.log10(max(sf1_timings[name], 1e-3) / max(base_t, 1e-3)), 3
+            )
+        result["sf1"] = {
+            "copies": SF1_COPIES,
+            "queries": sf1_timings,
+            "scaling_exponent": exponents,
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

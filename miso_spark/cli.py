@@ -21,7 +21,9 @@ from typing import Iterable, Iterator
 
 
 def format_table(rows: list[dict], max_rows: int = 50) -> str:
-    """Fixed-width table for a list of row dicts (insertion order)."""
+    """Fixed-width table for a list of row dicts (insertion order).
+    Numeric columns right-align, like the reference TUI's table
+    renderer (miso-tui table.rs)."""
     if not rows:
         return "(0 rows)"
     cols: list[str] = []
@@ -32,15 +34,27 @@ def format_table(rows: list[dict], max_rows: int = 50) -> str:
     widths = {c: len(c) for c in cols}
     shown = rows[:max_rows]
     cells = [[_fmt(r.get(c)) for c in cols] for r in shown]
+    numeric = {
+        c: all(
+            isinstance(r.get(c), (int, float)) and not isinstance(r.get(c), bool)
+            for r in shown
+            if r.get(c) is not None
+        )
+        for c in cols
+    }
     for row in cells:
         for c, v in zip(cols, row):
             widths[c] = max(widths[c], len(v))
+
+    def pad(c: str, v: str) -> str:
+        return v.rjust(widths[c]) if numeric[c] else v.ljust(widths[c])
+
     lines = [
-        "  ".join(c.ljust(widths[c]) for c in cols),
+        "  ".join(pad(c, c) for c in cols),
         "  ".join("-" * widths[c] for c in cols),
     ]
     for row in cells:
-        lines.append("  ".join(v.ljust(widths[c]) for c, v in zip(cols, row)))
+        lines.append("  ".join(pad(c, v) for c, v in zip(cols, row)))
     extra = len(rows) - len(shown)
     if extra > 0:
         lines.append(f"... ({extra} more rows)")
@@ -88,6 +102,38 @@ def run_remote(server: str, query: str, partial: bool = False) -> list[dict]:
     return list(stream_remote(server, query, partial))
 
 
+def repl(run_one, lines: Iterable[str], out=print, err=None) -> list[str]:
+    """The interactive loop, decoupled from stdin for testability.
+
+    Commands (the miso-tui scrollback/history surface, text-mode):
+    ``:history`` lists this session's queries, ``:N`` re-runs the Nth,
+    a blank line exits. Returns the final history list.
+    """
+    err = err or (lambda msg: print(msg, file=sys.stderr))
+    history: list[str] = []
+    for line in lines:
+        q = line.strip()
+        if not q:
+            break
+        if q == ":history":
+            for i, h in enumerate(history, 1):
+                out(f"{i:3}  {h}")
+            continue
+        if q.startswith(":") and q[1:].isdigit():
+            n = int(q[1:])
+            if not 1 <= n <= len(history):
+                err(f"error: no history entry {n}")
+                continue
+            q = history[n - 1]
+            out(f"> {q}")
+        history.append(q)
+        try:
+            run_one(q)
+        except Exception as e:  # noqa: BLE001 - REPL keeps going
+            err(f"error: {e}")
+    return history
+
+
 def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     ap = argparse.ArgumentParser(prog="miso-spark", description=__doc__)
     ap.add_argument("query", nargs="?", help="KQL query (omit for a REPL)")
@@ -121,16 +167,23 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     if args.query:
         run_one(args.query)
         return 0
-    # REPL
-    print("miso-spark> enter KQL (blank line or Ctrl-D to exit)")
-    for line in sys.stdin:
-        q = line.strip()
-        if not q:
-            break
-        try:
-            run_one(q)
-        except Exception as e:  # noqa: BLE001 - REPL keeps going
-            print(f"error: {e}", file=sys.stderr)
+    # REPL — line editing + in-process arrow-key history when the
+    # readline module is available (no files written)
+    try:
+        import readline  # noqa: F401
+    except ImportError:
+        pass
+    print("miso-spark> enter KQL (:history lists, :N re-runs, blank exits)")
+
+    def prompt_lines() -> Iterator[str]:
+        # input() routes through readline (arrow keys, ctrl-r) on a tty
+        while True:
+            try:
+                yield input("miso-spark> ")
+            except EOFError:
+                return
+
+    repl(run_one, prompt_lines() if sys.stdin.isatty() else sys.stdin)
     return 0
 
 

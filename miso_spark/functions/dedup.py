@@ -674,9 +674,14 @@ def embedding_dedup_pairs(
         from miso_spark.functions.similarity import planes_for_rows, with_lsh_buckets
 
         if dim is None:
-            # limit-1 probe: reads one row's length, not the vector data
-            # of a full scan (arrays are variable-length — the schema
-            # can't carry the dimension)
+            # free path first: column metadata (``withMetadata(vec_col,
+            # {"dim": d})``, or a source that recorded it) costs no job
+            md = df.schema[vec_col].metadata
+            dim = md.get("dim") if isinstance(md.get("dim"), int) else None
+        if dim is None:
+            # last resort — limit-1 probe: reads one row's length, not
+            # the vector data of a full scan (plain ArrayType can't
+            # carry the dimension), but it does submit a job per call
             dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
         if num_planes is None:
             from miso_spark.functions.stats import approx_row_count

@@ -287,6 +287,18 @@ class QuickwitSource(ExternalHttpSource):
                 break
             docs.extend(page)
             scroll_id = payload.get("_scroll_id", scroll_id)
+        if scroll_id:
+            # free the server-side scroll context — mandatory hygiene
+            # when a limit truncates mid-scroll (the context would
+            # otherwise pin index segments until its timeout)
+            try:
+                self._request_json(
+                    "/api/v1/_elastic/_search/scroll",
+                    {"scroll_id": scroll_id},
+                    method="DELETE",
+                )
+            except (urllib.error.URLError, OSError, ValueError):
+                pass  # best-effort; the timeout reclaims it anyway
         if handle.limit is not None:
             docs = docs[: handle.limit]
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
@@ -368,13 +380,14 @@ class ElasticsearchSource(ExternalHttpSource):
             timestamp_field=self.timestamp_fields.get(collection),
         )
 
-    def _post_json(self, path: str, body: dict) -> dict:
+    def _post_json(self, path: str, body: dict, method: str = "POST") -> dict:
         import json
 
         req = urllib.request.Request(
             f"{self.url}{path}",
             data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"},
+            method=method,
         )
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             return json.load(resp)
@@ -453,6 +466,17 @@ class ElasticsearchSource(ExternalHttpSource):
                     break
                 docs.extend(page)
                 scroll_id = payload.get("_scroll_id", scroll_id)
+            if scroll_id:
+                # DELETE /_search/scroll: free the scroll context when
+                # paging stops (a limit can truncate mid-scroll)
+                try:
+                    self._post_json(
+                        "/_search/scroll",
+                        {"scroll_id": [scroll_id]},
+                        method="DELETE",
+                    )
+                except (urllib.error.URLError, OSError, ValueError):
+                    pass  # best-effort; the timeout reclaims it anyway
             if handle.limit is not None:
                 docs = docs[: handle.limit]
             rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])

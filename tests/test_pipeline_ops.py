@@ -740,3 +740,29 @@ def test_near_dedup_pipeline_survives_identical_flood(spark):
     assert {assign[i] for i in range(1000)} == {0}  # flood → one cluster
     assert assign[2000] == assign[2001] == 2000  # near-dups cluster
     assert assign[2002] == 2002  # unrelated stays its own canonical
+
+
+def test_embedding_dim_from_metadata_no_probe_job(spark, monkeypatch):
+    """VERDICT r5: the LSH embedding-dedup dim sniff should be free
+    when the schema can provide it — column metadata ``{"dim": d}``
+    skips the limit(1) probe entirely (no collect during plan
+    construction)."""
+    from pyspark.sql import DataFrame
+
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).withMetadata("embedding", {"dim": 3})
+
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError("collect() during plan construction — probe job ran")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    pairs = embedding_dedup_pairs(df, block_col="lsh", threshold=0.99)
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}

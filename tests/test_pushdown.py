@@ -1121,3 +1121,73 @@ def test_union_merges_nested_collections():
     assert merged is not None
     assert set(merged.collections) == {"b", "c"}
     assert merged.indexes("a") == "a,b,c"
+
+
+def test_scroll_context_deleted_on_early_termination(spark):
+    """When a limit truncates mid-scroll, both bridges DELETE the
+    server-side scroll context instead of abandoning it until its
+    timeout (it pins index segments)."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource, QuickwitSource
+
+    deletes = []
+
+    class _Common(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _read(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else None
+
+        def do_DELETE(self):
+            deletes.append((self.path, self._read()))
+            self._send({"succeeded": True})
+
+        def log_message(self, *a):
+            pass
+
+    class QwHandler(_Common):
+        def do_GET(self):
+            self._read()
+            if self.path == "/api/v1/version":
+                self._send({"version": "stub"})
+            else:  # _search: one big page, scroll id present
+                self._send({"_scroll_id": "qs1", "hits": {"hits": [
+                    {"_source": {"m": i}} for i in range(2)]}})
+
+    class EsHandler(_Common):
+        def do_GET(self):
+            self._send({"status": "green"})
+
+        def do_POST(self):
+            self._read()
+            self._send({"_scroll_id": "es1", "hits": {"hits": [
+                {"_source": {"m": i}} for i in range(2)]}})
+
+    qw_srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), QwHandler)
+    es_srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), EsHandler)
+    threading.Thread(target=qw_srv.serve_forever, daemon=True).start()
+    threading.Thread(target=es_srv.serve_forever, daemon=True).start()
+    try:
+        qw = QuickwitSource(f"http://127.0.0.1:{qw_srv.server_port}")
+        df = qw.search(spark, "logs", qw.handle("logs").apply_limit(2))
+        assert df.count() == 2
+        assert deletes and deletes[-1] == (
+            "/api/v1/_elastic/_search/scroll", {"scroll_id": "qs1"})
+
+        deletes.clear()
+        es = ElasticsearchSource(f"http://127.0.0.1:{es_srv.server_port}")
+        df = es.search(spark, "logs", es.handle("logs").apply_limit(2))
+        assert df.count() == 2
+        assert deletes and deletes[-1] == (
+            "/_search/scroll", {"scroll_id": ["es1"]})
+    finally:
+        qw_srv.shutdown()
+        es_srv.shutdown()
