@@ -54,12 +54,19 @@ _SOURCE_TYPES = {
     "csv_dir": lambda cfg: CsvDirSource(cfg["path"], cfg.get("static_fields")),
     "memory": lambda cfg: MemorySource(),
     "quickwit": lambda cfg: QuickwitSource(
-        cfg["url"], timestamp_fields=cfg.get("timestamp_fields")
+        cfg["url"],
+        timestamp_fields=cfg.get("timestamp_fields"),
+        stats_fields=cfg.get("stats_fields"),
     ),
     "elasticsearch": lambda cfg: ElasticsearchSource(
-        cfg["url"], timestamp_fields=cfg.get("timestamp_fields")
+        cfg["url"],
+        timestamp_fields=cfg.get("timestamp_fields"),
+        stats_fields=cfg.get("stats_fields"),
+        slices=cfg.get("slices", 1),
     ),
-    "splunk": lambda cfg: SplunkSource(cfg["url"], token=cfg.get("token")),
+    "splunk": lambda cfg: SplunkSource(
+        cfg["url"], token=cfg.get("token"), stats_fields=cfg.get("stats_fields")
+    ),
 }
 
 

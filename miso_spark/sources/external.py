@@ -326,6 +326,14 @@ class ElasticsearchSource(ExternalHttpSource):
     Spark path: the official ``org.elasticsearch.spark.sql`` DataSource
     (``es.query`` carries pushed filters; column pruning via
     ``es.read.field.include``).
+
+    ``slices > 1`` distributes the hits fetch across Spark tasks via
+    ES sliced scrolls — the engine-side realization of the reference's
+    split-scan model (split_scan_to_union.rs turns one scan into a
+    union of per-split scans; here each slice IS a Spark partition, so
+    the union is the RDD). The reference's connectors only ever return
+    one trivial split (quickwit.rs:1127), so this is the scale path
+    the infrastructure was built for.
     """
 
     connector_type = "elasticsearch"
@@ -341,10 +349,12 @@ class ElasticsearchSource(ExternalHttpSource):
 
     def __init__(self, url: str, timeout_s: float = 2.0,
                  timestamp_fields: dict[str, str] | None = None,
-                 stats_fields: dict[str, list[str]] | None = None):
+                 stats_fields: dict[str, list[str]] | None = None,
+                 slices: int = 1):
         super().__init__(url, timeout_s)
         self.timestamp_fields = timestamp_fields or {}
         self.stats_fields = stats_fields or {}
+        self.slices = max(1, slices)
 
     def fetch_stats(self):
         """Per-field distinct counts via ES ``cardinality`` aggs
@@ -450,6 +460,37 @@ class ElasticsearchSource(ExternalHttpSource):
             if handle.limit is not None:
                 scroll_size = min(scroll_size, handle.limit)
             body.pop("size", None)
+            if self.slices > 1 and handle.sorts is None:
+                # distributed fetch: one sliced scroll per Spark task
+                # (sliced scrolls don't preserve a global sort order,
+                # so absorbed top-n keeps the driver path)
+                fetch = _make_slice_fetcher(
+                    self.url, indexes, body, self.slices,
+                    self.scroll_timeout_s, scroll_size, handle.limit,
+                    self.timeout_s,
+                )
+                from pyspark import StorageLevel
+
+                # persist before read.json: schema inference is its own
+                # pass over the RDD, and an uncached fetch would hit
+                # the service once per action (and could see different
+                # data between passes)
+                rdd = (
+                    spark.sparkContext.parallelize(range(self.slices), self.slices)
+                    .mapPartitions(fetch)
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                df = spark.read.json(rdd)
+                if handle.limit is not None:
+                    df = df.limit(handle.limit)
+                ts = handle.timestamp_field
+                if ts is not None and ts in df.columns:
+                    from pyspark.sql import functions as F
+                    from pyspark.sql.types import StringType
+
+                    if isinstance(df.schema[ts].dataType, StringType):
+                        df = df.withColumn(ts, F.to_timestamp(ts))
+                return df
             payload = self._post_json(
                 f"/{indexes}/_search?scroll={self.scroll_timeout_s}s&size={scroll_size}",
                 body,
@@ -503,6 +544,63 @@ class ElasticsearchSource(ExternalHttpSource):
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         return self.search(spark, collection)
+
+
+def _make_slice_fetcher(url: str, indexes: str, body: dict, n_slices: int,
+                        scroll_s: int, size: int, limit: int | None,
+                        timeout_s: float):
+    """Executor-side sliced-scroll fetcher (closure over plain values —
+    no source object crosses the pickle boundary). Each Spark task
+    opens its own scroll with ``slice: {id, max}``, pages it dry (or to
+    the per-slice limit bound), frees the scroll context, and yields
+    JSON document strings."""
+
+    def fetch(slice_ids):
+        import json as _json
+        import urllib.request as _rq
+
+        def post(path: str, payload: dict, method: str = "POST") -> dict:
+            req = _rq.Request(
+                f"{url}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method=method,
+            )
+            with _rq.urlopen(req, timeout=timeout_s) as resp:
+                return _json.load(resp)
+
+        for sid in slice_ids:
+            b = dict(body)
+            b["slice"] = {"id": sid, "max": n_slices}
+            payload = post(f"/{indexes}/_search?scroll={scroll_s}s&size={size}", b)
+            scroll_id = payload.get("_scroll_id")
+            yielded = 0
+            while True:
+                page = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+                if not page:
+                    break
+                for d in page:
+                    yield _json.dumps(d)
+                    yielded += 1
+                    # `limit` rows per slice upper-bounds the global
+                    # limit; the engine's df.limit() does the exact cut
+                    if limit is not None and yielded >= limit:
+                        break
+                if (limit is not None and yielded >= limit) or not scroll_id:
+                    break
+                payload = post(
+                    "/_search/scroll",
+                    {"scroll": f"{scroll_s}s", "scroll_id": scroll_id},
+                )
+                scroll_id = payload.get("_scroll_id", scroll_id)
+            if scroll_id:
+                try:
+                    post("/_search/scroll", {"scroll_id": [scroll_id]},
+                         method="DELETE")
+                except Exception:  # noqa: BLE001 - best-effort hygiene
+                    pass
+
+    return fetch
 
 
 class SplunkSource(ExternalHttpSource):

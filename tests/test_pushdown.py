@@ -1191,3 +1191,87 @@ def test_scroll_context_deleted_on_early_termination(spark):
     finally:
         qw_srv.shutdown()
         es_srv.shutdown()
+
+
+def test_es_sliced_scroll_distributed_fetch(spark):
+    """slices > 1 moves the ES hits fetch onto Spark tasks via sliced
+    scrolls (the engine-side split_scan_to_union.rs: each slice is a
+    Spark partition, the union is the RDD): every slice opens its own
+    scroll with the right {id, max}, pages it dry, frees the context —
+    and the union equals the single-scroll result."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import ElasticsearchSource
+
+    docs = [{"m": i, "k": f"d{i}"} for i in range(10)]
+    state = {"scrolls": {}, "searches": [], "deletes": []}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _read(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else None
+
+        def do_GET(self):
+            self._send({"status": "green"})
+
+        def do_DELETE(self):
+            with lock:
+                state["deletes"].append(self._read())
+            self._send({"succeeded": True})
+
+        def do_POST(self):
+            body = self._read()
+            with lock:
+                if "/_search/scroll" not in self.path:
+                    # new scroll: serve this slice's share in 2-doc pages
+                    sl = body.get("slice", {"id": 0, "max": 1})
+                    state["searches"].append(sl)
+                    share = [d for d in docs if d["m"] % sl["max"] == sl["id"]]
+                    sid = f"s{sl['id']}"
+                    state["scrolls"][sid] = share[2:]
+                    self._send({"_scroll_id": sid, "hits": {"hits": [
+                        {"_source": d} for d in share[:2]]}})
+                else:
+                    sid = body["scroll_id"]
+                    rest = state["scrolls"].get(sid, [])
+                    state["scrolls"][sid] = rest[2:]
+                    self._send({"_scroll_id": sid, "hits": {"hits": [
+                        {"_source": d} for d in rest[:2]]}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        flt = _filter_expr("c.logs | where m >= 0")
+        sliced = ElasticsearchSource(f"http://127.0.0.1:{srv.server_port}", slices=3)
+        df = sliced.search(spark, "logs", sliced.handle("logs").apply_filter(flt))
+        got = sorted(r["m"] for r in df.collect())
+        assert got == list(range(10))
+        assert sorted((s["id"], s["max"]) for s in state["searches"]) == [
+            (0, 3), (1, 3), (2, 3)]
+        # every slice freed its scroll context
+        assert sorted(d["scroll_id"][0] for d in state["deletes"]) == ["s0", "s1", "s2"]
+
+        # single-scroll result is identical
+        state["searches"].clear()
+        plain = ElasticsearchSource(f"http://127.0.0.1:{srv.server_port}")
+        df2 = plain.search(spark, "logs", plain.handle("logs").apply_filter(flt))
+        assert sorted(r["m"] for r in df2.collect()) == got
+
+        # an absorbed limit bounds each slice and the final result
+        df3 = sliced.search(
+            spark, "logs", sliced.handle("logs").apply_filter(flt).apply_limit(4))
+        assert df3.count() == 4
+    finally:
+        srv.shutdown()
