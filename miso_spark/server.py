@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -153,7 +154,19 @@ class MisoServer:
         self.miso = MisoSpark(spark)
         self.views: dict[str, str] = {}
         self.connector_configs: dict[str, dict] = {"mem": {"type": "memory"}}
-        self.metrics = {"queries_total": 0, "query_errors_total": 0}
+        #: the reference's metric families (miso-common/src/metrics.rs:
+        #: query_latency histogram, running_queries gauge,
+        #: queries/errors/cancelled counters), kept as running
+        #: aggregates; /metrics serves JSON or Prometheus text
+        self.metrics = {
+            "queries_total": 0,
+            "query_errors_total": 0,
+            "queries_cancelled_total": 0,
+            "running_queries": 0,
+            "query_latency_seconds_count": 0,
+            "query_latency_seconds_sum": 0.0,
+            "query_latency_seconds_max": 0.0,
+        }
         self.status_writer: QueryStatusWriter | None = None
         if query_status_collection is not None:
             conn, _, coll = query_status_collection.partition(".")
@@ -249,8 +262,33 @@ class MisoServer:
             def do_GET(self):
                 if self.path == "/health":
                     return self._json(200, {"status": "ok"})
-                if self.path == "/metrics":
-                    return self._json(200, server_self.metrics)
+                if self.path.split("?")[0] == "/metrics":
+                    snap = dict(server_self.metrics)
+                    snap["dynamic_filters_applied_total"] = len(
+                        server_self.miso.compiler.dynamic_filter_events
+                    )
+                    if "format=prometheus" in self.path or "text/plain" in (
+                        self.headers.get("Accept") or ""
+                    ):
+                        # Prometheus text exposition, like the
+                        # reference's prometheus registry endpoint
+                        lines = []
+                        for k, v in sorted(snap.items()):
+                            kind = (
+                                "counter" if k.endswith("_total")
+                                or k.endswith("_count") or k.endswith("_sum")
+                                else "gauge"
+                            )
+                            lines.append(f"# TYPE miso_{k} {kind}")
+                            lines.append(f"miso_{k} {v}")
+                        body = ("\n".join(lines) + "\n").encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return None
+                    return self._json(200, snap)
                 if self.path == "/connectors":
                     return self._json(200, server_self.connector_configs)
                 if self.path.startswith("/connectors/"):
@@ -302,6 +340,25 @@ class MisoServer:
                     self._json(400, {"error": str(e)[:500]})
 
             def _query(self):
+                # latency histogram + running gauge around the whole
+                # request (metrics.rs query_latency / running_queries)
+                m = server_self.metrics
+                m["running_queries"] += 1
+                t0 = time.monotonic()
+                try:
+                    return self._query_impl()
+                finally:
+                    m["running_queries"] -= 1
+                    dt = time.monotonic() - t0
+                    m["query_latency_seconds_count"] += 1
+                    m["query_latency_seconds_sum"] = round(
+                        m["query_latency_seconds_sum"] + dt, 6
+                    )
+                    m["query_latency_seconds_max"] = round(
+                        max(m["query_latency_seconds_max"], dt), 6
+                    )
+
+            def _query_impl(self):
                 from miso_spark.streaming.partial import (
                     METADATA_FIELD,
                     PARTIAL_DONE_FIELD,

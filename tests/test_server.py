@@ -441,3 +441,21 @@ def test_splunk_preview_rows_replay_stats_typing(spark):
     finally:
         srv.shutdown()
         stub.shutdown()
+
+
+def test_metrics_families_and_prometheus_exposition(server):
+    """metrics.rs parity: latency aggregates + running gauge +
+    dynamic-filter counter, served as JSON and as Prometheus text."""
+    list(_post(server, "/query", {"query": "t.region | count"}))
+    m = json.load(_get(server, "/metrics"))
+    assert m["queries_total"] >= 1
+    assert m["query_latency_seconds_count"] >= 1
+    assert m["query_latency_seconds_sum"] > 0
+    assert m["query_latency_seconds_max"] > 0
+    assert m["running_queries"] == 0
+    assert "dynamic_filters_applied_total" in m
+
+    text = _get(server, "/metrics?format=prometheus").read().decode()
+    assert "# TYPE miso_queries_total counter" in text
+    assert "# TYPE miso_running_queries gauge" in text
+    assert "miso_query_latency_seconds_count" in text
