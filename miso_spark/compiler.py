@@ -546,6 +546,14 @@ class Compiler:
         scan_field = resolve_field_to_scan(step.right_on, sub.steps[1:])
         if scan_field is None:
             return None
+        from miso_spark.sources.dynamic_filter import max_rows_bound
+
+        rows_bound = max_rows_bound(left_steps, self._stats_get(left_scan))
+        if rows_bound is not None and rows_bound <= self.CONNECTOR_BROADCAST_MAX_ROWS:
+            # key collection is an extra pass over the producer; when
+            # its ROW count is provably small, cache it so the join
+            # reuses the materialization instead of recomputing
+            left.persist()
         keys = self._collect_join_keys(left, step.left_on)
         if keys is None:
             return None

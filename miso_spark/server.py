@@ -267,6 +267,12 @@ class MisoServer:
                     snap["dynamic_filters_applied_total"] = len(
                         server_self.miso.compiler.dynamic_filter_events
                     )
+                    # metrics.rs downloaded_bytes, labeled by connector
+                    snap["downloaded_bytes_total"] = {
+                        name: src.bytes_downloaded
+                        for name, src in server_self.miso.registry._sources.items()
+                        if getattr(src, "bytes_downloaded", 0)
+                    }
                     if "format=prometheus" in self.path or "text/plain" in (
                         self.headers.get("Accept") or ""
                     ):
@@ -280,7 +286,13 @@ class MisoServer:
                                 else "gauge"
                             )
                             lines.append(f"# TYPE miso_{k} {kind}")
-                            lines.append(f"miso_{k} {v}")
+                            if isinstance(v, dict):
+                                lines.extend(
+                                    f'miso_{k}{{connector="{n}"}} {c}'
+                                    for n, c in sorted(v.items())
+                                )
+                            else:
+                                lines.append(f"miso_{k} {v}")
                         body = ("\n".join(lines) + "\n").encode()
                         self.send_response(200)
                         self.send_header("Content-Type", "text/plain; version=0.0.4")

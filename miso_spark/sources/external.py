@@ -73,6 +73,10 @@ class ExternalHttpSource(Source):
     def __init__(self, url: str, timeout_s: float = 2.0):
         self.url = url.rstrip("/")
         self.timeout_s = timeout_s
+        #: driver-side response bytes (metrics.rs downloaded_bytes
+        #: counter, labeled by connector); executor-side sliced fetches
+        #: aren't counted here — they never cross the driver
+        self.bytes_downloaded = 0
 
     def _connect(self) -> None:
         probe = f"{self.url}{self.health_path}"
@@ -217,7 +221,9 @@ class QuickwitSource(ExternalHttpSource):
             method=method,  # the reference sends GET-with-JSON-body
         )
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.load(resp)
+            raw = resp.read()
+        self.bytes_downloaded += len(raw)
+        return json.loads(raw)
 
     def search(self, spark: SparkSession, collection: str, handle=None) -> DataFrame:
         """Execute a pushed-down query against the live service and
@@ -400,7 +406,9 @@ class ElasticsearchSource(ExternalHttpSource):
             method=method,
         )
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.load(resp)
+            raw = resp.read()
+        self.bytes_downloaded += len(raw)
+        return json.loads(raw)
 
     def search(
         self,
@@ -680,7 +688,9 @@ class SplunkSource(ExternalHttpSource):
             headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(f"{self.url}{path}", data=data, headers=headers)
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.load(resp)
+            raw = resp.read()
+        self.bytes_downloaded += len(raw)
+        return json.loads(raw)
 
     def create_job(self, spl: str, previews: bool = False) -> str:
         """POST /services/search/jobs with the form body the reference

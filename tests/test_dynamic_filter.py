@@ -416,3 +416,52 @@ def test_null_keys_survive_dynamic_filter(spark):
             assert got == ["t1", "tn"], (dyn, got)
     finally:
         stub.shutdown()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d", "e"])),
+    min_size=0, max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_keys=_keys, right_keys=_keys, how=st.sampled_from(["inner", "left"]))
+def test_dynamic_filter_expr_preserves_join_semantics(
+    spark, left_keys, right_keys, how
+):
+    """Property: for the producer-left directions the compiler executes
+    (inner with small left, left-join with small left), filtering the
+    RIGHT side by `_dynamic_filter_expr(left_keys)` never changes the
+    join result — including null keys, which match each other under
+    the engine's null-safe join semantics and must survive the IN via
+    the missing-field disjunct."""
+    from miso_spark.compiler import Compiler
+    from miso_spark.exprs import compile_expr
+    from miso_spark.sources import SourceRegistry
+
+    def table(keys):
+        rows = [(k, i) for i, k in enumerate(keys)]
+        schema = "key string, li long"
+        return (spark.createDataFrame(rows, schema) if rows
+                else spark.createDataFrame([], schema))
+
+    comp = Compiler(SourceRegistry(spark))
+    left = table(left_keys)
+    right = table(right_keys).withColumnRenamed("li", "ri")
+
+    def join_rows(r):
+        return sorted(
+            (str(x["li"]), str(x["ri"]))
+            for x in left.join(r, left["key"].eqNullSafe(r["key"]), how)
+            .select(left["li"], r["ri"]).collect()
+        )
+
+    expected = join_rows(right)
+    keys = [r[0] for r in left.select("key").distinct().collect()]
+    # an empty key set compiles to a constant-false filter (In with no
+    # items), which is exactly right: an empty producer joins nothing
+    flt = compile_expr(comp._dynamic_filter_expr("key", keys), right.schema)
+    assert join_rows(right.filter(flt)) == expected

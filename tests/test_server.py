@@ -459,3 +459,42 @@ def test_metrics_families_and_prometheus_exposition(server):
     assert "# TYPE miso_queries_total counter" in text
     assert "# TYPE miso_running_queries gauge" in text
     assert "miso_query_latency_seconds_count" in text
+
+
+def test_downloaded_bytes_metric_labeled_by_connector(spark):
+    """metrics.rs downloaded_bytes parity: driver-side connector
+    response bytes accumulate per connector and expose as a labeled
+    Prometheus counter."""
+    import http.server
+    import threading
+
+    from miso_spark.server import MisoServer
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"version": "stub", "hits": {"hits": [
+                {"_source": {"m": 1}}]}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    stub = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=stub.serve_forever, daemon=True).start()
+    srv = MisoServer(spark, port=0)
+    srv.add_connector(
+        "qw", {"type": "quickwit", "url": f"http://127.0.0.1:{stub.server_port}"}
+    )
+    srv.start_background()
+    try:
+        list(_post(srv, "/query", {"query": "qw.logs | take 1"}))
+        m = json.load(_get(srv, "/metrics"))
+        assert m["downloaded_bytes_total"].get("qw", 0) > 0
+        text = _get(srv, "/metrics?format=prometheus").read().decode()
+        assert 'miso_downloaded_bytes_total{connector="qw"}' in text
+    finally:
+        srv.shutdown()
+        stub.shutdown()
