@@ -121,6 +121,9 @@ class Compiler:
         self._prejoined: dict[int, DataFrame] = {}
 
     def run(self, plan: P.Plan) -> DataFrame:
+        # drop any producer DataFrames a failed earlier run left behind
+        # (their persisted blocks age out via LRU; the refs go now)
+        self._prejoined.clear()
         return self._run(plan, {})
 
     def _run(self, plan: P.Plan, env: dict[str, DataFrame]) -> DataFrame:
