@@ -177,12 +177,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             return round(time.perf_counter() - t0, 3)
 
+        base_timings: dict[str, float] = {}
         for name in SF1_HEADLINE:
             if name not in CATALOG:
                 continue
             base_t = timings.get(name)
             if base_t is None:  # not in the sf0.1 headline set
                 base_t = timed(name, SF_DIR)
+            base_timings[name] = base_t
             sf1_timings[name] = timed(name, sf1_dir)
             # time ratio across one decade of data: 1.0 = linear
             exponents[name] = round(
@@ -190,6 +192,7 @@ def main() -> None:
             )
         result["sf1"] = {
             "copies": SF1_COPIES,
+            "base_queries": base_timings,
             "queries": sf1_timings,
             "scaling_exponent": exponents,
         }

@@ -171,6 +171,15 @@ class Compiler:
                             f"this raw query (must be valid query-DSL JSON)"
                         )
                     df = src.search(self.spark, step.collection, handle)
+                    # static_fields rename on the returned rows, like
+                    # the batch path (SourceRegistry.table) — absorbed
+                    # steps went out in service names (FieldReplacer),
+                    # residual steps see the visible names
+                    for to, frm in src.collection_static_fields(
+                        step.collection
+                    ).items():
+                        if frm in df.columns:
+                            df = df.withColumnRenamed(frm, to)
                     absorbed = len(steps) - i - len(residual.steps)
                     i += 1 + absorbed
                     continue

@@ -350,3 +350,43 @@ def minutes(n: float) -> Duration:
 
 def seconds(n: float) -> Duration:
     return Duration(float(n))
+
+
+def rename_fields(e: Expr, mapping: dict) -> Expr:
+    """Rewrite top-level field names per ``mapping`` ({visible:
+    source}) — the expression arm of the reference's FieldReplacer
+    (miso-optimizations/src/field_replacer.rs), which maps a scan's
+    static_fields back to the connector's real column names before the
+    connector sees a pushed-down step."""
+    if not mapping:
+        return e
+
+    def r(x: Expr) -> Expr:
+        return rename_fields(x, mapping)
+
+    if isinstance(e, Field):
+        (head, idxs), *rest = e.path.segments
+        if head in mapping:
+            from miso_spark.fields import FieldPath
+
+            return Field(FieldPath(((mapping[head], idxs),) + tuple(rest)))
+        return e
+    if isinstance(e, BinOp):
+        return BinOp(e.op, r(e.left), r(e.right))
+    if isinstance(e, Not):
+        return Not(r(e.expr))
+    if isinstance(e, Exists):
+        return Exists(r(e.expr))
+    if isinstance(e, In):
+        return In(r(e.expr), tuple(r(i) for i in e.items))
+    if isinstance(e, Between):
+        return Between(r(e.expr), r(e.low), r(e.high), e.negated)
+    if isinstance(e, Case):
+        return Case(tuple((r(c), r(v)) for c, v in e.branches), r(e.default))
+    if isinstance(e, Extract):
+        return Extract(r(e.pattern), r(e.group), r(e.source))
+    if isinstance(e, Bin):
+        return Bin(r(e.expr), r(e.size))
+    if isinstance(e, Cast):
+        return Cast(e.type, r(e.expr))
+    return e  # Lit / Duration / Now

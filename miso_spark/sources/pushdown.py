@@ -280,10 +280,30 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
     ``source`` (optional) enables the push_union_into_scan pass: a
     union whose sub-plan scans the SAME connector and absorbs fully
     into an identical handle merges into one multi-index search
-    (apply_union decides, like the reference — not all connectors can)."""
+    (apply_union decides, like the reference — not all connectors can).
+    It also supplies the collection's static_fields, which absorbed
+    steps must be rewritten through (FieldReplacer parity,
+    push_into_scan/mod.rs:27): the service only knows its real column
+    names, so a pushed ``@time`` filter goes out against the mapped
+    timestamp column. Residual steps stay in visible names — the
+    engine applies the rename on the returned DataFrame.
+
+    A filter the connector refuses gets one more chance through the
+    reference's case-transform fallback (mod.rs:54-59): CASE rewritten
+    to guarded ORs + constant folding, then apply_filter again."""
+    from miso_spark.exprs import rename_fields
+
     steps = list(plan.steps)
     if not steps or not isinstance(steps[0], (P.Scan, P.ScanRaw)):
         raise ValueError("negotiate() expects a plan starting at a scan")
+    static = (
+        source.collection_static_fields(steps[0].collection)
+        if source is not None and isinstance(steps[0], P.Scan)
+        else {}
+    )
+
+    def map_name(name: str) -> str:
+        return static.get(name, name)
     if isinstance(steps[0], P.ScanRaw):
         # raw_query hook (quickwit.rs:1552): the native query must be
         # valid JSON, and only connectors implementing the hook absorb
@@ -301,21 +321,60 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
     while i < len(steps):
         step = steps[i]
         if isinstance(step, P.Filter):
-            nh = handle.apply_filter(step.expr)
+            expr = rename_fields(step.expr, static)
+            nh = handle.apply_filter(expr)
+            if nh is None:
+                # case-transform fallback: CASE → guarded ORs + fold,
+                # then retry (push_into_scan/mod.rs:54-59)
+                from miso_spark.sources.case_transform import case_transform
+
+                rewritten = case_transform(expr)
+                if rewritten != expr:
+                    nh = handle.apply_filter(rewritten)
         elif isinstance(step, P.Project):
-            nh = handle.apply_project(step.fields)
+            nh = handle.apply_project(
+                tuple(
+                    P.ProjectField(rename_fields(pf.expr, static), map_name(pf.name))
+                    for pf in step.fields
+                )
+            ) if static else handle.apply_project(step.fields)
         elif isinstance(step, P.Limit):
             nh = handle.apply_limit(step.n)
         elif isinstance(step, P.Top):
-            nh = handle.apply_topn(step.sorts, step.n)
+            sorts = (
+                tuple(replace(s, by=map_name(s.by)) for s in step.sorts)
+                if static
+                else step.sorts
+            )
+            nh = handle.apply_topn(sorts, step.n)
         elif isinstance(step, P.SummarizeStep):
-            nh = handle.apply_summarize(step)
+            summ = step
+            if static:
+                summ = P.SummarizeStep(
+                    tuple(
+                        (name, replace(a, arg=rename_fields(a.arg, static))
+                         if a.arg is not None else a)
+                        for name, a in step.aggs
+                    ),
+                    tuple(
+                        replace(bf, expr=rename_fields(bf.expr, static))
+                        for bf in step.by
+                    ),
+                )
+            nh = handle.apply_summarize(summ)
         elif isinstance(step, P.CountStep):
             nh = handle.apply_count()
         elif isinstance(step, P.Extend) and hasattr(handle, "apply_extend"):
             # apply_extend is connector-optional (lib.rs): Splunk
             # renders rex extractions; the search connectors have none
-            nh = handle.apply_extend(step.fields)
+            nh = handle.apply_extend(
+                tuple(
+                    P.ProjectField(rename_fields(pf.expr, static), pf.name)
+                    for pf in step.fields
+                )
+                if static
+                else step.fields
+            )
         elif isinstance(step, P.Union) and source is not None:
             # push_union_into_scan.rs: the union sub-plan must scan the
             # same connector and absorb COMPLETELY into its own handle;

@@ -1275,3 +1275,99 @@ def test_es_sliced_scroll_distributed_fetch(spark):
         assert df3.count() == 4
     finally:
         srv.shutdown()
+
+
+def test_static_fields_replaced_in_pushdown_and_restored_on_rows(spark):
+    """FieldReplacer parity (push_into_scan/mod.rs:27): a filter on the
+    visible ``@time`` ships against the connector's real timestamp
+    column, and the returned rows surface the visible name again for
+    residual engine-side steps — exactly like the batch scan path."""
+    import http.server
+    import threading
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    reqs = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n)) if n else None
+            reqs.append((self.path, body))
+            if self.path == "/api/v1/version":
+                self._send({"version": "stub"})
+            elif "/_search" in self.path:
+                self._send({"hits": {"hits": [
+                    {"_source": {"ts": "2024-01-02T00:00:00Z", "m": 1}}]}})
+            else:
+                self._send({})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = QuickwitSource(f"http://127.0.0.1:{srv.server_port}",
+                             timestamp_fields={"logs": "ts"})
+        src.static_fields = {"logs": {"@time": "ts"}}
+        reg = SourceRegistry(spark).register("qw", src)
+        df = Compiler(reg).run(parse_kql(
+            "qw.logs | where @time > datetime(2024-01-01) | project @time, m"
+        ))
+        assert set(df.columns) == {"@time", "m"}
+        assert df.count() == 1
+        body = next(b for p, b in reqs if b and "query" in b)
+        # the wire filter references the service's real column
+        assert body["query"]["bool"]["must"][0] == {
+            "range": {"ts": {"gt": "2024-01-01T00:00:00"}}}
+    finally:
+        srv.shutdown()
+
+
+def test_case_filter_pushes_after_transform(spark):
+    """Case-transform fallback (push_into_scan/mod.rs:54-59 +
+    case_transformer.rs): a filter containing iff()/case() — which the
+    query DSL can't express — rewrites to guarded ORs with constants
+    folded, and THEN pushes down."""
+    from miso_spark.sources.case_transform import case_transform
+    from miso_spark.sources.es_dsl import compile_filter
+
+    # the reference's own example: case(id>20,100, id>10,50, 0)*5 < 10
+    expr = _filter_expr(
+        "c.t | where case(id > 20, 100, id > 10, 50, 0) * 5 < 10"
+    )
+    assert compile_filter(expr) is None  # raw case → refused
+    rewritten = case_transform(expr)
+    dsl = compile_filter(rewritten)
+    assert dsl is not None
+    # the raw handle still refuses — the retry lives in negotiate(),
+    # like the reference's optimizer-level fallback
+    assert PushHandle().apply_filter(expr) is None
+    # wire round-trip: the pushed query matches only rows where the
+    # case would have evaluated to 0 (id <= 10)
+    stub = _QuickwitStub(pages=[[{"id": 5}], []])
+    try:
+        from miso_spark.compiler import Compiler
+        from miso_spark.sources import SourceRegistry
+        from miso_spark.sources.external import QuickwitSource
+
+        reg = SourceRegistry(spark).register(
+            "qw", QuickwitSource(stub.url))
+        df = Compiler(reg).run(parse_kql(
+            "qw.t | where case(id > 20, 100, id > 10, 50, 0) * 5 < 10"))
+        assert [r["id"] for r in df.collect()] == [5]
+        body = next(b for p, b in stub.requests if b and "query" in b)
+        must = body["query"]["bool"]["must"]
+        assert must, must  # a real filter went out, not a full scan
+    finally:
+        stub.shutdown()
