@@ -777,3 +777,59 @@ def near_dedup_pipeline(
         .select("id", "canonical_id")
         .withColumn("is_kept", F.col("id") == F.col("canonical_id"))
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 3,
+    min_common_shingles: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation corpus.
+
+    The standard pretraining hygiene step (n-gram-overlap
+    decontamination as popularized by GPT-3/PaLM data cards): any
+    training doc containing ≥ ``min_common_shingles`` distinct
+    ``n``-gram shingles that also appear ANYWHERE in ``eval_df`` is
+    contaminated. Shingles hash to longs and the eval side collapses to
+    its distinct shingle set — normally tiny next to 100 TB of
+    training text — so the plan is a broadcast-able semi-side
+    aggregation, never an all-pairs comparison.
+
+    Returns (id, common_shingles, contaminated) for EVERY input row —
+    keep/filter decisions stay with the caller.
+    """
+    train = shingle_rows(df, text_col, id_col, n)
+    ev = (
+        shingle_rows(
+            eval_df.select(
+                F.monotonically_increasing_id().alias("__eid"),
+                F.col(eval_text_col),
+            ),
+            eval_text_col,
+            "__eid",
+            n,
+        )
+        .select("shh")
+        .distinct()
+    )
+    hits = (
+        train.join(F.broadcast(ev), "shh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("common_shingles", F.lit(0)).alias("common_shingles"),
+            (F.coalesce("common_shingles", F.lit(0)) >= min_common_shingles).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -766,3 +766,38 @@ def test_embedding_dim_from_metadata_no_probe_job(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", real_collect)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Benchmark decontamination: training docs sharing word n-grams
+    with the eval corpus flag contaminated; the eval side collapses to
+    a broadcast distinct-shingle set (no all-pairs)."""
+    from miso_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text about spark engines"),
+            (3, "partial overlap here the quick brown fox appears once"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(0, "benchmark asks about the quick brown fox story")],
+        "eid long, text string",
+    )
+    out = {r["id"]: (r["common_shingles"], r["contaminated"])
+           for r in decontaminate(train, evals, min_common_shingles=2).collect()}
+    assert set(out) == {1, 2, 3, 4}          # every input row present
+    assert out[1][1] and out[1][0] >= 2      # shares "the quick brown" etc.
+    assert out[3][1] and out[3][0] >= 2
+    assert out[2] == (0, False)
+    assert out[4] == (0, False)
+    # threshold is respected: at a high bar nothing is contaminated
+    strict = decontaminate(train, evals, min_common_shingles=50)
+    assert all(not r["contaminated"] for r in strict.collect())
+    # plan shape: eval shingle set broadcasts into the probe join
+    plan = (decontaminate(train, evals)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
