@@ -59,6 +59,7 @@ SF1_HEADLINE = [
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "sessionize_native",
+    "near_dedup_pipeline",
 ]
 SF1_COPIES = 10
 
