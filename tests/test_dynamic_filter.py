@@ -465,3 +465,28 @@ def test_dynamic_filter_expr_preserves_join_semantics(
     # items), which is exactly right: an empty producer joins nothing
     flt = compile_expr(comp._dynamic_filter_expr("key", keys), right.schema)
     assert join_rows(right.filter(flt)) == expected
+
+
+def test_negation_filter_emits_must_not_terms(spark):
+    """The add_not_to_dynamic_filter wire shape (join.rs:315): a
+    negated observed-key filter compiles to bool/must_not over the
+    terms clause and round-trips to the service. The compiler never
+    *selects* this plan (it drops matched rows — dynamic_filter.py
+    divergence 1), but the emission is reference-exact for any caller
+    that opts in."""
+    from miso_spark.sources.es_dsl import compile_filter
+
+    expr = build_in_filter("key", ["a", "b"], negated=True)
+    dsl = compile_filter(expr, minimum_should_match=False)
+    assert dsl == {"bool": {"must_not": {"terms": {"key": ["a", "b"]}}}}
+
+    stub = _Stub({"logs": LOGS})
+    try:
+        src = QuickwitSource(stub.url)
+        h = src.handle("logs").apply_filter(expr)
+        assert h is not None
+        src.search(spark, "logs", h)
+        body = next(b for b in stub.search_bodies("logs") if b)
+        assert body["query"]["bool"]["must"][0] == dsl
+    finally:
+        stub.shutdown()
