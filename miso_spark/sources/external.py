@@ -133,6 +133,10 @@ class QuickwitSource(ExternalHttpSource):
     #: paging defaults (quickwit.rs default_scroll_timeout/_size)
     scroll_timeout_ms = 30_000
     scroll_size = 5_000
+    #: index-discovery refresh cadence (quickwit.rs:330
+    #: default_refresh_interval = 1m; the reference refetches
+    #: /api/v1/indexes on a background task — here lazily on use)
+    indexes_refresh_s = 60.0
 
     def __init__(self, url: str, timeout_s: float = 2.0,
                  timestamp_fields: dict[str, str] | None = None,
@@ -180,9 +184,23 @@ class QuickwitSource(ExternalHttpSource):
 
     def handle(self, collection: str):
         """Fresh pushdown handle for ``collection`` (get_handle analog:
-        quickwit.rs:1131 binds the index's timestamp field)."""
+        quickwit.rs:1131 binds the index's timestamp field). When the
+        source is in discovery mode (fetch_indexes has run), stale
+        discovery refreshes lazily first — the reference's 1-minute
+        refresh_indexes_at_interval task (quickwit.rs:793), lazy."""
+        import time
+
         from miso_spark.sources.pushdown import PushHandle
 
+        fetched_at = getattr(self, "_indexes_fetched_at", None)
+        if (
+            fetched_at is not None
+            and time.monotonic() - fetched_at > self.indexes_refresh_s
+        ):
+            try:
+                self.fetch_indexes()
+            except (urllib.error.URLError, OSError, ValueError):
+                pass  # keep serving the last-known mapping
         return PushHandle(
             flavor="quickwit",
             timestamp_field=self.timestamp_fields.get(collection),
@@ -194,7 +212,10 @@ class QuickwitSource(ExternalHttpSource):
         refreshes this at an interval). Populates the static-fields
         source of truth: indexes with a timestamp field expose it as
         ``@time`` (quickwit.rs:1113-1125 get_collection)."""
+        import time
+
         payload = self._request_json("/api/v1/indexes", None)
+        self._indexes_fetched_at = time.monotonic()
         self.timestamp_fields = {
             e["index_config"]["index_id"]: e["index_config"]
             .get("doc_mapping", {})

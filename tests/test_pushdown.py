@@ -1371,3 +1371,42 @@ def test_case_filter_pushes_after_transform(spark):
         assert must, must  # a real filter went out, not a full scan
     finally:
         stub.shutdown()
+
+
+def test_quickwit_index_discovery_refreshes_lazily():
+    """refresh_indexes_at_interval parity (quickwit.rs:793, 1m default):
+    once discovery has run, a stale mapping refetches on next handle();
+    within the window the cached mapping serves; a refresh failure
+    keeps the last-known mapping."""
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(pages=[])
+    payloads = [
+        [{"index_config": {"index_id": "logs",
+                           "doc_mapping": {"timestamp_field": "ts"}}}],
+        [{"index_config": {"index_id": "logs",
+                           "doc_mapping": {"timestamp_field": "ts2"}}}],
+    ]
+    handler_cls = stub.server.RequestHandlerClass
+    orig = handler_cls.do_GET
+
+    def do_GET(self):
+        if self.path == "/api/v1/indexes":
+            self._send(payloads.pop(0) if payloads else [])
+        else:
+            orig(self)
+
+    handler_cls.do_GET = do_GET
+    try:
+        src = QuickwitSource(stub.url)
+        src.fetch_indexes()
+        assert src.handle("logs").timestamp_field == "ts"  # cached, fresh
+        src._indexes_fetched_at -= src.indexes_refresh_s + 1  # age it
+        assert src.handle("logs").timestamp_field == "ts2"  # refetched
+        # failure after staleness: last-known mapping survives
+        src._indexes_fetched_at -= src.indexes_refresh_s + 1
+        handler_cls.do_GET = lambda self: (_ for _ in ()).throw(OSError("down"))
+        assert src.handle("logs").timestamp_field == "ts2"
+    finally:
+        handler_cls.do_GET = orig
+        stub.shutdown()
