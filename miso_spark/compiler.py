@@ -113,18 +113,83 @@ class Compiler:
         #: proves the producer small
         self.dynamic_filter = dynamic_filter
         self.dynamic_filter_max_distinct = dynamic_filter_max_distinct
-        #: observability: one record per applied dynamic filter
+        #: observability: one record per applied dynamic filter,
+        #: trimmed to the newest DYNAMIC_FILTER_EVENTS_CAP at each run
+        #: so a long-lived server doesn't grow it without bound
         self.dynamic_filter_events: list[dict] = []
-        #: join sub-plans already computed by the scan-time hook,
-        #: keyed by id(join_step) — consumed (and the persisted
-        #: DataFrame reused) when _join reaches that step
-        self._prejoined: dict[int, DataFrame] = {}
+        #: per-thread run context: ThreadingHTTPServer runs each query
+        #: on its own thread, so thread-locality keys the prejoined
+        #: cache and the persist ledger per in-flight run — one query
+        #: can no longer clobber another's producer cache
+        import threading
+
+        self._tls = threading.local()
+
+    #: newest dynamic-filter events kept across runs (observability
+    #: buffer, not an accounting structure)
+    DYNAMIC_FILTER_EVENTS_CAP = 1_000
+
+    class _RunCtx:
+        """State scoped to one run(): join sub-plans already computed
+        by the scan-time dynamic-filter hook (keyed by id(join_step),
+        consumed when _join reaches that step) and every DataFrame/RDD
+        the run persisted, so release() can unpersist them — Spark's
+        CacheManager holds entries until explicit unpersist, so
+        without this a long-running server leaks one cache entry per
+        dynamic-filtered query."""
+
+        def __init__(self):
+            self.prejoined: dict[int, DataFrame] = {}
+            self.persisted: list = []
+
+        def release(self) -> None:
+            for obj in self.persisted:
+                try:
+                    obj.unpersist(False)
+                except Exception:  # noqa: BLE001 - context may be gone
+                    pass
+            self.persisted.clear()
+            self.prejoined.clear()
+
+    def _ctx(self) -> "Compiler._RunCtx":
+        ctx = getattr(self._tls, "ctx", None)
+        if ctx is None:
+            # direct _run/_join calls outside run(): transient context
+            ctx = self._tls.ctx = Compiler._RunCtx()
+        return ctx
 
     def run(self, plan: P.Plan) -> DataFrame:
-        # drop any producer DataFrames a failed earlier run left behind
-        # (their persisted blocks age out via LRU; the refs go now)
-        self._prejoined.clear()
-        return self._run(plan, {})
+        """Compile and run ``plan``; the returned DataFrame is lazy.
+
+        Caches persisted during THIS run stay alive for the caller's
+        action and are unpersisted when this thread's NEXT run starts
+        (by then the previous query's action has run, in the
+        one-query-at-a-time library usage this path serves). Callers
+        that know their query lifecycle — the HTTP server — use
+        :meth:`run_with_caches` and release explicitly."""
+        prev = getattr(self._tls, "pending", None)
+        if prev is not None:
+            self._tls.pending = None
+            prev.release()
+        df, ctx = self.run_with_caches(plan)
+        self._tls.pending = ctx
+        return df
+
+    def run_with_caches(self, plan: P.Plan) -> tuple[DataFrame, "Compiler._RunCtx"]:
+        """Like :meth:`run`, but hands back the run's cache ledger:
+        call ``ctx.release()`` once the query's results have been
+        consumed (the server does this in its emit finally-block)."""
+        del self.dynamic_filter_events[: -self.DYNAMIC_FILTER_EVENTS_CAP]
+        ctx = Compiler._RunCtx()
+        self._tls.ctx = ctx
+        try:
+            df = self._run(plan, {})
+        except BaseException:
+            ctx.release()
+            raise
+        finally:
+            self._tls.ctx = None
+        return df, ctx
 
     def _run(self, plan: P.Plan, env: dict[str, DataFrame]) -> DataFrame:
         df: Optional[DataFrame] = None
@@ -171,6 +236,11 @@ class Compiler:
                             f"this raw query (must be valid query-DSL JSON)"
                         )
                     df = src.search(self.spark, step.collection, handle)
+                    if hasattr(src, "take_persisted"):
+                        # adopt RDDs the connector persisted for a
+                        # distributed fetch into this run's ledger, so
+                        # release() unpersists them with everything else
+                        self._ctx().persisted.extend(src.take_persisted())
                     # static_fields rename on the returned rows, like
                     # the batch path (SourceRegistry.table) — absorbed
                     # steps went out in service names (FieldReplacer),
@@ -511,8 +581,10 @@ class Compiler:
         scan_field = resolve_field_to_scan(join.left_on, steps[i + 1 : j])
         if scan_field is None:
             return
+        ctx = self._ctx()
         right = self._run(sub, env).persist()
-        self._prejoined[id(join)] = right
+        ctx.persisted.append(right)
+        ctx.prejoined[id(join)] = right
         keys = self._collect_join_keys(right, join.right_on)
         if keys is None:
             return
@@ -566,6 +638,7 @@ class Compiler:
             # its ROW count is provably small, cache it so the join
             # reuses the materialization instead of recomputing
             left.persist()
+            self._ctx().persisted.append(left)
         keys = self._collect_join_keys(left, step.left_on)
         if keys is None:
             return None
@@ -589,7 +662,7 @@ class Compiler:
         left_scan=None,
     ) -> DataFrame:
         assert left is not None, "join requires an input"
-        right = self._prejoined.pop(id(step), None)
+        right = self._ctx().prejoined.pop(id(step), None)
         right_rows_bound = None
         sub0 = step.sub.steps[0] if step.sub.steps else None
         if isinstance(sub0, P.Scan):

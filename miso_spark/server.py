@@ -58,6 +58,7 @@ _SOURCE_TYPES = {
         cfg["url"],
         timestamp_fields=cfg.get("timestamp_fields"),
         stats_fields=cfg.get("stats_fields"),
+        slices=cfg.get("slices", 1),
     ),
     "elasticsearch": lambda cfg: ElasticsearchSource(
         cfg["url"],
@@ -66,7 +67,8 @@ _SOURCE_TYPES = {
         slices=cfg.get("slices", 1),
     ),
     "splunk": lambda cfg: SplunkSource(
-        cfg["url"], token=cfg.get("token"), stats_fields=cfg.get("stats_fields")
+        cfg["url"], token=cfg.get("token"), stats_fields=cfg.get("stats_fields"),
+        slices=cfg.get("slices", 1),
     ),
 }
 
@@ -141,6 +143,10 @@ class QueryStatusWriter:
 
 
 class MisoServer:
+    #: fixed latency-histogram boundaries (seconds); cumulative counts,
+    #: +Inf implicit as the total count
+    LATENCY_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
+
     def __init__(
         self,
         spark: SparkSession,
@@ -166,7 +172,16 @@ class MisoServer:
             "query_latency_seconds_count": 0,
             "query_latency_seconds_sum": 0.0,
             "query_latency_seconds_max": 0.0,
+            # cumulative histogram counts per upper bound — the
+            # reference's query_latency is a prometheus histogram
+            # (metrics.rs), so /metrics exposes real buckets too
+            "query_latency_seconds_bucket": {
+                str(le): 0 for le in self.LATENCY_BUCKETS
+            } | {"+Inf": 0},
         }
+        #: ThreadingHTTPServer handles queries concurrently; counter
+        #: updates are read-modify-write, so they serialize here
+        self.metrics_lock = threading.Lock()
         self.status_writer: QueryStatusWriter | None = None
         if query_status_collection is not None:
             conn, _, coll = query_status_collection.partition(".")
@@ -216,7 +231,13 @@ class MisoServer:
         return Plan(lets + plan.steps)
 
     def _query_df(self, kql: str):
-        return self.miso.compiler.run(self._plan(kql))
+        """Compile only (the /explain path): any caches the compile
+        phase persisted are dropped immediately — nothing will execute
+        this frame. Server threads are per-request, so the compiler's
+        deferred next-run release would never fire here."""
+        df, ctx = self.miso.compiler.run_with_caches(self._plan(kql))
+        ctx.release()
+        return df
 
     def _splunk_preview(self, plan: Plan):
         """(source, spl) when the plan is a Splunk scan whose steps ALL
@@ -263,14 +284,18 @@ class MisoServer:
                 if self.path == "/health":
                     return self._json(200, {"status": "ok"})
                 if self.path.split("?")[0] == "/metrics":
-                    snap = dict(server_self.metrics)
+                    with server_self.metrics_lock:
+                        snap = {
+                            k: dict(v) if isinstance(v, dict) else v
+                            for k, v in server_self.metrics.items()
+                        }
                     snap["dynamic_filters_applied_total"] = len(
                         server_self.miso.compiler.dynamic_filter_events
                     )
                     # metrics.rs downloaded_bytes, labeled by connector
                     snap["downloaded_bytes_total"] = {
                         name: src.bytes_downloaded
-                        for name, src in server_self.miso.registry._sources.items()
+                        for name, src in server_self.miso.registry.sources().items()
                         if getattr(src, "bytes_downloaded", 0)
                     }
                     if "format=prometheus" in self.path or "text/plain" in (
@@ -280,6 +305,18 @@ class MisoServer:
                         # reference's prometheus registry endpoint
                         lines = []
                         for k, v in sorted(snap.items()):
+                            if k == "query_latency_seconds_bucket":
+                                # histogram buckets: cumulative counts
+                                # with the standard `le` label
+                                lines.append(f"# TYPE miso_{k} counter")
+                                lines.extend(
+                                    f'miso_{k}{{le="{le}"}} {v[le]}'
+                                    for le in [
+                                        *map(str, server_self.LATENCY_BUCKETS),
+                                        "+Inf",
+                                    ]
+                                )
+                                continue
                             kind = (
                                 "counter" if k.endswith("_total")
                                 or k.endswith("_count") or k.endswith("_sum")
@@ -348,27 +385,35 @@ class MisoServer:
                         return self._json(200, {"status": "ok"})
                     self._json(404, {"error": "not found"})
                 except Exception as e:  # noqa: BLE001
-                    server_self.metrics["query_errors_total"] += 1
+                    with server_self.metrics_lock:
+                        server_self.metrics["query_errors_total"] += 1
                     self._json(400, {"error": str(e)[:500]})
 
             def _query(self):
                 # latency histogram + running gauge around the whole
                 # request (metrics.rs query_latency / running_queries)
                 m = server_self.metrics
-                m["running_queries"] += 1
+                with server_self.metrics_lock:
+                    m["running_queries"] += 1
                 t0 = time.monotonic()
                 try:
                     return self._query_impl()
                 finally:
-                    m["running_queries"] -= 1
                     dt = time.monotonic() - t0
-                    m["query_latency_seconds_count"] += 1
-                    m["query_latency_seconds_sum"] = round(
-                        m["query_latency_seconds_sum"] + dt, 6
-                    )
-                    m["query_latency_seconds_max"] = round(
-                        max(m["query_latency_seconds_max"], dt), 6
-                    )
+                    with server_self.metrics_lock:
+                        m["running_queries"] -= 1
+                        m["query_latency_seconds_count"] += 1
+                        m["query_latency_seconds_sum"] = round(
+                            m["query_latency_seconds_sum"] + dt, 6
+                        )
+                        m["query_latency_seconds_max"] = round(
+                            max(m["query_latency_seconds_max"], dt), 6
+                        )
+                        buckets = m["query_latency_seconds_bucket"]
+                        for le in server_self.LATENCY_BUCKETS:
+                            if dt <= le:
+                                buckets[str(le)] += 1
+                        buckets["+Inf"] += 1
 
             def _query_impl(self):
                 from miso_spark.streaming.partial import (
@@ -418,17 +463,24 @@ class MisoServer:
                     None if use_partial or debounce is None
                     else server_self._splunk_preview(plan)
                 )
+                run_ctx = None
                 try:
-                    df = (
-                        None
-                        if use_partial or splunk_preview is not None
-                        else server_self.miso.compiler.run(plan)
-                    )
+                    df = None
+                    if not use_partial and splunk_preview is None:
+                        # run_with_caches + explicit release: each
+                        # request runs on its own short-lived thread,
+                        # so the compiler's deferred per-thread release
+                        # would never fire — the emit finally below
+                        # unpersists this run's caches instead
+                        df, run_ctx = server_self.miso.compiler.run_with_caches(
+                            plan
+                        )
                 except Exception as e:
                     status("internal_error", str(e)[:500], done=True)
                     raise
                 status("running")
-                server_self.metrics["queries_total"] += 1
+                with server_self.metrics_lock:
+                    server_self.metrics["queries_total"] += 1
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -515,13 +567,13 @@ class MisoServer:
                     # CancellationToken when the SSE stream drops
                     # (http_server.rs:347 cancel.cancel())
                     server_self.miso.spark.sparkContext.cancelJobGroup(qgroup)
-                    server_self.metrics["queries_cancelled_total"] = (
-                        server_self.metrics.get("queries_cancelled_total", 0) + 1
-                    )
+                    with server_self.metrics_lock:
+                        server_self.metrics["queries_cancelled_total"] += 1
                     status("cancelled", done=True)
                     return
                 except Exception as e:  # noqa: BLE001
-                    server_self.metrics["query_errors_total"] += 1
+                    with server_self.metrics_lock:
+                        server_self.metrics["query_errors_total"] += 1
                     status("internal_error", str(e)[:500], done=True)
                     try:
                         payload = json.dumps({"error": str(e)[:500]})
@@ -529,6 +581,13 @@ class MisoServer:
                     except OSError:
                         server_self.miso.spark.sparkContext.cancelJobGroup(qgroup)
                     return
+                finally:
+                    # all result rows are on the wire (or the stream
+                    # died): this run's persisted caches go now —
+                    # Spark's CacheManager would otherwise hold one
+                    # entry per dynamic-filtered query forever
+                    if run_ctx is not None:
+                        run_ctx.release()
                 status("success", done=True)
                 try:
                     self.wfile.write(b"event: done\ndata: {}\n\n")

@@ -250,6 +250,13 @@ class SourceRegistry:
             raise KeyError(f"unknown connector {name!r}; registered: {sorted(self._sources)}")
         return self._sources[name]
 
+    def sources(self) -> dict[str, Source]:
+        """Registered connectors by name (read-only snapshot)."""
+        return dict(self._sources)
+
+    def unregister(self, name: str) -> None:
+        self._sources.pop(name, None)
+
     def table(self, connector: str, collection: str) -> DataFrame:
         src = self.source(connector)
         df = src.table(self.spark, collection)

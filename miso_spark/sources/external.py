@@ -77,6 +77,29 @@ class ExternalHttpSource(Source):
         #: counter, labeled by connector); executor-side sliced fetches
         #: aren't counted here — they never cross the driver
         self.bytes_downloaded = 0
+        #: RDDs persisted by distributed fetch paths, pending adoption
+        #: by the run that triggered them (the compiler pops these into
+        #: its per-run cache ledger and unpersists at release time — a
+        #: fetch RDD must stay cached until the query's action runs, or
+        #: re-execution would hit the live service again and could see
+        #: different data)
+        self._pending_persisted: list = []
+
+    def take_persisted(self) -> list:
+        """Hand pending persisted RDDs to the caller (ownership
+        transfer): the compiler adopts them into the current run's
+        cache ledger right after ``search()`` returns."""
+        out, self._pending_persisted = self._pending_persisted, []
+        return out
+
+    def release_cached(self) -> None:
+        """Unpersist any un-adopted fetch RDDs (standalone ``search()``
+        callers that never route through the compiler)."""
+        for rdd in self.take_persisted():
+            try:
+                rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 - context may be gone
+                pass
 
     def _connect(self) -> None:
         probe = f"{self.url}{self.health_path}"
@@ -140,13 +163,19 @@ class QuickwitSource(ExternalHttpSource):
 
     def __init__(self, url: str, timeout_s: float = 2.0,
                  timestamp_fields: dict[str, str] | None = None,
-                 stats_fields: dict[str, list[str]] | None = None):
+                 stats_fields: dict[str, list[str]] | None = None,
+                 slices: int = 1):
         super().__init__(url, timeout_s)
         #: index → timestamp field, as the reference learns from
         #: ``/api/v1/indexes`` doc_mapping (quickwit.rs get_indexes)
         self.timestamp_fields = timestamp_fields or {}
         #: index → fields to profile in fetch_stats (stats.rs parity)
         self.stats_fields = stats_fields or {}
+        #: > 1 distributes the hits fetch across Spark tasks via
+        #: Quickwit's ES-compatible sliced scrolls — same engine-side
+        #: split-scan model as the ES connector below (each slice IS a
+        #: Spark partition; split_scan_to_union.rs's union is the RDD)
+        self.slices = max(1, slices)
 
     def fetch_stats(self):
         """Connector::fetch_stats (lib.rs:295, stats.rs ConnectorStats):
@@ -301,6 +330,40 @@ class QuickwitSource(ExternalHttpSource):
             f"/api/v1/_elastic/{indexes}/_search?{include}"
             f"scroll={self.scroll_timeout_ms}ms&size={scroll_size}"
         )
+        if self.slices > 1 and handle.sorts is None:
+            # distributed fetch: one sliced scroll per Spark task over
+            # the same ES-compatible surface (sliced scrolls don't
+            # preserve a global sort order, so absorbed top-n keeps the
+            # driver path — identical rule to the ES connector)
+            fetch = _make_slice_fetcher(
+                self.url, path, "/api/v1/_elastic/_search/scroll",
+                f"{self.scroll_timeout_ms}ms", body or {}, self.slices,
+                handle.limit, self.timeout_s,
+                method="GET",  # the reference sends GET-with-JSON-body
+                delete_as_list=False,  # DELETE body is the bare id here
+            )
+            from pyspark import StorageLevel
+
+            # persist before read.json: schema inference is its own
+            # pass, and an uncached fetch would re-hit the service per
+            # action (and could observe different data between passes)
+            rdd = (
+                spark.sparkContext.parallelize(range(self.slices), self.slices)
+                .mapPartitions(fetch)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._pending_persisted.append(rdd)
+            df = spark.read.json(rdd)
+            if handle.limit is not None:
+                df = df.limit(handle.limit)
+            ts = handle.timestamp_field
+            if ts is not None and ts in df.columns:
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import StringType
+
+                if isinstance(df.schema[ts].dataType, StringType):
+                    df = df.withColumn(ts, F.to_timestamp(ts))
+            return df
         payload = self._request_json(path, body)
         docs = [h["_source"] for h in payload["hits"]["hits"]]
         scroll_id = payload.get("_scroll_id")
@@ -494,9 +557,12 @@ class ElasticsearchSource(ExternalHttpSource):
                 # (sliced scrolls don't preserve a global sort order,
                 # so absorbed top-n keeps the driver path)
                 fetch = _make_slice_fetcher(
-                    self.url, indexes, body, self.slices,
-                    self.scroll_timeout_s, scroll_size, handle.limit,
-                    self.timeout_s,
+                    self.url,
+                    f"/{indexes}/_search?scroll={self.scroll_timeout_s}s"
+                    f"&size={scroll_size}",
+                    "/_search/scroll",
+                    f"{self.scroll_timeout_s}s",
+                    body, self.slices, handle.limit, self.timeout_s,
                 )
                 from pyspark import StorageLevel
 
@@ -509,6 +575,7 @@ class ElasticsearchSource(ExternalHttpSource):
                     .mapPartitions(fetch)
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                self._pending_persisted.append(rdd)
                 df = spark.read.json(rdd)
                 if handle.limit is not None:
                     df = df.limit(handle.limit)
@@ -575,25 +642,32 @@ class ElasticsearchSource(ExternalHttpSource):
         return self.search(spark, collection)
 
 
-def _make_slice_fetcher(url: str, indexes: str, body: dict, n_slices: int,
-                        scroll_s: int, size: int, limit: int | None,
-                        timeout_s: float):
+def _make_slice_fetcher(url: str, search_path: str, scroll_path: str,
+                        scroll_token: str, body: dict, n_slices: int,
+                        limit: int | None, timeout_s: float,
+                        method: str = "POST", delete_as_list: bool = True):
     """Executor-side sliced-scroll fetcher (closure over plain values —
     no source object crosses the pickle boundary). Each Spark task
     opens its own scroll with ``slice: {id, max}``, pages it dry (or to
     the per-slice limit bound), frees the scroll context, and yields
-    JSON document strings."""
+    JSON document strings.
+
+    Shared by the ES and Quickwit connectors — Quickwit speaks the same
+    ES-compatible scroll surface (quickwit.rs:655,694), differing only
+    in path prefix (``search_path``/``scroll_path``), scroll-keepalive
+    token shape (``30s`` vs ``30000ms``), HTTP verb for search
+    (GET-with-body), and the DELETE body (bare id vs list)."""
 
     def fetch(slice_ids):
         import json as _json
         import urllib.request as _rq
 
-        def post(path: str, payload: dict, method: str = "POST") -> dict:
+        def post(path: str, payload: dict, verb: str = "POST") -> dict:
             req = _rq.Request(
                 f"{url}{path}",
                 data=_json.dumps(payload).encode(),
                 headers={"Content-Type": "application/json"},
-                method=method,
+                method=verb,
             )
             with _rq.urlopen(req, timeout=timeout_s) as resp:
                 return _json.load(resp)
@@ -601,7 +675,7 @@ def _make_slice_fetcher(url: str, indexes: str, body: dict, n_slices: int,
         for sid in slice_ids:
             b = dict(body)
             b["slice"] = {"id": sid, "max": n_slices}
-            payload = post(f"/{indexes}/_search?scroll={scroll_s}s&size={size}", b)
+            payload = post(search_path, b, method)
             scroll_id = payload.get("_scroll_id")
             yielded = 0
             while True:
@@ -618,16 +692,54 @@ def _make_slice_fetcher(url: str, indexes: str, body: dict, n_slices: int,
                 if (limit is not None and yielded >= limit) or not scroll_id:
                     break
                 payload = post(
-                    "/_search/scroll",
-                    {"scroll": f"{scroll_s}s", "scroll_id": scroll_id},
+                    scroll_path,
+                    {"scroll": scroll_token, "scroll_id": scroll_id},
+                    method,
                 )
                 scroll_id = payload.get("_scroll_id", scroll_id)
             if scroll_id:
                 try:
-                    post("/_search/scroll", {"scroll_id": [scroll_id]},
-                         method="DELETE")
+                    post(
+                        scroll_path,
+                        {"scroll_id": [scroll_id] if delete_as_list else scroll_id},
+                        "DELETE",
+                    )
                 except Exception:  # noqa: BLE001 - best-effort hygiene
                     pass
+
+    return fetch
+
+
+def _make_offset_fetcher(url: str, sid: str, token: str | None,
+                         batch_size: int, timeout_s: float):
+    """Executor-side Splunk results fetcher (closure over plain values
+    — nothing unpicklable crosses to the task). Each partition holds
+    one ``(start, end)`` offset range of the finished job's results and
+    pages it with the same ``offset``/``count`` GETs as the driver loop
+    (query_runner.rs:375), yielding JSON row strings."""
+
+    def fetch(ranges):
+        import json as _json
+        import urllib.request as _rq
+
+        headers = {"Authorization": f"Bearer {token}"} if token else {}
+        for start, end in ranges:
+            offset = start
+            while offset < end:
+                count = min(batch_size, end - offset)
+                req = _rq.Request(
+                    f"{url}/services/search/jobs/{sid}/results?output_mode=json"
+                    f"&offset={offset}&count={count}",
+                    headers=headers,
+                )
+                with _rq.urlopen(req, timeout=timeout_s) as resp:
+                    payload = _json.load(resp)
+                page = payload.get("results", [])
+                if not page:
+                    break  # resultCount overshot reality — stop clean
+                for d in page:
+                    yield _json.dumps(d)
+                offset += len(page)
 
     return fetch
 
@@ -655,10 +767,19 @@ class SplunkSource(ExternalHttpSource):
     batch_size = 1000
 
     def __init__(self, url: str, timeout_s: float = 2.0, token: str | None = None,
-                 stats_fields: dict[str, list[str]] | None = None):
+                 stats_fields: dict[str, list[str]] | None = None,
+                 slices: int = 1):
         super().__init__(url, timeout_s)
         self.token = token  # SplunkAuth bearer (splunk/mod.rs:70)
         self.stats_fields = stats_fields or {}
+        #: > 1 distributes the finished job's results fetch across
+        #: Spark tasks as contiguous offset/count ranges — the
+        #: distributed form of query_runner.rs:375's offset paging
+        #: loop. Splunk's results endpoint is offset-deterministic over
+        #: a DONE job, so ranges partition the result set exactly and
+        #: contiguous-range-per-partition preserves the job's row order
+        #: as well as the driver-side loop does.
+        self.slices = max(1, slices)
 
     def fetch_stats(self):
         """Per-field distinct counts via ``| tstats dc(...)`` — the
@@ -666,13 +787,26 @@ class SplunkSource(ExternalHttpSource):
         (splunk/mod.rs:227); one job per profiled collection."""
         from miso_spark.sources.stats import FieldStats
 
+        import re
+
+        from miso_spark.sources.spl import _esc
+
         if not self.stats_fields:
             return None
         self._connect()
+        ident = re.compile(r"^[A-Za-z0-9_.:@-]+$")
         out: dict[str, dict[str, FieldStats]] = {}
         for collection, fields in self.stats_fields.items():
+            # field names land bare in the SPL (dc(f) as f takes no
+            # quoting) — restrict to identifier-safe names so a quote
+            # or pipe in a configured name can't alter the search; the
+            # index name is quoted, so escaping suffices there
+            fields = [f for f in fields if ident.match(f)]
+            if not fields:
+                out[collection] = {}
+                continue
             aggs = ", ".join(f"dc({f}) as {f}" for f in fields)
-            spl = f'| tstats {aggs} where (index="{collection}")'
+            spl = f'| tstats {aggs} where (index="{_esc(collection)}")'
             sid = self.create_job(spl)
             self.poll_until_done(sid)
             rows = self.fetch_results(sid)
@@ -814,12 +948,39 @@ class SplunkSource(ExternalHttpSource):
 
     def run_job(self, spark: SparkSession, spl: str) -> DataFrame:
         """Full job lifecycle — submit, poll, fetch — returning the
-        results as a DataFrame (query_runner.rs run())."""
+        results as a DataFrame (query_runner.rs run()).
+
+        With ``slices > 1`` and a result set larger than one page, the
+        fetch runs on executors: the DONE job's ``resultCount`` splits
+        into ``slices`` contiguous offset ranges, one Spark partition
+        each, every task paging its range with the same offset/count
+        requests the driver loop would send."""
         import json
 
         self._connect()
         sid = self.create_job(spl)
-        self.poll_until_done(sid)
+        n = self.poll_until_done(sid)
+        if self.slices > 1 and n > self.batch_size:
+            per = -(-n // self.slices)  # ceil division
+            ranges = [
+                (start, min(start + per, n))
+                for start in range(0, n, per)
+            ]
+            fetch = _make_offset_fetcher(
+                self.url, sid, self.token, self.batch_size, self.timeout_s
+            )
+            from pyspark import StorageLevel
+
+            # persist before read.json — same rationale as the sliced
+            # scrolls above: schema inference is its own pass and the
+            # job's results expire with the job's TTL
+            rdd = (
+                spark.sparkContext.parallelize(ranges, len(ranges))
+                .mapPartitions(fetch)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._pending_persisted.append(rdd)
+            return spark.read.json(rdd)
         docs = self.fetch_results(sid)
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
         return spark.read.json(rdd)

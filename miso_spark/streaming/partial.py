@@ -45,7 +45,7 @@ _ROW_LOCAL = (P.Filter, P.Project, P.Extend, P.Rename, P.Expand)
 def _streamable_scan(step, registry) -> bool:
     if not isinstance(step, P.Scan):
         return False
-    src = registry._sources.get(step.connector)
+    src = registry.sources().get(step.connector)
     return src is not None and hasattr(src, "stream_table")
 
 
@@ -135,10 +135,12 @@ def run_partial_stream(
     (``{"truncated_rounds": n}``); partial rounds are best-effort
     previews by contract, so a truncated preview is still useful. The
     FINAL answer is never truncated: when the last round overflowed the
-    cap, the final state is recomputed as a batch query (the stream has
-    consumed all input by then, so the batch plan sees identical data)
-    and streamed out chunk-by-chunk through ``toLocalIterator`` — the
-    same delivery path the server's non-partial rows take.
+    cap, the last micro-batch's DataFrame — which in complete mode IS
+    the full final state, and is kept persisted for exactly this — is
+    streamed out chunk-by-chunk through ``toLocalIterator``, the same
+    delivery path the server's non-partial rows take. No second
+    full-plan execution, and the final matches the data the stream
+    actually observed.
     """
     mode, head_end = _classify(plan, compiler.registry) or (None, 0)
     if mode is None:
@@ -162,6 +164,16 @@ def run_partial_stream(
             last_emit[0] = now
             emit(batch_id, rows, False)
 
+    #: the newest micro-batch's DataFrame, kept persisted past its
+    #: foreachBatch call: in complete mode it IS the aggregation's
+    #: current full state, so when the stream ends the held entry is
+    #: the exact final answer already materialized in the block
+    #: manager — the truncated-final path streams it out instead of
+    #: re-executing the whole plan as a batch query (which would both
+    #: double the work and observe files landing after the stream
+    #: stopped)
+    held: list[DataFrame] = []
+
     if mode == "agg":
         for step in tail_steps:
             sdf = compiler._apply(step, sdf, {})
@@ -173,13 +185,22 @@ def run_partial_stream(
             # it belongs. Only ≤ max_rows_per_round rows ever reach the
             # driver.
             batch_df.persist()
+            ok = False
             try:
                 total = batch_df.count()
                 truncated = total > max_rows_per_round
                 df = batch_df.limit(max_rows_per_round) if truncated else batch_df
                 record(int(batch_id), df.toJSON().collect(), truncated)
+                ok = True
             finally:
-                batch_df.unpersist()
+                if ok:
+                    # hold this batch's cached state (it may turn out
+                    # to be the final one); release the previous hold
+                    for prev in held:
+                        prev.unpersist()
+                    held[:] = [batch_df]
+                else:
+                    batch_df.unpersist()
 
         out_mode = "complete"
     else:  # top/limit tail: bounded accumulator in append mode
@@ -208,30 +229,39 @@ def run_partial_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
 
-    if not latest:
-        emit(0, [], True)
-        return stats
-    final_id, final_rows, truncated = latest[0]
-    if not truncated:
-        emit(final_id, final_rows, True)
-        return stats
-    # the last round overflowed the cap: recompute the final state as a
-    # batch query over the (now fully consumed) input and stream it out
-    # in bounded chunks — the exact answer without driver buildup
-    from itertools import islice
+        if not latest:
+            emit(0, [], True)
+            return stats
+        final_id, final_rows, truncated = latest[0]
+        if not truncated:
+            emit(final_id, final_rows, True)
+            return stats
+        # the last round overflowed the cap: the held DataFrame is the
+        # final state, already materialized partition-by-partition into
+        # the block manager by its count() — stream it out in bounded
+        # chunks. No second full-plan execution, and the final reflects
+        # exactly the files the stream observed (a batch recompute
+        # could see later arrivals). The batch fallback only covers the
+        # can't-happen edge of a truncated round with no held state.
+        from itertools import islice
 
-    it = compiler.run(plan).toJSON().toLocalIterator(prefetchPartitions=True)
-    first = True
-    while True:
-        chunk = list(islice(it, max_rows_per_round))
-        if chunk or first:
-            emit(final_id, chunk, True)
-        first = False
-        if len(chunk) < max_rows_per_round:
-            break
-    return stats
+        final_df = held[0] if held else compiler.run(plan)
+        it = final_df.toJSON().toLocalIterator(prefetchPartitions=True)
+        first = True
+        while True:
+            chunk = list(islice(it, max_rows_per_round))
+            if chunk or first:
+                emit(final_id, chunk, True)
+            first = False
+            if len(chunk) < max_rows_per_round:
+                break
+        return stats
+    finally:
+        for df in held:
+            df.unpersist()
 
 
 def _rows_to_json(spark, rows: list, schema) -> list[str]:

@@ -286,7 +286,7 @@ def test_scan_side_dynamic_filter_hits_the_wire(spark):
                 assert len(comp.dynamic_filter_events) == 1
                 assert comp.dynamic_filter_events[0]["producer"] == "right"
                 assert terms and sorted(terms[0]["terms"]["key"]) == ["a", "d"]
-                assert not comp._prejoined  # consumed by the join
+                assert not comp._tls.pending.prejoined  # consumed by the join
             else:
                 assert not terms
         finally:
@@ -488,5 +488,52 @@ def test_negation_filter_emits_must_not_terms(spark):
         src.search(spark, "logs", h)
         body = next(b for b in stub.search_bodies("logs") if b)
         assert body["query"]["bool"]["must"][0] == dsl
+    finally:
+        stub.shutdown()
+
+
+def test_run_caches_released_after_consumption(spark):
+    """ADVICE r6: persisted producer DataFrames must not outlive their
+    query. run_with_caches hands back the run's cache ledger;
+    release() unpersists every entry (the server calls it after the
+    last SSE frame), and the library-facing run() releases the
+    previous run's caches when the next run starts on that thread."""
+    kql = "qw.logs | join (mem.lookup | take 2) on key"
+    stub = _Stub({"logs": LOGS})
+    try:
+        reg = _mem_registry(spark, stub, [("a", "t1"), ("d", "t4")])
+        comp = Compiler(reg)
+        df, ctx = comp.run_with_caches(parse_kql(kql))
+        assert len(ctx.persisted) == 1  # the prejoined producer
+        cached = ctx.persisted[0]
+        assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+        assert df.count() == 3
+        ctx.release()
+        assert not ctx.persisted and not ctx.prejoined
+        assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+
+        # run(): deferred release — next run on this thread frees it
+        df2 = comp.run(parse_kql(kql))
+        held = comp._tls.pending.persisted[0]
+        assert held.storageLevel.useMemory or held.storageLevel.useDisk
+        assert df2.count() == 3
+        comp.run(parse_kql("mem.lookup | take 1")).collect()
+        assert not (held.storageLevel.useMemory or held.storageLevel.useDisk)
+    finally:
+        stub.shutdown()
+
+
+def test_dynamic_filter_events_bounded(spark):
+    """The observability buffer trims to DYNAMIC_FILTER_EVENTS_CAP at
+    each run, so a long-lived server can't grow it without bound."""
+    stub = _Stub({"logs": LOGS})
+    try:
+        reg = _mem_registry(spark, stub, [("a", "t1")])
+        comp = Compiler(reg)
+        comp.dynamic_filter_events = [
+            {"producer": "left"} for _ in range(comp.DYNAMIC_FILTER_EVENTS_CAP + 500)
+        ]
+        comp.run(parse_kql("mem.lookup | take 1")).collect()
+        assert len(comp.dynamic_filter_events) <= comp.DYNAMIC_FILTER_EVENTS_CAP
     finally:
         stub.shutdown()

@@ -1410,3 +1410,191 @@ def test_quickwit_index_discovery_refreshes_lazily():
     finally:
         handler_cls.do_GET = orig
         stub.shutdown()
+
+
+def test_quickwit_sliced_scroll_distributed_fetch(spark):
+    """slices > 1 moves the Quickwit hits fetch onto Spark tasks —
+    the ES sliced-scroll path ported to Quickwit's ES-compatible
+    surface (quickwit.rs:655 search / :694 scroll routes): every slice
+    opens its own scroll with the right {id, max} on the
+    /api/v1/_elastic paths, pages it dry, frees the context with the
+    bare-id DELETE body, and the union equals the driver-side result."""
+    import http.server
+    import threading
+
+    from miso_spark.sources.external import QuickwitSource
+
+    docs = [{"m": i, "k": f"d{i}"} for i in range(10)]
+    state = {"scrolls": {}, "searches": [], "deletes": [], "paths": []}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _read(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else None
+
+        def do_DELETE(self):
+            with lock:
+                state["deletes"].append(self._read())
+            self._send({"succeeded": True})
+
+        def do_GET(self):
+            body = self._read()
+            if self.path == "/api/v1/version":
+                self._send({"version": "stub"})
+                return
+            with lock:
+                state["paths"].append(self.path.split("?")[0])
+                if "/_search/scroll" not in self.path:
+                    sl = (body or {}).get("slice", {"id": 0, "max": 1})
+                    state["searches"].append(sl)
+                    share = [d for d in docs if d["m"] % sl["max"] == sl["id"]]
+                    sid = f"qs{sl['id']}"
+                    state["scrolls"][sid] = share[2:]
+                    self._send({"_scroll_id": sid, "hits": {"hits": [
+                        {"_source": d} for d in share[:2]]}})
+                else:
+                    sid = body["scroll_id"]
+                    rest = state["scrolls"].get(sid, [])
+                    state["scrolls"][sid] = rest[2:]
+                    self._send({"_scroll_id": sid, "hits": {"hits": [
+                        {"_source": d} for d in rest[:2]]}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        flt = _filter_expr("c.logs | where m >= 0")
+        sliced = QuickwitSource(f"http://127.0.0.1:{srv.server_port}", slices=3)
+        df = sliced.search(spark, "logs", sliced.handle("logs").apply_filter(flt))
+        got = sorted(r["m"] for r in df.collect())
+        assert got == list(range(10))
+        assert sorted((s["id"], s["max"]) for s in state["searches"]) == [
+            (0, 3), (1, 3), (2, 3)]
+        # all traffic stayed on the ES-compatible Quickwit routes
+        assert set(state["paths"]) == {
+            "/api/v1/_elastic/logs/_search", "/api/v1/_elastic/_search/scroll"}
+        # every slice freed its context, bare-id DELETE body (Quickwit
+        # shape — not the ES list form)
+        assert sorted(d["scroll_id"] for d in state["deletes"]) == [
+            "qs0", "qs1", "qs2"]
+        # the fetch RDD is tracked for adoption/unpersist by the run
+        assert len(sliced._pending_persisted) == 1
+        sliced.release_cached()
+        assert sliced._pending_persisted == []
+
+        # single-scroll driver path returns the identical row set
+        state["searches"].clear()
+        plain = QuickwitSource(f"http://127.0.0.1:{srv.server_port}")
+        df2 = plain.search(spark, "logs", plain.handle("logs").apply_filter(flt))
+        assert sorted(r["m"] for r in df2.collect()) == got
+
+        # an absorbed limit bounds each slice and the final result
+        df3 = sliced.search(
+            spark, "logs", sliced.handle("logs").apply_filter(flt).apply_limit(4))
+        assert df3.count() == 4
+        sliced.release_cached()
+
+        # absorbed top-n (order-sensitive) keeps the driver path: no
+        # slice parameter goes out
+        state["searches"].clear()
+        from miso_spark.plan import Sort
+        h = sliced.handle("logs").apply_topn((Sort("m"),), 3)
+        df4 = sliced.search(spark, "logs", h)
+        assert df4.count() == 3
+        assert all(s == {"id": 0, "max": 1} for s in state["searches"])
+    finally:
+        srv.shutdown()
+
+
+def test_splunk_distributed_offset_fetch(spark):
+    """slices > 1 distributes a finished Splunk job's results fetch
+    across Spark tasks as contiguous offset/count ranges — the
+    parallelized form of query_runner.rs:375's driver paging loop.
+    Each task sends the same offset/count GETs the driver would, the
+    union equals the driver-side result, and a result set within one
+    page keeps the driver path."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from miso_spark.sources.external import SplunkSource
+
+    docs = [{"n": i, "k": f"r{i}"} for i in range(10)]
+    state = {"fetches": [], "creates": 0}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            with lock:
+                state["creates"] += 1
+            self._send({"sid": "job7"})
+
+        def do_GET(self):
+            if "/results" in self.path:
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                off, cnt = int(q["offset"][0]), int(q["count"][0])
+                with lock:
+                    state["fetches"].append((off, cnt))
+                self._send({"results": docs[off:off + cnt]})
+            elif "/services/search/jobs/job7" in self.path:
+                self._send({"entry": [{"content": {
+                    "dispatchState": "DONE", "isDone": True,
+                    "resultCount": len(docs)}}]})
+            else:  # health probe
+                self._send({"status": "ok"})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sliced = SplunkSource(f"http://127.0.0.1:{srv.server_port}",
+                              token="tok", slices=3)
+        sliced.batch_size = 2  # page size below resultCount → distribute
+        df = sliced.run_job(spark, 'search (index="logs")')
+        got = sorted(r["n"] for r in df.collect())
+        assert got == list(range(10))
+        # ceil(10/3)=4 per range → (0,4) (4,8) (8,10), paged in 2s:
+        # every offset/count pair a driver loop over each range would send
+        assert sorted(state["fetches"]) == [
+            (0, 2), (2, 2), (4, 2), (6, 2), (8, 2)]
+        assert len(sliced._pending_persisted) == 1
+        sliced.release_cached()
+
+        # driver path (slices=1) returns the identical row set
+        state["fetches"].clear()
+        plain = SplunkSource(f"http://127.0.0.1:{srv.server_port}", token="tok")
+        plain.batch_size = 2
+        df2 = plain.run_job(spark, 'search (index="logs")')
+        assert sorted(r["n"] for r in df2.collect()) == got
+        assert plain._pending_persisted == []
+
+        # a result set that fits one page keeps the driver path
+        state["fetches"].clear()
+        small = SplunkSource(f"http://127.0.0.1:{srv.server_port}",
+                             token="tok", slices=3)
+        small.batch_size = 1000
+        df3 = small.run_job(spark, 'search (index="logs")')
+        assert df3.count() == 10
+        assert small._pending_persisted == []
+    finally:
+        srv.shutdown()

@@ -455,10 +455,20 @@ def test_metrics_families_and_prometheus_exposition(server):
     assert m["running_queries"] == 0
     assert "dynamic_filters_applied_total" in m
 
+    # fixed-boundary latency histogram (metrics.rs query_latency is a
+    # prometheus histogram): cumulative bucket counts in JSON...
+    buckets = m["query_latency_seconds_bucket"]
+    assert buckets["+Inf"] == m["query_latency_seconds_count"]
+    counts = [buckets[k] for k in ("0.1", "1.0", "60.0", "+Inf")]
+    assert counts == sorted(counts)  # cumulative
+
     text = _get(server, "/metrics?format=prometheus").read().decode()
     assert "# TYPE miso_queries_total counter" in text
     assert "# TYPE miso_running_queries gauge" in text
     assert "miso_query_latency_seconds_count" in text
+    # ...and as `le`-labeled _bucket lines in the text exposition
+    assert 'miso_query_latency_seconds_bucket{le="0.1"}' in text
+    assert f'miso_query_latency_seconds_bucket{{le="+Inf"}} {buckets["+Inf"]}' in text
 
 
 def test_downloaded_bytes_metric_labeled_by_connector(spark):
