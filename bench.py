@@ -45,7 +45,7 @@ HEADLINE = [
     "ann_bruteforce",
     "near_dedup_pipeline",
     "text_quality",
-    "text_lang_id",
+    "decontaminate",
 ]
 
 

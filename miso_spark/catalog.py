@@ -897,16 +897,25 @@ q(
 
 
 def _b_text_quality(spark, sf_dir):
-    """Quality scoring + token counting in one pass over documents
-    (token counts folded in from the former text_tokens entry to keep
-    the catalog at the driver's 50-row window)."""
-    from miso_spark.functions.text import bpe_token_count, token_count, with_quality
+    """Quality scoring + token counting + language prediction in one
+    pass over documents (token counts folded in from the former
+    text_tokens entry, lang_pred from the former text_lang_id entry —
+    both moves keep the catalog at the driver's 50-row window; the
+    per-language scores stay covered by tests/test_oracle.py through
+    this entry's lang_pred and by functions/text.py unit tests)."""
+    from miso_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+        with_lang_id,
+        with_quality,
+    )
 
-    return with_quality(_documents(spark, sf_dir)).select(
+    return with_lang_id(with_quality(_documents(spark, sf_dir))).select(
         "doc_id", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio",
         "quality_score",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "lang_pred",
     )
 
 
@@ -932,6 +941,20 @@ q(
              ROUND(CAST(stop AS DOUBLE) / greatest(n_words, 1), 4) AS stopword_ratio,
              ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio
       FROM t
+    ),
+    lw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    ls AS (
+      -- the lang-id n-gram heuristic, on the NORMALIZED split (the
+      -- quality word split above intentionally uses the raw text)
+      SELECT doc_id,
+        len(list_filter(ws, w -> w = 'the' OR w = 'and' OR w = 'of' OR w = 'to' OR w = 'is')) AS score_en,
+        len(list_filter(ws, w -> w = 'der' OR w = 'die' OR w = 'und' OR w = 'ist' OR w = 'nicht')) AS score_de,
+        len(list_filter(ws, w -> w = 'le' OR w = 'la' OR w = 'et' OR w = 'est' OR w = 'pas')) AS score_fr
+      FROM lw
     )
     SELECT r.doc_id, n_words, avg_word_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_words AS DOUBLE) / 20.0::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
@@ -939,41 +962,53 @@ q(
                + (1.0::DOUBLE - least(punct_ratio * 4.0::DOUBLE, 1.0::DOUBLE)) * 0.3::DOUBLE, 6)
              AS quality_score,
            len(regexp_split_to_array(d.text, '\\s+')) AS n_tokens,
-           len(regexp_extract_all(d.text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
+           len(regexp_extract_all(d.text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
     FROM r JOIN documents d ON r.doc_id = d.doc_id
+    JOIN ls ON ls.doc_id = r.doc_id
     """,
 )
 
 
-def _b_text_lang(spark, sf_dir):
-    from miso_spark.functions.text import with_lang_id
+def _b_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): every 20th
+    document plays the eval corpus; training docs sharing ≥ 2 distinct
+    word-3-gram shingles with ANY eval doc flag contaminated. The
+    oracle recomputes the same shingle sets string-wise in DuckDB
+    (shingle CTE + semi join — the dedup_ngram_jaccard shape)."""
+    from miso_spark.functions.dedup import decontaminate
 
-    return with_lang_id(_documents(spark, sf_dir)).select(
-        "doc_id", "score_en", "score_de", "score_fr", "lang_pred"
-    )
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    return decontaminate(docs, ev, n=3, min_common_shingles=2)
 
 
 q(
-    "text_lang_id",
-    builder=_b_text_lang,
+    "decontaminate",
+    builder=_b_decontaminate,
     oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
       FROM documents
     ),
-    s AS (
-      SELECT doc_id,
-        len(list_filter(ws, w -> w = 'the' OR w = 'and' OR w = 'of' OR w = 'to' OR w = 'is')) AS score_en,
-        len(list_filter(ws, w -> w = 'der' OR w = 'die' OR w = 'und' OR w = 'ist' OR w = 'nicht')) AS score_de,
-        len(list_filter(ws, w -> w = 'le' OR w = 'la' OR w = 'et' OR w = 'est' OR w = 'pas')) AS score_fr
-      FROM t
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT sh.doc_id AS id, COUNT(*) AS common_shingles
+      FROM sh JOIN ev ON sh.s = ev.s
+      GROUP BY 1
     )
-    SELECT doc_id, score_en, score_de, score_fr,
-           CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
-                WHEN score_de >= score_fr THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM s
+    SELECT d.doc_id AS id,
+           COALESCE(h.common_shingles, 0) AS common_shingles,
+           COALESCE(h.common_shingles, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
     """,
 )
 

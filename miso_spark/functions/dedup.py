@@ -787,6 +787,8 @@ def decontaminate(
     eval_text_col: str = "text",
     n: int = 3,
     min_common_shingles: int = 1,
+    broadcast: bool | None = None,
+    broadcast_max_shingles: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing word
     n-grams with an evaluation corpus.
@@ -797,8 +799,17 @@ def decontaminate(
     ``n``-gram shingles that also appear ANYWHERE in ``eval_df`` is
     contaminated. Shingles hash to longs and the eval side collapses to
     its distinct shingle set — normally tiny next to 100 TB of
-    training text — so the plan is a broadcast-able semi-side
-    aggregation, never an all-pairs comparison.
+    training text — so the plan is a broadcast semi-side aggregation,
+    never an all-pairs comparison.
+
+    The broadcast is size-gated: the distinct eval shingle set is
+    materialized once (localCheckpoint — blocks are reclaimed by the
+    ContextCleaner when the result is dropped) and counted; above
+    ``broadcast_max_shingles`` (5M longs ≈ 40 MB payload, a safe
+    executor budget) the join falls back to a shuffle hash join
+    instead of OOMing every executor on an unexpectedly large eval
+    corpus. ``broadcast`` forces the decision either way and skips the
+    probe job.
 
     Returns (id, common_shingles, contaminated) for EVERY input row —
     keep/filter decisions stay with the caller.
@@ -817,8 +828,15 @@ def decontaminate(
         .select("shh")
         .distinct()
     )
+    if broadcast is None:
+        # one pass over the (small) eval corpus decides the join
+        # strategy; the checkpoint keeps the join from shingling the
+        # eval side a second time
+        ev = ev.localCheckpoint(eager=False)
+        broadcast = ev.count() <= broadcast_max_shingles
+    right = F.broadcast(ev) if broadcast else ev.hint("shuffle_hash")
     hits = (
-        train.join(F.broadcast(ev), "shh")
+        train.join(right, "shh")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
     )

@@ -801,3 +801,44 @@ def test_decontaminate_flags_ngram_overlap(spark):
     plan = (decontaminate(train, evals)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_broadcast_size_gated(spark):
+    """VERDICT r6 #2: the eval-shingle broadcast is gated on the
+    measured distinct-shingle count. Below the threshold the probe
+    join is a BroadcastHashJoin; above it, the plan switches to a
+    shuffle join (no executor OOM on a huge eval corpus) — with
+    identical rows either way."""
+    from miso_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(0, "benchmark asks about the quick brown fox story")],
+        "eid long, text string",
+    )
+
+    def rows(df):
+        return sorted((r["id"], r["common_shingles"], r["contaminated"])
+                      for r in df.collect())
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = decontaminate(train, evals)  # gate measures ≤ threshold
+    assert "BroadcastHashJoin" in plan(small)
+    # a threshold below the measured shingle count flips the strategy
+    big = decontaminate(train, evals, broadcast_max_shingles=2)
+    p = plan(big)
+    assert "BroadcastHashJoin" not in p, p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+    assert rows(big) == rows(small)
+    # explicit override skips the probe and forces the strategy
+    forced = decontaminate(train, evals, broadcast=False)
+    assert "BroadcastHashJoin" not in plan(forced)
+    assert rows(forced) == rows(small)
