@@ -49,6 +49,49 @@ HEADLINE = [
 ]
 
 
+#: multi-file rewrite targets (files per table): the driver's testdata
+#: tables are single parquet files with one row group, so every scan is
+#: ONE task regardless of cluster width — flooring each query at
+#: stage-launch cost and hiding plan differences (VERDICT r6 #3). A
+#: real 100 TB dataset arrives as many splittable files; the bench
+#: rewrites each table once (cached) into that shape so the gate
+#: measures plans, not the testdata artifact.
+MULTIFILE_PARTS = {
+    "lineitem": 16, "orders": 8, "events": 8, "documents": 6,
+    "embeddings": 6, "customer": 4, "part": 2, "supplier": 1,
+    "nation": 1, "region": 1,
+}
+
+
+def ensure_multifile_dir(spark, base_dir: str) -> str:
+    """Materialize (once, cached in-repo) a multi-file copy of
+    ``base_dir``'s tables, partition counts per MULTIFILE_PARTS.
+    Disable with SPARK_GRAFT_MULTIFILE=0 to bench the raw layout."""
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache", os.path.basename(base_dir.rstrip("/")),
+    )
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from miso_spark.sources import ParquetDirSource
+
+    src = ParquetDirSource(base_dir)  # nano-timestamp-safe read path
+    for table, parts in MULTIFILE_PARTS.items():
+        if not os.path.exists(os.path.join(base_dir, f"{table}.parquet")):
+            continue
+        (
+            src.table(spark, table)
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"{table}.parquet"))
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 # sf1 scaling arm: the five most scale-sensitive headliners run once
 # more against a 10×-scaled dataset derived from sf0.1, and the JSON
 # carries per-query scaling exponents (log10 of the time ratio across
@@ -86,7 +129,13 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
 
     def scale(table: str, build) -> None:
         df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
-        build(df).write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+        # 10× data in multi-file form (4× the sf0.1 file count, capped
+        # at the local core count): scans must parallelize here or the
+        # scaling exponents measure the single-file artifact, not plans
+        parts = min(32, MULTIFILE_PARTS.get(table, 1) * 4)
+        build(df).repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(out, f"{table}.parquet")
+        )
 
     def passthrough(table: str) -> None:
         scale(table, lambda df: df)
@@ -126,9 +175,15 @@ def main() -> None:
     spark = get_spark("miso_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # bench against the multi-file rewrite of the testdata (built once,
+    # outside the timed region) — see MULTIFILE_PARTS
+    bench_dir = SF_DIR
+    if os.environ.get("SPARK_GRAFT_MULTIFILE", "1") != "0":
+        bench_dir = ensure_multifile_dir(spark, SF_DIR)
+
     # warm the JVM, codegen, noop sink, and parquet reader paths once so
     # per-query timings measure the queries, not first-use setup
-    warm = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    warm = spark.read.parquet(os.path.join(bench_dir, "lineitem.parquet"))
     warm.limit(1000).write.format("noop").mode("overwrite").save()
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
@@ -139,7 +194,7 @@ def main() -> None:
             continue
         runs: list[float] = []
         for _ in range(repeat):
-            df = CATALOG[name](spark, SF_DIR)
+            df = CATALOG[name](spark, bench_dir)
             t0 = time.perf_counter()
             # noop sink drains every row through the full pipeline
             # without collecting to the driver
@@ -169,7 +224,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
         import math
 
-        sf1_dir = ensure_sf1_dir(spark, SF_DIR)
+        sf1_dir = ensure_sf1_dir(spark, bench_dir)
         sf1_timings: dict[str, float] = {}
         exponents: dict[str, float] = {}
         def timed(name: str, sf_dir: str) -> float:
@@ -184,7 +239,7 @@ def main() -> None:
                 continue
             base_t = timings.get(name)
             if base_t is None:  # not in the sf0.1 headline set
-                base_t = timed(name, SF_DIR)
+                base_t = timed(name, bench_dir)
             base_timings[name] = base_t
             sf1_timings[name] = timed(name, sf1_dir)
             # time ratio across one decade of data: 1.0 = linear

@@ -70,6 +70,94 @@ def _fmt(v) -> str:
     return str(v)
 
 
+class ResultsPager:
+    """Scrollable viewport over a result table — the text-mode analog
+    of the reference TUI's results list (miso-tui
+    components/results_list.rs: a selected row the viewport follows,
+    half-page jumps, horizontal scroll in 5-char steps; the scrollback
+    state model of text_buffer.rs). The header row stays pinned;
+    ``render()`` returns the visible slice plus a position footer.
+
+    Keys (vim-ish, like the reference): ``j``/``k`` move the selection,
+    ``d``/``u`` half-page down/up, ``h``/``l`` scroll horizontally,
+    ``g``/``G`` jump to first/last row, ``q`` leaves the pager.
+    """
+
+    H_STEP = 5  # horizontal scroll increment (results_list.rs:128)
+
+    def __init__(self, rows: list[dict], height: int = 10, width: int = 80):
+        self.height = max(1, height)
+        self.width = max(10, width)
+        table = format_table(rows, max_rows=len(rows) or 1).split("\n")
+        # header + underline stay pinned; the body scrolls
+        self.header = table[:2] if len(table) >= 2 else table
+        self.body = table[2:-1] if len(table) > 3 else table[2:]
+        self.n_rows = len(rows)
+        self.selected = 0
+        self.scroll_x = 0
+        self.scroll_y = 0
+
+    # -- state transitions (results_list.rs:107-131) -------------------
+    def key(self, k: str) -> bool:
+        """Apply one keypress; False when the key closes the pager."""
+        last = max(0, len(self.body) - 1)
+        if k in ("j", "down") and self.selected < last:
+            self.selected += 1
+        elif k in ("k", "up") and self.selected > 0:
+            self.selected -= 1
+        elif k in ("d", "page_down"):
+            self.selected = min(self.selected + self.height // 2, last)
+        elif k in ("u", "page_up"):
+            self.selected = max(self.selected - self.height // 2, 0)
+        elif k in ("g", "home"):
+            self.selected = 0
+        elif k in ("G", "end"):
+            self.selected = last
+        elif k in ("l", "right"):
+            self.scroll_x += self.H_STEP
+        elif k in ("h", "left"):
+            self.scroll_x = max(0, self.scroll_x - self.H_STEP)
+        elif k == "q":
+            return False
+        # viewport follows the selection (results_list.rs:68-71)
+        if self.selected < self.scroll_y:
+            self.scroll_y = self.selected
+        elif self.selected >= self.scroll_y + self.height:
+            self.scroll_y = self.selected + 1 - self.height
+        return True
+
+    def render(self) -> str:
+        def clip(line: str) -> str:
+            return line[self.scroll_x : self.scroll_x + self.width]
+
+        out = [clip(line) for line in self.header]
+        window = self.body[self.scroll_y : self.scroll_y + self.height]
+        for i, line in enumerate(window):
+            mark = ">" if self.scroll_y + i == self.selected else " "
+            out.append(f"{mark} {clip(line)}")
+        lo = min(self.scroll_y + 1, len(self.body))
+        hi = min(self.scroll_y + len(window), len(self.body))
+        pos = f"rows {lo}-{hi} of {self.n_rows}"
+        if self.scroll_x:
+            pos += f"  cols +{self.scroll_x}"
+        out.append(f"[{pos}  j/k u/d h/l g/G q]")
+        return "\n".join(out)
+
+
+def page_results(rows: list[dict], keys: Iterable[str], out=print,
+                 height: int = 10, width: int = 80) -> ResultsPager:
+    """Drive a ResultsPager from an iterable of keypresses (stdin lines
+    in the REPL, a list in tests), re-rendering after each. Returns the
+    pager for state inspection."""
+    pager = ResultsPager(rows, height=height, width=width)
+    out(pager.render())
+    for k in keys:
+        if not pager.key(k.strip() or "q"):
+            break
+        out(pager.render())
+    return pager
+
+
 def stream_remote(server: str, query: str, partial: bool = False) -> Iterator[dict]:
     """Yield row dicts from the server's SSE stream; raises on an
     in-band ``event: error`` frame."""
@@ -142,12 +230,30 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--json", action="store_true", help="print JSON lines, not a table")
     ap.add_argument("--partial", action="store_true", help="request partial_stream")
+    ap.add_argument("--pager", action="store_true",
+                    help="interactive scrollback for large results (REPL tty default)")
     args = ap.parse_args(argv)
+
+    def show(rows: list[dict]) -> None:
+        if args.json:
+            print("\n".join(json.dumps(r, default=str) for r in rows))
+            return
+        interactive = args.pager or (args.query is None and sys.stdin.isatty())
+        if interactive and len(rows) > 20:
+            def keys() -> Iterator[str]:
+                while True:
+                    try:
+                        yield input("pager> ")
+                    except EOFError:
+                        return
+
+            page_results(rows, keys())
+            return
+        print(format_table(rows))
 
     if args.server:
         def run_one(q: str) -> None:
-            rows = run_remote(args.server, q, args.partial)
-            print("\n".join(json.dumps(r) for r in rows) if args.json else format_table(rows))
+            show(run_remote(args.server, q, args.partial))
     else:
         from miso_spark.api import MisoSpark
         from miso_spark.session import get_spark
@@ -161,8 +267,7 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
             if args.explain:
                 print(m.explain(q))
                 return
-            rows = list(m.query_rows(q))
-            print("\n".join(json.dumps(r, default=str) for r in rows) if args.json else format_table(rows))
+            show(list(m.query_rows(q)))
 
     if args.query:
         run_one(args.query)

@@ -61,3 +61,60 @@ def test_repl_survives_query_errors():
     history = repl(run_one, ["q1", "q2", ""], out=lambda s: None, err=errs.append)
     assert history == ["q1", "q2"]
     assert errs == ["error: bad: q1", "error: bad: q2"]
+
+
+def test_results_pager_scrollback_snapshots():
+    """miso-tui results_list.rs parity, text-mode: pinned header,
+    selection the viewport follows, half-page jumps, 5-char horizontal
+    scroll, position footer. Snapshot the exact rendering."""
+    from miso_spark.cli import ResultsPager
+
+    rows = [{"n": i, "name": f"row-{i:02d}", "note": "x" * 30} for i in range(12)]
+    p = ResultsPager(rows, height=4, width=24)
+    assert p.render() == "\n".join([
+        " n  name    note        ",
+        "--  ------  ------------",
+        ">  0  row-00  xxxxxxxxxxxx",
+        "   1  row-01  xxxxxxxxxxxx",
+        "   2  row-02  xxxxxxxxxxxx",
+        "   3  row-03  xxxxxxxxxxxx",
+        "[rows 1-4 of 12  j/k u/d h/l g/G q]",
+    ])
+    # selection moves inside the window without scrolling...
+    for _ in range(3):
+        p.key("j")
+    assert p.scroll_y == 0 and p.selected == 3
+    # ...then the viewport follows (results_list.rs:68-71)
+    p.key("j")
+    assert p.scroll_y == 1 and p.selected == 4
+    lines = p.render().split("\n")
+    assert lines[2].startswith("   1") and lines[-2].startswith(">  4")
+    assert lines[-1] == "[rows 2-5 of 12  j/k u/d h/l g/G q]"
+    # half-page down twice + clamp at the end
+    p.key("d"); p.key("d"); p.key("G")
+    assert p.selected == 11 and p.scroll_y == 8
+    assert p.render().split("\n")[-1] == "[rows 9-12 of 12  j/k u/d h/l g/G q]"
+    # horizontal scroll clips header and body together, 5-char steps
+    p.key("g"); p.key("l"); p.key("l")
+    out = p.render().split("\n")
+    # 10 chars scrolled off: the name column is gone from the header
+    assert out[0].strip() == "note"
+    assert out[2].startswith("> ")  # selection mark survives clipping
+    assert out[2][2:].strip().startswith("xxx")  # body clipped in lockstep
+    assert out[-1].endswith("cols +10  j/k u/d h/l g/G q]")
+    p.key("h")
+    assert p.scroll_x == 5
+    # q closes
+    assert p.key("q") is False
+
+
+def test_page_results_drives_keys_and_stops_on_q():
+    from miso_spark.cli import page_results
+
+    rows = [{"i": i} for i in range(30)]
+    frames: list[str] = []
+    pager = page_results(rows, ["j", "d", "q", "j"], out=frames.append,
+                         height=5, width=40)
+    assert len(frames) == 3  # initial + j + d; q stops before the last j
+    assert pager.selected == 3  # j then half-page (5//2=2)
+    assert frames[0] != frames[1]
