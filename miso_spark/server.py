@@ -356,7 +356,7 @@ class MisoServer:
                 if self.path.startswith("/connectors/"):
                     name = self.path.rsplit("/", 1)[1]
                     server_self.connector_configs.pop(name, None)
-                    server_self.miso.registry._sources.pop(name, None)
+                    server_self.miso.registry.unregister(name)
                     return self._json(200, {"deleted": name})
                 if self.path.startswith("/views/"):
                     server_self.views.pop(self.path.rsplit("/", 1)[1], None)
