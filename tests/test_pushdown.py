@@ -1598,3 +1598,67 @@ def test_splunk_distributed_offset_fetch(spark):
         assert small._pending_persisted == []
     finally:
         srv.shutdown()
+
+
+def test_compiler_adopts_sliced_fetch_rdd_into_run_ledger(spark):
+    """A KQL query over a sliced connector runs the distributed fetch
+    through the compiler, which adopts the persisted fetch RDD into the
+    run's cache ledger — release() unpersists it (no CacheManager leak
+    per query)."""
+    import http.server
+    import threading
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    docs = [{"m": i} for i in range(6)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _read(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else None
+
+        def do_DELETE(self):
+            self._read()
+            self._send({"succeeded": True})
+
+        def do_GET(self):
+            body = self._read()
+            if self.path == "/api/v1/version":
+                self._send({"version": "stub"})
+            elif "/_search/scroll" in self.path:
+                self._send({"hits": {"hits": []}})
+            else:
+                sl = (body or {}).get("slice", {"id": 0, "max": 1})
+                share = [d for d in docs if d["m"] % sl["max"] == sl["id"]]
+                self._send({"_scroll_id": f"s{sl['id']}", "hits": {"hits": [
+                    {"_source": d} for d in share]}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        reg = SourceRegistry(spark).register(
+            "qw", QuickwitSource(f"http://127.0.0.1:{srv.server_port}", slices=2)
+        )
+        comp = Compiler(reg)
+        df, ctx = comp.run_with_caches(parse_kql("qw.logs"))
+        # the fetch RDD moved source → ledger (ownership transfer)
+        assert reg.source("qw")._pending_persisted == []
+        assert len(ctx.persisted) == 1
+        assert sorted(r["m"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+        ctx.release()
+        assert ctx.persisted == []
+    finally:
+        srv.shutdown()

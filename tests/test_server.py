@@ -508,3 +508,70 @@ def test_downloaded_bytes_metric_labeled_by_connector(spark):
     finally:
         srv.shutdown()
         stub.shutdown()
+
+
+def test_concurrent_queries_isolated_and_metrics_consistent(server):
+    """ADVICE r6: ThreadingHTTPServer runs queries concurrently — the
+    per-thread run context keeps one query's caches/prejoined state
+    away from another's, and the metrics lock keeps counters exact
+    under parallel read-modify-write. Fire a batch of concurrent
+    queries; every one must stream its full result, and the counters
+    must add up exactly."""
+    import threading
+
+    before = json.load(_get(server, "/metrics"))
+    queries = [
+        "t.region | count",
+        "t.nation | where n_regionkey == 1",
+        "t.orders | summarize n = count() by o_orderpriority",
+        "t.customer | top 3 by c_acctbal desc | project c_custkey",
+    ] * 2
+    results: dict[int, list] = {}
+    errors: list = []
+
+    def run(i: int, q: str) -> None:
+        try:
+            rows = []
+            done = False
+            for raw in _post(server, "/query", {"query": q}):
+                line = raw.decode().strip()
+                if line.startswith("event: done"):
+                    done = True
+                elif line.startswith("data: ") and not done:
+                    rows.append(json.loads(line[6:]))
+            assert done
+            results[i] = rows
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [
+        threading.Thread(target=run, args=(i, q))
+        for i, q in enumerate(queries)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert len(results) == len(queries)
+    # identical queries produced identical rows regardless of interleaving
+    for i, q in enumerate(queries):
+        j = (i + len(queries) // 2) % len(queries)
+        if queries[j] == q:
+            assert sorted(map(json.dumps, results[i])) == sorted(
+                map(json.dumps, results[j])
+            )
+    assert results[0] == [{"Count": 5}]
+    after = json.load(_get(server, "/metrics"))
+    assert after["queries_total"] - before["queries_total"] == len(queries)
+    assert (
+        after["query_latency_seconds_count"]
+        - before["query_latency_seconds_count"]
+        == len(queries)
+    )
+    assert (
+        after["query_latency_seconds_bucket"]["+Inf"]
+        - before["query_latency_seconds_bucket"]["+Inf"]
+        == len(queries)
+    )
+    assert after["running_queries"] == 0
