@@ -103,6 +103,7 @@ SF1_HEADLINE = [
     "dedup_simhash_verified",
     "sessionize_native",
     "near_dedup_pipeline",
+    "decontaminate",
 ]
 SF1_COPIES = 10
 

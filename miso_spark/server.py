@@ -102,6 +102,12 @@ class QueryStatusWriter:
     'internal_error'``). Status tables are small (one row per query),
     so the upsert rewrites the collection from a driver-held dict."""
 
+    #: newest queries retained in the status collection — a long-lived
+    #: server otherwise accumulates one row per query forever (the
+    #: reference's collection grows too, but its store is the
+    #: connector's; ours is a driver dict, so it gets a bound)
+    MAX_ROWS = 1_000
+
     def __init__(self, registry, connector: str, collection: str):
         self.registry = registry
         self.connector = connector
@@ -120,6 +126,10 @@ class QueryStatusWriter:
 
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         run_secs = (end_time - start_time).total_seconds() if end_time else None
+        while len(self._rows) >= self.MAX_ROWS and qid not in self._rows:
+            # evict the oldest-inserted query (dict preserves insertion
+            # order; upserts for live queries re-use their key)
+            self._rows.pop(next(iter(self._rows)))
         self._rows[qid] = {
             "id": qid,
             "status": status,

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -287,3 +289,166 @@ def dedup_stream(
         out = out.withWatermark(ts_col, delay)
         return out.dropDuplicates(["content_hash", ts_col])
     return out.dropDuplicates(["content_hash"])
+
+
+def minhash_signature_col(text_col, num_hashes: int = 32, shingle_n: int = 3):
+    """Row-local MinHash signature as an ``array<long>`` column, built
+    entirely from JVM higher-order functions — no window, no shuffle —
+    so it works on STREAMING DataFrames (the batch path in
+    functions/dedup.py uses the codegen-friendlier explode+window form,
+    which streaming can't run: window functions need a finite
+    partition).
+
+    Each of the ``num_hashes`` components is ``min(xxhash64(shingle,
+    k))`` over the doc's word-``shingle_n``-gram shingles (min over the
+    multiset equals min over the set, so no distinct pass is needed).
+    Short docs keep their partial tail shingles — self-consistent
+    within the streaming operator; signatures are NOT byte-compatible
+    with the batch pipeline's (different hash seeding), only
+    behaviorally equivalent.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    words = F.split(norm, " ")
+    n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, shingle_n)),
+    )
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
+            for k in range(num_hashes)
+        ]
+    )
+
+
+_NEAR_DUP_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("est_jaccard", DoubleType()),
+        StructField("band", LongType()),
+    ]
+)
+
+#: per-bucket state: doc ids + their signatures flattened back-to-back
+#: (ids[i] owns sigs[i*num_hashes : (i+1)*num_hashes]) — flat arrays
+#: keep the Arrow state round-trip to primitive types
+_NEAR_DUP_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(LongType())),
+    ]
+)
+
+
+def _near_dup_bucket(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    num_hashes: int,
+    threshold: float,
+    max_bucket_size: int,
+):
+    """Stateful LSH-bucket matcher: each arriving doc compares against
+    the bucket's remembered signatures; agreement fraction estimates
+    Jaccard (the standard MinHash estimator). The bucket retains at
+    most ``max_bucket_size`` docs — the same flood guard as the batch
+    LSH join's bucket cap."""
+    band = int(key[0])
+    if state.exists:
+        ids, flat = state.get
+        ids, flat = list(ids), list(flat)
+    else:
+        ids, flat = [], []
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for pdf in pdfs:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id = int(doc_id)
+            sig = [int(x) for x in sig]
+            if doc_id in ids:
+                continue  # replayed delivery of a known doc
+            for i, prior in enumerate(ids):
+                ps = flat[i * num_hashes : (i + 1) * num_hashes]
+                est = sum(a == b for a, b in zip(sig, ps)) / num_hashes
+                if est >= threshold:
+                    out_a.append(min(doc_id, prior))
+                    out_b.append(max(doc_id, prior))
+                    out_j.append(est)
+            if len(ids) < max_bucket_size:
+                ids.append(doc_id)
+                flat.extend(sig)
+    state.update((ids, flat))
+    if out_a:
+        yield pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "est_jaccard": out_j,
+                "band": [band] * len(out_a),
+            }
+        )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the ingest-time twin of the
+    batch minhash pipeline (functions/dedup.py): as documents arrive,
+    emit ``(id_a, id_b, est_jaccard, band)`` for every new doc whose
+    MinHash signature agrees with a previously-ingested doc's at ≥
+    ``threshold``.
+
+    Plan shape (all state executor-side, keyed by LSH bucket):
+    signature + per-band bucket hashes compute row-locally in JVM
+    expressions; one shuffle groups by ``(band, bucket)``;
+    ``applyInPandasWithState`` keeps ≤ ``max_bucket_size`` signatures
+    per bucket and compares each arrival against them — never all
+    pairs, exactly the batch LSH candidate structure. A pair sharing
+    several bands emits once per band (streams can't globally
+    de-duplicate emissions without unbounded state; consumers keep the
+    max-band row or drop duplicates within their own window).
+
+    State growth is one (id + signature) per doc per band, capped per
+    bucket — linear in corpus size like the batch dedup index, and the
+    cap bounds any hot bucket.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle_n)
+    banded = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.slice("sig", b * rows + 1, rows))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+    )
+
+    def fn(key, pdfs, state):
+        yield from _near_dup_bucket(
+            key, pdfs, state, num_hashes, threshold, max_bucket_size
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_NEAR_DUP_SCHEMA,
+        stateStructType=_NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

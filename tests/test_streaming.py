@@ -367,3 +367,70 @@ def test_partial_stream_bounded_driver_rounds(spark, tmp_path):
     }
     batch = {(r["o_orderkey"], r["n"]) for r in comp.run(plan).collect()}
     assert got == batch and len(got) > 50
+
+
+def test_near_dedup_stream_finds_cross_batch_pairs(spark, tmp_path):
+    """Streaming near-dup (minhash-LSH with per-bucket state): pairs
+    are found both within a micro-batch and across batches (a new
+    crawl file matching something ingested earlier), unrelated docs
+    emit nothing, and estimates track true similarity."""
+    from pyspark.sql import functions as F
+
+    from miso_spark.streaming.api import near_dedup_stream, run_to_memory
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the sun sets slowly over the quiet harbor town tonight")
+    variant = base.replace("harbor", "market")
+    other = ("completely different text about distributed query engines "
+             "compiling logical plans into physical spark operators")
+    batch1 = [(1, base), (2, variant), (3, other)]
+    batch2 = [(4, base)]  # exact copy of doc 1, arriving later
+    d = tmp_path / "docs_stream"
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(d), mode="append")
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(d), mode="append")
+
+    schema = spark.read.parquet(str(d)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = run_to_memory(
+        near_dedup_stream(sdf, threshold=0.5), "near_dup_t", mode="append"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in got.groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .collect()
+    }
+    # the exact copy estimates 1.0 against its original (cross-batch)
+    assert pairs.get((1, 4)) == 1.0
+    # the one-word variant matches both copies, below 1.0
+    assert 0.5 <= pairs.get((1, 2), 0) < 1.0
+    assert 0.5 <= pairs.get((2, 4), 0) < 1.0
+    # nothing pairs with the unrelated doc
+    assert not any(3 in p for p in pairs)
+
+
+def test_near_dedup_stream_bucket_cap_bounds_state(spark, tmp_path):
+    """max_bucket_size caps per-bucket state like the batch LSH bucket
+    cap: with a cap of 1, only the first-ingested doc is remembered per
+    bucket, so later arrivals match IT but not each other."""
+    from miso_spark.streaming.api import near_dedup_stream, run_to_memory
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in (1, 2, 3)]
+    d = tmp_path / "docs_cap"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    sdf = spark.readStream.schema(schema).parquet(str(d))
+    got = run_to_memory(
+        near_dedup_stream(sdf, threshold=0.9, max_bucket_size=1),
+        "near_dup_cap_t", mode="append",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert pairs == {(1, 2), (1, 3)}  # 2-3 never compared: bucket full
