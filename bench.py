@@ -63,6 +63,18 @@ MULTIFILE_PARTS = {
 }
 
 
+def _cache_is_current(marker: str, stamp: str) -> bool:
+    """A cache built under a different layout must rebuild, or the
+    bench silently measures a stale artifact (e.g. a pre-r7 .sf1_cache
+    built single-file would inflate every scaling exponent while the
+    sf0.1 arm runs multi-file)."""
+    try:
+        with open(marker) as f:
+            return f.read() == stamp
+    except OSError:
+        return False
+
+
 def ensure_multifile_dir(spark, base_dir: str) -> str:
     """Materialize (once, cached in-repo) a multi-file copy of
     ``base_dir``'s tables, partition counts per MULTIFILE_PARTS.
@@ -72,7 +84,8 @@ def ensure_multifile_dir(spark, base_dir: str) -> str:
         ".bench_cache", os.path.basename(base_dir.rstrip("/")),
     )
     marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
+    stamp = f"v1 parts={sorted(MULTIFILE_PARTS.items())}"
+    if _cache_is_current(marker, stamp):
         return out
     os.makedirs(out, exist_ok=True)
     from miso_spark.sources import ParquetDirSource
@@ -88,7 +101,7 @@ def ensure_multifile_dir(spark, base_dir: str) -> str:
             .parquet(os.path.join(out, f"{table}.parquet"))
         )
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out
 
 
@@ -123,7 +136,9 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1_cache")
     marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
+    stamp = (f"v2-multifile copies={SF1_COPIES} "
+             f"parts={sorted(MULTIFILE_PARTS.items())}")
+    if _cache_is_current(marker, stamp):
         return out
     os.makedirs(out, exist_ok=True)
     copies = F.explode(F.array(*[F.lit(i) for i in range(SF1_COPIES)])).alias("__i")
@@ -162,7 +177,7 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
           .withColumn("user_id", F.col("user_id") + F.col("__i") * KEY_SHIFT)
           .drop("__i"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out
 
 

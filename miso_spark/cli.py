@@ -130,7 +130,9 @@ class ResultsPager:
         def clip(line: str) -> str:
             return line[self.scroll_x : self.scroll_x + self.width]
 
-        out = [clip(line) for line in self.header]
+        # header gets the same 2-char gutter as the body's selection
+        # mark, so columns line up with their headings
+        out = [f"  {clip(line)}" for line in self.header]
         window = self.body[self.scroll_y : self.scroll_y + self.height]
         for i, line in enumerate(window):
             mark = ">" if self.scroll_y + i == self.selected else " "
@@ -238,8 +240,13 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
         if args.json:
             print("\n".join(json.dumps(r, default=str) for r in rows))
             return
-        interactive = args.pager or (args.query is None and sys.stdin.isatty())
-        if interactive and len(rows) > 20:
+        # --pager forces the pager; a tty REPL gets it for large results
+        interactive = args.pager or (
+            args.query is None and sys.stdin.isatty() and len(rows) > 20
+        )
+        if interactive:
+            import shutil
+
             def keys() -> Iterator[str]:
                 while True:
                     try:
@@ -247,9 +254,11 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
                     except EOFError:
                         return
 
-            page_results(rows, keys())
+            cols, lines = shutil.get_terminal_size((80, 24))
+            page_results(rows, keys(),
+                         height=max(5, lines - 5), width=max(20, cols - 2))
             return
-        print(format_table(rows))
+        print(format_table(rows, max_rows=len(rows) or 1))
 
     if args.server:
         def run_one(q: str) -> None:

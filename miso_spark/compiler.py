@@ -166,7 +166,11 @@ class Compiler:
         (by then the previous query's action has run, in the
         one-query-at-a-time library usage this path serves). Callers
         that know their query lifecycle — the HTTP server — use
-        :meth:`run_with_caches` and release explicitly."""
+        :meth:`run_with_caches` and release explicitly. So should any
+        caller still draining run N's iterator when it starts run N+1:
+        the deferred release would unpersist N's producers mid-drain,
+        and while file-backed plans just recompute, a connector-backed
+        producer would re-fetch from the live service."""
         prev = getattr(self._tls, "pending", None)
         if prev is not None:
             self._tls.pending = None

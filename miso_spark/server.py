@@ -113,6 +113,11 @@ class QueryStatusWriter:
         self.connector = connector
         self.collection = collection
         self._rows: dict[str, dict] = {}
+        #: concurrent request threads upsert + snapshot + rewrite; the
+        #: lock serializes the whole write (status tables are one row
+        #: per query — serializing their rewrite is cheap and keeps the
+        #: collection's last-writer-wins state coherent)
+        self._lock = threading.Lock()
 
     _SCHEMA = (
         "id string, status string, error string, start_time timestamp, "
@@ -126,30 +131,32 @@ class QueryStatusWriter:
 
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         run_secs = (end_time - start_time).total_seconds() if end_time else None
-        while len(self._rows) >= self.MAX_ROWS and qid not in self._rows:
-            # evict the oldest-inserted query (dict preserves insertion
-            # order; upserts for live queries re-use their key)
-            self._rows.pop(next(iter(self._rows)))
-        self._rows[qid] = {
-            "id": qid,
-            "status": status,
-            "error": error,
-            "start_time": start_time,
-            "end_time": end_time,
-            "run_time": f"{run_secs:.3f}s" if run_secs is not None else None,
-            "run_time_secs": run_secs,
-            "update_time": now,
-            "query": query,
-        }
-        spark = self.registry.spark
-        df = spark.createDataFrame(
-            [tuple(r[k] for k in (
-                "id", "status", "error", "start_time", "end_time",
-                "run_time", "run_time_secs", "update_time", "query",
-            )) for r in self._rows.values()],
-            self._SCHEMA,
-        )
-        self.registry.source(self.connector).write(df, self.collection)
+        with self._lock:
+            while len(self._rows) >= self.MAX_ROWS and qid not in self._rows:
+                # evict the oldest-inserted query (dict preserves
+                # insertion order; upserts for live queries re-use
+                # their key)
+                self._rows.pop(next(iter(self._rows)))
+            self._rows[qid] = {
+                "id": qid,
+                "status": status,
+                "error": error,
+                "start_time": start_time,
+                "end_time": end_time,
+                "run_time": f"{run_secs:.3f}s" if run_secs is not None else None,
+                "run_time_secs": run_secs,
+                "update_time": now,
+                "query": query,
+            }
+            spark = self.registry.spark
+            df = spark.createDataFrame(
+                [tuple(r[k] for k in (
+                    "id", "status", "error", "start_time", "end_time",
+                    "run_time", "run_time_secs", "update_time", "query",
+                )) for r in self._rows.values()],
+                self._SCHEMA,
+            )
+            self.registry.source(self.connector).write(df, self.collection)
 
 
 class MisoServer:
@@ -312,24 +319,32 @@ class MisoServer:
                         self.headers.get("Accept") or ""
                     ):
                         # Prometheus text exposition, like the
-                        # reference's prometheus registry endpoint
-                        lines = []
+                        # reference's prometheus registry endpoint.
+                        # query_latency is one histogram FAMILY
+                        # (le-labeled _bucket + _sum + _count under a
+                        # single TYPE line), matching metrics.rs's
+                        # prometheus histogram so metadata-aware
+                        # tooling registers it as such.
+                        hist = "query_latency_seconds"
+                        hist_keys = {
+                            f"{hist}_bucket", f"{hist}_sum", f"{hist}_count"
+                        }
+                        lines = [f"# TYPE miso_{hist} histogram"]
+                        buckets = snap[f"{hist}_bucket"]
+                        lines.extend(
+                            f'miso_{hist}_bucket{{le="{le}"}} {buckets[le]}'
+                            for le in [
+                                *map(str, server_self.LATENCY_BUCKETS),
+                                "+Inf",
+                            ]
+                        )
+                        lines.append(f"miso_{hist}_sum {snap[f'{hist}_sum']}")
+                        lines.append(f"miso_{hist}_count {snap[f'{hist}_count']}")
                         for k, v in sorted(snap.items()):
-                            if k == "query_latency_seconds_bucket":
-                                # histogram buckets: cumulative counts
-                                # with the standard `le` label
-                                lines.append(f"# TYPE miso_{k} counter")
-                                lines.extend(
-                                    f'miso_{k}{{le="{le}"}} {v[le]}'
-                                    for le in [
-                                        *map(str, server_self.LATENCY_BUCKETS),
-                                        "+Inf",
-                                    ]
-                                )
+                            if k in hist_keys:
                                 continue
                             kind = (
                                 "counter" if k.endswith("_total")
-                                or k.endswith("_count") or k.endswith("_sum")
                                 else "gauge"
                             )
                             lines.append(f"# TYPE miso_{k} {kind}")

@@ -77,24 +77,42 @@ class ExternalHttpSource(Source):
         #: counter, labeled by connector); executor-side sliced fetches
         #: aren't counted here — they never cross the driver
         self.bytes_downloaded = 0
-        #: RDDs persisted by distributed fetch paths, pending adoption
-        #: by the run that triggered them (the compiler pops these into
-        #: its per-run cache ledger and unpersists at release time — a
-        #: fetch RDD must stay cached until the query's action runs, or
-        #: re-execution would hit the live service again and could see
-        #: different data)
-        self._pending_persisted: list = []
+        #: per-THREAD pending list (see _pending_persisted): the server
+        #: runs concurrent queries against one shared Source instance,
+        #: and a process-wide list would let query A adopt — and later
+        #: unpersist — query B's in-flight fetch RDD
+        import threading
+
+        self._fetch_tls = threading.local()
+
+    @property
+    def _pending_persisted(self) -> list:
+        """RDDs persisted by distributed fetch paths on THIS thread,
+        pending adoption by the run that triggered them (the compiler
+        pops these into its per-run cache ledger and unpersists at
+        release time — a fetch RDD must stay cached until the query's
+        action runs, or re-execution would hit the live service again
+        and could see different data). Compiler calls and the fetch
+        happen on the query's own thread, so thread-locality keys the
+        handoff per query."""
+        lst = getattr(self._fetch_tls, "pending", None)
+        if lst is None:
+            lst = self._fetch_tls.pending = []
+        return lst
 
     def take_persisted(self) -> list:
-        """Hand pending persisted RDDs to the caller (ownership
-        transfer): the compiler adopts them into the current run's
-        cache ledger right after ``search()`` returns."""
-        out, self._pending_persisted = self._pending_persisted, []
+        """Hand this thread's pending persisted RDDs to the caller
+        (ownership transfer): the compiler adopts them into the current
+        run's cache ledger right after ``search()`` returns."""
+        out = list(self._pending_persisted)
+        self._fetch_tls.pending = []
         return out
 
     def release_cached(self) -> None:
-        """Unpersist any un-adopted fetch RDDs (standalone ``search()``
-        callers that never route through the compiler)."""
+        """Unpersist this thread's un-adopted fetch RDDs (standalone
+        ``search()`` callers that never route through the compiler;
+        unreferenced RDDs are also reclaimed by Spark's ContextCleaner
+        on GC, so a missed call degrades, not leaks forever)."""
         for rdd in self.take_persisted():
             try:
                 rdd.unpersist(False)

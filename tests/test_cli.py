@@ -72,14 +72,14 @@ def test_results_pager_scrollback_snapshots():
     rows = [{"n": i, "name": f"row-{i:02d}", "note": "x" * 30} for i in range(12)]
     p = ResultsPager(rows, height=4, width=24)
     assert p.render() == "\n".join([
-        " n  name    note        ",
-        "--  ------  ------------",
+        "   n  name    note        ",
+        "  --  ------  ------------",
         ">  0  row-00  xxxxxxxxxxxx",
         "   1  row-01  xxxxxxxxxxxx",
         "   2  row-02  xxxxxxxxxxxx",
         "   3  row-03  xxxxxxxxxxxx",
         "[rows 1-4 of 12  j/k u/d h/l g/G q]",
-    ])
+    ])  # header shares the body's 2-char gutter: columns align
     # selection moves inside the window without scrolling...
     for _ in range(3):
         p.key("j")
@@ -99,6 +99,7 @@ def test_results_pager_scrollback_snapshots():
     out = p.render().split("\n")
     # 10 chars scrolled off: the name column is gone from the header
     assert out[0].strip() == "note"
+    assert out[0].startswith("  ")  # gutter keeps header/body aligned
     assert out[2].startswith("> ")  # selection mark survives clipping
     assert out[2][2:].strip().startswith("xxx")  # body clipped in lockstep
     assert out[-1].endswith("cols +10  j/k u/d h/l g/G q]")

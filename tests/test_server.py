@@ -465,10 +465,14 @@ def test_metrics_families_and_prometheus_exposition(server):
     text = _get(server, "/metrics?format=prometheus").read().decode()
     assert "# TYPE miso_queries_total counter" in text
     assert "# TYPE miso_running_queries gauge" in text
-    assert "miso_query_latency_seconds_count" in text
-    # ...and as `le`-labeled _bucket lines in the text exposition
+    # ...and as ONE histogram family in the text exposition: a single
+    # TYPE line covering le-labeled _bucket + _sum + _count samples
+    assert "# TYPE miso_query_latency_seconds histogram" in text
     assert 'miso_query_latency_seconds_bucket{le="0.1"}' in text
     assert f'miso_query_latency_seconds_bucket{{le="+Inf"}} {buckets["+Inf"]}' in text
+    assert "miso_query_latency_seconds_sum " in text
+    assert "miso_query_latency_seconds_count " in text
+    assert "# TYPE miso_query_latency_seconds_bucket" not in text
 
 
 def test_downloaded_bytes_metric_labeled_by_connector(spark):
