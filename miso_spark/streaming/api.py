@@ -349,13 +349,19 @@ def _near_dup_bucket(
     num_hashes: int,
     threshold: float,
     max_bucket_size: int,
+    ttl_s: float | None = None,
 ):
     """Stateful LSH-bucket matcher: each arriving doc compares against
     the bucket's remembered signatures; agreement fraction estimates
     Jaccard (the standard MinHash estimator). The bucket retains at
     most ``max_bucket_size`` docs — the same flood guard as the batch
-    LSH join's bucket cap."""
+    LSH join's bucket cap. With ``ttl_s`` set, a bucket idle that long
+    drops its state (recency-window dedup; the timeout only fires on a
+    live trigger, like sessionize's idle_timeout)."""
     band = int(key[0])
+    if ttl_s is not None and state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         ids, flat = state.get
         ids, flat = list(ids), list(flat)
@@ -381,6 +387,8 @@ def _near_dup_bucket(
                 ids.append(doc_id)
                 flat.extend(sig)
     state.update((ids, flat))
+    if ttl_s is not None:
+        state.setTimeoutDuration(int(ttl_s * 1000))
     if out_a:
         yield pd.DataFrame(
             {
@@ -401,6 +409,7 @@ def near_dedup_stream(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int = 64,
+    ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate detection — the ingest-time twin of the
     batch minhash pipeline (functions/dedup.py): as documents arrive,
@@ -419,8 +428,17 @@ def near_dedup_stream(
     max-band row or drop duplicates within their own window).
 
     State growth is one (id + signature) per doc per band, capped per
-    bucket — linear in corpus size like the batch dedup index, and the
-    cap bounds any hot bucket.
+    bucket — linear in corpus size like the batch dedup index (the
+    state IS the dedup index), and the cap bounds any hot bucket. When
+    only a recency window must be near-dedup-exact, ``ttl_s`` evicts
+    buckets idle that long via processing-time timeouts — bounding
+    state by ingest rate × window instead of corpus size. Like
+    ``sessionize(idle_timeout=True)``, the timeout only fires on live
+    triggers, not under an availableNow drain — and note that with
+    timeouts on, the engine schedules state-cleanup micro-batches even
+    with no new data, so the stream never quiesces: use a fixed
+    ``trigger(processingTime=...)`` and poll progress rather than
+    ``processAllAvailable()`` (which would block forever).
     """
     rows = num_hashes // bands
     sig = minhash_signature_col(F.col(text_col), num_hashes, shingle_n)
@@ -442,7 +460,7 @@ def near_dedup_stream(
 
     def fn(key, pdfs, state):
         yield from _near_dup_bucket(
-            key, pdfs, state, num_hashes, threshold, max_bucket_size
+            key, pdfs, state, num_hashes, threshold, max_bucket_size, ttl_s
         )
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
@@ -450,5 +468,9 @@ def near_dedup_stream(
         outputStructType=_NEAR_DUP_SCHEMA,
         stateStructType=_NEAR_DUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -434,3 +434,71 @@ def test_near_dedup_stream_bucket_cap_bounds_state(spark, tmp_path):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
     assert pairs == {(1, 2), (1, 3)}  # 2-3 never compared: bucket full
+
+
+def test_near_dedup_stream_ttl_evicts_idle_buckets(spark, tmp_path):
+    """ttl_s bounds state by recency: a bucket idle past the TTL drops
+    its remembered signatures in a state-cleanup batch, so a duplicate
+    arriving after the window no longer pairs with the original.
+
+    ProcessingTimeTimeout makes the engine schedule cleanup
+    micro-batches even with no new data ("No new data but cleaning up
+    state"), so the stream never quiesces — processAllAvailable would
+    hang. The test therefore polls progress counters under a fixed
+    trigger interval instead.
+    """
+    import time
+
+    from miso_spark.streaming.api import near_dedup_stream
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tmp_path / "docs_ttl"
+    d.mkdir()
+
+    def land(doc_id: int) -> None:
+        spark.createDataFrame([(doc_id, text)], "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(d), mode="append")
+
+    def rows_processed(q) -> int:
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    def wait_processed(q, n: int, timeout_s: float = 60.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        while rows_processed(q) < n:
+            assert time.monotonic() < deadline, "stream made no progress"
+            time.sleep(0.3)
+
+    land(1)
+    schema = spark.read.parquet(str(d)).schema
+    sdf = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        near_dedup_stream(sdf, threshold=0.9, ttl_s=1.0)
+        .writeStream.format("memory").queryName("near_dup_ttl_t")
+        .outputMode("append").trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        wait_processed(q, 1)  # doc 1's buckets populated
+        time.sleep(2.5)  # > TTL: cleanup batches evict the idle buckets
+        land(3)  # exact copy of doc 1, after the window
+        wait_processed(q, 2)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in spark.sql("SELECT * FROM near_dup_ttl_t").collect()}
+        assert pairs == set()  # doc 1 was forgotten before doc 3 arrived
+    finally:
+        q.stop()
+
+    # control: the same two files with no TTL pair up (1, 3)
+    sdf2 = spark.readStream.schema(schema).parquet(str(d))
+    q2 = (
+        near_dedup_stream(sdf2, threshold=0.9)
+        .writeStream.format("memory").queryName("near_dup_nottl_t")
+        .outputMode("append").start()
+    )
+    try:
+        q2.processAllAvailable()
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in spark.sql("SELECT * FROM near_dup_nottl_t").collect()}
+        assert pairs == {(1, 3)}
+    finally:
+        q2.stop()
