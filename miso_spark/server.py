@@ -73,6 +73,54 @@ _SOURCE_TYPES = {
 }
 
 
+#: route table → OpenAPI paths (http_server.rs ApiDoc parity: the
+#: reference generates this with utoipa and serves SwaggerUI at "/")
+_API_ROUTES: list[tuple[str, str, str]] = [
+    ("get", "/health", "Liveness probe"),
+    ("get", "/metrics", "Query metrics (JSON; ?format=prometheus for text)"),
+    ("post", "/query", "Run a KQL query; SSE stream of result rows "
+                       "(body: {query, query_id?, partial_stream?})"),
+    ("post", "/explain", "Physical plan for a KQL query (body: {query})"),
+    ("get", "/connectors", "List connector configs"),
+    ("get", "/connectors/{id}", "Get one connector config"),
+    ("post", "/connectors/{id}", "Register a connector (body: config)"),
+    ("delete", "/connectors/{id}", "Remove a connector"),
+    ("get", "/views", "List saved views"),
+    ("get", "/views/{id}", "Get one view's KQL"),
+    ("post", "/views/{id}", "Save a view (body: {query})"),
+    ("delete", "/views/{id}", "Delete a view"),
+]
+
+
+def _openapi_spec() -> dict:
+    paths: dict[str, dict] = {}
+    for verb, path, summary in _API_ROUTES:
+        op: dict = {"summary": summary, "responses": {"200": {"description": "OK"}}}
+        if "{id}" in path:
+            op["parameters"] = [{
+                "name": "id", "in": "path", "required": True,
+                "schema": {"type": "string"},
+            }]
+        if verb == "post":
+            op["requestBody"] = {
+                "content": {"application/json": {"schema": {"type": "object"}}}
+            }
+        paths.setdefault(path, {})[verb] = op
+    return {
+        "openapi": "3.1.0",
+        "info": {"title": "miso_spark server", "version": "1.0.0"},
+        "paths": paths,
+    }
+
+
+_API_INDEX_HTML = "<!doctype html><html><head><title>miso_spark server</title>" \
+    "</head><body><h1>miso_spark server</h1>" \
+    "<p>Spec: <a href=\"/openapi.json\">/openapi.json</a></p><ul>" + "".join(
+        f"<li><code>{verb.upper()} {path}</code> — {summary}</li>"
+        for verb, path, summary in _API_ROUTES
+    ) + "</ul></body></html>"
+
+
 def _parse_partial_stream(value) -> float | None:
     """``partial_stream`` request option (http_server.rs:111-147):
     ``true`` → default 1s debounce; ``false``/absent → off;
@@ -298,6 +346,19 @@ class MisoServer:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    # the reference mounts SwaggerUI at "/" backed by
+                    # /openapi.json (http_server.rs:641); stdlib-only
+                    # analog: a plain HTML index over the same spec
+                    body = _API_INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
+                if self.path == "/openapi.json":
+                    return self._json(200, _openapi_spec())
                 if self.path == "/health":
                     return self._json(200, {"status": "ok"})
                 if self.path.split("?")[0] == "/metrics":

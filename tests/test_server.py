@@ -579,3 +579,21 @@ def test_concurrent_queries_isolated_and_metrics_consistent(server):
         == len(queries)
     )
     assert after["running_queries"] == 0
+
+
+def test_openapi_spec_and_index(server):
+    """Route parity with the reference's SwaggerUI-at-root
+    (http_server.rs:641): "/" serves an HTML index and /openapi.json an
+    OpenAPI 3.1 spec covering the full route table."""
+    spec = json.load(_get(server, "/openapi.json"))
+    assert spec["openapi"].startswith("3.")
+    assert set(spec["paths"]) == {
+        "/health", "/metrics", "/query", "/explain",
+        "/connectors", "/connectors/{id}", "/views", "/views/{id}",
+    }
+    assert "post" in spec["paths"]["/query"]
+    assert "delete" in spec["paths"]["/connectors/{id}"]
+    resp = _get(server, "/")
+    assert resp.headers["Content-Type"].startswith("text/html")
+    html = resp.read().decode()
+    assert "/openapi.json" in html and "POST /query" in html
