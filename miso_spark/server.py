@@ -247,6 +247,7 @@ class MisoServer:
         #: ThreadingHTTPServer handles queries concurrently; counter
         #: updates are read-modify-write, so they serialize here
         self.metrics_lock = threading.Lock()
+        self.workflow_limits = dict(self._DEFAULT_WORKFLOW_LIMITS)
         self.status_writer: QueryStatusWriter | None = None
         if query_status_collection is not None:
             conn, _, coll = query_status_collection.partition(".")
@@ -268,11 +269,52 @@ class MisoServer:
         self.miso.registry.register(name, _SOURCE_TYPES[ctype](cfg))
         self.connector_configs[name] = cfg
 
+    #: reference defaults (miso-workflow/src/limits.rs: 500 MB per
+    #: sort/summarize/join operator before spill)
+    _DEFAULT_WORKFLOW_LIMITS = {
+        "sort_memory_limit": 500 * 1024 * 1024,
+        "summarize_memory_limit": 500 * 1024 * 1024,
+        "join_memory_limit": 500 * 1024 * 1024,
+    }
+
+    @staticmethod
+    def _parse_bytesize(v) -> int:
+        """'500 MB' / '1.5gb' / plain ints → bytes (bytesize crate
+        syntax, the format limits.rs deserializes)."""
+        if isinstance(v, (int, float)):
+            return int(v)
+        m = re.fullmatch(
+            r"\s*(\d+(?:\.\d+)?)\s*([kmgtp]i?b?|b)?\s*", str(v), re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"bad byte size {v!r}")
+        mult = {None: 1, "b": 1}
+        for i, p in enumerate("kmgtp"):
+            mult[p] = mult[p + "b"] = 1000 ** (i + 1)
+            mult[p + "ib"] = mult[p + "i"] = 1024 ** (i + 1)
+        return int(float(m.group(1)) * mult[(m.group(2) or "b").lower()])
+
     def load_config(self, path: str) -> None:
         """Load a reference-style config.json ({"connectors": {...},
-        "query_status_collection"?: "connector.collection"})."""
+        "query_status_collection"?: "connector.collection",
+        "workflow_limits"?: {sort|summarize|join_memory_limit}}).
+
+        ``workflow_limits`` (limits.rs WorkflowLimits) caps the
+        reference's in-memory sort/summarize/join buffers before they
+        spill. Spark's Tungsten memory manager performs the same
+        bounded-buffer-then-spill behavior per task automatically
+        (UnsafeExternalSorter / spillable hash aggregates), governed by
+        executor memory rather than per-operator knobs — so the values
+        are parsed, validated, and recorded (served under /metrics →
+        workflow_limits_bytes) rather than re-implemented."""
         with open(path) as f:
             cfg = json.load(f)
+        limits = dict(self._DEFAULT_WORKFLOW_LIMITS)
+        for k, v in (cfg.get("workflow_limits") or {}).items():
+            if k not in limits:
+                raise ValueError(f"unknown workflow limit {k!r}")
+            limits[k] = self._parse_bytesize(v)
+        self.workflow_limits = limits
         for name, ccfg in cfg.get("connectors", {}).items():
             self.add_connector(name, ccfg)
         qsc = cfg.get("query_status_collection")
@@ -423,6 +465,12 @@ class MisoServer:
                         self.end_headers()
                         self.wfile.write(body)
                         return None
+                    # configured operator memory limits (limits.rs) —
+                    # informational: Spark's Tungsten spill enforces
+                    # the equivalent behavior (see load_config)
+                    snap["workflow_limits_bytes"] = dict(
+                        server_self.workflow_limits
+                    )
                     return self._json(200, snap)
                 if self.path == "/connectors":
                     return self._json(200, server_self.connector_configs)

@@ -597,3 +597,43 @@ def test_openapi_spec_and_index(server):
     assert resp.headers["Content-Type"].startswith("text/html")
     html = resp.read().decode()
     assert "/openapi.json" in html and "POST /query" in html
+
+
+def test_workflow_limits_config_parsed_and_reported(spark, tmp_path):
+    """config.json workflow_limits parity (limits.rs WorkflowLimits):
+    bytesize strings parse, unknown keys error, values surface on
+    /metrics; Spark-side enforcement is Tungsten's own spill (see
+    load_config docstring), so parity here is config-compat +
+    observability."""
+    import pytest as _pytest
+
+    from miso_spark.server import MisoServer
+
+    srv = MisoServer(spark, port=0)
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "connectors": {},
+        "workflow_limits": {
+            "sort_memory_limit": "1 GB",
+            "join_memory_limit": "256 MiB",
+        },
+    }))
+    srv.load_config(str(cfg))
+    assert srv.workflow_limits == {
+        "sort_memory_limit": 10**9,
+        "join_memory_limit": 256 * 1024**2,
+        "summarize_memory_limit": 500 * 1024 * 1024,  # limits.rs default
+    }
+    srv.start_background()
+    try:
+        m = json.load(_get(srv, "/metrics"))
+        assert m["workflow_limits_bytes"]["sort_memory_limit"] == 10**9
+    finally:
+        srv.shutdown()
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"workflow_limits": {"nope": "1 MB"}}))
+    srv2 = MisoServer(spark, port=0)
+    with _pytest.raises(ValueError, match="unknown workflow limit"):
+        srv2.load_config(str(bad))
+    srv2.httpd.server_close()  # never served: shutdown() would block
