@@ -266,7 +266,16 @@ class MisoServer:
         ctype = cfg.get("type")
         if ctype not in _SOURCE_TYPES:
             raise ValueError(f"unknown connector type {ctype!r}")
-        self.miso.registry.register(name, _SOURCE_TYPES[ctype](cfg))
+        src = _SOURCE_TYPES[ctype](cfg)
+        if "stats_fetch_interval" in cfg:
+            # config.rs ConnectorConfig.stats_fetch_interval (humantime
+            # string, default 3 h): per-connector stats refresh cadence
+            from miso_spark.sources.stats import parse_duration
+
+            src.stats_fetch_interval_s = parse_duration(
+                cfg["stats_fetch_interval"]
+            )
+        self.miso.registry.register(name, src)
         self.connector_configs[name] = cfg
 
     #: reference defaults (miso-workflow/src/limits.rs: 500 MB per

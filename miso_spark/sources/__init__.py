@@ -86,9 +86,15 @@ class Source:
             return None  # no stats support — skip the cache machinery
         cache = getattr(self, "_stats_cache", None)
         if cache is None:
-            from miso_spark.sources.stats import StatsCache
+            from miso_spark.sources.stats import DEFAULT_STATS_TTL_S, StatsCache
 
-            cache = self._stats_cache = StatsCache(self)
+            # per-connector refresh cadence (config.rs
+            # stats_fetch_interval, default 3 h) — set by the server's
+            # connector factory from config.json
+            ttl = getattr(self, "stats_fetch_interval_s", None)
+            cache = self._stats_cache = StatsCache(
+                self, ttl if ttl is not None else DEFAULT_STATS_TTL_S
+            )
         return cache.get(collection, field)
 
 

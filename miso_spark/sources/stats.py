@@ -27,6 +27,33 @@ from dataclasses import dataclass
 DEFAULT_STATS_TTL_S = 3 * 3600.0
 
 
+def parse_duration(v) -> float:
+    """humantime-style duration → seconds (config.rs deserializes
+    ``stats_fetch_interval`` with the humantime crate): ``"3h"``,
+    ``"30m"``, ``"1h 30m"``, ``"500ms"``, compound tokens allowed;
+    bare numbers are seconds."""
+    import re
+
+    if isinstance(v, (int, float)):
+        return float(v)
+    units = {
+        "ns": 1e-9, "us": 1e-6, "ms": 1e-3,
+        "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+        "m": 60.0, "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
+        "h": 3600.0, "hr": 3600.0, "hrs": 3600.0, "hour": 3600.0, "hours": 3600.0,
+        "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    }
+    toks = re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", str(v))
+    if not toks or not re.fullmatch(r"(\s*\d+(?:\.\d+)?\s*[a-zA-Z]+\s*)+", str(v)):
+        raise ValueError(f"bad duration {v!r}")
+    total = 0.0
+    for num, unit in toks:
+        if unit.lower() not in units:
+            raise ValueError(f"bad duration unit {unit!r} in {v!r}")
+        total += float(num) * units[unit.lower()]
+    return total
+
+
 @dataclass(frozen=True)
 class FieldStats:
     """stats.rs:13 — only distinct_count for now, like the reference."""

@@ -105,3 +105,43 @@ def test_timestamp_columns_always_surface_as_timestamp(spark):
             assert isinstance(dt, TimestampType), (sf, table, col, dt)
             # and the scale-critical operations actually resolve
             df.select(df[col].cast("long")).limit(1).collect()
+
+
+def test_stats_fetch_interval_config(spark):
+    """config.rs ConnectorConfig.stats_fetch_interval parity: the
+    humantime string sets the per-connector StatsCache TTL (default
+    3 h), and parse_duration speaks the crate's compound syntax."""
+    import pytest as _pytest
+
+    from miso_spark.server import MisoServer
+    from miso_spark.sources.stats import DEFAULT_STATS_TTL_S, parse_duration
+
+    assert parse_duration("3h") == 3 * 3600
+    assert parse_duration("1h 30m") == 5400
+    assert parse_duration("500ms") == 0.5
+    assert parse_duration("2days") == 2 * 86400
+    assert parse_duration(42) == 42.0
+    with _pytest.raises(ValueError):
+        parse_duration("soon")
+    with _pytest.raises(ValueError):
+        parse_duration("3 parsecs")
+
+    srv = MisoServer(spark, port=0)
+    srv.add_connector("q1", {
+        "type": "quickwit", "url": "http://127.0.0.1:9",
+        "stats_fetch_interval": "30m",
+    })
+    srv.add_connector("q2", {"type": "quickwit", "url": "http://127.0.0.1:9"})
+    assert srv.miso.registry.source("q1").stats_fetch_interval_s == 1800
+    assert not hasattr(srv.miso.registry.source("q2"), "stats_fetch_interval_s")
+
+    # the interval reaches the lazy StatsCache when built
+    src = srv.miso.registry.source("q1")
+    src.stats_fields = {"logs": ["level"]}  # enables fetch_stats
+    src.field_stats("logs", "level")  # fetch fails (no service) — fine
+    assert src._stats_cache._ttl_s == 1800
+    src2 = srv.miso.registry.source("q2")
+    src2.stats_fields = {"logs": ["level"]}
+    src2.field_stats("logs", "level")
+    assert src2._stats_cache._ttl_s == DEFAULT_STATS_TTL_S
+    srv.httpd.server_close()
