@@ -263,6 +263,10 @@ class MisoServer:
 
     # -- registry / views --------------------------------------------------
     def add_connector(self, name: str, cfg: dict) -> None:
+        if name == self.VIEWS_CONNECTOR:
+            # config.rs:88 / http_server.rs:460: "views" routes to
+            # saved views, never to a real connector
+            raise ValueError(f"connector name {name!r} is reserved")
         ctype = cfg.get("type")
         if ctype not in _SOURCE_TYPES:
             raise ValueError(f"unknown connector type {ctype!r}")
@@ -336,15 +340,57 @@ class MisoServer:
                 )
             self.status_writer = QueryStatusWriter(self.miso.registry, conn, coll)
 
+    #: reserved connector name routing to saved views
+    #: (miso-server/src/lib.rs:10 VIEWS_CONNECTOR_NAME)
+    VIEWS_CONNECTOR = "views"
+
     def _plan(self, kql: str) -> Plan:
         # error-recovering parse: a 400 lists every broken step, like
         # the reference server's multi-error response
         plan = parse_kql(kql, collect_errors=True)
-        # views resolve like let bindings prepended to the query
-        lets = tuple(
-            Let(name, parse_kql(text)) for name, text in self.views.items()
-        )
-        return Plan(lets + plan.steps)
+        # `views.<name>` scans splice the saved view's steps inline,
+        # recursively (query_to_workflow.rs:70); bare-name references
+        # keep working through let bindings prepended to the query
+        plan = self._resolve_views(plan, ())
+        # a view that no longer resolves (deleted dependency, cycle)
+        # must only fail queries that actually REFERENCE it — the
+        # reference resolves views on use (query_to_workflow.rs), so a
+        # broken saved view can't take down unrelated queries
+        lets = []
+        for name, text in self.views.items():
+            try:
+                lets.append(
+                    Let(name, self._resolve_views(parse_kql(text), (name,)))
+                )
+            except ValueError:
+                continue
+        return Plan(tuple(lets) + plan.steps)
+
+    def _resolve_views(self, plan: Plan, seen: tuple) -> Plan:
+        from dataclasses import replace
+
+        from miso_spark import plan as P
+
+        steps: list = []
+        for s in plan.steps:
+            if isinstance(s, P.Scan) and s.connector == self.VIEWS_CONNECTOR:
+                name = s.collection
+                if name in seen:
+                    raise ValueError(
+                        f"view '{name}' is part of a reference cycle"
+                    )
+                text = self.views.get(name)
+                if text is None:
+                    # reference 404s (query_to_workflow.rs:72); our
+                    # pre-stream errors surface as a 400 with this text
+                    raise ValueError(f"view '{name}' not found")
+                sub = self._resolve_views(parse_kql(text), seen + (name,))
+                steps.extend(sub.steps)
+            elif isinstance(s, (P.JoinStep, P.Union, P.Let)):
+                steps.append(replace(s, sub=self._resolve_views(s.sub, seen)))
+            else:
+                steps.append(s)
+        return Plan(tuple(steps))
 
     def _query_df(self, kql: str):
         """Compile only (the /explain path): any caches the compile

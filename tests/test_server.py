@@ -637,3 +637,56 @@ def test_workflow_limits_config_parsed_and_reported(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown workflow limit"):
         srv2.load_config(str(bad))
     srv2.httpd.server_close()  # never served: shutdown() would block
+
+
+def test_views_connector_scan_and_reserved_name(server):
+    """VIEWS_CONNECTOR_NAME parity (lib.rs:10, query_to_workflow.rs:70):
+    `views.<name>` splices the saved view's steps inline — recursively
+    through nested views — unknown views error with the reference's
+    message, cycles are rejected, and the connector name 'views' is
+    reserved."""
+    assert _post(server, "/views/small_nations",
+                 {"query": "t.nation | where n_regionkey == 1"}).status == 200
+    assert _post(server, "/views/small_nations_count",
+                 {"query": "views.small_nations | count"}).status == 200
+
+    def rows(q):
+        out = []
+        done = False
+        for raw in _post(server, "/query", {"query": q}):
+            line = raw.decode().strip()
+            if line.startswith("event: done"):
+                done = True
+            elif line.startswith("data: ") and not done:
+                out.append(json.loads(line[6:]))
+        return out
+
+    direct = rows("t.nation | where n_regionkey == 1 | count")
+    assert rows("views.small_nations | count") == direct
+    # nested view-through-view resolves recursively
+    assert rows("views.small_nations_count") == direct
+    # residual steps compose after the splice
+    n = direct[0]["Count"]
+    assert rows(f"views.small_nations | take {n + 5} | count") == direct
+
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/query", {"query": "views.nope | count"})
+    assert "view 'nope' not found" in e.value.read().decode()
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/connectors/views", {"type": "memory"})
+    assert "reserved" in e.value.read().decode()
+
+    # a view cycle errors instead of recursing forever
+    assert _post(server, "/views/loop_b", {"query": "views.loop_a | count"}).status == 200
+    assert _post(server, "/views/loop_a", {"query": "views.loop_b | count"}).status == 200
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/query", {"query": "views.loop_a"})
+    assert "cycle" in e.value.read().decode()
+    # broken views only break queries that reference them
+    assert rows("t.nation | count")
+    for v in ("loop_a", "loop_b", "small_nations", "small_nations_count"):
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/views/{v}", method="DELETE"))
