@@ -185,6 +185,13 @@ def compile_expr(e: Expr, schema=None) -> Column:
     ``schema`` (the input DataFrame's StructType, when the caller has
     one) enables type-directed choices like string-Plus → concat."""
     if isinstance(e, Field):
+        if schema is not None and e.path.is_missing_in(schema):
+            # dynamic-log missing-field semantics (tests.rs
+            # project_nonexistent_field_arithmetic / filter_missing):
+            # a provably-absent field evaluates as null — comparisons
+            # filter the row, arithmetic yields null, exists() is
+            # false — instead of Spark's UNRESOLVED_COLUMN error
+            return F.lit(None)
         return e.path.to_column()
     if isinstance(e, Lit):
         return F.lit(e.value)

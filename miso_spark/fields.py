@@ -63,6 +63,34 @@ class FieldPath:
                 col = F.get(col, i)
         return col
 
+    def is_missing_in(self, schema) -> bool:
+        """True when this path provably resolves to NO column/field in
+        ``schema`` — the reference's dynamic-log model evaluates such
+        references as null (tests.rs project_nonexistent_field_arithmetic
+        yields rows without the key; filters on them drop rows), where
+        Spark would raise UNRESOLVED_COLUMN. Walks struct levels only —
+        a map/variant segment defers to Spark's own resolution — and
+        matches names case-insensitively, like Spark's default
+        resolution (spark.sql.caseSensitive=false)."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        dtype = schema
+        for name, idxs in self.segments:
+            if not isinstance(dtype, StructType):
+                return False  # map/variant/json — Spark resolves it
+            match = next(
+                (f for f in dtype.fields if f.name.lower() == name.lower()),
+                None,
+            )
+            if match is None:
+                return True
+            dtype = match.dataType
+            for _ in idxs:
+                if not isinstance(dtype, ArrayType):
+                    return False
+                dtype = dtype.elementType
+        return False
+
     def resolve_type(self, schema) -> object | None:
         """Walk a StructType to this path's data type (None if absent)."""
         from pyspark.sql.types import ArrayType, StructType

@@ -138,3 +138,27 @@ def test_string_column_plus_concat(m):
     # string + string on COLUMNS concats (schema-directed; mod.rs:234)
     r = rows(m, "mem.vals | where id == 1 | project c = s + s, lc = 'v' + s")
     assert r == [{"c": "xx", "lc": "vx"}]
+
+
+def test_missing_field_evaluates_as_null(spark):
+    """Dynamic-log missing-field semantics (tests.rs
+    project_nonexistent_field_arithmetic / filter_null_field_comparison):
+    a provably-absent field evaluates as null — projection emits rows
+    without the key (JSON), filters drop, exists() is false — instead
+    of Spark's UNRESOLVED_COLUMN error. Case-insensitive resolution is
+    preserved, and map/JSON segments still defer to Spark."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("c", spark.createDataFrame([(1,), (2,)], "id long"))
+    m.registry.register("t_missing", mem)
+
+    df = m.query("t_missing.c | project result = missing + 5")
+    assert df.toJSON().collect() == ["{}", "{}"]  # key omitted, like the reference
+    assert m.query("t_missing.c | where missing > 5").count() == 0
+    assert m.query("t_missing.c | where exists(missing)").count() == 0
+    assert m.query("t_missing.c | where not(exists(missing))").count() == 2
+    # existing columns still resolve case-insensitively
+    assert m.query("t_missing.c | where ID == 1").count() == 1
