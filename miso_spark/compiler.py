@@ -12,7 +12,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from miso_spark import plan as P
 from miso_spark.exprs import compile_expr
@@ -374,8 +374,11 @@ class Compiler:
           null (not a cross product);
         - a row whose expandable collections are all empty is DROPPED;
         - rows where every named field is missing/scalar pass through;
-        - objects (maps) expand to single-entry maps under kind=bag and
-          to flattened [k1, v1, k2, v2, ...] elements under kind=array;
+        - objects expand per PRESENT key: maps to single-entry maps,
+          structs (typed-JSON objects) to single-key objects — under
+          kind=bag; kind=array flattens to [k1, v1, k2, v2, ...]
+          (string elements for uniformly-typed maps, VARIANT elements
+          for structs so values stay typed);
         - nested field paths (``a.b``) expand in place, like the
           reference's insert_field_value at the original path.
         """
@@ -403,6 +406,60 @@ class Compiler:
                         ),
                     )
                 exp[name] = (fp, arr)
+            elif isinstance(dtype, StructType) and dtype.fields:
+                # JSON objects land as structs on the typed read path;
+                # they expand like the reference's objects (expand.rs):
+                # one row per PRESENT key. kind=bag keeps a single-key
+                # object (a full-schema struct with the other fields
+                # null — JSON output omits them, rendering exactly the
+                # reference's single-entry object); kind=array flattens
+                # to alternating key/value elements. A null struct
+                # (absent object) passes the row through; a present
+                # object with no present keys drops it.
+                from functools import reduce
+
+                names = [f.name for f in dtype.fields]
+                if step.kind == "array":
+                    # keys and values alternate; struct fields are
+                    # heterogeneously typed, so elements are VARIANTs —
+                    # values stay typed in the output (30 stays a
+                    # number), like the reference's dynamic values. A
+                    # map's values share one type, so the map branch
+                    # above keeps plain strings (friendlier collect()).
+                    def vwrap(c: Column) -> Column:
+                        return F.try_variant_get(
+                            F.parse_json(F.to_json(F.struct(c.alias("v")))),
+                            "$.v", "variant",
+                        )
+
+                    pairs = F.array_compact(F.array(*[
+                        F.when(
+                            col.getField(n).isNotNull(),
+                            F.array(vwrap(F.lit(n)), vwrap(col.getField(n))),
+                        )
+                        for n in names
+                    ]))
+                    arr = F.flatten(pairs)
+                else:
+                    singles = F.array(*[
+                        F.struct(*[
+                            (
+                                col.getField(g)
+                                if g == n
+                                else F.lit(None).cast(dtype[g].dataType)
+                            ).alias(g)
+                            for g in names
+                        ])
+                        for n in names
+                    ])
+                    arr = F.filter(
+                        singles,
+                        lambda s: reduce(
+                            lambda a, b: a | b,
+                            [s.getField(g).isNotNull() for g in names],
+                        ),
+                    )
+                exp[name] = (fp, F.when(col.isNull(), F.lit(None)).otherwise(arr))
             # scalar/missing fields: pass through untouched
 
         if not exp:

@@ -291,21 +291,78 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
             return l.isNull()
         if isinstance(e.left, Lit) and e.left.value is None:
             return r.isNull()
-        return l == r
+        if isinstance(e.right, Lit) or isinstance(e.left, Lit):
+            # non-null literal: Null == Lit is false under the total
+            # order and unknown→filtered under SQL — identical rows,
+            # and plain `=` keeps the cleanest pushdown/DPP plans
+            return l == r
+        # field-vs-field: the reference compares PRESENT values through
+        # Value::cmp, where Null == Null (interpreter/mod.rs impl_cmp +
+        # value/mod.rs:151) — null-safe equality, consistent with the
+        # engine's null-safe join keys. EqualNullSafe still reaches
+        # parquet PushedFilters.
+        return l.eqNullSafe(r)
     if op == "ne":
         if isinstance(e.right, Lit) and e.right.value is None:
             return l.isNotNull()
         if isinstance(e.left, Lit) and e.left.value is None:
             return r.isNotNull()
-        return l != r
+        # Null != <non-null> is TRUE under the total order (Less/Greater
+        # ≠ Equal), so != must be null-safe even against a literal
+        return ~l.eqNullSafe(r)
+    # Ordering comparisons follow the reference's TOTAL order with null
+    # smallest (value/mod.rs:151-153: Null < Bool < numbers < ...), so
+    # `x <= 5` KEEPS an explicitly-null x (tests.rs
+    # null_in_lte_operator) while `x >= 5` drops it. When one side is a
+    # non-null literal, half the order is static and the expression
+    # stays a pushdown-friendly comparison (optionally OR'd with an
+    # IsNull — both parquet-convertible); only field-vs-field falls
+    # back to the full when-chain, which parquet couldn't push anyway.
+    # (Spark conflates present-null with missing; the reference filters
+    # MISSING operands on every comparison — that side of the
+    # distinction is unrepresentable in a typed row and is documented
+    # at tests/test_workflow_corpus.py.)
+    lit_nonnull = lambda x: isinstance(x, Lit) and x.value is not None  # noqa: E731
     if op == "gt":
-        return l > r
+        if lit_nonnull(e.right):
+            return l > r  # null l → false in filter contexts, as the order says
+        if lit_nonnull(e.left):
+            return r.isNull() | (l > r)  # non-null literal > null → true
+        return (
+            F.when(l.isNull(), F.lit(False))
+            .when(r.isNull(), F.lit(True))
+            .otherwise(l > r)
+        )
     if op == "gte":
-        return l >= r
+        if lit_nonnull(e.right):
+            return l >= r
+        if lit_nonnull(e.left):
+            return r.isNull() | (l >= r)
+        return (
+            F.when(l.isNull(), r.isNull())
+            .when(r.isNull(), F.lit(True))
+            .otherwise(l >= r)
+        )
     if op == "lt":
-        return l < r
+        if lit_nonnull(e.left):
+            return l < r  # null r → false: nothing is below it but null
+        if lit_nonnull(e.right):
+            return l.isNull() | (l < r)  # null < non-null literal → true
+        return (
+            F.when(r.isNull(), F.lit(False))
+            .when(l.isNull(), F.lit(True))
+            .otherwise(l < r)
+        )
     if op == "lte":
-        return l <= r
+        if lit_nonnull(e.left):
+            return l <= r
+        if lit_nonnull(e.right):
+            return l.isNull() | (l <= r)
+        return (
+            F.when(r.isNull(), l.isNull())
+            .when(l.isNull(), F.lit(True))
+            .otherwise(l <= r)
+        )
     if op == "add":
         # miso's Plus concatenates strings (interpreter/mod.rs:234):
         # string literals, string-typed columns (schema-resolved), and

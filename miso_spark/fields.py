@@ -72,12 +72,25 @@ class FieldPath:
         a map/variant segment defers to Spark's own resolution — and
         matches names case-insensitively, like Spark's default
         resolution (spark.sql.caseSensitive=false)."""
-        from pyspark.sql.types import ArrayType, StructType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        try:  # Spark 4 semi-structured column type
+            from pyspark.sql.types import VariantType
+
+            dynamic = (MapType, ArrayType, VariantType)
+        except ImportError:  # pragma: no cover - older Spark
+            dynamic = (MapType, ArrayType)
 
         dtype = schema
         for name, idxs in self.segments:
+            if isinstance(dtype, dynamic):
+                return False  # map/variant/array access — Spark resolves it
             if not isinstance(dtype, StructType):
-                return False  # map/variant/json — Spark resolves it
+                # primitive mid-path: `a.b` where a is a string/number
+                # can never resolve — the reference's dynamic model
+                # yields missing (tests.rs filter_exists_on_object /
+                # filter_starts_with_on_object treat it as absent)
+                return True
             match = next(
                 (f for f in dtype.fields if f.name.lower() == name.lower()),
                 None,
@@ -86,9 +99,12 @@ class FieldPath:
                 return True
             dtype = match.dataType
             for _ in idxs:
-                if not isinstance(dtype, ArrayType):
-                    return False
-                dtype = dtype.elementType
+                if isinstance(dtype, ArrayType):
+                    dtype = dtype.elementType
+                elif isinstance(dtype, dynamic):
+                    return False  # map/variant indexing — defer
+                else:
+                    return True  # [i] over a primitive — provably absent
         return False
 
     def resolve_type(self, schema) -> object | None:

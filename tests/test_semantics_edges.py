@@ -25,11 +25,13 @@ def rows(m, q):
     return [r.asDict() for r in m.query(q).collect()]
 
 
-def test_null_comparisons_drop_rows(m):
-    # null >= / <= / == → unknown → filtered (tests.rs null_in_gte_operator)
+def test_null_comparisons_follow_value_total_order(m):
+    # Value's total order, null smallest (value/mod.rs:151; tests.rs
+    # null_in_gte_operator / null_in_lte_operator): null drops under
+    # >=, SURVIVES <= and != (r7 change — was SQL-drop-everywhere)
     assert {r["id"] for r in rows(m, "mem.vals | where v >= 5")} == {1, 3}
-    assert {r["id"] for r in rows(m, "mem.vals | where v <= 100")} == {1, 3}
-    assert {r["id"] for r in rows(m, "mem.vals | where v != 10")} == {3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v <= 100")} == {1, 2, 3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v != 10")} == {2, 3}
 
 
 def test_null_in_bool_ops(m):

@@ -43,13 +43,29 @@ def test_filter_ne_null_literal_is_not_null(run):
     assert out == [{"w": 1}]
 
 
-def test_filter_eq_fields_null_does_not_match(run):
-    # tests.rs filter_eq_fields: field-vs-field equality is SQL-style
+def test_filter_eq_fields_null_matches_null(run):
+    # interpreter/mod.rs impl_cmp + value/mod.rs:151: PRESENT values
+    # compare through Value's total order, where Null == Null — so
+    # field-vs-field equality is null-safe, consistent with the
+    # engine's null-safe join keys. (A MISSING operand makes the
+    # reference comparison None → row filtered; Spark's typed rows
+    # conflate missing with null, and the engine resolves the
+    # conflation as present-null. r7 change — was SQL-style before.)
     out = run(
         "test.b | where w == w2",
         b=("w int, w2 int", [(1, 1), (None, None), (2, 3)]),
     )
-    assert out == [{"w": 1, "w2": 1}]
+    assert sorted(out, key=str) == [{"w": 1, "w2": 1}, {"w": None, "w2": None}]
+
+
+def test_filter_ne_field_keeps_null_side(run):
+    # Null != Int(5) is Ordering::Less != Equal → true: a null w
+    # SURVIVES `w != w2` when w2 is non-null (total order, not SQL)
+    out = run(
+        "test.b2 | where w != w2",
+        b2=("w int, w2 int", [(1, 1), (None, 5), (2, 3)]),
+    )
+    assert sorted(out, key=str) == [{"w": 2, "w2": 3}, {"w": None, "w2": 5}]
 
 
 def test_in_operator_with_null_in_list(run):
@@ -69,10 +85,25 @@ def test_between_null_endpoints(run):
     assert out == [{"x": 15}]
 
 
-def test_null_comparison_drops(run):
-    # tests.rs null_in_gte_operator / null_in_lte_operator
+def test_null_ordering_comparisons_total_order(run):
+    # tests.rs null_in_gte_operator / null_in_lte_operator: ordering
+    # comparisons use Value's TOTAL order with null smallest
+    # (value/mod.rs:151-153) — `x >= 5` drops null, `x <= 5` KEEPS it
     out = run("test.e | where x >= 5", e=("x int", [(10,), (5,), (None,), (3,)]))
     assert sorted(r["x"] for r in out) == [5, 10]
+    out = run("test.e | where x <= 5", e=("x int", [(10,), (5,), (None,), (3,)]))
+    assert sorted((r["x"] is not None, r["x"]) for r in out) == [
+        (False, None), (True, 3), (True, 5)]
+    out = run("test.e | where x < 5", e=("x int", [(10,), (5,), (None,), (3,)]))
+    assert sorted((r["x"] is not None, r["x"]) for r in out) == [
+        (False, None), (True, 3)]
+    # field-vs-field: the when-chain path, same order
+    out = run(
+        "test.e2 | where a < b",
+        e2=("a int, b int", [(1, 2), (None, 2), (2, None), (None, None), (3, 1)]),
+    )
+    assert sorted(str(r) for r in out) == sorted(
+        [str({"a": 1, "b": 2}), str({"a": None, "b": 2})])
 
 
 def test_summarize_group_by_null_key_dropped(run):
@@ -303,3 +334,55 @@ def test_project_array_access_path(run, spark, mem):
     )
     out = run("test.w5 | project world=world[0].x[1]")
     assert out == [{"world": 2}]
+
+
+def test_expand_object_struct_per_present_key(run, spark):
+    # tests.rs expand_object / expand_object_multiple_records /
+    # expand_object_zip_unequal_lengths: a typed-JSON object (struct)
+    # expands one row per PRESENT key, each a single-key object; zip
+    # with other expands pads with null
+    import json as _json
+
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    m.registry.register("tob", mem)
+
+    def js(q, rows):
+        rdd = spark.sparkContext.parallelize([_json.dumps(r) for r in rows])
+        mem.put("c", spark.read.json(rdd))
+        return sorted(
+            (_json.loads(s) for s in m.query(q).toJSON().collect()),
+            key=_json.dumps,
+        )
+
+    assert js("tob.c | mv-expand tags", [
+        {"name": "item1", "tags": {"color": "red", "size": "large"}},
+        {"name": "item2", "tags": {"priority": "high"}},
+    ]) == sorted([
+        {"name": "item1", "tags": {"color": "red"}},
+        {"name": "item1", "tags": {"size": "large"}},
+        {"name": "item2", "tags": {"priority": "high"}},
+    ], key=_json.dumps)
+
+    # zip: object keys pair up with array elements positionally
+    assert js("tob.c | mv-expand items, metadata", [
+        {"id": 1, "items": ["a", "b"],
+         "metadata": {"env": "prod", "version": "2.0"}},
+    ]) == sorted([
+        {"id": 1, "items": "a", "metadata": {"env": "prod"}},
+        {"id": 1, "items": "b", "metadata": {"version": "2.0"}},
+    ], key=_json.dumps)
+
+    # kind=array flattens to alternating key/value VARIANTs — values
+    # stay typed (30 is a number, nested objects stay objects)
+    assert js("tob.c | mv-expand kind=array config", [
+        {"id": 1, "config": {"timeout": 30, "options": {"retry": True}}},
+    ]) == sorted([
+        {"id": 1, "config": "options"},
+        {"id": 1, "config": {"retry": True}},
+        {"id": 1, "config": "timeout"},
+        {"id": 1, "config": 30},
+    ], key=_json.dumps)
