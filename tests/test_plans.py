@@ -213,3 +213,21 @@ def test_range_join_outer_modes_stay_hash_joins(spark):
         out = range_join(left, right, "v", "lo", "hi", bin_size=10.0, how=how)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan, (how, plan)
+
+
+def test_total_order_lt_still_reaches_pushed_filters(spark):
+    """r7 null-total-order comparisons must not cost the parquet scan
+    its pushdown: `x < lit` compiles to IsNull-OR-LessThan, which is
+    still a convertible parquet filter; `x >= lit` stays the plain
+    conjunctive form."""
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import SourceRegistry
+
+    reg = SourceRegistry(spark).register_parquet_dir("t", SF_DIR)
+    lt = Compiler(reg).run(parse_kql("t.lineitem | where l_quantity < 10 | count"))
+    plan = lt._jdf.queryExecution().executedPlan().toString()
+    assert "Or(IsNull(l_quantity),LessThan(l_quantity,10.0))" in plan, plan
+    gte = Compiler(reg).run(parse_kql("t.lineitem | where l_quantity >= 10 | count"))
+    plan = gte._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan, plan
