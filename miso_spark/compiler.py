@@ -747,6 +747,21 @@ class Compiler:
         if right is None:
             right = self._run(step.sub, env)
 
+        # a side can lack the join key entirely (an empty dynamic
+        # collection, or rows that never carry it — tests.rs
+        # join_empty_right_side): materialize the key as a null column
+        # and downgrade that join to PLAIN equality, so it matches
+        # nothing (the reference skips missing-key rows when building
+        # its hash table; null-safe eq here would wrongly match the
+        # other side's null keys)
+        synth_key = False
+        if step.right_on not in right.columns and "." not in step.right_on:
+            right = right.withColumn(step.right_on, F.lit(None))
+            synth_key = True
+        if step.left_on not in left.columns and "." not in step.left_on:
+            left = left.withColumn(step.left_on, F.lit(None))
+            synth_key = True
+
         # KQL-style collision handling (join.rs:57): right-side columns
         # that collide with left-side names get numeric suffixes (x →
         # x1, or x2 if x1 is taken; x1 → x11). The merged join key is
@@ -811,7 +826,9 @@ class Compiler:
             cond = key_eq(
                 left[step.left_on],
                 right[right_on],
-                nullable(left, step.left_on) and nullable(right, right_on),
+                not synth_key
+                and nullable(left, step.left_on)
+                and nullable(right, right_on),
             )
             joined = left.join(right, on=cond, how=how)
             # merge the key pair into one column like a USING join
@@ -826,7 +843,9 @@ class Compiler:
             on=key_eq(
                 left[lcol],
                 right[right_on],
-                nullable(left, lcol) and nullable(right, right_on),
+                not synth_key
+                and nullable(left, lcol)
+                and nullable(right, right_on),
             ),
             how=how,
         )

@@ -386,3 +386,25 @@ def test_expand_object_struct_per_present_key(run, spark):
         {"id": 1, "config": "timeout"},
         {"id": 1, "config": 30},
     ], key=_json.dumps)
+
+
+def test_join_against_keyless_side_matches_nothing(run, spark):
+    # tests.rs join_empty_right_side: a side without the join key (an
+    # empty dynamic collection, or rows that never carry it) joins as
+    # a null key under PLAIN equality — inner drops everything, left
+    # keeps left rows; crucially a null left key must NOT match the
+    # synthesized null (the reference's build side skips missing keys)
+    from pyspark.sql.types import StructType
+
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame(
+        [(1, "x"), (None, "y")], "id int, v string"))
+    mem.put("empty", spark.createDataFrame([], StructType([])))
+    m.registry.register("tkl", mem)
+    assert m.query("tkl.a | join (tkl.empty) on id").count() == 0
+    out = m.query("tkl.a | join kind=left (tkl.empty) on id").collect()
+    assert sorted(str(r["v"]) for r in out) == ["x", "y"]
