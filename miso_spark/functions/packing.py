@@ -1,0 +1,123 @@
+"""Sequence packing for pretraining batches.
+
+The standard GPT-style packing: documents are concatenated in a
+deterministic order and the token stream is cut every ``max_tokens``
+(documents may straddle a boundary — that IS the classic approach;
+boundary-respecting variants exist but waste tokens). The operator
+computes, for every document, where its tokens land in the packed
+stream: which pack it starts in, at what offset, and which pack it
+ends in.
+
+Scale design (the part that matters at 100 TB): the global running
+token total is a PREFIX SUM, and a naive window
+``sum() over (order by id)`` plans as a single-partition global sort —
+the textbook scale-killer. This implementation does the classic
+two-pass distributed prefix sum instead:
+
+1. range-repartition by the order key (Spark's range partitioner keeps
+   partitions globally ordered);
+2. a per-partition cumulative sum (window partitioned by
+   ``spark_partition_id()`` — parallel, no shuffle beyond step 1);
+3. per-partition totals — ONE row per partition — collect to the
+   driver, turn into per-partition starting offsets, and broadcast
+   them back as a map.
+
+Wall-clock is two linear passes; driver memory is O(#partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Documents are ordered by ``id_col`` (any totally-ordered key —
+    deterministic across runs, unlike input order). Returns the input
+    keys plus:
+
+    - ``global_start``: the doc's first token's position in the
+      concatenated stream (0-based);
+    - ``pack_id``: the pack its first token lands in
+      (``global_start // max_tokens``);
+    - ``pack_offset``: offset of that token within the pack;
+    - ``end_pack_id``: the pack its LAST token lands in (> pack_id
+      when the doc straddles one or more boundaries).
+
+    Empty (0-token) docs get the position of the stream at that point
+    with ``end_pack_id = pack_id``.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    # 1: globally-ordered ranges (no single-partition global sort)
+    part = df.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+    part = part.withColumn("__pid", F.spark_partition_id())
+
+    # 2: local prefix sums
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    part = part.withColumn("__local_end", F.sum(token_col).over(w))
+
+    # 3: per-partition totals -> starting offsets (tiny driver step:
+    # one row per partition, like the reference engines' split
+    # metadata), broadcast back as a literal map
+    totals = {
+        r["__pid"]: r["t"]
+        for r in part.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+    else:  # empty input
+        offset_map = F.create_map()
+
+    start = (
+        offset_map[F.col("__pid")] + F.col("__local_end") - F.col(token_col)
+    ).alias("global_start")
+    out = part.select(
+        "*",
+        start,
+    ).select(
+        *[c for c in df.columns],
+        "global_start",
+        (F.col("global_start") / max_tokens).cast("long").alias("pack_id"),
+        (F.col("global_start") % max_tokens).alias("pack_offset"),
+        # last token position: start + tokens - 1 (0-token docs pin to
+        # their start so end_pack_id == pack_id)
+        (
+            F.greatest(
+                F.col("global_start") + F.col(token_col) - 1,
+                F.col("global_start"),
+            )
+            / max_tokens
+        ).cast("long").alias("end_pack_id"),
+    )
+    return out
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-pack fill statistics over ``pack_sequences`` output: docs
+    starting in each pack and (for the common did-it-fill check) the
+    straddling-doc count. The final partial pack shows fill < 1."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs_started"),
+            F.sum(F.when(F.col("end_pack_id") > F.col("pack_id"), 1).otherwise(0)).alias(
+                "straddling_docs"
+            ),
+        )
+        .orderBy("pack_id")
+    )

@@ -842,3 +842,93 @@ def test_decontaminate_broadcast_size_gated(spark):
     forced = decontaminate(train, evals, broadcast=False)
     assert "BroadcastHashJoin" not in plan(forced)
     assert rows(forced) == rows(small)
+
+
+def test_pack_sequences_matches_sql_prefix_sum_oracle(spark):
+    """Sequence packing (GPT-style concat-and-chunk): the distributed
+    two-pass prefix sum must equal the single-window SQL oracle
+    (DuckDB `sum() over (order by id)`) for every document, across
+    enough rows to span many range partitions."""
+    import duckdb
+
+    from miso_spark.functions.packing import pack_sequences
+    from miso_spark.functions.text import token_count
+    from miso_spark.sources import ParquetDirSource
+    from tests.conftest import SF_DIR
+
+    docs = ParquetDirSource(SF_DIR).table(spark, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = {
+        r["doc_id"]: (r["global_start"], r["pack_id"], r["pack_offset"],
+                      r["end_pack_id"])
+        for r in pack_sequences(docs, max_tokens=256).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.execute("""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(text, '\\s+')) AS n,
+                 COALESCE(SUM(len(regexp_split_to_array(text, '\\s+')))
+                   OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start
+          FROM documents
+        )
+        SELECT doc_id, start,
+               start // 256 AS pack_id,
+               start % 256 AS pack_offset,
+               greatest(start + n - 1, start) // 256 AS end_pack_id
+        FROM t
+    """).fetchall()
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in oracle}
+    assert got == exp
+    assert len(got) == 500
+    # sanity: some docs straddle pack boundaries at this size
+    assert any(g[3] > g[1] for g in got.values())
+
+
+def test_pack_sequences_plan_has_no_global_sort(spark):
+    """The scale contract: packing must NOT plan a single-partition
+    global window (the naive sum-over-order-by). Range partitioning +
+    per-partition windows keep every exchange multi-partition."""
+    from miso_spark.functions.packing import pack_sequences, pack_stats
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(1000)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, max_tokens=64)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+    # stats roll up per pack; total tokens conserved
+    total = sum(10 + i % 7 for i in range(1000))
+    last = packed.orderBy(F.col("global_start").desc()).first()
+    assert last["global_start"] + (10 + (last["doc_id"] % 7)) == total
+    stats = pack_stats(packed, 64).collect()
+    assert sum(r["docs_started"] for r in stats) == 1000
+    # every pack except possibly the last is full ⇒ contiguous ids
+    assert [r["pack_id"] for r in stats] == list(range(len(stats)))
+
+
+def test_pack_sequences_edges(spark):
+    from miso_spark.functions.packing import pack_sequences
+
+    # zero-token docs pin to their stream position
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 7)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, max_tokens=4).collect()}
+    assert got[2]["global_start"] == 5 and got[2]["end_pack_id"] == got[2]["pack_id"]
+    # doc 1: tokens 0-4 → starts pack 0, ends pack 1 (straddles)
+    assert (got[1]["pack_id"], got[1]["end_pack_id"]) == (0, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
