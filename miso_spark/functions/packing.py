@@ -31,6 +31,79 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_prefix_sum(
+    df: DataFrame, value_col: str, order_cols, out_col: str
+) -> DataFrame:
+    """Two-pass distributed prefix sum (exclusive: each row gets the
+    sum of all PRIOR rows in ``order_cols`` order) — see module
+    docstring. ``order_cols`` is a list of column names / Column sort
+    expressions; together they must be a total order (pass a unique
+    tiebreaker last) or the result is partition-order-dependent. The
+    window uses an explicit ROWS frame — the default RANGE frame would
+    lump order-ties into one cumulative value."""
+    orders = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (order_cols if isinstance(order_cols, list) else [order_cols])
+    ]
+    part = df.repartitionByRange(*orders).sortWithinPartitions(*orders)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = part.withColumn("__local_end", F.sum(value_col).over(w))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in part.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_map = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    return part.withColumn(
+        out_col,
+        offset_map[F.col("__pid")] + F.col("__local_end") - F.col(value_col),
+    ).drop("__pid", "__local_end")
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    ascending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents, in ``order_col`` order, until ``budget`` tokens
+    are spent — the curation step that takes the best-scored docs up to
+    a target token count (order by a quality score descending to get
+    "top-quality subset of N tokens"). A doc is kept iff it fits
+    ENTIRELY within the remaining budget at its position (greedy
+    prefix, no splitting). ``id_col`` breaks order ties so the
+    selection is deterministic and reproducible across cluster sizes
+    and partitionings.
+
+    Same two-pass prefix-sum core as :func:`pack_sequences` — no
+    single-partition global window.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    orders = [F.col(order_col) if ascending else F.col(order_col).desc()]
+    if id_col != order_col:
+        orders.append(F.col(id_col))
+    out = _with_prefix_sum(df, token_col, orders, "__start")
+    return out.filter(
+        F.col("__start") + F.col(token_col) <= budget
+    ).drop("__start")
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",
@@ -56,40 +129,7 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    # 1: globally-ordered ranges (no single-partition global sort)
-    part = df.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
-    part = part.withColumn("__pid", F.spark_partition_id())
-
-    # 2: local prefix sums
-    w = Window.partitionBy("__pid").orderBy(id_col)
-    part = part.withColumn("__local_end", F.sum(token_col).over(w))
-
-    # 3: per-partition totals -> starting offsets (tiny driver step:
-    # one row per partition, like the reference engines' split
-    # metadata), broadcast back as a literal map
-    totals = {
-        r["__pid"]: r["t"]
-        for r in part.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    if offsets:
-        offset_map = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        )
-    else:  # empty input
-        offset_map = F.create_map()
-
-    start = (
-        offset_map[F.col("__pid")] + F.col("__local_end") - F.col(token_col)
-    ).alias("global_start")
-    out = part.select(
-        "*",
-        start,
-    ).select(
+    out = _with_prefix_sum(df, token_col, id_col, "global_start").select(
         *[c for c in df.columns],
         "global_start",
         (F.col("global_start") / max_tokens).cast("long").alias("pack_id"),

@@ -932,3 +932,32 @@ def test_pack_sequences_edges(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, max_tokens=0)
+
+
+def test_token_budget_filter_greedy_prefix(spark):
+    """Curation by token budget: docs kept in order until the budget
+    is exhausted (whole docs only), deterministic across partitionings;
+    descending quality order selects the best subset."""
+    from miso_spark.functions.packing import token_budget_filter
+
+    df = spark.createDataFrame(
+        [(i, 10, float(i % 5)) for i in range(100)],
+        "doc_id long, n_tokens long, quality double",
+    )
+    kept = token_budget_filter(df, budget=250)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == list(range(25))  # 25 docs * 10 tokens = 250
+
+    # partial fit: a doc that would overflow the budget is excluded
+    assert token_budget_filter(df, budget=255).count() == 25
+    assert token_budget_filter(df, budget=0).count() == 0
+
+    # order by quality descending: only quality-4 then quality-3 docs
+    best = token_budget_filter(
+        df, budget=300, order_col="quality", ascending=False
+    )
+    qs = [r["quality"] for r in best.collect()]
+    assert len(qs) == 30 and min(qs) >= 3.0
+    # repartitioning the input does not change the selection
+    again = token_budget_filter(df.repartition(13), budget=250)
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
