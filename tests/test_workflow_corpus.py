@@ -408,3 +408,30 @@ def test_join_against_keyless_side_matches_nothing(run, spark):
     assert m.query("tkl.a | join (tkl.empty) on id").count() == 0
     out = m.query("tkl.a | join kind=left (tkl.empty) on id").collect()
     assert sorted(str(r["v"]) for r in out) == ["x", "y"]
+
+
+def test_missing_operand_drops_under_every_comparison(run):
+    # impl_cmp (None, _) → Ok(None): a provably-missing operand makes
+    # EVERY comparison unknown — the row drops under the bare filter
+    # AND under not(...) (Not of unknown stays unknown), unlike a
+    # PRESENT null which totally-orders (smallest)
+    data = {"mc": ("x int", [(1,), (2,)])}
+    for q in ("nosuch <= 5", "nosuch < 5", "nosuch != 5", "nosuch == 5",
+              "nosuch >= 5", "not(nosuch <= 5)", "nosuch == null",
+              "nosuch == x"):
+        assert run(f"test.mc | where {q}", **data) == [], q
+
+
+def test_not_of_null_comparison_follows_total_order(run):
+    # Not of Some(false) is Some(true): `not(x > 5)` KEEPS a present
+    # null x (x > 5 is false — null is smallest), and `not(x <= 5)`
+    # drops it; literal == forms give proper booleans too
+    data = {"nn": ("x int", [(10,), (None,), (3,)])}
+    out = run("test.nn | where not(x > 5)", **data)
+    assert sorted((r["x"] is not None, r["x"]) for r in out) == [
+        (False, None), (True, 3)]
+    out = run("test.nn | where not(x <= 5)", **data)
+    assert [r["x"] for r in out] == [10]
+    out = run("test.nn | where not(x == 10)", **data)
+    assert sorted((r["x"] is not None, r["x"]) for r in out) == [
+        (False, None), (True, 3)]
