@@ -213,3 +213,61 @@ def lsh_topk(
     bucketed = with_lsh_buckets(df, vec_col, num_planes, dim)
     cand = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return bruteforce_topk(cand, q, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding storage utilities (all JVM higher-order expressions — no
+# Python in the hot path)
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a
+    plain dot product, halving the work in repeated scoring). Zero
+    vectors stay zero instead of dividing to NaN."""
+    v = F.col(vec_col).cast("array<double>")
+    n = _norm(v)
+    unit = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+    return df.withColumn(out_col or vec_col, unit)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q8"
+) -> DataFrame:
+    """Symmetric int8 quantization: ``struct(scale double, q
+    array<tinyint>)`` with ``x ≈ q * scale`` and scale = max|x| / 127
+    per vector — 4× smaller at rest than float32 (8× vs the float64
+    Spark arrays), the standard storage layout for billion-vector
+    corpora. Zero vectors quantize to scale 0 and all-zero codes."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("byte"))).otherwise(
+        F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("byte"))
+    )
+    return df.withColumn(out_col, F.struct(scale, q.alias("q")))
+
+
+def dequantize(qcol: Column) -> Column:
+    """``array<double>`` back from a :func:`quantize_embeddings`
+    struct (lossy: within scale/2 per component)."""
+    return F.transform(
+        qcol.getField("q"),
+        lambda c: c.cast("double") * qcol.getField("scale"),
+    )
+
+
+def cosine_q8(a: Column, b: Column) -> Column:
+    """Cosine directly between two quantized structs: scales cancel in
+    the normalization, so this is exactly the cosine of the dequantized
+    vectors — integer dot products, no float reconstruction pass."""
+    qa, qb = a.getField("q"), b.getField("q")
+    da = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    na = F.sqrt(F.aggregate(qa, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(qb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return da / (na * nb)

@@ -968,3 +968,56 @@ def test_token_budget_filter_greedy_prefix(spark):
     # repartitioning the input does not change the selection
     again = token_budget_filter(df.repartition(13), budget=250)
     assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+
+def test_embedding_normalize_and_quantize(spark, emb):
+    """Embedding storage utilities: L2 normalization (zero-safe), int8
+    quantization with bounded reconstruction error, and quantized
+    cosine within tolerance of the exact cosine on real embeddings."""
+    from miso_spark.functions.similarity import (
+        cosine,
+        cosine_q8,
+        dequantize,
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+
+    normed = normalize_embeddings(emb)
+    from miso_spark.functions.similarity import _norm as l2
+
+    norms = normed.select(l2(F.col("embedding")).alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+
+    qdf = quantize_embeddings(emb)
+    err = qdf.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantize(F.col("embedding_q8")),
+                lambda x, y: F.abs(x - y) / (F.col("embedding_q8.scale") + 1e-12),
+            ),
+            F.lit(0.0), lambda a, z: F.greatest(a, z),
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    assert err <= 0.5 + 1e-9  # per-component error ≤ scale/2
+
+    # quantized cosine tracks exact cosine on a self-join sample
+    a = qdf.limit(10).select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"), F.col("embedding_q8").alias("qa"))
+    b = qdf.limit(10).select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"), F.col("embedding_q8").alias("qb"))
+    pairs = a.crossJoin(b).select(
+        cosine(F.col("va").cast("array<double>"),
+               F.col("vb").cast("array<double>")).alias("c"),
+        cosine_q8(F.col("qa"), F.col("qb")).alias("cq"),
+    ).collect()
+    assert all(abs(r["c"] - r["cq"]) < 0.02 for r in pairs)
+
+    # zero vector: safe in both paths
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    zn = normalize_embeddings(z).first()["embedding"]
+    assert list(zn) == [0.0, 0.0, 0.0]
+    zq = quantize_embeddings(z).first()["embedding_q8"]
+    assert zq["scale"] == 0.0 and list(zq["q"]) == [0, 0, 0]
