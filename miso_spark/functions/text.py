@@ -167,3 +167,74 @@ def redact(text: Column, patterns: tuple[tuple[str, str], ...] = REDACTION_PATTE
 def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``df`` + ``redacted`` column (see ``redact``)."""
     return df.withColumn("redacted", redact(F.col(text_col)))
+
+
+def corpus_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring, self-trained: score every
+    document by the mean JOINT log-probability of its word bigrams
+    under the corpus's own add-``k``-smoothed bigram distribution.
+    Documents whose word sequences are rare in the corpus (gibberish,
+    boilerplate mutations, lists) score low and can be filtered or
+    bucketed — the pretraining-quality split CCNet does with a wiki-LM
+    (no external model exists in this container, so the corpus is its
+    own reference distribution).
+
+    Joint — not conditional — probability on purpose: a self-trained
+    CONDITIONAL model with additive smoothing scores hapax sequences
+    near the top (an unseen word's only-ever-seen continuation gets
+    p≈(1+k)/(1+kV), beating common words' diffuse continuations), so
+    gibberish would outrank real text. Joint typicality is monotone in
+    corpus bigram frequency, which is the filtering signal wanted.
+
+    Returns ``(id, n_bigrams, avg_logprob, perplexity)`` for every doc
+    with at least one bigram (single-word docs drop — no transitions to
+    score).
+
+    Scale shape: one hash-aggregation builds the bigram count table
+    (vocabulary²-bounded, in practice corpus-vocabulary-sized — NOT
+    corpus-sized), then one hash join scores each doc's bigrams
+    against it. One shuffle each, all map-side-combinable; nothing
+    quadratic.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    wrds = df.select(
+        F.col(id_col).alias("id"),
+        # normalized (lowercased, whitespace-collapsed) words: the LM
+        # is case-insensitive, like the dedup shingle pipeline
+        F.posexplode(F.split(normalize(F.col(text_col)), " ")).alias("pos", "w1"),
+    )
+    bi = (
+        wrds.select("id", "w1", F.lead("w1").over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    big_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # smoothing constants: total bigram tokens and vocabulary size
+    # (two tiny jobs over the count tables)
+    totals = big_counts.agg(
+        F.sum("c12").alias("t"), F.count(F.lit(1)).alias("distinct_bigrams")
+    ).first()
+    vocab = wrds.select("w1").distinct().count()
+    denom = float(totals["t"] or 0) + k * float(vocab) * float(vocab)
+    scored = bi.join(big_counts, ["w1", "w2"]).select(
+        "id",
+        F.log((F.col("c12") + F.lit(k)) / F.lit(denom)).alias("lp"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+        .select(
+            "id", "n_bigrams",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("perplexity"),
+        )
+    )

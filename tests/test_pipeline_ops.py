@@ -1021,3 +1021,71 @@ def test_embedding_normalize_and_quantize(spark, emb):
     assert list(zn) == [0.0, 0.0, 0.0]
     zq = quantize_embeddings(z).first()["embedding_q8"]
     assert zq["scale"] == 0.0 and list(zq["q"]) == [0, 0, 0]
+
+
+def test_corpus_bigram_logprob_matches_sql_oracle(spark, docs):
+    """Corpus-LM quality scoring: the two-aggregation + two-join plan
+    must equal a straight SQL formulation of the same add-k bigram
+    model (DuckDB), and ranking must behave: a doc made of corpus-
+    common sequences outscores gibberish."""
+    import duckdb
+
+    from miso_spark.functions.text import corpus_bigram_logprob
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in corpus_bigram_logprob(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.execute("""
+        WITH w AS (
+          SELECT doc_id AS id, unnest(
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+          ) AS w1,
+          generate_subscripts(
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1
+          ) AS pos
+          FROM documents
+        ),
+        bi AS (
+          SELECT id, w1, lead(w1) OVER (PARTITION BY id ORDER BY pos) AS w2
+          FROM w
+        ),
+        bi2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi2 GROUP BY 1, 2),
+        consts AS (
+          SELECT (SELECT SUM(c12) FROM bc)
+                 + 1.0 * (SELECT COUNT(DISTINCT w1) FROM w)
+                       * (SELECT COUNT(DISTINCT w1) FROM w) AS denom
+        )
+        SELECT id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(LN((c12 + 1.0) / (SELECT denom FROM consts))), 6)
+                 AS avg_logprob
+        FROM bi2 JOIN bc USING (w1, w2)
+        GROUP BY id
+    """).fetchall()
+    exp = {r[0]: (r[1], r[2]) for r in oracle}
+    assert set(got) == set(exp)
+    for i in got:
+        assert got[i][0] == exp[i][0], i
+        assert abs(got[i][1] - exp[i][1]) < 1e-5, (i, got[i], exp[i])
+
+    # ranking sanity: common-sequence text beats gibberish appended to
+    # the same corpus
+    sample = docs.limit(1).first()["text"]
+    extra = spark.createDataFrame(
+        [(900001, sample), (900002, "zzq qqz xqx jjw wvv pqz krm")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    scores = {
+        r["id"]: r["avg_logprob"]
+        for r in corpus_bigram_logprob(both).collect()
+    }
+    assert scores[900001] > scores[900002]
