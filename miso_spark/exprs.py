@@ -7,8 +7,13 @@ miso-workflow/src/interpreter (evaluation semantics):
 - ``has`` is a case-insensitive phrase match with non-alphanumeric
   boundaries; ``has_cs`` the case-sensitive variant
   (interpreter/string_ops.rs:43-117).
-- comparisons with null/missing evaluate to unknown → row filtered,
-  which matches Spark three-valued logic.
+- comparisons follow the reference's TOTAL order over present values
+  with Null smallest (value/mod.rs:151): ``x <= 5`` keeps a null x,
+  ``x >= 5`` drops it, field-vs-field ==/!= are null-safe; a
+  provably-MISSING operand makes any comparison unknown → row
+  filtered, also under not(...) (impl_cmp's (None, _) arm). See
+  _compile_binop and SURVEY.md for the present-null vs missing-key
+  conflation discussion.
 
 Everything compiles to built-in ``pyspark.sql.functions`` (JVM-side,
 whole-stage codegen) — no Python UDFs anywhere in the expression path.
