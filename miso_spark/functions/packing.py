@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 def _with_prefix_sum(
     df: DataFrame, value_col: str, order_cols, out_col: str,
-    pin_partitions: bool = True,
+    pin_partitions: bool = True, group_col: str | None = None,
 ) -> DataFrame:
     """Two-pass distributed prefix sum (exclusive: each row gets the
     sum of all PRIOR rows in ``order_cols`` order) — see module
@@ -41,22 +41,36 @@ def _with_prefix_sum(
     expressions; together they must be a total order (pass a unique
     tiebreaker last) or the result is partition-order-dependent. The
     window uses an explicit ROWS frame — the default RANGE frame would
-    lump order-ties into one cumulative value."""
+    lump order-ties into one cumulative value.
+
+    With ``group_col``, the sum restarts per group — and stays
+    DISTRIBUTED per group: ranges are group-major, local sums key on
+    (partition, group), and the driver's offset pass accumulates within
+    each group across its partitions. A plain window partitioned by
+    group would put each group — a handful of huge sources in the
+    training-mix case — on a single task."""
     orders = [
         F.col(c) if isinstance(c, str) else c
         for c in (order_cols if isinstance(order_cols, list) else [order_cols])
     ]
+    if group_col is not None:
+        orders = [F.col(group_col)] + orders
     # no sortWithinPartitions here: the window below re-sorts after its
-    # own hash exchange on __pid, so a pre-sort would be pure waste
+    # own hash exchange on the partition key, so a pre-sort would be
+    # pure waste
     part = df.repartitionByRange(*orders).withColumn(
         "__pid", F.spark_partition_id()
     )
+    wkeys = ["__pid"] + ([group_col] if group_col is not None else [])
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy(*wkeys)
         .orderBy(*orders)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     part = part.withColumn("__local_end", F.sum(value_col).over(w))
+    if group_col is not None:
+        return _finish_grouped(part, value_col, out_col, group_col,
+                               pin_partitions)
     if pin_partitions:
         # pin the partition assignment: RangePartitioner samples its
         # boundaries per execution, so without materializing here the
@@ -87,6 +101,78 @@ def _with_prefix_sum(
         out_col,
         offset_map[F.col("__pid")] + F.col("__local_end") - F.col(value_col),
     ).drop("__pid", "__local_end")
+
+
+def _finish_grouped(
+    part: DataFrame, value_col: str, out_col: str, group_col: str,
+    pin_partitions: bool,
+) -> DataFrame:
+    """Grouped tail of :func:`_with_prefix_sum`: per-(partition, group)
+    totals → per-group running offsets across partitions → broadcast
+    back keyed on 'pid|group'."""
+    if pin_partitions:
+        part = part.localCheckpoint(eager=False)
+    totals = part.groupBy("__pid", group_col).agg(
+        F.max("__local_end").alias("t")
+    ).collect()
+    by_group: dict[object, list] = {}
+    for r in totals:
+        by_group.setdefault(r[group_col], []).append((r["__pid"], r["t"]))
+    offsets: dict[str, int] = {}
+    for g, pids in by_group.items():
+        acc = 0
+        for pid, t in sorted(pids):
+            offsets[f"{pid}|{g}"] = acc
+            acc += t or 0
+    offset_map = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    key = F.concat_ws("|", F.col("__pid"), F.col(group_col).cast("string"))
+    return part.withColumn(
+        out_col, offset_map[key] + F.col("__local_end") - F.col(value_col)
+    ).drop("__pid", "__local_end")
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    ascending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix curation: per-source token budgets
+    (``{"web": 60_000_000_000, "code": 20_000_000_000, ...}``). Each
+    group independently keeps documents in ``order_col`` order (e.g. a
+    quality score, descending) until ITS budget is spent — whole docs
+    only, deterministic tiebreak on ``id_col``. Groups absent from
+    ``budgets`` are dropped.
+
+    The per-group running totals stay distributed (group-major range
+    partitioning — see ``_with_prefix_sum(group_col=...)``), so a mix
+    of a handful of giant sources doesn't collapse each source onto a
+    single task.
+    """
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    orders = [F.col(order_col) if ascending else F.col(order_col).desc()]
+    if id_col != order_col:
+        orders.append(F.col(id_col))
+    out = _with_prefix_sum(
+        df, token_col, orders, "__start", group_col=group_col
+    )
+    budget_map = (
+        F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        if budgets
+        else F.create_map()
+    )
+    b = budget_map[F.col(group_col).cast("string")]
+    return out.filter(
+        b.isNotNull() & (F.col("__start") + F.col(token_col) <= b)
+    ).drop("__start")
 
 
 def token_budget_filter(

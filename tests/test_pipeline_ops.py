@@ -1089,3 +1089,54 @@ def test_corpus_bigram_logprob_matches_sql_oracle(spark, docs):
         for r in corpus_bigram_logprob(both).collect()
     }
     assert scores[900001] > scores[900002]
+
+
+def test_mix_by_token_budget_per_group(spark):
+    """Training-mix curation: each source independently fills its own
+    token budget in quality order; sources without a budget drop; the
+    selection is deterministic under any input partitioning and equals
+    the per-group SQL window oracle."""
+    import duckdb
+
+    from miso_spark.functions.packing import mix_by_token_budget
+
+    rows = [
+        (i, ["web", "code", "forum"][i % 3], 10 + i % 4, float(100 - i))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double"
+    )
+    budgets = {"web": 120, "code": 57}
+    kept = mix_by_token_budget(
+        df, budgets, order_col="quality", ascending=False
+    )
+    got = sorted((r["source"], r["doc_id"]) for r in kept.collect())
+
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "source", "n_tokens", "quality"]))
+    oracle = con.execute("""
+        WITH t AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM docs
+        )
+        SELECT source, doc_id FROM t
+        WHERE (source = 'web' AND start + n_tokens <= 120)
+           OR (source = 'code' AND start + n_tokens <= 57)
+    """).fetchall()
+    assert got == sorted(oracle)
+    assert not any(s == "forum" for s, _ in got)  # unbudgeted → dropped
+    # per-group budgets respected exactly
+    spent = {}
+    tok = {r[0]: r[2] for r in rows}
+    for s, i in got:
+        spent[s] = spent.get(s, 0) + tok[i]
+    assert spent["web"] <= 120 and spent["code"] <= 57
+
+    again = mix_by_token_budget(
+        df.repartition(17), budgets, order_col="quality", ascending=False
+    )
+    assert sorted((r["source"], r["doc_id"]) for r in again.collect()) == got
