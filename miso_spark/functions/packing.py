@@ -109,15 +109,22 @@ def _finish_grouped(
 ) -> DataFrame:
     """Grouped tail of :func:`_with_prefix_sum`: per-(partition, group)
     totals → per-group running offsets across partitions → broadcast
-    back keyed on 'pid|group'."""
+    back keyed on 'pid|group'. The group key string is computed by
+    SPARK on both sides (collected for the offsets, probed in the
+    map), so boolean/date/null group values can't round-trip through
+    Python repr differently than the SQL cast."""
+    part = part.withColumn(
+        "__gkey",
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")),
+    )
     if pin_partitions:
         part = part.localCheckpoint(eager=False)
-    totals = part.groupBy("__pid", group_col).agg(
+    totals = part.groupBy("__pid", "__gkey").agg(
         F.max("__local_end").alias("t")
     ).collect()
-    by_group: dict[object, list] = {}
+    by_group: dict[str, list] = {}
     for r in totals:
-        by_group.setdefault(r[group_col], []).append((r["__pid"], r["t"]))
+        by_group.setdefault(r["__gkey"], []).append((r["__pid"], r["t"]))
     offsets: dict[str, int] = {}
     for g, pids in by_group.items():
         acc = 0
@@ -129,10 +136,10 @@ def _finish_grouped(
         if offsets
         else F.create_map()
     )
-    key = F.concat_ws("|", F.col("__pid"), F.col(group_col).cast("string"))
+    key = F.concat_ws("|", F.col("__pid"), F.col("__gkey"))
     return part.withColumn(
         out_col, offset_map[key] + F.col("__local_end") - F.col(value_col)
-    ).drop("__pid", "__local_end")
+    ).drop("__pid", "__gkey", "__local_end")
 
 
 def mix_by_token_budget(
@@ -158,11 +165,14 @@ def mix_by_token_budget(
     """
     if any(b < 0 for b in budgets.values()):
         raise ValueError("budgets must be non-negative")
-    orders = [F.col(order_col) if ascending else F.col(order_col).desc()]
-    if id_col != order_col:
-        orders.append(F.col(id_col))
+    if not all(isinstance(k, str) for k in budgets):
+        # the probe key is the group cast to string by SPARK; Python
+        # str() of e.g. True ("True") would never match Spark's "true"
+        raise ValueError("budget keys must be strings (the group "
+                         "column is matched after cast('string'))")
     out = _with_prefix_sum(
-        df, token_col, orders, "__start", group_col=group_col
+        df, token_col, _budget_orders(order_col, ascending, id_col),
+        "__start", group_col=group_col,
     )
     budget_map = (
         F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
@@ -173,6 +183,15 @@ def mix_by_token_budget(
     return out.filter(
         b.isNotNull() & (F.col("__start") + F.col(token_col) <= b)
     ).drop("__start")
+
+
+def _budget_orders(order_col: str, ascending: bool, id_col: str) -> list:
+    """Shared ordering for the budget operators: the score order plus
+    the deterministic id tiebreak."""
+    orders = [F.col(order_col) if ascending else F.col(order_col).desc()]
+    if id_col != order_col:
+        orders.append(F.col(id_col))
+    return orders
 
 
 def token_budget_filter(
@@ -197,10 +216,9 @@ def token_budget_filter(
     """
     if budget < 0:
         raise ValueError("budget must be non-negative")
-    orders = [F.col(order_col) if ascending else F.col(order_col).desc()]
-    if id_col != order_col:
-        orders.append(F.col(id_col))
-    out = _with_prefix_sum(df, token_col, orders, "__start")
+    out = _with_prefix_sum(
+        df, token_col, _budget_orders(order_col, ascending, id_col), "__start"
+    )
     return out.filter(
         F.col("__start") + F.col(token_col) <= budget
     ).drop("__start")

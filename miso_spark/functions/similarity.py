@@ -225,10 +225,14 @@ def normalize_embeddings(
     """L2-normalize an embedding column (unit vectors make cosine a
     plain dot product, halving the work in repeated scoring). Zero
     vectors stay zero instead of dividing to NaN."""
+    # materialize the norm once in a scratch column: referencing the
+    # aggregate inside the transform lambda would re-evaluate it per
+    # ELEMENT — O(d^2) per vector on the path this targets
     v = F.col(vec_col).cast("array<double>")
-    n = _norm(v)
+    out = df.withColumn("__n", _norm(v))
+    n = F.col("__n")
     unit = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
-    return df.withColumn(out_col or vec_col, unit)
+    return out.withColumn(out_col or vec_col, unit).drop("__n")
 
 
 def quantize_embeddings(
@@ -240,14 +244,16 @@ def quantize_embeddings(
     Spark arrays), the standard storage layout for billion-vector
     corpora. Zero vectors quantize to scale 0 and all-zero codes."""
     v = F.col(vec_col).cast("array<double>")
-    amax = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    out = df.withColumn(
+        "__amax",
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
     )
+    amax = F.col("__amax")  # scratch column: see normalize_embeddings
     scale = (amax / F.lit(127.0)).alias("scale")
     q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("byte"))).otherwise(
         F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("byte"))
     )
-    return df.withColumn(out_col, F.struct(scale, q.alias("q")))
+    return out.withColumn(out_col, F.struct(scale, q.alias("q"))).drop("__amax")
 
 
 def dequantize(qcol: Column) -> Column:
@@ -270,4 +276,7 @@ def cosine_q8(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(qa, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(qb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return da / (na * nb)
+    # zero vectors (scale 0, all-zero codes — explicitly supported by
+    # quantize_embeddings) score 0 instead of a silently-propagating
+    # null from the 0/0 division
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(da / (na * nb))

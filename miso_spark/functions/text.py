@@ -214,13 +214,25 @@ def corpus_bigram_logprob(
         wrds.select("id", "w1", F.lead("w1").over(win).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    big_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    # smoothing constants: total bigram tokens and vocabulary size
-    # (two tiny jobs over the count tables)
-    totals = big_counts.agg(
-        F.sum("c12").alias("t"), F.count(F.lit(1)).alias("distinct_bigrams")
-    ).first()
-    vocab = wrds.select("w1").distinct().count()
+    # one pass over the text: the tokenized bigram stream feeds the
+    # count build AND the probe side of the scoring join, and the
+    # smoothing constants derive from the (vocabulary-sized) count
+    # table — without the checkpoint, split+posexplode+window would
+    # re-run for each of those consumers (~4 passes)
+    bi = bi.localCheckpoint(eager=False)
+    big_counts = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)
+    totals = big_counts.agg(F.sum("c12").alias("t")).first()
+    # vocab from the count table (words seen in any bigram): words in
+    # single-word docs contribute no bigrams anyway, so they don't
+    # belong in the transition-smoothing denominator
+    vocab = (
+        big_counts.select(F.col("w1").alias("w"))
+        .union(big_counts.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
     denom = float(totals["t"] or 0) + k * float(vocab) * float(vocab)
     scored = bi.join(big_counts, ["w1", "w2"]).select(
         "id",

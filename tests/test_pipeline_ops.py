@@ -1059,10 +1059,14 @@ def test_corpus_bigram_logprob_matches_sql_oracle(spark, docs):
         ),
         bi2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
         bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi2 GROUP BY 1, 2),
+        voc AS (
+          SELECT COUNT(*) AS v FROM (
+            SELECT w1 AS w FROM bc UNION SELECT w2 FROM bc
+          )
+        ),
         consts AS (
           SELECT (SELECT SUM(c12) FROM bc)
-                 + 1.0 * (SELECT COUNT(DISTINCT w1) FROM w)
-                       * (SELECT COUNT(DISTINCT w1) FROM w) AS denom
+                 + 1.0 * (SELECT v FROM voc) * (SELECT v FROM voc) AS denom
         )
         SELECT id, COUNT(*) AS n_bigrams,
                ROUND(AVG(LN((c12 + 1.0) / (SELECT denom FROM consts))), 6)

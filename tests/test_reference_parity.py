@@ -150,14 +150,27 @@ def test_reference_simple_checks(spark):
     assert passed >= len(cases) - len(KNOWN_DIVERGENT)
 
 
+#: multi-collection cases whose input includes an EMPTY collection —
+#: schema-less under read.json, so the harness can't build the table
+#: (the behavior itself is pinned typed-side in
+#: test_workflow_corpus.test_join_against_keyless_side_matches_nothing)
+MULTI_EMPTY_INPUT_OK = {"join_empty_right_side"}
+
+
 def test_reference_multi_collection_checks(spark):
     cases = _extract_multi()
     assert len(cases) >= 10
-    failed = []
+    failed, skipped = [], []
     for name, q, colls, exp in cases:
         try:
-            if _run_case(spark, q, colls, exp) is False:
-                failed.append(name)
+            res = _run_case(spark, q, colls, exp)
         except Exception:
+            res = False
+        if res is None:
+            skipped.append(name)
+        elif res is False:
             failed.append(name)
     assert not failed, f"multi-collection reference tests diverged: {failed}"
+    assert set(skipped) <= MULTI_EMPTY_INPUT_OK, (
+        f"unexpected empty-input skips: {set(skipped) - MULTI_EMPTY_INPUT_OK}"
+    )
