@@ -386,8 +386,55 @@ class Compiler:
         for name in step.fields:
             fp = FieldPath.parse(name)
             dtype = fp.resolve_type(df.schema)
-            col = fp.to_column()
-            if isinstance(dtype, ArrayType):
+            col = fp.to_column(df.schema)
+            if FieldPath._is_variant(dtype):
+                # per-row dynamic (VARIANT) column: arrays expand
+                # element-wise, objects per key — decided PER ROW, the
+                # reference's dynamic expand (expand.rs). Scalars and
+                # missing values leave both payload casts NULL, so the
+                # row passes through; an empty array/object yields an
+                # empty collection, dropping the row.
+                from miso_spark import dynamic as dyn
+
+                if not fp.is_simple():
+                    raise ValueError(
+                        f"mv-expand: cannot write back through dynamic path {fp}"
+                    )
+                entries = F.map_entries(dyn.as_object_map(col))
+                if step.kind == "array":
+                    obj_arr = F.flatten(
+                        F.transform(
+                            entries,
+                            lambda kv: F.array(
+                                dyn.wrap_variant(kv.getField("key")),
+                                kv.getField("value"),
+                            ),
+                        )
+                    )
+                else:
+                    # single-entry objects, values staying dynamic
+                    obj_arr = F.transform(
+                        entries,
+                        lambda kv: F.parse_json(
+                            F.to_json(
+                                F.map_from_arrays(
+                                    F.array(kv.getField("key")),
+                                    F.array(kv.getField("value")),
+                                )
+                            )
+                        ),
+                    )
+                # present scalars (incl. Value::Null) wrap as their own
+                # 1-element array: the write-back then re-emits the
+                # original value, i.e. the row passes through — the
+                # typed path can skip scalar COLUMNS entirely, but here
+                # scalar-ness is per row. A missing value stays NULL
+                # (size -1 → passthrough without affecting zip length).
+                cls = dyn.vclass(col)
+                exp[name] = (fp, F.when(
+                    cls < dyn.RANK_ARRAY, F.array(col)
+                ).otherwise(F.coalesce(dyn.as_array(col), obj_arr)))
+            elif isinstance(dtype, ArrayType):
                 exp[name] = (fp, col)
             elif isinstance(dtype, MapType):
                 entries = F.map_entries(col)

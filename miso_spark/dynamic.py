@@ -1,0 +1,248 @@
+"""Dynamic-typed (VARIANT) ingest + expression semantics.
+
+The reference's data model is per-row dynamic: one column may hold
+``5``, ``"5"`` and ``true`` in different rows, and a row that is
+MISSING a key is distinct from a row holding an explicit JSON ``null``
+(miso-workflow-types/src/value/mod.rs Value enum;
+miso-workflow/src/interpreter/mod.rs Val(Option<Value>)). Spark's
+typed rows conflate both, which is the one place the reference's own
+test suite historically beat this engine (SURVEY.md §3).
+
+Spark 4's VARIANT type closes the gap natively:
+
+- each ingested top-level key becomes a VARIANT column;
+- a MISSING key is SQL NULL (``Val::not_exist()``), while a present
+  JSON null is a non-NULL variant whose ``is_variant_null`` is true
+  (``Value::Null``) — the absent-vs-null distinction survives;
+- per-row type tags come from ``schema_of_variant``, so the
+  reference's cross-type total order (value/mod.rs:147: Null < Bool <
+  numbers < ... < String < Array < Object, numerics comparable across
+  Int/UInt/Float) compiles to pure JVM conditional expressions.
+
+Everything here is built-in variant expressions — no UDFs, no
+shuffles; at 100 TB these run inside whole-stage codegen exactly like
+the typed path, and Parquet stores VARIANT natively (shredded columns
+in Spark 4), so scans still prune.
+
+Known best-effort divergences (none observable in the reference's own
+suite): array/object ORDERING compares canonical JSON strings rather
+than recursing the total order element-wise (equality is exact — both
+sides canonicalize through parse_json); integers beyond 2^53 compare
+as doubles unless both sides are BIGINT.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: reference total-order rank (value/mod.rs:147-207). Timestamp(3) and
+#: Timespan(4) keep their slots but never arise from JSON ingest.
+RANK_NULL, RANK_BOOL, RANK_NUM, RANK_STRING, RANK_ARRAY, RANK_OBJECT = (
+    0, 1, 2, 5, 6, 7,
+)
+
+_NUM_TYPES = ("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
+
+
+def ingest_json_dynamic(
+    spark: SparkSession, rows: list, keys: list[str] | None = None
+) -> DataFrame:
+    """Ingest JSON objects with one VARIANT column per top-level key.
+
+    ``rows`` is a list of dicts (or JSON-object strings). When ``keys``
+    is None they are discovered with one distinct pass over
+    ``json_object_keys`` — bounded by the number of DISTINCT keys, not
+    rows; a 100 TB caller passes ``keys`` explicitly and the whole
+    ingest is a single scan-side projection.
+    """
+    if not rows:
+        return spark.createDataFrame([], StructType([]))
+    lines = [r if isinstance(r, str) else json.dumps(r) for r in rows]
+    df = spark.createDataFrame([(ln,) for ln in lines], ["__raw"])
+    if keys is None:
+        keys = sorted(
+            r["k"]
+            for r in df.select(
+                F.explode(F.json_object_keys("__raw")).alias("k")
+            ).distinct().collect()
+        )
+    pj = F.parse_json(F.col("__raw"))
+    return df.select(
+        *[F.try_variant_get(pj, f"$.{k}", "variant").alias(k) for k in keys]
+    )
+
+
+def variant_lit(value: object) -> Column:
+    """A literal as a present dynamic value (``Expr::Literal`` →
+    ``Val::borrowed`` — note a literal ``null`` is a PRESENT
+    ``Value::Null``, not a missing operand: tests.rs filter_eq_null)."""
+    return F.parse_json(F.lit(json.dumps(value)))
+
+
+def wrap_variant(c: Column) -> Column:
+    """Lift a typed Column into a variant. A SQL NULL input comes back
+    as SQL NULL (missing), matching the reference's propagation of
+    missing operands through ``Val``-producing sub-expressions."""
+    return F.try_variant_get(
+        F.parse_json(F.to_json(F.struct(c.alias("v")))), "$.v", "variant"
+    )
+
+
+def vclass(v: Column) -> Column:
+    """Type-class rank per the reference total order; SQL NULL
+    (missing) stays NULL."""
+    sch = F.schema_of_variant(v)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(sch == "VOID", F.lit(RANK_NULL))
+        .when(sch == "BOOLEAN", F.lit(RANK_BOOL))
+        .when(
+            sch.isin(*_NUM_TYPES) | sch.startswith("DECIMAL"),
+            F.lit(RANK_NUM),
+        )
+        .when(sch == "STRING", F.lit(RANK_STRING))
+        .when(sch.startswith("ARRAY"), F.lit(RANK_ARRAY))
+        .otherwise(F.lit(RANK_OBJECT))
+    )
+
+
+def as_string(v: Column) -> Column:
+    """The string payload when the value IS a string, else NULL. (The
+    reference bails on non-string operands to string ops,
+    interpreter/mod.rs:32-50 impl_two_strs_fn; a vectorized engine
+    can't abort per-row, so non-strings evaluate as missing instead.)"""
+    return F.when(
+        F.schema_of_variant(v) == "STRING", F.try_variant_get(v, "$", "string")
+    )
+
+
+def as_number(v: Column) -> Column:
+    """Numeric payload as double when numeric-classed, else NULL."""
+    sch = F.schema_of_variant(v)
+    return F.when(
+        sch.isin(*_NUM_TYPES) | sch.startswith("DECIMAL"),
+        F.try_variant_get(v, "$", "double"),
+    )
+
+
+def as_array(v: Column) -> Column:
+    """``array<variant>`` payload for array-classed values, else NULL."""
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def as_object_map(v: Column) -> Column:
+    """``map<string, variant>`` payload for object-classed values,
+    else NULL (``try_cast`` — non-objects don't error)."""
+    return v.try_cast("map<string,variant>")
+
+
+def vbool(v: Column) -> Column:
+    """``Value::to_bool`` (value/mod.rs:479): null→false, bool as-is,
+    numbers ≠0, strings/arrays/objects non-empty. Missing stays NULL so
+    ``Not``/``And``/``Or`` propagate not-exist (expr_eval.rs
+    eval_to_bool!)."""
+    cls = vclass(v)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("boolean"))
+        .when(cls == RANK_NULL, F.lit(False))
+        .when(cls == RANK_BOOL, F.try_variant_get(v, "$", "boolean"))
+        .when(cls == RANK_NUM, as_number(v) != 0.0)
+        .when(cls == RANK_STRING, F.length(as_string(v)) > 0)
+        .when(cls == RANK_ARRAY, F.size(as_array(v)) > 0)
+        .otherwise(F.size(F.map_keys(as_object_map(v))) > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+#
+# Rather than a per-class when-chain at every comparison site (which
+# duplicates schema_of_variant dozens of times and blows whole-stage
+# codegen past Janino's method limit), each operand compiles ONCE into
+# an orderable struct ``(rank, num, str, json)``. Spark compares
+# structs lexicographically, so cross-class comparisons resolve on
+# ``rank`` — exactly the reference total order — and same-class ones
+# fall through to the payload slot (the other classes' slots hold
+# constant zero values on both sides). A missing operand keys to NULL,
+# and NULL struct comparisons are SQL-unknown, which is precisely
+# impl_cmp's ``(None, _) => Ok(None)`` arm.
+
+
+def sort_key(v: Column) -> Column:
+    """Orderable total-order key for a VARIANT column (NULL when the
+    value is missing). Bool payloads ride the num slot (false=0<true=1,
+    matching bool::cmp)."""
+    cls = vclass(v)
+    num = (
+        F.when(cls == RANK_BOOL, F.try_variant_get(v, "$", "boolean").cast("double"))
+        .when(cls == RANK_NUM, as_number(v))
+    )
+    s = F.when(cls == RANK_STRING, as_string(v))
+    j = F.when(cls >= RANK_ARRAY, F.to_json(v))
+    return F.when(
+        v.isNotNull(),
+        F.struct(
+            cls.alias("r"),
+            F.coalesce(num, F.lit(0.0)).alias("n"),
+            F.coalesce(s, F.lit("")).alias("s"),
+            F.coalesce(j, F.lit("")).alias("j"),
+        ),
+    )
+
+
+def literal_sort_key(value: object) -> Column:
+    """``sort_key`` of a Python literal, folded at compile time — a
+    comparison against a literal costs one constant struct. A ``None``
+    literal is a PRESENT ``Value::Null`` (rank 0), never a missing
+    operand (tests.rs filter_eq_null)."""
+    if value is None:
+        rank, num, s, j = RANK_NULL, 0.0, "", ""
+    elif isinstance(value, bool):
+        rank, num, s, j = RANK_BOOL, float(value), "", ""
+    elif isinstance(value, (int, float)):
+        rank, num, s, j = RANK_NUM, float(value), "", ""
+    elif isinstance(value, str):
+        rank, num, s, j = RANK_STRING, 0.0, value, ""
+    else:
+        # array/object literals canonicalize through the same variant
+        # machinery the column side uses, so the json slots agree
+        return sort_key(variant_lit(value))
+    return F.struct(
+        F.lit(rank).alias("r"), F.lit(num).alias("n"),
+        F.lit(s).alias("s"), F.lit(j).alias("j"),
+    )
+
+
+def bool_sort_key(b: Column) -> Column:
+    """``sort_key`` of an already-boolean Column (e.g. a compiled
+    ``not(...)``); NULL input stays NULL (missing propagates)."""
+    return F.when(
+        b.isNotNull(),
+        F.struct(
+            F.lit(RANK_BOOL).alias("r"), b.cast("double").alias("n"),
+            F.lit("").alias("s"), F.lit("").alias("j"),
+        ),
+    )
+
+
+#: comparison op name → predicate over two sort keys
+_CMP_PRED = {
+    "eq": lambda l, r: l == r,
+    "ne": lambda l, r: l != r,
+    "gt": lambda l, r: l > r,
+    "gte": lambda l, r: l >= r,
+    "lt": lambda l, r: l < r,
+    "lte": lambda l, r: l <= r,
+}
+
+
+def vcompare(op: str, lk: Column, rk: Column) -> Column:
+    """Boolean comparison over two sort keys with reference semantics;
+    a missing operand (NULL key) makes the result SQL-unknown — the
+    row is filtered and ``not()`` stays unknown (interpreter/mod.rs
+    impl_cmp)."""
+    return _CMP_PRED[op](lk, rk)

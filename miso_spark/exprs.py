@@ -184,6 +184,58 @@ def _is_string_typed(e: Expr, schema) -> bool:
     return False
 
 
+def _variant_typed(e: Expr, schema) -> bool:
+    """True when ``e`` evaluates to a per-row dynamic (VARIANT) value —
+    the dynamic-ingest model (miso_spark/dynamic.py). Comparisons,
+    string ops and truthiness on such values route through the
+    reference's dynamic semantics instead of Spark's typed ones."""
+    try:
+        from pyspark.sql.types import VariantType
+    except ImportError:  # pragma: no cover - older Spark
+        return False
+    if schema is None:
+        return False
+    if isinstance(e, Field):
+        return isinstance(e.path.resolve_type(schema), VariantType)
+    if isinstance(e, Case):
+        return any(_variant_typed(v, schema) for _, v in e.branches) or _variant_typed(
+            e.default, schema
+        )
+    return False
+
+
+def _variant_key(e: Expr, schema) -> Column:
+    """Compile ``e`` into a dynamic total-order sort key
+    (miso_spark/dynamic.py). Literals fold to constant keys;
+    boolean-producing sub-expressions (not/exists/comparisons) key as
+    Value::Bool with missing propagated; anything else round-trips
+    through a variant wrap."""
+    from miso_spark import dynamic as dyn
+
+    if isinstance(e, Lit):
+        return dyn.literal_sort_key(e.value)
+    if _variant_typed(e, schema):
+        return dyn.sort_key(compile_expr(e, schema))
+    if isinstance(e, (Not, Exists, In, Between)) or (
+        isinstance(e, BinOp) and e.op in (_CMP_OPS | _STR_OPS | _BOOL_OPS)
+    ):
+        return dyn.bool_sort_key(compile_expr(e, schema))
+    return dyn.sort_key(dyn.wrap_variant(compile_expr(e, schema)))
+
+
+def _compile_bool(e: Expr, schema) -> Column:
+    """Boolean-context compilation (``not``/``and``/``or`` operands):
+    a dynamic value converts through Value::to_bool with missing →
+    unknown (expr_eval.rs eval_to_bool!); typed expressions are
+    already boolean."""
+    c = compile_expr(e, schema)
+    if _variant_typed(e, schema):
+        from miso_spark import dynamic as dyn
+
+        return dyn.vbool(c)
+    return c
+
+
 def compile_expr(e: Expr, schema=None) -> Column:
     """Compile an Expr AST node into a PySpark Column.
 
@@ -197,7 +249,7 @@ def compile_expr(e: Expr, schema=None) -> Column:
             # filter the row, arithmetic yields null, exists() is
             # false — instead of Spark's UNRESOLVED_COLUMN error
             return F.lit(None)
-        return e.path.to_column()
+        return e.path.to_column(schema)
     if isinstance(e, Lit):
         return F.lit(e.value)
     if isinstance(e, Duration):
@@ -206,10 +258,23 @@ def compile_expr(e: Expr, schema=None) -> Column:
     if isinstance(e, BinOp):
         return _compile_binop(e, schema)
     if isinstance(e, Not):
-        return ~compile_expr(e.expr, schema)
+        return ~_compile_bool(e.expr, schema)
     if isinstance(e, Exists):
         return compile_expr(e.expr, schema).isNotNull()
     if isinstance(e, In):
+        if _variant_typed(e.expr, schema) or any(
+            _variant_typed(i, schema) for i in e.items
+        ):
+            # dynamic `in` is a chain of total-order equalities
+            # (interpreter/mod.rs is_in): a Null literal item equals a
+            # PRESENT null; a missing base makes the whole test unknown
+            from functools import reduce
+
+            bk = _variant_key(e.expr, schema)
+            return reduce(
+                lambda a, b: a | b,
+                [bk == _variant_key(i, schema) for i in e.items],
+            )
         # a null literal in the list matches null values (tests.rs
         # in_operator_with_null_in_list: In is a chain of the
         # reference's null-aware equality)
@@ -220,6 +285,17 @@ def compile_expr(e: Expr, schema=None) -> Column:
             c = c | base.isNull()
         return c
     if isinstance(e, Between):
+        if _variant_typed(e.expr, schema):
+            # dynamic between = total-order gte/lte chain; a Null
+            # endpoint needs no special case — every present value is
+            # >= Value::Null under the order, which IS "unbounded"
+            from miso_spark import dynamic as dyn
+
+            xk = _variant_key(e.expr, schema)
+            c = dyn.vcompare("gte", xk, _variant_key(e.low, schema)) & dyn.vcompare(
+                "lte", xk, _variant_key(e.high, schema)
+            )
+            return ~c if e.negated else c
         # a null endpoint leaves that side unbounded (tests.rs
         # between_null_endpoints: `x between (null .. 10)` keeps x<=10)
         x = compile_expr(e.expr, schema)
@@ -286,6 +362,10 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         _provably_missing(e.left, schema) or _provably_missing(e.right, schema)
     ):
         return F.lit(None).cast("boolean")
+    lv = _variant_typed(e.left, schema)
+    rv = _variant_typed(e.right, schema)
+    if lv or rv:
+        return _compile_dyn_binop(e, schema, lv, rv)
     if op in _STR_OPS:
         l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
         if op == "contains":
@@ -408,6 +488,67 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
     if op == "div":
         return l / r
     raise AssertionError(op)
+
+
+def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
+    """Binary op with at least one per-row dynamic (VARIANT) operand —
+    the reference's interpreter semantics (interpreter/mod.rs):
+
+    - comparisons run the cross-type total order (sort keys — see
+      miso_spark/dynamic.py); a missing operand → unknown → filtered;
+    - string ops evaluate the string payload; a present NON-string
+      makes the op unknown (the reference aborts the whole query there
+      — impl_two_strs_fn bails — which a vectorized plan can't do
+      per-row; no observable query distinguishes the two);
+    - and/or/not convert through Value::to_bool;
+    - arithmetic is numeric-payload based (+ concatenates when both
+      sides are strings, interpreter/mod.rs:239).
+    """
+    from miso_spark import dynamic as dyn
+
+    op = e.op
+    if op in _CMP_OPS:
+        return dyn.vcompare(
+            op, _variant_key(e.left, schema), _variant_key(e.right, schema)
+        )
+    if op in _BOOL_OPS:
+        l, r = _compile_bool(e.left, schema), _compile_bool(e.right, schema)
+        return (l & r) if op == "and" else (l | r)
+
+    def str_side(x: Expr, is_var: bool) -> Column:
+        return dyn.as_string(compile_expr(x, schema)) if is_var else compile_expr(
+            x, schema
+        )
+
+    if op in _STR_OPS:
+        l, r = str_side(e.left, lv), str_side(e.right, rv)
+        if op == "contains":
+            return l.contains(r)
+        if op == "startswith":
+            return l.startswith(r)
+        if op == "endswith":
+            return l.endswith(r)
+        if not isinstance(e.right, Lit) or not isinstance(e.right.value, str):
+            raise ValueError(f"{op} requires a string literal phrase")
+        return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
+
+    # arithmetic: numeric payloads; string+string concatenates
+    def num_side(x: Expr, is_var: bool) -> Column:
+        return dyn.as_number(compile_expr(x, schema)) if is_var else compile_expr(
+            x, schema
+        )
+
+    l, r = num_side(e.left, lv), num_side(e.right, rv)
+    if op == "add":
+        if _is_string_typed(e.left, schema) or _is_string_typed(e.right, schema):
+            # dynamic + a known-string side: concat, string payloads
+            return F.concat(str_side(e.left, lv), str_side(e.right, rv))
+        return l + r
+    if op == "sub":
+        return l - r
+    if op == "mul":
+        return l * r
+    return l / r
 
 
 def _compile_bin(e: Bin, schema=None) -> Column:

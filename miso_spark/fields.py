@@ -49,19 +49,88 @@ class FieldPath:
         miso-workflow-types/src/field.rs)."""
         return any(idx for _, idx in self.segments)
 
-    def to_column(self) -> Column:
+    def to_column(self, schema=None) -> Column:
         # F.get (not getItem) for array indices: out-of-bounds yields
         # null instead of an ANSI INVALID_ARRAY_INDEX error, matching
-        # the reference's missing-field semantics on dynamic logs
+        # the reference's missing-field semantics on dynamic logs.
+        # With a schema, a path that enters a VARIANT column switches
+        # to try_variant_get with the remaining segments as a JSON
+        # path — a nested key that is absent (or reached through a
+        # non-object) yields SQL NULL, i.e. the dynamic model's
+        # "missing" (tests.rs filter_starts_with_on_object).
         (root, root_idx), rest = self.segments[0], self.segments[1:]
         col = F.col(f"`{root}`")
+        dtype = self._schema_type_of_root(schema)
+        consumed_root_idx = 0
+        if dtype is not None and self._is_variant(dtype):
+            return self._variant_tail(col, root_idx, rest)
         for i in root_idx:
             col = F.get(col, i)
-        for name, idxs in rest:
+            consumed_root_idx += 1
+            dtype = self._elem_type(dtype)
+            if dtype is not None and self._is_variant(dtype):
+                return self._variant_tail(col, root_idx[consumed_root_idx:], rest)
+        for k, (name, idxs) in enumerate(rest):
+            if dtype is not None:
+                dtype = self._struct_field_type(dtype, name)
+                if dtype is not None and self._is_variant(dtype):
+                    return self._variant_tail(
+                        col.getField(name), idxs, rest[k + 1:]
+                    )
             col = col.getField(name)
-            for i in idxs:
+            for n, i in enumerate(idxs):
                 col = F.get(col, i)
+                dtype = self._elem_type(dtype)
+                if dtype is not None and self._is_variant(dtype):
+                    return self._variant_tail(col, idxs[n + 1:], rest[k + 1:])
         return col
+
+    @staticmethod
+    def _is_variant(dtype) -> bool:
+        try:
+            from pyspark.sql.types import VariantType
+        except ImportError:  # pragma: no cover - older Spark
+            return False
+        return isinstance(dtype, VariantType)
+
+    def _schema_type_of_root(self, schema):
+        from pyspark.sql.types import StructType
+
+        if not isinstance(schema, StructType):
+            return None
+        root = self.segments[0][0]
+        return next(
+            (f.dataType for f in schema.fields if f.name.lower() == root.lower()),
+            None,
+        )
+
+    @staticmethod
+    def _elem_type(dtype):
+        from pyspark.sql.types import ArrayType
+
+        return dtype.elementType if isinstance(dtype, ArrayType) else None
+
+    @staticmethod
+    def _struct_field_type(dtype, name):
+        from pyspark.sql.types import StructType
+
+        if not isinstance(dtype, StructType):
+            return None
+        return next(
+            (f.dataType for f in dtype.fields if f.name.lower() == name.lower()),
+            None,
+        )
+
+    @staticmethod
+    def _variant_tail(col: Column, idxs, rest) -> Column:
+        """Remaining path below a VARIANT value as one try_variant_get
+        JSON path (``$`` when the variant is the leaf)."""
+        path = "$" + "".join(f"[{i}]" for i in idxs)
+        for name, nidxs in rest:
+            path += f".{name}" + "".join(f"[{i}]" for i in nidxs)
+        if path == "$":
+            return col
+        return F.try_variant_get(col, path, "variant")
 
     def is_missing_in(self, schema) -> bool:
         """True when this path provably resolves to NO column/field in
@@ -108,15 +177,21 @@ class FieldPath:
         return False
 
     def resolve_type(self, schema) -> object | None:
-        """Walk a StructType to this path's data type (None if absent)."""
+        """Walk a StructType to this path's data type (None if absent).
+        A path that enters a VARIANT column resolves to VariantType —
+        everything below is per-row dynamic."""
         from pyspark.sql.types import ArrayType, StructType
 
         dtype = schema
         for name, idxs in self.segments:
+            if self._is_variant(dtype):
+                return dtype
             if not isinstance(dtype, StructType) or name not in dtype.fieldNames():
                 return None
             dtype = dtype[name].dataType
             for _ in idxs:
+                if self._is_variant(dtype):
+                    return dtype
                 if not isinstance(dtype, ArrayType):
                     return None
                 dtype = dtype.elementType

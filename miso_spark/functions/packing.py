@@ -30,6 +30,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: above this many per-partition offset entries the prefix-sum offsets
+#: ship as a broadcast-joined DataFrame instead of a create_map literal
+#: — a literal map is cheapest for the common O(#partitions) case, but
+#: the GROUPED case is O(#partitions × #groups) literals and a
+#: training mix of 2,000 partitions × hundreds of sources would bloat
+#: the plan tree (analyzer + codegen cost) long before driver memory
+#: hurt. The broadcast join keeps plan size constant at any
+#: cardinality. Tests monkeypatch this to pin both plans.
+OFFSET_BROADCAST_THRESHOLD = 1000
+
+
+def _apply_offsets(
+    part: DataFrame,
+    offsets: dict,
+    key: "F.Column",
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Attach per-partition starting offsets: as a literal map below
+    OFFSET_BROADCAST_THRESHOLD entries, as a broadcast hash join above
+    it (same semantics, constant plan size)."""
+    if len(offsets) <= OFFSET_BROADCAST_THRESHOLD:
+        offset_map = (
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+            if offsets
+            else F.create_map()
+        )
+        return part.withColumn(
+            out_col, offset_map[key] + F.col("__local_end") - F.col(value_col)
+        )
+    spark = part.sparkSession
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], ["__okey", "__offset"]
+    )
+    return (
+        part.withColumn("__okey", key)
+        .join(F.broadcast(lookup), "__okey", "left")
+        .withColumn(
+            out_col, F.col("__offset") + F.col("__local_end") - F.col(value_col)
+        )
+        .drop("__okey", "__offset")
+    )
+
 
 def _with_prefix_sum(
     df: DataFrame, value_col: str, order_cols, out_col: str,
@@ -83,23 +126,20 @@ def _with_prefix_sum(
         # inspection in tests — the checkpoint hides the upstream
         # operators from explain.)
         part = part.localCheckpoint(eager=False)
+    # per-partition totals via SUM of the value column (NOT max of the
+    # running sum, which only equals the total for non-negative values
+    # — callers may pass negative deltas)
     totals = {
         r["__pid"]: r["t"]
-        for r in part.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+        for r in part.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
-    offset_map = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        if offsets
-        else F.create_map()
-    )
-    return part.withColumn(
-        out_col,
-        offset_map[F.col("__pid")] + F.col("__local_end") - F.col(value_col),
+    return _apply_offsets(
+        part, offsets, F.col("__pid"), value_col, out_col
     ).drop("__pid", "__local_end")
 
 
@@ -120,7 +160,7 @@ def _finish_grouped(
     if pin_partitions:
         part = part.localCheckpoint(eager=False)
     totals = part.groupBy("__pid", "__gkey").agg(
-        F.max("__local_end").alias("t")
+        F.sum(value_col).alias("t")
     ).collect()
     by_group: dict[str, list] = {}
     for r in totals:
@@ -131,14 +171,9 @@ def _finish_grouped(
         for pid, t in sorted(pids):
             offsets[f"{pid}|{g}"] = acc
             acc += t or 0
-    offset_map = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        if offsets
-        else F.create_map()
-    )
     key = F.concat_ws("|", F.col("__pid"), F.col("__gkey"))
-    return part.withColumn(
-        out_col, offset_map[key] + F.col("__local_end") - F.col(value_col)
+    return _apply_offsets(
+        part, offsets, key, value_col, out_col
     ).drop("__pid", "__gkey", "__local_end")
 
 

@@ -45,8 +45,11 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def _count_words_in(col_name: str, vocab: tuple[str, ...]) -> Column:
-    cond = " OR ".join(f"w = '{v}'" for v in vocab)
-    return F.expr(f"size(filter({col_name}, w -> {cond}))")
+    # array_contains against an array of lit() words — no SQL-string
+    # interpolation, so caller-supplied vocab containing quotes (or
+    # anything else) can't break or rewrite the expression
+    marker = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(F.col(col_name), lambda w: F.array_contains(marker, w)))
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,191 @@
+"""Unit tests for the per-row dynamic (VARIANT) value model —
+miso_spark/dynamic.py — pinning the reference's interpreter semantics
+(miso-workflow-types/src/value/mod.rs total order + to_bool;
+miso-workflow/src/interpreter/mod.rs impl_cmp missing-propagation)
+independently of the reference-test harness."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from miso_spark import dynamic as dyn
+
+
+def _vals(df, col):
+    return [r[col] for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    """One dynamic column `w` spanning every type class + a missing
+    row; row order preserved via idx."""
+    rows = [
+        {"idx": 0, "w": 5},
+        {"idx": 1, "w": "5"},
+        {"idx": 2, "w": 5.5},
+        {"idx": 3, "w": True},
+        {"idx": 4, "w": False},
+        {"idx": 5, "w": None},
+        {"idx": 6},  # w missing
+        {"idx": 7, "w": [10, 20]},
+        {"idx": 8, "w": {"a": 1}},
+        {"idx": 9, "w": {}},
+        {"idx": 10, "w": ""},
+    ]
+    return dyn.ingest_json_dynamic(spark, rows).orderBy(
+        F.variant_get("idx", "$", "int")
+    )
+
+
+def test_ingest_missing_vs_present_null(mixed):
+    out = mixed.select(
+        F.col("w").isNull().alias("missing"),
+        F.when(F.col("w").isNotNull(), F.is_variant_null("w")).alias("vnull"),
+    ).collect()
+    assert [r["missing"] for r in out] == [
+        False, False, False, False, False, False, True, False, False, False, False,
+    ]
+    assert out[5]["vnull"] is True  # explicit JSON null
+    assert out[0]["vnull"] is False
+
+
+def test_vclass_ranks(mixed):
+    got = _vals(mixed.select(dyn.vclass(F.col("w")).alias("c")), "c")
+    assert got == [2, 5, 2, 1, 1, 0, None, 6, 7, 7, 5]
+
+
+def test_vbool_reference_to_bool(mixed):
+    got = _vals(mixed.select(dyn.vbool(F.col("w")).alias("b")), "b")
+    #      5     "5"   5.5   T     F      null   miss  arr   obj    {}     ""
+    assert got == [
+        True, True, True, True, False, False, None, True, True, False, False,
+    ]
+
+
+@pytest.mark.parametrize(
+    "op,lit,expect",
+    [
+        # cross-type equality is FALSE, not unknown (tests.rs
+        # comparison_cross_type)
+        ("eq", "5", [False, True, False, False, False, False, None,
+                     False, False, False, False]),
+        ("eq", 5, [True, False, False, False, False, False, None,
+                   False, False, False, False]),
+        # Null is a comparable smallest value; bools sit below numbers
+        ("lt", 5, [False, False, False, True, True, True, None,
+                   False, False, False, False]),
+        # strings rank ABOVE numbers, so "5" >= 5 is true cross-class
+        ("gte", 5, [True, True, True, False, False, False, None,
+                    True, True, True, True]),
+        ("ne", 5, [False, True, True, True, True, True, None,
+                   True, True, True, True]),
+        # == null matches ONLY the present null (tests.rs filter_eq_null)
+        ("eq", None, [False, False, False, False, False, True, None,
+                      False, False, False, False]),
+    ],
+)
+def test_vcompare_against_literal(mixed, op, lit, expect):
+    got = _vals(
+        mixed.select(
+            dyn.vcompare(
+                op, dyn.sort_key(F.col("w")), dyn.literal_sort_key(lit)
+            ).alias("r")
+        ),
+        "r",
+    )
+    assert got == expect
+
+
+def test_numeric_cross_class_eq(spark):
+    # Int(5) == Float(5.0) under the reference order (value/mod.rs:178)
+    df = dyn.ingest_json_dynamic(spark, [{"a": 5, "b": 5.0}, {"a": 5, "b": 5.25}])
+    got = _vals(
+        df.select(
+            dyn.vcompare(
+                "eq", dyn.sort_key(F.col("a")), dyn.sort_key(F.col("b"))
+            ).alias("r")
+        ),
+        "r",
+    )
+    assert sorted(got) == [False, True]
+
+
+def test_array_equality_canonicalizes(spark):
+    # [1.0, 2] and [1, 2.0] canonicalize to the same JSON → equal
+    df = dyn.ingest_json_dynamic(
+        spark, [{"a": [1.0, 2], "b": [1, 2.0], "c": [1, 3]}]
+    )
+    row = df.select(
+        dyn.vcompare("eq", dyn.sort_key(F.col("a")), dyn.sort_key(F.col("b"))).alias("ab"),
+        dyn.vcompare("eq", dyn.sort_key(F.col("a")), dyn.sort_key(F.col("c"))).alias("ac"),
+    ).first()
+    assert row["ab"] is True and row["ac"] is False
+
+
+def test_wrap_variant_propagates_missing(spark):
+    df = spark.createDataFrame([(True,), (None,)], "b boolean")
+    got = _vals(df.select(dyn.wrap_variant(F.col("b")).isNull().alias("m")), "m")
+    assert got == [False, True]
+
+
+def test_ingest_empty_rows(spark):
+    df = dyn.ingest_json_dynamic(spark, [])
+    assert df.count() == 0 and df.columns == []
+
+
+def test_ingest_explicit_keys_skips_discovery(spark):
+    df = dyn.ingest_json_dynamic(spark, [{"a": 1, "b": 2}], keys=["a"])
+    assert df.columns == ["a"]
+
+
+def test_dynamic_filter_end_to_end(spark):
+    """Full engine path: dynamic ingest → KQL where over mixed types."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put(
+        "c",
+        dyn.ingest_json_dynamic(
+            spark, [{"x": 5}, {"x": "5"}, {"x": 5.0}, {"x": True}, {"y": 1}]
+        ),
+    )
+    m.registry.register("dyn", mem)
+    got = [json.loads(s) for s in m.query('dyn.c | where x == "5"').toJSON().collect()]
+    assert got == [{"x": "5"}]
+    # total-order lt: bool < number, missing filtered
+    got = sorted(
+        json.dumps(json.loads(s))
+        for s in m.query("dyn.c | where x < 99").toJSON().collect()
+    )
+    assert len(got) == 3  # 5, 5.0, true — not "5" (string above numbers)
+
+
+def test_dynamic_expand_mixed_arrays(spark):
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put(
+        "c",
+        dyn.ingest_json_dynamic(
+            spark,
+            [{"a": 1, "b": [10, 20]}, {"a": 2, "b": ["x"]}, {"a": 3, "b": {}},
+             {"a": 4, "b": "scalar"}, {"a": 5}],
+        ),
+    )
+    m.registry.register("dyn", mem)
+    got = sorted(
+        (json.loads(s) for s in m.query("dyn.c | mv-expand b").toJSON().collect()),
+        key=lambda r: (r["a"], str(r.get("b"))),
+    )
+    # row 3 ({} object) drops; scalar + missing pass through
+    assert got == [
+        {"a": 1, "b": 10}, {"a": 1, "b": 20}, {"a": 2, "b": "x"},
+        {"a": 4, "b": "scalar"}, {"a": 5},
+    ]

@@ -970,6 +970,71 @@ def test_token_budget_filter_greedy_prefix(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == ids
 
 
+def test_prefix_sum_offsets_broadcast_join_above_threshold(spark, monkeypatch):
+    """Above OFFSET_BROADCAST_THRESHOLD entries the prefix-sum offsets
+    must attach via a broadcast hash join (constant plan size) instead
+    of a create_map literal — the grouped literal map is O(#partitions
+    × #groups) plan nodes, an analyzer/codegen ceiling at training-mix
+    cardinalities. Same rows either way."""
+    from miso_spark.functions import packing
+    from miso_spark.functions.packing import mix_by_token_budget, token_budget_filter
+
+    df = spark.createDataFrame(
+        [(i, 10, f"s{i % 6}") for i in range(120)],
+        "doc_id long, n_tokens long, source string",
+    )
+    budgets = {f"s{g}": 100 for g in range(6)}
+
+    def run(threshold):
+        monkeypatch.setattr(packing, "OFFSET_BROADCAST_THRESHOLD", threshold)
+        out = mix_by_token_budget(df, budgets)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return sorted(r["doc_id"] for r in out.collect()), plan
+
+    rows_map, plan_map = run(10**6)
+    rows_join, plan_join = run(0)
+    assert rows_map == rows_join
+    assert "BroadcastHashJoin" not in plan_map
+    assert "BroadcastHashJoin" in plan_join
+    # ungrouped path takes the same gate
+    monkeypatch.setattr(packing, "OFFSET_BROADCAST_THRESHOLD", 0)
+    out = token_budget_filter(df, budget=250)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(25))
+
+
+def test_count_words_in_quote_safe(spark):
+    """Marker-word counting must not interpolate vocab into SQL text —
+    a word containing a quote (e.g. the contraction "don't") is data,
+    not syntax."""
+    from miso_spark.functions.text import _count_words_in
+
+    df = spark.createDataFrame(
+        [(["don't", "stop", "don't", None],), ([],)], "w array<string>"
+    )
+    got = [r["n"] for r in df.select(
+        _count_words_in("w", ("don't", "x' OR '1'='1")).alias("n")
+    ).collect()]
+    assert got == [2, 0]
+
+
+def test_prefix_sum_handles_negative_values(spark):
+    """Per-partition totals are SUM(value), not max(running sum) — a
+    caller passing signed deltas must still get exact global offsets."""
+    from miso_spark.functions.packing import _with_prefix_sum
+
+    vals = [(i, (-3) ** (i % 3) + 1) for i in range(200)]  # mix of signs
+    df = spark.createDataFrame(vals, "doc_id long, delta long")
+    got = {
+        r["doc_id"]: r["prev"]
+        for r in _with_prefix_sum(df, "delta", "doc_id", "prev").collect()
+    }
+    acc = 0
+    for i, d in vals:
+        assert got[i] == acc, f"doc {i}"
+        acc += d
+
+
 def test_embedding_normalize_and_quantize(spark, emb):
     """Embedding storage utilities: L2 normalization (zero-safe), int8
     quantization with bounded reconstruction error, and quantized

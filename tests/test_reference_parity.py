@@ -6,13 +6,24 @@ miso-workflow/src/tests.rs (read at test time — nothing is copied into
 this repo; the module skips when the reference checkout is absent) and
 executes the query here, comparing JSON row sets.
 
-Known divergences are an explicit, bounded exclusion list — every one
-is a consequence of the documented typed-ingest conflation (SURVEY.md
-§3): Spark columns are single-typed and a row's ABSENT key is
-indistinguishable from a present JSON null, while the reference's
-dynamic Values distinguish them per row and can hold 5, "5" and true
-in one column. Everything else must match exactly, so any semantic
-regression against the reference's suite fails here by name.
+Two ingest arms mirror the reference's data model split:
+
+- **typed** (default): ``spark.read.json`` schema inference — the
+  production path for schema-consistent data. Spark columns are
+  single-typed and an absent key conflates with a present null.
+- **dynamic** (``VARIANT_INGEST`` cases): Spark 4 VARIANT ingest
+  (miso_spark/dynamic.py) — per-row dynamic values with the
+  reference's cross-type total order and a real absent-vs-null
+  distinction. This is what the reference's interpreter does natively
+  (miso-workflow-types/src/value/mod.rs), so the mixed-type and
+  missing-vs-null cases run through it.
+
+The VARIANT_INGEST list polices itself in BOTH directions: each listed
+case must PASS dynamic and still FAIL typed (otherwise it no longer
+needs dynamic ingest and must be delisted), and every unlisted case
+must pass typed. As of round 8 every one of the reference's own
+simple checks passes on one of the two arms — the exclusion list of
+rounds 4-7 is gone.
 """
 
 from __future__ import annotations
@@ -30,8 +41,10 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout not present",
 )
 
-#: name → why the typed model can't reproduce the dynamic-data case
-KNOWN_DIVERGENT = {
+#: name → why this case needs per-row dynamic (VARIANT) ingest; the
+#: typed arm MUST still fail each of these (checked below) so the list
+#: can't absorb cases the typed model learns to handle
+VARIANT_INGEST = {
     # per-row mixed types in one column (read.json infers one type)
     "filter_eq_bool": "column holds 5 and true in different rows",
     "filter_eq_fields": "column holds 1 and '33' in different rows",
@@ -41,14 +54,14 @@ KNOWN_DIVERGENT = {
     "comparison_cross_type": "column holds 5, '5', 5.0 and true",
     "filter_starts_with_on_object": "column is string in some rows, object in others",
     "filter_exists_on_object": "column is string in some rows, object in others",
-    # absent key vs present null conflation (both are SQL NULL here)
-    "filter_eq_null": "rows MISSING the key also read as null",
-    "filter_ne": "missing-key rows read as present nulls (total order keeps them)",
-    "filter_lt": "missing-key rows read as present nulls",
-    "filter_lte": "missing-key rows read as present nulls",
-    "filter_exists_null": "exists() cannot see a present-but-null key",
-    # schema-on-read loses empty structures
-    "summarize_without_by_empty_data": "empty JSON input has no schema to read",
+    # absent key vs present null (typed rows conflate; variant keeps
+    # SQL NULL = missing, variant-null = present Value::Null)
+    "filter_eq_null": "rows MISSING the key must not match == null",
+    "filter_ne": "missing-key rows must be filtered, present values keep total order",
+    "filter_lt": "missing-key rows must be filtered",
+    "filter_lte": "missing-key rows must be filtered",
+    "filter_exists_null": "exists() must see a present-but-null key",
+    # schema-on-read loses empty structures; variant keeps {}
     "expand_empty_object": "read.json drops an always-empty object column",
     "expand_object_array_kind_empty": "read.json drops an always-empty object column",
 }
@@ -106,7 +119,10 @@ def _norm(v):
     return v
 
 
-def _run_case(spark, query, collections, expected):
+def _run_case(spark, query, collections, expected, dynamic=False):
+    from pyspark.sql.types import StructType
+
+    from miso_spark import dynamic as dyn
     from miso_spark.api import MisoSpark
     from miso_spark.sources import MemorySource
 
@@ -114,10 +130,16 @@ def _run_case(spark, query, collections, expected):
     mem = MemorySource()
     for cname, cjson in collections.items():
         rows = json.loads(cjson)
-        if not rows:
-            return None  # schema-less empty input — excluded cases only
-        rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
-        mem.put(cname, spark.read.json(rdd))
+        if dynamic:
+            df = dyn.ingest_json_dynamic(spark, rows)
+        elif not rows:
+            # schema-less empty input: a zero-column, zero-row table
+            # (the reference's empty collection)
+            df = spark.createDataFrame([], StructType([]))
+        else:
+            rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+            df = spark.read.json(rdd)
+        mem.put(cname, df)
     m.registry.register("test", mem)
     got = [json.loads(s) for s in m.query(query).toJSON().collect()]
     exp = json.loads(expected)
@@ -135,42 +157,47 @@ def test_reference_simple_checks(spark):
     failed, passed = [], 0
     for name, q, colls, exp in cases:
         try:
-            ok = _run_case(spark, q, colls, exp)
+            ok = _run_case(spark, q, colls, exp, dynamic=name in VARIANT_INGEST)
         except Exception:
             ok = False
         if ok:
             passed += 1
         else:
             failed.append(name)
-    unexpected = [n for n in failed if n not in KNOWN_DIVERGENT]
-    assert not unexpected, f"NEW divergence from reference tests: {unexpected}"
-    # the exclusion list must not silently absorb fixed cases either
-    stale = [n for n in KNOWN_DIVERGENT if n not in failed]
-    assert not stale, f"KNOWN_DIVERGENT entries now pass — remove: {stale}"
-    assert passed >= len(cases) - len(KNOWN_DIVERGENT)
+    assert not failed, f"reference tests diverged: {failed}"
+    assert passed == len(cases)
 
 
-#: multi-collection cases whose input includes an EMPTY collection —
-#: schema-less under read.json, so the harness can't build the table
-#: (the behavior itself is pinned typed-side in
-#: test_workflow_corpus.test_join_against_keyless_side_matches_nothing)
-MULTI_EMPTY_INPUT_OK = {"join_empty_right_side"}
+def test_variant_ingest_list_is_minimal(spark):
+    """Each VARIANT_INGEST case must still FAIL on the typed arm —
+    otherwise it no longer needs dynamic ingest and belongs in the
+    default set (the list must shrink, never silently absorb)."""
+    cases = {n: (q, c, e) for n, q, c, e in _extract_simple()}
+    missing = [n for n in VARIANT_INGEST if n not in cases]
+    assert not missing, f"VARIANT_INGEST names not in reference suite: {missing}"
+    typed_passing = []
+    for name in VARIANT_INGEST:
+        q, colls, exp = cases[name]
+        try:
+            ok = _run_case(spark, q, colls, exp, dynamic=False)
+        except Exception:
+            ok = False
+        if ok:
+            typed_passing.append(name)
+    assert not typed_passing, (
+        f"typed arm now passes — remove from VARIANT_INGEST: {typed_passing}"
+    )
 
 
 def test_reference_multi_collection_checks(spark):
     cases = _extract_multi()
     assert len(cases) >= 10
-    failed, skipped = [], []
+    failed = []
     for name, q, colls, exp in cases:
         try:
-            res = _run_case(spark, q, colls, exp)
+            ok = _run_case(spark, q, colls, exp)
         except Exception:
-            res = False
-        if res is None:
-            skipped.append(name)
-        elif res is False:
+            ok = False
+        if not ok:
             failed.append(name)
     assert not failed, f"multi-collection reference tests diverged: {failed}"
-    assert set(skipped) <= MULTI_EMPTY_INPUT_OK, (
-        f"unexpected empty-input skips: {set(skipped) - MULTI_EMPTY_INPUT_OK}"
-    )
