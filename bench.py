@@ -46,7 +46,32 @@ HEADLINE = [
     "near_dedup_pipeline",
     "text_quality",
     "decontaminate",
+    "token_budget_filter",
+    "corpus_bigram_logprob",
 ]
+
+
+def _b_token_budget_filter(spark, sf_dir):
+    """Bench-only entry (r8): the two-pass distributed prefix sum +
+    budget filter — the newest shuffle-bearing shape
+    (range-repartition → per-partition window → offset attach). The
+    fixed budget keeps ~60% of sf0.1's tokens; the prefix-sum cost it
+    measures is budget-independent."""
+    from pyspark.sql import functions as F
+
+    from miso_spark.catalog import _documents
+    from miso_spark.functions.packing import token_budget_filter
+    from miso_spark.functions.text import token_count
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_filter(docs, budget=600_000)
+
+
+#: bench entries that are not driver-catalog queries (no SQL oracle
+#: needed here — correctness lives in pytest; this measures the plan)
+EXTRA_BENCH = {"token_budget_filter": _b_token_budget_filter}
 
 
 #: multi-file rewrite targets (files per table): the driver's testdata
@@ -117,6 +142,7 @@ SF1_HEADLINE = [
     "sessionize_native",
     "near_dedup_pipeline",
     "decontaminate",
+    "token_budget_filter",
 ]
 SF1_COPIES = 10
 
@@ -205,12 +231,17 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     singles: dict[str, float] = {}
+    def build(name, sf_dir):
+        if name in CATALOG:
+            return CATALOG[name](spark, sf_dir)
+        return EXTRA_BENCH[name](spark, sf_dir)
+
     for name in HEADLINE:
-        if name not in CATALOG:
+        if name not in CATALOG and name not in EXTRA_BENCH:
             continue
         runs: list[float] = []
         for _ in range(repeat):
-            df = CATALOG[name](spark, bench_dir)
+            df = build(name, bench_dir)
             t0 = time.perf_counter()
             # noop sink drains every row through the full pipeline
             # without collecting to the driver
@@ -247,7 +278,7 @@ def main() -> None:
         def timed(name: str, sf_dir: str, reps: int = 2) -> float:
             best = float("inf")
             for _ in range(reps):
-                df = CATALOG[name](spark, sf_dir)
+                df = build(name, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -255,7 +286,7 @@ def main() -> None:
 
         base_timings: dict[str, float] = {}
         for name in SF1_HEADLINE:
-            if name not in CATALOG:
+            if name not in CATALOG and name not in EXTRA_BENCH:
                 continue
             base_t = timings.get(name)
             if base_t is None:  # not in the sf0.1 headline set

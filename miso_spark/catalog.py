@@ -444,27 +444,17 @@ q(
 )
 
 q(
-    "extract_op",
+    "exists_op",  # exists() gate + extract() projection in one row
+    # (absorbed the former extract_op entry to keep the 50-slot driver
+    # window: both operators stay driver-oracle-checked here)
     kql="""
     t.events
+    | where exists(props) and not(exists(props) and false)
     | project event_id, k = toint(extract('"k": (\\d+)', 1, props))
     """,
     oracle="""
     SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
-    FROM events
-    """,
-)
-
-q(
-    "exists_op",
-    kql="""
-    t.events
-    | where exists(props) and not(exists(props) and false)
-    | summarize n = count() by event_type
-    """,
-    oracle="""
-    SELECT event_type, COUNT(*) AS n FROM events
-    WHERE props IS NOT NULL GROUP BY event_type
+    FROM events WHERE props IS NOT NULL
     """,
 )
 
@@ -1014,16 +1004,24 @@ q(
 
 
 def _b_text_fingerprint(spark, sf_dir):
-    """Document fingerprint + PII redaction in one driver row (absorbed
-    the former text_redaction entry — functions/text.redact: emails/
-    URLs/IPs/phone runs → typed placeholders via a JVM regexp_replace
-    chain whose patterns are RE2-compatible so DuckDB replays the
-    identical chain)."""
-    from miso_spark.functions.text import fingerprint, with_redaction
+    """Document fingerprint + PII redaction + Gopher repetition signals
+    in one driver row (absorbed the former text_redaction and
+    text_repetition entries to keep the 50-slot driver window —
+    functions/text.redact: emails/URLs/IPs/phone runs → typed
+    placeholders via a JVM regexp_replace chain whose patterns are
+    RE2-compatible so DuckDB replays the identical chain;
+    functions/text.with_repetition: dup-word + top-word fractions)."""
+    from miso_spark.functions.text import (
+        fingerprint,
+        with_redaction,
+        with_repetition,
+    )
 
-    return with_redaction(_documents(spark, sf_dir)).select(
+    docs = _documents(spark, sf_dir)
+    base = with_redaction(docs).select(
         "doc_id", fingerprint(F.col("text")).alias("fp"), "redacted"
     )
+    return base.join(with_repetition(docs), "doc_id")
 
 
 def _redaction_expr() -> str:
@@ -1039,9 +1037,126 @@ q(
     "text_fingerprint",
     builder=_b_text_fingerprint,
     oracle=f"""
-    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-           {_redaction_expr()} AS redacted
-    FROM documents
+    WITH n AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             ROUND(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 4)
+               AS dup_word_frac
+      FROM n
+    ),
+    counts AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM n)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_word_frac
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+           {_redaction_expr()} AS redacted,
+           base.n_words, base.dup_word_frac, top.top_word_frac
+    FROM documents d
+    JOIN base ON base.doc_id = d.doc_id
+    JOIN top  ON top.doc_id = d.doc_id
+    """,
+)
+
+
+def _b_pack_sequences(spark, sf_dir):
+    """Sequence packing (functions/packing.py): every document's place
+    in the concatenated token stream via the two-pass distributed
+    prefix sum — the driver oracle is the single-window SQL
+    formulation, proving the distributed offsets are exact."""
+    from miso_spark.functions.packing import pack_sequences
+    from miso_spark.functions.text import token_count
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=256)
+
+
+q(
+    "pack_sequences",
+    builder=_b_pack_sequences,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n,
+             COALESCE(SUM(len(regexp_split_to_array(text, '\\s+')))
+               OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS gs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(gs AS BIGINT) AS global_start,
+           CAST(gs // 256 AS BIGINT) AS pack_id,
+           CAST(gs % 256 AS BIGINT) AS pack_offset,
+           CAST(greatest(gs + n - 1, gs) // 256 AS BIGINT) AS end_pack_id
+    FROM t
+    """,
+)
+
+
+def _b_corpus_lm(spark, sf_dir):
+    """Corpus-LM bigram quality scoring (functions/text.py
+    corpus_bigram_logprob): mean joint log-prob of each doc's word
+    bigrams under the corpus's own add-1-smoothed distribution. The
+    driver oracle is the straight SQL formulation of the same model;
+    avg_logprob rounds to 4 decimals so libm-vs-JVM ln() ulp noise
+    can't flip a digit (perplexity is a derived view, omitted here —
+    pytest pins it)."""
+    from miso_spark.functions.text import corpus_bigram_logprob
+
+    out = corpus_bigram_logprob(_documents(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+    )
+
+
+q(
+    "corpus_bigram_logprob",
+    builder=_b_corpus_lm,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS id, unnest(
+        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+      ) AS w1,
+      generate_subscripts(
+        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1
+      ) AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT id, w1, lead(w1) OVER (PARTITION BY id ORDER BY pos) AS w2
+      FROM w
+    ),
+    bi2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi2 GROUP BY 1, 2),
+    voc AS (
+      SELECT COUNT(*) AS v FROM (
+        SELECT w1 AS w FROM bc UNION SELECT w2 FROM bc
+      )
+    ),
+    consts AS (
+      SELECT (SELECT SUM(c12) FROM bc)
+             + 1.0 * (SELECT v FROM voc) * (SELECT v FROM voc) AS denom
+    )
+    SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+           ROUND(ROUND(AVG(LN((c12 + 1.0) / (SELECT denom FROM consts))), 6), 4)
+             AS avg_logprob
+    FROM bi2 JOIN bc USING (w1, w2)
+    GROUP BY id
     """,
 )
 
@@ -1148,42 +1263,6 @@ q(
            COUNT(DISTINCT split) AS n_splits,
            COUNT(DISTINCT split) > 1 AS leaks
     FROM assigned GROUP BY canonical_id HAVING COUNT(*) > 1
-    """,
-)
-
-
-def _b_text_repetition(spark, sf_dir):
-    from miso_spark.functions.text import with_repetition
-
-    return with_repetition(_documents(spark, sf_dir))
-
-
-q(
-    "text_repetition",
-    builder=_b_text_repetition,
-    oracle="""
-    WITH n AS (
-      SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
-      FROM documents
-    ),
-    base AS (
-      SELECT doc_id, len(ws) AS n_words,
-             ROUND(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 4)
-               AS dup_word_frac
-      FROM n
-    ),
-    counts AS (
-      SELECT doc_id, w, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(ws) AS w FROM n)
-      GROUP BY 1, 2
-    ),
-    top AS (
-      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_word_frac
-      FROM counts GROUP BY doc_id
-    )
-    SELECT base.doc_id, n_words, dup_word_frac, top_word_frac
-    FROM base JOIN top ON base.doc_id = top.doc_id
     """,
 )
 

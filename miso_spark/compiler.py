@@ -113,10 +113,16 @@ class Compiler:
         #: proves the producer small
         self.dynamic_filter = dynamic_filter
         self.dynamic_filter_max_distinct = dynamic_filter_max_distinct
-        #: observability: one record per applied dynamic filter,
-        #: trimmed to the newest DYNAMIC_FILTER_EVENTS_CAP at each run
-        #: so a long-lived server doesn't grow it without bound
-        self.dynamic_filter_events: list[dict] = []
+        #: observability: one record per applied dynamic filter. A
+        #: deque(maxlen) is append-safe under the server's concurrent
+        #: request threads AND self-trimming — the previous list +
+        #: del-slice trim could momentarily drop/misorder events when a
+        #: trim raced an append (ADVICE r7)
+        from collections import deque
+
+        self.dynamic_filter_events: "deque[dict]" = deque(
+            maxlen=self.DYNAMIC_FILTER_EVENTS_CAP
+        )
         #: per-thread run context: ThreadingHTTPServer runs each query
         #: on its own thread, so thread-locality keys the prejoined
         #: cache and the persist ledger per in-flight run — one query
@@ -183,7 +189,6 @@ class Compiler:
         """Like :meth:`run`, but hands back the run's cache ledger:
         call ``ctx.release()`` once the query's results have been
         consumed (the server does this in its emit finally-block)."""
-        del self.dynamic_filter_events[: -self.DYNAMIC_FILTER_EVENTS_CAP]
         ctx = Compiler._RunCtx()
         self._tls.ctx = ctx
         try:

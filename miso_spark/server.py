@@ -196,15 +196,19 @@ class QueryStatusWriter:
                 "update_time": now,
                 "query": query,
             }
-            spark = self.registry.spark
-            df = spark.createDataFrame(
-                [tuple(r[k] for k in (
-                    "id", "status", "error", "start_time", "end_time",
-                    "run_time", "run_time_secs", "update_time", "query",
-                )) for r in self._rows.values()],
-                self._SCHEMA,
-            )
-            self.registry.source(self.connector).write(df, self.collection)
+            # snapshot under the lock, write OUTSIDE it: holding the
+            # lock across the Spark createDataFrame + connector write
+            # serialized every concurrent request thread on a slow
+            # status connector (ADVICE r7). Last-writer-wins is the
+            # stated model, so an interleaved newer snapshot landing
+            # first is benign — the newest upsert re-writes it all.
+            rows = [tuple(r[k] for k in (
+                "id", "status", "error", "start_time", "end_time",
+                "run_time", "run_time_secs", "update_time", "query",
+            )) for r in self._rows.values()]
+        spark = self.registry.spark
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        self.registry.source(self.connector).write(df, self.collection)
 
 
 class MisoServer:

@@ -30,8 +30,10 @@ DEFAULT_STATS_TTL_S = 3 * 3600.0
 def parse_duration(v) -> float:
     """humantime-style duration → seconds (config.rs deserializes
     ``stats_fetch_interval`` with the humantime crate): ``"3h"``,
-    ``"30m"``, ``"1h 30m"``, ``"500ms"``, compound tokens allowed;
-    bare numbers are seconds."""
+    ``"30m"``, ``"1h 30m"``, ``"500ms"``, compound tokens allowed.
+    Bare JSON NUMBERS (int/float values) are seconds; a digit-only
+    STRING like ``"300"`` is rejected, exactly as humantime rejects
+    unitless strings — pass the number unquoted or add a unit."""
     import re
 
     if isinstance(v, (int, float)):

@@ -334,7 +334,7 @@ def test_stats_driven_dynamic_filter(spark):
         df = comp.run(parse_kql("qw.logs | join (qw.lookup) on key"))
         got = sorted(tuple(str(x) for x in r) for r in df.collect())
         assert len(got) == 3  # keys a (×2), b
-        assert comp.dynamic_filter_events == [
+        assert list(comp.dynamic_filter_events) == [
             {"producer": "right", "consumer": "qw.logs", "field": "key", "keys": 2}
         ]
         # the stats fetch went out as a cardinality agg search
@@ -524,15 +524,19 @@ def test_run_caches_released_after_consumption(spark):
 
 
 def test_dynamic_filter_events_bounded(spark):
-    """The observability buffer trims to DYNAMIC_FILTER_EVENTS_CAP at
-    each run, so a long-lived server can't grow it without bound."""
+    """The observability buffer is a deque(maxlen) — append-safe under
+    concurrent server request threads and self-trimming, so a
+    long-lived server can't grow it without bound (ADVICE r7: the old
+    list + del-slice trim could race an append)."""
     stub = _Stub({"logs": LOGS})
     try:
         reg = _mem_registry(spark, stub, [("a", "t1")])
         comp = Compiler(reg)
-        comp.dynamic_filter_events = [
-            {"producer": "left"} for _ in range(comp.DYNAMIC_FILTER_EVENTS_CAP + 500)
-        ]
+        for i in range(comp.DYNAMIC_FILTER_EVENTS_CAP + 500):
+            comp.dynamic_filter_events.append({"producer": "left", "i": i})
+        assert len(comp.dynamic_filter_events) == comp.DYNAMIC_FILTER_EVENTS_CAP
+        # newest survive, oldest evicted
+        assert comp.dynamic_filter_events[-1]["i"] == comp.DYNAMIC_FILTER_EVENTS_CAP + 499
         comp.run(parse_kql("mem.lookup | take 1")).collect()
         assert len(comp.dynamic_filter_events) <= comp.DYNAMIC_FILTER_EVENTS_CAP
     finally:
