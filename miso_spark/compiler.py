@@ -24,10 +24,20 @@ from miso_spark.sources import CAP_RAW, CAP_WRITE, SourceRegistry
 COUNT_FIELD_NAME = "Count"
 
 
-def _sort_cols(sorts: tuple[P.Sort, ...]) -> list[Column]:
+def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
     cols = []
     for s in sorts:
-        c = FieldPath.parse(s.by).to_column()
+        fp = FieldPath.parse(s.by)
+        c = fp.to_column(schema)
+        if schema is not None and FieldPath._is_variant(fp.resolve_type(schema)):
+            # per-row dynamic values sort under the reference's
+            # cross-type total order (value/mod.rs:147) — the orderable
+            # sort-key struct ranks Null < Bool < numbers < String <
+            # Array < Object. MISSING values (SQL NULL keys) follow the
+            # nulls first/last directive, like the typed path.
+            from miso_spark import dynamic as dyn
+
+            c = dyn.sort_key(c)
         if s.order == "asc":
             c = c.asc_nulls_first() if s.nulls == "first" else c.asc_nulls_last()
         else:
@@ -37,7 +47,10 @@ def _sort_cols(sorts: tuple[P.Sort, ...]) -> list[Column]:
 
 
 def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
+    from miso_spark.exprs import _variant_typed
+
     k = agg.kind
+    arg_variant = agg.arg is not None and _variant_typed(agg.arg, schema)
     if k == "count":
         c = F.count(F.lit(1))
     elif k == "countif":
@@ -50,31 +63,60 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
         # when any null exists
         assert agg.arg is not None
         e = compile_expr(agg.arg, schema)
-        c = F.count_distinct(e) + F.coalesce(
-            F.max(F.when(e.isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
-        )
+        if arg_variant:
+            # dynamic values distinct by canonical JSON: a present
+            # Value::Null serializes as "null" (a distinct non-NULL
+            # string, counted — exact reference semantics), while a
+            # MISSING value is SQL NULL and is skipped. No add-one
+            # conflation needed on this path.
+            c = F.count_distinct(F.to_json(e))
+        else:
+            c = F.count_distinct(e) + F.coalesce(
+                F.max(F.when(e.isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            )
     elif k == "dcount_approx":
         # 100 TB path: HLL sketch instead of exact two-phase distinct
         assert agg.arg is not None
-        c = F.approx_count_distinct(compile_expr(agg.arg, schema))
+        e = compile_expr(agg.arg, schema)
+        c = F.approx_count_distinct(F.to_json(e) if arg_variant else e)
     elif k == "sum":
         # the reference's accumulator starts at 0 and only adds present
         # values, so a group (or empty global agg) with no values emits
         # 0, never null (summarize.rs:513,654; tests.rs
         # summarize_without_by_empty_data). lit(0) coerces to the
-        # sum's own type.
+        # sum's own type. Dynamic args sum their numeric payloads
+        # (non-numeric rows contribute nothing — the reference instead
+        # aborts the query on them, which a vectorized plan can't do
+        # per-row).
         assert agg.arg is not None
-        c = F.coalesce(F.sum(compile_expr(agg.arg, schema)), F.lit(0))
+        e = compile_expr(agg.arg, schema)
+        if arg_variant:
+            from miso_spark import dynamic as dyn
+
+            e = dyn.as_number(e)
+        c = F.coalesce(F.sum(e), F.lit(0))
     elif k == "avg":
         # avg of no values is 0.0 in the reference (summarize.rs:655)
         assert agg.arg is not None
-        c = F.coalesce(F.avg(compile_expr(agg.arg, schema)), F.lit(0.0))
-    elif k == "min":
+        e = compile_expr(agg.arg, schema)
+        if arg_variant:
+            from miso_spark import dynamic as dyn
+
+            e = dyn.as_number(e)
+        c = F.coalesce(F.avg(e), F.lit(0.0))
+    elif k in ("min", "max"):
         assert agg.arg is not None
-        c = F.min(compile_expr(agg.arg, schema))
-    elif k == "max":
-        assert agg.arg is not None
-        c = F.max(compile_expr(agg.arg, schema))
+        e = compile_expr(agg.arg, schema)
+        if arg_variant:
+            # min/max under the dynamic total order: pick the row value
+            # whose sort key is smallest/largest (min_by/max_by skip
+            # rows with a NULL ordering key, i.e. missing values)
+            from miso_spark import dynamic as dyn
+
+            key = dyn.sort_key(e)
+            c = F.min_by(e, key) if k == "min" else F.max_by(e, key)
+        else:
+            c = F.min(e) if k == "min" else F.max(e)
     else:
         raise ValueError(f"unknown aggregation {k}")
     return c.alias(name)
@@ -318,35 +360,55 @@ class Compiler:
         if isinstance(step, P.Limit):
             return df.limit(step.n)
         if isinstance(step, P.SortStep):
-            return df.orderBy(*_sort_cols(step.sorts))
+            return df.orderBy(*_sort_cols(step.sorts, df.schema))
         if isinstance(step, P.Top):
             # sort+limit → Catalyst plans TakeOrderedAndProject (the
             # reference's topn.rs heap, distributed)
-            return df.orderBy(*_sort_cols(step.sorts)).limit(step.n)
+            return df.orderBy(*_sort_cols(step.sorts, df.schema)).limit(step.n)
         if isinstance(step, P.SummarizeStep):
+            from miso_spark.exprs import _variant_typed
+
             aggs = [_agg_col(name, agg, df.schema) for name, agg in step.aggs]
-            by_cols = [compile_expr(b.expr, df.schema) for b in step.by]
+            by_cols, variant_keys = [], []
+            for b in step.by:
+                c = compile_expr(b.expr, df.schema)
+                # the reference drops rows whose group key evaluates to
+                # null BEFORE grouping — per key (summarize.rs:151 `if
+                # value == Value::Null { return None; }`; tests.rs
+                # summarize_group_by_with_null_key/_missing_field)
+                if _variant_typed(b.expr, df.schema):
+                    # dynamic key: both a MISSING value (SQL NULL) and a
+                    # present Value::Null drop; grouping runs on the
+                    # canonical JSON (variant itself isn't a grouping
+                    # type), re-parsed to variant in the output
+                    df = df.filter(c.isNotNull() & ~F.is_variant_null(c))
+                    by_cols.append(F.to_json(c))
+                    variant_keys.append(b.name)
+                else:
+                    df = df.filter(c.isNotNull())
+                    by_cols.append(c)
             by = [c.alias(b.name) for c, b in zip(by_cols, step.by)]
-            # the reference drops rows whose group key evaluates to null
-            # BEFORE grouping — per key (summarize.rs:151 `if value ==
-            # Value::Null { return None; }`; tests.rs
-            # summarize_group_by_with_null_key/_missing_field/_all_nulls)
-            for c in by_cols:
-                df = df.filter(c.isNotNull())
             if not aggs:
                 # reference grammar admits zero aggregations
                 # (miso-kql/src/parser.rs:1033): `summarize by x, y` is
                 # distinct over the group keys
                 if not by:
                     raise ValueError("summarize requires aggregations or a by clause")
-                return df.select(*by).distinct()
-            if by:
-                return df.groupBy(*by).agg(*aggs)
-            return df.agg(*aggs)
+                out = df.select(*by).distinct()
+            elif by:
+                out = df.groupBy(*by).agg(*aggs)
+            else:
+                out = df.agg(*aggs)
+            for n in variant_keys:
+                out = out.withColumn(n, F.parse_json(F.col(f"`{n}`")))
+            return out
         if isinstance(step, P.Distinct):
             if step.fields:
-                return df.select(*[FieldPath.parse(f).to_column().alias(f) for f in step.fields]).distinct()
-            return df.distinct()
+                df = df.select(*[
+                    FieldPath.parse(f).to_column(df.schema).alias(f)
+                    for f in step.fields
+                ])
+            return self._distinct_variant_safe(df)
         if isinstance(step, P.Union):
             other = self._run(step.sub, env)
             return df.unionByName(other, allowMissingColumns=True)
@@ -362,6 +424,26 @@ class Compiler:
             return df
 
         raise TypeError(f"unknown step {type(step).__name__}")
+
+    @staticmethod
+    def _distinct_variant_safe(df: DataFrame) -> DataFrame:
+        """``distinct`` over a frame that may hold VARIANT columns
+        (dynamic ingest): variant isn't a set-operation type in Spark,
+        so such columns round-trip through canonical JSON for the
+        distinct and re-parse after — a present Value::Null ("null")
+        stays distinct from a MISSING value (SQL NULL), the
+        reference's dynamic identity."""
+        vcols = [
+            f.name for f in df.schema.fields if FieldPath._is_variant(f.dataType)
+        ]
+        if not vcols:
+            return df.distinct()
+        for n in vcols:
+            df = df.withColumn(n, F.to_json(F.col(f"`{n}`")))
+        df = df.distinct()
+        for n in vcols:
+            df = df.withColumn(n, F.parse_json(F.col(f"`{n}`")))
+        return df
 
     def _require_cap(self, connector: str, cap: str, what: str) -> None:
         src = self.registry.source(connector)

@@ -165,6 +165,75 @@ def test_dynamic_filter_end_to_end(spark):
     assert len(got) == 3  # 5, 5.0, true — not "5" (string above numbers)
 
 
+def _dyn_engine(spark, rows):
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("c", dyn.ingest_json_dynamic(spark, rows))
+    m.registry.register("dyn", mem)
+    return m
+
+
+def test_dynamic_sort_total_order(spark):
+    """sort by over a mixed-type column follows the reference total
+    order: Null < Bool < numbers < String < Array < Object; missing
+    values obey nulls first/last."""
+    m = _dyn_engine(spark, [
+        {"i": 0, "x": "b"}, {"i": 1, "x": 2}, {"i": 2, "x": True},
+        {"i": 3, "x": None}, {"i": 4}, {"i": 5, "x": [1]},
+        {"i": 6, "x": 1.5}, {"i": 7, "x": {"a": 1}},
+    ])
+    got = [r["i"] for r in m.query(
+        "dyn.c | sort by x asc nulls last | project i"
+    ).collect()]
+    got = [json.loads(str(v)) if not isinstance(v, int) else v for v in got]
+    # null(3) < true(2) < 1.5(6) < 2(1) < "b"(0) < [1](5) < {a:1}(7); missing(4) last
+    assert [int(str(x)) for x in got] == [3, 2, 6, 1, 0, 5, 7, 4]
+
+
+def test_dynamic_summarize_group_and_aggs(spark):
+    """summarize over dynamic columns: group keys distinct by value
+    (null keys dropped — both missing and present null), min/max by
+    total order, sum/avg over numeric payloads, dcount counting a
+    present null as its own value."""
+    m = _dyn_engine(spark, [
+        {"g": "a", "v": 1}, {"g": "a", "v": 2.5}, {"g": "a", "v": "s"},
+        {"g": 5, "v": None}, {"g": 5, "v": 7}, {"g": None, "v": 1}, {"v": 9},
+    ])
+    rows = {}
+    out = m.query(
+        "dyn.c | summarize n=count(), s=sum(v), mn=min(v), mx=max(v), d=dcount(v) by g"
+    )
+    for r in [json.loads(x) for x in out.toJSON().collect()]:
+        rows[json.dumps(r["g"])] = r
+    # null/missing group keys dropped → groups "a" and 5 only
+    assert set(rows) == {'"a"', "5"}
+    a, five = rows['"a"'], rows["5"]
+    assert a["n"] == 3 and a["s"] == 3.5 and a["d"] == 3
+    assert a["mn"] == 1 and a["mx"] == "s"  # number < string in the order
+    # present null is the smallest value and counts in dcount
+    assert five["n"] == 2 and five["s"] == 7 and five["d"] == 2
+    assert five["mn"] is None or "mn" not in five  # Value::Null wins min
+    assert five["mx"] == 7
+
+
+def test_dynamic_distinct(spark):
+    """distinct over dynamic columns: 5 and 5.0 canonicalize equal,
+    5 and "5" stay distinct, present null distinct from missing."""
+    m = _dyn_engine(spark, [
+        {"x": 5}, {"x": 5.0}, {"x": "5"}, {"x": None}, {}, {"x": 5},
+    ])
+    got = sorted(
+        json.dumps(json.loads(s), sort_keys=True)
+        for s in m.query("dyn.c | distinct x").toJSON().collect()
+    )
+    # 4 distinct values: 5 (5.0 canonicalizes to it), "5", the present
+    # null (serialized explicitly — it IS a value), and missing ({})
+    assert got == sorted(['{"x": 5}', '{"x": "5"}', '{"x": null}', "{}"])
+
+
 def test_dynamic_expand_mixed_arrays(spark):
     from miso_spark.api import MisoSpark
     from miso_spark.sources import MemorySource
