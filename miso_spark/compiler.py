@@ -55,7 +55,9 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
         c = F.count(F.lit(1))
     elif k == "countif":
         assert agg.arg is not None
-        c = F.count(F.when(compile_expr(agg.arg, schema), F.lit(1)))
+        from miso_spark.exprs import _compile_bool
+
+        c = F.count(F.when(_compile_bool(agg.arg, schema), F.lit(1)))
     elif k == "dcount":
         # null is a distinct value when present (summarize.rs:568 seen
         # includes Null; tests.rs dcount_with_nulls expects 3 for
@@ -348,7 +350,11 @@ class Compiler:
         assert df is not None, f"{type(step).__name__} requires an input"
 
         if isinstance(step, P.Filter):
-            return df.filter(compile_expr(step.expr, df.schema))
+            from miso_spark.exprs import _compile_bool
+
+            # boolean context: a bare dynamic field as the predicate
+            # converts through Value::to_bool (missing -> unknown)
+            return df.filter(_compile_bool(step.expr, df.schema))
         if isinstance(step, P.Project):
             return self._project(df, step.fields)
         if isinstance(step, P.Extend):
@@ -953,7 +959,28 @@ class Compiler:
             # nested / computed paths: conservatively nullable
             return df.schema[name].nullable if name in df.columns else True
 
+        def is_variant_key(df: DataFrame, name: str) -> bool:
+            return name in df.columns and FieldPath._is_variant(
+                df.schema[name].dataType
+            )
+
+        lkey_variant = is_variant_key(left, step.left_on)
+        rkey_variant = is_variant_key(right, right_on)
+
         def key_eq(lc: Column, rc: Column, can_null: bool) -> Column:
+            if lkey_variant or rkey_variant:
+                # dynamic (VARIANT) keys join on canonical JSON under
+                # PLAIN equality — the reference's hash table exactly:
+                # a MISSING key (SQL NULL json) matches nothing, while
+                # a present Value::Null ("null") matches its
+                # counterpart, and 5/5.0 canonicalize to the same key.
+                # A typed opposite side canonicalizes through the same
+                # variant machinery so numeric forms agree.
+                from miso_spark import dynamic as dyn
+
+                lj = F.to_json(lc if lkey_variant else dyn.wrap_variant(lc))
+                rj = F.to_json(rc if rkey_variant else dyn.wrap_variant(rc))
+                return lj == rj
             return lc.eqNullSafe(rc) if self.null_safe_joins and can_null else lc == rc
 
         if merged_key:

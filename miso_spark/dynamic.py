@@ -48,6 +48,37 @@ RANK_NULL, RANK_BOOL, RANK_NUM, RANK_STRING, RANK_ARRAY, RANK_OBJECT = (
 _NUM_TYPES = ("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
 
 
+import re as _re
+
+#: keys addressable through a variant JSON path without quoting; other
+#: keys would need a bracket syntax Spark's path grammar doesn't offer
+_KEY_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _dynamic_columns(
+    df: DataFrame, raw_col: str, keys: list[str] | None
+) -> DataFrame:
+    """Shared tail of the dynamic ingests: raw JSON text column → one
+    VARIANT column per top-level key."""
+    if keys is None:
+        keys = sorted(
+            r["k"]
+            for r in df.select(
+                F.explode(F.json_object_keys(raw_col)).alias("k")
+            ).distinct().collect()
+        )
+    bad = [k for k in keys if not _KEY_RE.match(k)]
+    if bad:
+        raise ValueError(
+            f"dynamic ingest: keys not addressable as JSON path "
+            f"identifiers: {bad!r}"
+        )
+    pj = F.parse_json(F.col(raw_col))
+    return df.select(
+        *[F.try_variant_get(pj, f"$.{k}", "variant").alias(k) for k in keys]
+    )
+
+
 def ingest_json_dynamic(
     spark: SparkSession, rows: list, keys: list[str] | None = None
 ) -> DataFrame:
@@ -63,17 +94,21 @@ def ingest_json_dynamic(
         return spark.createDataFrame([], StructType([]))
     lines = [r if isinstance(r, str) else json.dumps(r) for r in rows]
     df = spark.createDataFrame([(ln,) for ln in lines], ["__raw"])
-    if keys is None:
-        keys = sorted(
-            r["k"]
-            for r in df.select(
-                F.explode(F.json_object_keys("__raw")).alias("k")
-            ).distinct().collect()
-        )
-    pj = F.parse_json(F.col("__raw"))
-    return df.select(
-        *[F.try_variant_get(pj, f"$.{k}", "variant").alias(k) for k in keys]
-    )
+    return _dynamic_columns(df, "__raw", keys)
+
+
+def read_json_dynamic(
+    spark: SparkSession, path: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Distributed dynamic ingest from JSON-lines files: splittable
+    text scan → ``parse_json`` → one VARIANT column per top-level key.
+    The production counterpart of :func:`ingest_json_dynamic` — rows
+    never touch the driver. With ``keys=None`` discovery is one
+    distinct aggregation over ``json_object_keys`` (map-side partial,
+    result bounded by the number of DISTINCT keys); at 100 TB pass
+    ``keys`` explicitly and ingest is a pure scan-side projection with
+    no extra pass."""
+    return _dynamic_columns(spark.read.text(path), "value", keys)
 
 
 def variant_lit(value: object) -> Column:

@@ -311,12 +311,14 @@ def compile_expr(e: Expr, schema=None) -> Column:
             c = x.between(compile_expr(e.low, schema), compile_expr(e.high, schema))
         return ~c if e.negated else c
     if isinstance(e, Case):
+        # conditions compile in boolean context: a bare dynamic field
+        # as a predicate (iff(x, ...)) converts through Value::to_bool
         col: Optional[Column] = None
         for cond, val in e.branches:
             if col is None:
-                col = F.when(compile_expr(cond, schema), compile_expr(val, schema))
+                col = F.when(_compile_bool(cond, schema), compile_expr(val, schema))
             else:
-                col = col.when(compile_expr(cond, schema), compile_expr(val, schema))
+                col = col.when(_compile_bool(cond, schema), compile_expr(val, schema))
         assert col is not None, "case requires at least one branch"
         return col.otherwise(compile_expr(e.default, schema))
     if isinstance(e, Extract):

@@ -176,6 +176,45 @@ def _dyn_engine(spark, rows):
     return m
 
 
+def test_read_json_dynamic_from_files(spark, tmp_path):
+    """File-based dynamic ingest: distributed text scan, no driver
+    round-trip; explicit keys skip the discovery pass; unaddressable
+    keys are rejected loudly."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": "1"}\n{"b": null}\n')
+    df = dyn.read_json_dynamic(spark, str(p))
+    assert df.columns == ["a", "b"]
+    assert df.count() == 3
+    only_a = dyn.read_json_dynamic(spark, str(p), keys=["a"])
+    assert only_a.columns == ["a"]
+    # mixed 1 / "1" survive per-row
+    classes = sorted(
+        r["c"] for r in only_a.select(dyn.vclass(F.col("a")).alias("c")).collect()
+        if r["c"] is not None
+    )
+    assert classes == [dyn.RANK_NUM, dyn.RANK_STRING]
+    with pytest.raises(ValueError, match="not addressable"):
+        dyn.read_json_dynamic(spark, str(p), keys=["bad key"])
+
+
+def test_dynamic_iff_and_countif_boolean_context(spark):
+    """Bare dynamic fields in predicate positions (iff / countif)
+    convert through Value::to_bool."""
+    m = _dyn_engine(spark, [
+        {"i": 1, "x": 1}, {"i": 2, "x": 0}, {"i": 3, "x": "s"},
+        {"i": 4, "x": ""}, {"i": 5, "x": None},
+    ])
+    got = {
+        json.loads(s)["i"]: json.loads(s).get("r")
+        for s in m.query('dyn.c | project i, r = iff(x, "t", "f")').toJSON().collect()
+    }
+    assert got == {1: "t", 2: "f", 3: "t", 4: "f", 5: "f"}
+    n = [json.loads(s) for s in m.query(
+        "dyn.c | summarize n = countif(x)"
+    ).toJSON().collect()]
+    assert n[0]["n"] == 2  # 1 and "s" truthy
+
+
 def test_dynamic_sort_total_order(spark):
     """sort by over a mixed-type column follows the reference total
     order: Null < Bool < numbers < String < Array < Object; missing
@@ -232,6 +271,31 @@ def test_dynamic_distinct(spark):
     # 4 distinct values: 5 (5.0 canonicalizes to it), "5", the present
     # null (serialized explicitly — it IS a value), and missing ({})
     assert got == sorted(['{"x": 5}', '{"x": "5"}', '{"x": null}', "{}"])
+
+
+def test_dynamic_join_keys(spark):
+    """Joins on dynamic keys: 1 and 1.0 canonicalize to the same key,
+    "1" stays separate, present nulls match each other, rows MISSING
+    the key match nothing (the reference skips them when building its
+    hash table)."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("l", dyn.ingest_json_dynamic(spark, [
+        {"k": 1, "lv": "a"}, {"k": "1", "lv": "b"},
+        {"k": None, "lv": "c"}, {"lv": "d"},
+    ]))
+    mem.put("r", dyn.ingest_json_dynamic(spark, [
+        {"k": 1.0, "rv": "x"}, {"k": None, "rv": "y"}, {"k": "1", "rv": "z"},
+    ]))
+    m.registry.register("dyn", mem)
+    got = sorted(
+        (json.loads(s).get("lv"), json.loads(s).get("rv"))
+        for s in m.query("dyn.l | join (dyn.r) on k").toJSON().collect()
+    )
+    assert got == [("a", "x"), ("b", "z"), ("c", "y")]
 
 
 def test_dynamic_expand_mixed_arrays(spark):
