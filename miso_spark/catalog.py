@@ -114,15 +114,23 @@ q(
 )
 
 q(
-    "where_basic",
+    "where_basic",  # comparisons + in + between/!between in one row
+    # (absorbed the former where_in_between entry to keep the 50-slot
+    # driver window while adding chunk_documents in r8)
     kql="""
     t.lineitem
     | where l_quantity >= 45 and l_discount < 0.05
+        and l_returnflag in ('N', 'R')
+        and l_extendedprice between (1000.0 .. 80000.0)
+        and l_quantity !between (46.0 .. 47.0)
     | project l_orderkey, l_linenumber, l_quantity
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM lineitem WHERE l_quantity >= 45 AND l_discount < 0.05
+      AND l_returnflag IN ('N', 'R')
+      AND l_extendedprice BETWEEN 1000.0 AND 80000.0
+      AND l_quantity NOT BETWEEN 46.0 AND 47.0
     """,
 )
 
@@ -144,24 +152,6 @@ q(
        OR regexp_matches(p_type, '(?i)(^|[^A-Za-z0-9])steel([^A-Za-z0-9]|$)')
        OR (regexp_matches(p_type, '(^|[^A-Za-z0-9])ECONOMY([^A-Za-z0-9]|$)')
            AND NOT regexp_matches(p_type, '(^|[^A-Za-z0-9])promo([^A-Za-z0-9]|$)'))
-    """,
-)
-
-q(
-    # in + between + !between in one driver row (absorbed the former
-    # where_negations' !between; its has_cs/not() live in
-    # where_string_ops)
-    "where_in_between",
-    kql="""
-    t.orders
-    | where o_orderstatus in ('F', 'O') and o_totalprice between (1000 .. 200000)
-        and o_totalprice !between (50000 .. 100000)
-    | project o_orderkey, o_orderstatus, o_totalprice
-    """,
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-    WHERE o_orderstatus IN ('F', 'O') AND o_totalprice BETWEEN 1000 AND 200000
-      AND o_totalprice NOT BETWEEN 50000 AND 100000
     """,
 )
 
@@ -1064,6 +1054,44 @@ q(
     FROM documents d
     JOIN base ON base.doc_id = d.doc_id
     JOIN top  ON top.doc_id = d.doc_id
+    """,
+)
+
+
+def _b_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (functions/text.chunk_documents): the
+    long-document → training/RAG window splitter, oracle-checked
+    against DuckDB's range + list_slice formulation."""
+    from miso_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir), chunk_tokens=64, overlap=16
+    )
+
+
+q(
+    "chunk_documents",
+    builder=_b_chunk_documents,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws,
+             len(regexp_split_to_array(text, '\\s+')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, ws, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS chunk_start,
+             generate_subscripts(range(0, greatest(n - 1, 0) + 1, 48), 1) - 1
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(least(64, n - chunk_start) AS INT) AS chunk_n_tokens,
+           array_to_string(list_slice(ws, chunk_start + 1, chunk_start + 64), ' ')
+             AS chunk_text
+    FROM s WHERE chunk_start < n
     """,
 )
 

@@ -172,6 +172,62 @@ def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("redacted", redact(F.col(text_col)))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    word-token chunks of ``chunk_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks — the standard
+    long-document preparation for pretraining windows and RAG
+    retrieval units.
+
+    Returns one row per chunk: ``(id_col, chunk_id, chunk_start,
+    chunk_n_tokens, chunk_text)``. Chunk starts advance by
+    ``chunk_tokens - overlap``; the final chunk may be short. Tokens
+    are whitespace words, consistent with :func:`token_count` (whose
+    splitter yields one empty token for empty text, so an empty doc
+    gets one empty chunk); NULL text produces no chunks.
+
+    Scale shape: pure ``pyspark.sql.functions`` — split / sequence /
+    posexplode / slice run inside whole-stage codegen with zero
+    shuffles and no Python; output size is input tokens ×
+    (1 + overlap/step), linear.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    ws = F.split(F.col(text_col), r"\s+")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    out = (
+        df.select(
+            F.col(id_col),
+            ws.alias("__ws"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .filter(F.col("chunk_start") < F.col("__n"))
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("chunk_start")
+            ).alias("chunk_n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__ws"), F.col("chunk_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+    return out
+
+
 def corpus_bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -1003,6 +1003,90 @@ def test_prefix_sum_offsets_broadcast_join_above_threshold(spark, monkeypatch):
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(25))
 
 
+def test_chunk_documents_matches_sql_oracle(spark, docs):
+    """Sliding-window chunking must equal the straight SQL formulation
+    (DuckDB range + list_slice) on real documents: same chunk ids,
+    boundaries, and reassembled text."""
+    import duckdb
+
+    from miso_spark.functions.text import chunk_documents
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_n_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = sorted(con.execute("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws,
+                 len(regexp_split_to_array(text, '\\s+')) AS n
+          FROM documents WHERE text IS NOT NULL
+        ),
+        s AS (
+          SELECT doc_id, ws, n,
+                 unnest(range(0, greatest(n - 1, 0) + 1, 24)) AS start,
+                 generate_subscripts(range(0, greatest(n - 1, 0) + 1, 24), 1) - 1
+                   AS chunk_id
+          FROM t
+        )
+        SELECT doc_id, chunk_id, start,
+               least(32, n - start) AS chunk_n,
+               array_to_string(list_slice(ws, start + 1, start + 32), ' ')
+                 AS chunk_text
+        FROM s WHERE start < n
+    """).fetchall())
+    assert got == exp and len(got) > 500
+    # overlap property: consecutive chunks share exactly `overlap`
+    # tokens when both are full
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for d, cid, start, ntok, text in got:
+        by_doc[d].append((cid, start, ntok, text))
+    checked = 0
+    for d, chunks in by_doc.items():
+        chunks.sort()
+        for (c1, s1, n1, t1), (c2, s2, n2, t2) in zip(chunks, chunks[1:]):
+            assert s2 - s1 == 24
+            if n1 == 32:
+                assert t1.split(" ")[24:] == t2.split(" ")[: n1 - 24]
+                checked += 1
+    assert checked > 100
+
+
+def test_chunk_documents_edges(spark):
+    from miso_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, None), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, chunk_tokens=3, overlap=1).collect()
+    }
+    # doc 1: 5 tokens, step 2 → starts 0, 2, 4
+    assert got[(1, 0)]["chunk_text"] == "a b c"
+    assert got[(1, 1)]["chunk_text"] == "c d e"
+    assert got[(1, 2)]["chunk_text"] == "e" and got[(1, 2)]["chunk_n_tokens"] == 1
+    # empty text → one empty chunk (token_count convention); null → none
+    assert got[(2, 0)]["chunk_text"] == ""
+    assert not any(k[0] == 3 for k in got)
+    assert got[(4, 0)]["chunk_n_tokens"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=3, overlap=3)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+
+
 def test_count_words_in_quote_safe(spark):
     """Marker-word counting must not interpolate vocab into SQL text —
     a word containing a quote (e.g. the contraction "don't") is data,
