@@ -106,3 +106,42 @@ def stratified_hash_sample(
             F.col(stratum_col) == value, F.lit(int(rate * 0x100000000))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    order_col: str | None = None,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the crawl-curation
+    staple "at most N documents per domain" (or per source, per
+    author, ...), keeping the best-ranked ones when ``order_col`` is
+    given (descending by default: highest score survives) and breaking
+    ties on ``id_col`` so the selection is deterministic across runs,
+    partitionings and cluster sizes.
+
+    Scale shape: one hash shuffle on ``group_col`` + a per-group
+    row_number window — groups run in parallel, and Spark's window
+    TopK pushdown (rank-limit) keeps per-group state at ``max_rows``
+    rows. A skewed mega-group is bounded by its own size only; for
+    adversarial skew, pre-filter with an approximate per-group count.
+    """
+    if max_rows <= 0:
+        raise ValueError("max_rows must be positive")
+    from pyspark.sql import Window
+
+    orders = []
+    if order_col is not None:
+        orders.append(
+            F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        )
+    orders.append(F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(*orders)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

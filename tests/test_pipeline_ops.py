@@ -1003,6 +1003,64 @@ def test_prefix_sum_offsets_broadcast_join_above_threshold(spark, monkeypatch):
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(25))
 
 
+def test_cap_per_group_matches_sql_oracle(spark, docs):
+    """Per-domain caps: top-N rows per group by score, deterministic
+    tiebreak — equals the DuckDB row_number formulation, stable under
+    repartitioning."""
+    import duckdb
+
+    from miso_spark.functions.split import cap_per_group
+    from tests.conftest import SF_DIR
+
+    # derive a synthetic "domain" and score from doc content
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("domain"),
+        F.length("text").alias("score"),
+    )
+    got = sorted(
+        (r["domain"], r["doc_id"])
+        for r in cap_per_group(
+            base, "domain", 5, order_col="score"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = sorted(con.execute("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 7 AS domain, length(text) AS score,
+                 row_number() OVER (
+                   PARTITION BY doc_id % 7
+                   ORDER BY length(text) DESC, doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT domain, doc_id FROM t WHERE rn <= 5
+    """).fetchall())
+    assert got == exp and len(got) == 35
+    # repartitioning must not change the selection
+    again = sorted(
+        (r["domain"], r["doc_id"])
+        for r in cap_per_group(
+            base.repartition(13), "domain", 5, order_col="score"
+        ).collect()
+    )
+    assert again == got
+    # plan: rank-limit pushdown keeps per-group state at max_rows
+    plan = (
+        cap_per_group(base, "domain", 5, order_col="score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_group(base, "domain", 0)
+
+
 def test_chunk_documents_matches_sql_oracle(spark, docs):
     """Sliding-window chunking must equal the straight SQL formulation
     (DuckDB range + list_slice) on real documents: same chunk ids,
