@@ -231,3 +231,39 @@ def test_total_order_lt_still_reaches_pushed_filters(spark):
     gte = Compiler(reg).run(parse_kql("t.lineitem | where l_quantity >= 10 | count"))
     plan = gte._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_quantity,10.0)" in plan, plan
+
+
+def test_chunk_documents_zero_shuffle_codegen(spark):
+    """chunk_documents is scan → generate → project: no exchange, and
+    the projection stays inside whole-stage codegen (the Generate for
+    posexplode is codegen-incompatible by design, but nothing shuffles
+    and no Python appears)."""
+    from miso_spark.functions.text import chunk_documents
+    from miso_spark.sources import ParquetDirSource
+
+    docs = ParquetDirSource(SF_DIR).table(spark, "documents")
+    plan = (
+        chunk_documents(docs, chunk_tokens=64, overlap=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "*(" in plan, plan  # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # column pruning: only doc_id + text read from parquet
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_dynamic_filter_comparison_stays_jvm(spark):
+    """Dynamic (VARIANT) comparisons compile to pure JVM variant
+    expressions — no Python evaluation nodes in the plan."""
+    from miso_spark import dynamic as dyn
+
+    df = dyn.ingest_json_dynamic(
+        spark, [{"x": 5}, {"x": "5"}, {"x": True}], keys=["x"]
+    )
+    from pyspark.sql import functions as F
+
+    out = df.filter(dyn.vcompare("gt", dyn.sort_key(F.col("x")),
+                                 dyn.literal_sort_key(2)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
