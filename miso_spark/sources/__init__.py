@@ -205,6 +205,34 @@ class JsonDirSource(Source):
         df.write.mode(mode).json(os.path.join(self.directory, f"{collection}.jsonl"))
 
 
+class JsonDynamicDirSource(Source):
+    """Directory of ``<collection>.jsonl`` files ingested as per-row
+    DYNAMIC (VARIANT) columns — the connector form of
+    miso_spark.dynamic.read_json_dynamic, for data where one key may
+    hold different types across rows and absent-vs-null matters (the
+    reference's native data model). Schema-consistent JSON should use
+    JsonDirSource instead (typed columns, full pushdown).
+
+    ``keys`` (per-collection dict or flat list) skips the per-query
+    key-discovery aggregation — at scale always pass it."""
+
+    capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})
+
+    def __init__(self, directory: str, keys=None):
+        self.directory = directory
+        self.keys = keys
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        from miso_spark.dynamic import read_json_dynamic
+
+        keys = self.keys
+        if isinstance(keys, dict):
+            keys = keys.get(collection)
+        return read_json_dynamic(
+            spark, os.path.join(self.directory, f"{collection}.jsonl"), keys
+        )
+
+
 class CsvDirSource(Source):
     # read-only: no write() → no CAP_WRITE; tee/write negotiation fails
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})

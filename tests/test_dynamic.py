@@ -273,6 +273,38 @@ def test_dynamic_distinct(spark):
     assert got == sorted(['{"x": 5}', '{"x": "5"}', '{"x": null}', "{}"])
 
 
+def test_json_dynamic_dir_connector_via_http(spark, tmp_path):
+    """The json_dynamic_dir connector registers over the HTTP API and
+    serves mixed-type collections with dynamic semantics end-to-end."""
+    import urllib.request
+
+    from miso_spark.server import MisoServer
+
+    (tmp_path / "logs.jsonl").write_text(
+        '{"x": 5, "tag": "n"}\n{"x": "5", "tag": "s"}\n{"x": true}\n'
+    )
+    srv = MisoServer(spark, port=0)
+    srv.start_background()
+    u = f"http://127.0.0.1:{srv.port}"
+    body = json.dumps({"type": "json_dynamic_dir", "path": str(tmp_path)}).encode()
+    req = urllib.request.Request(
+        u + "/connectors/crawl", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    assert urllib.request.urlopen(req).status == 200
+    q = json.dumps({"query": 'crawl.logs | where x == "5" | project tag'}).encode()
+    req = urllib.request.Request(
+        u + "/query", data=q, headers={"Content-Type": "application/json"}
+    )
+    frames = urllib.request.urlopen(req).read().decode()
+    rows = [
+        json.loads(ln[len("data: "):])
+        for ln in frames.splitlines()
+        if ln.startswith("data: ") and ln != "data: {}"
+    ]
+    assert rows == [{"tag": "s"}]
+
+
 def test_dynamic_join_keys(spark):
     """Joins on dynamic keys: 1 and 1.0 canonicalize to the same key,
     "1" stays separate, present nulls match each other, rows MISSING
