@@ -31,13 +31,14 @@ def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
         c = fp.to_column(schema)
         if schema is not None and FieldPath._is_variant(fp.resolve_type(schema)):
             # per-row dynamic values sort under the reference's
-            # cross-type total order (value/mod.rs:147) — the orderable
-            # sort-key struct ranks Null < Bool < numbers < String <
-            # Array < Object. MISSING values (SQL NULL keys) follow the
-            # nulls first/last directive, like the typed path.
+            # cross-type total order (value/mod.rs:147 — Bool < numbers
+            # < String < Array < Object), EXCEPT that a present
+            # Value::Null follows the nulls first/last directive along
+            # with missing values, exactly like the reference's sort
+            # operator (sort.rs arrow nulls; tests.rs sort_nulls_order)
             from miso_spark import dynamic as dyn
 
-            c = dyn.sort_key(c)
+            c = dyn.order_by_key(c)
         if s.order == "asc":
             c = c.asc_nulls_first() if s.nulls == "first" else c.asc_nulls_last()
         else:
@@ -566,16 +567,15 @@ class Compiler:
                     # number), like the reference's dynamic values. A
                     # map's values share one type, so the map branch
                     # above keeps plain strings (friendlier collect()).
-                    def vwrap(c: Column) -> Column:
-                        return F.try_variant_get(
-                            F.parse_json(F.to_json(F.struct(c.alias("v")))),
-                            "$.v", "variant",
-                        )
+                    from miso_spark.dynamic import wrap_variant
 
                     pairs = F.array_compact(F.array(*[
                         F.when(
                             col.getField(n).isNotNull(),
-                            F.array(vwrap(F.lit(n)), vwrap(col.getField(n))),
+                            F.array(
+                                wrap_variant(F.lit(n)),
+                                wrap_variant(col.getField(n)),
+                            ),
                         )
                         for n in names
                     ]))

@@ -60,6 +60,12 @@ def _dynamic_columns(
 ) -> DataFrame:
     """Shared tail of the dynamic ingests: raw JSON text column → one
     VARIANT column per top-level key."""
+    # try_parse_json + filter: one blank or malformed line (common in
+    # hand-edited / concatenated .jsonl) must not abort every query —
+    # such lines drop, like the typed spark.read.json path tolerates
+    # them. Discovery below also sees only parseable object lines.
+    pj = F.try_parse_json(F.col(raw_col))
+    df = df.filter(pj.isNotNull())
     if keys is None:
         keys = sorted(
             r["k"]
@@ -73,7 +79,6 @@ def _dynamic_columns(
             f"dynamic ingest: keys not addressable as JSON path "
             f"identifiers: {bad!r}"
         )
-    pj = F.parse_json(F.col(raw_col))
     return df.select(
         *[F.try_variant_get(pj, f"$.{k}", "variant").alias(k) for k in keys]
     )
@@ -229,6 +234,18 @@ def sort_key(v: Column) -> Column:
     )
 
 
+def order_by_key(v: Column) -> Column:
+    """Key for the SORT/TOP operators — distinct from comparison
+    semantics: the reference's sort and topn place a present
+    ``Value::Null`` according to the nulls first/last directive
+    TOGETHER with missing values (sort.rs builds arrow nulls for
+    Value::Null; topn.rs cmp_logs applies NullsOrder to it; tests.rs
+    sort_nulls_order), whereas comparisons/min/max treat Null as the
+    smallest present value. So both missing and variant-null key to
+    SQL NULL here and Spark's asc/desc_nulls_first/last places them."""
+    return F.when(~F.is_variant_null(v), sort_key(v))
+
+
 def literal_sort_key(value: object) -> Column:
     """``sort_key`` of a Python literal, folded at compile time — a
     comparison against a literal costs one constant struct. A ``None``
@@ -262,6 +279,44 @@ def bool_sort_key(b: Column) -> Column:
             F.lit("").alias("s"), F.lit("").alias("j"),
         ),
     )
+
+
+def varithmetic(op: str, l: Column, r: Column) -> Column:
+    """Value arithmetic with the reference's per-row typing
+    (interpreter/mod.rs:234-306 impl_op + the String arm of add):
+
+    - ``string + string`` concatenates (``Value::String``);
+    - integer ⊕ integer keeps integers for ``+ - *`` (``Int``/``UInt``
+      arms — JSON longs are BIGINT variants);
+    - any float operand — or division — computes as double
+      (``5.0`` parses as a decimal variant, i.e. the reference's
+      ``Float``);
+    - a missing operand propagates as missing;
+    - combinations the reference ABORTS the query on (bool + int,
+      string * string, ...) evaluate as missing instead — a vectorized
+      plan can't abort per-row.
+
+    The result is a VARIANT column, since the output type is decided
+    per row."""
+    if op not in ("add", "sub", "mul", "div"):
+        raise ValueError(f"unknown arithmetic op {op}")
+    ls, rs = F.schema_of_variant(l), F.schema_of_variant(r)
+    ln, rn = as_number(l), as_number(r)
+    num = {
+        "add": ln + rn, "sub": ln - rn, "mul": ln * rn, "div": ln / rn,
+    }[op]
+    out = F.when(
+        F.lit(op == "add") & (ls == "STRING") & (rs == "STRING"),
+        wrap_variant(F.concat(as_string(l), as_string(r))),
+    )
+    if op != "div":
+        li = F.try_variant_get(l, "$", "bigint")
+        ri = F.try_variant_get(r, "$", "bigint")
+        iop = {"add": li + ri, "sub": li - ri, "mul": li * ri}[op]
+        out = out.when(
+            (ls == "BIGINT") & (rs == "BIGINT"), wrap_variant(iop)
+        )
+    return out.otherwise(wrap_variant(num))
 
 
 #: comparison op name → predicate over two sort keys

@@ -236,6 +236,42 @@ def _compile_bool(e: Expr, schema) -> Column:
     return c
 
 
+def _may_be_missing(e: Expr, schema) -> bool:
+    """True when ``e``'s evaluation can be a MISSING value (not merely
+    false/null-payload): it references a provably-absent field or a
+    per-row dynamic (variant) field anywhere in its tree. Drives the
+    reference's eval_to_bool! poisoning (expr_eval.rs:13-19) — an
+    and/or/case whose operand is missing becomes unknown — without
+    touching plans for fully-typed expressions (where operands compile
+    to proper booleans and the wrapper would only break conjunct
+    pushdown)."""
+    if isinstance(e, Field):
+        return _provably_missing(e, schema) or _variant_typed(e, schema)
+    if isinstance(e, BinOp):
+        return _may_be_missing(e.left, schema) or _may_be_missing(e.right, schema)
+    if isinstance(e, (Not, Exists)):
+        # exists() of anything is a definite boolean; not(missing)
+        # propagates
+        return not isinstance(e, Exists) and _may_be_missing(e.expr, schema)
+    if isinstance(e, In):
+        return _may_be_missing(e.expr, schema)
+    if isinstance(e, Between):
+        return any(
+            _may_be_missing(x, schema) for x in (e.expr, e.low, e.high)
+        )
+    if isinstance(e, Case):
+        return any(
+            _may_be_missing(x, schema)
+            for c, v in e.branches
+            for x in (c, v)
+        ) or _may_be_missing(e.default, schema)
+    if isinstance(e, Extract):
+        return _may_be_missing(e.source, schema)
+    if isinstance(e, (Bin, Cast)):
+        return _may_be_missing(e.expr, schema)
+    return False  # Lit / Duration / Now
+
+
 def compile_expr(e: Expr, schema=None) -> Column:
     """Compile an Expr AST node into a PySpark Column.
 
@@ -267,14 +303,21 @@ def compile_expr(e: Expr, schema=None) -> Column:
         ):
             # dynamic `in` is a chain of total-order equalities
             # (interpreter/mod.rs is_in): a Null literal item equals a
-            # PRESENT null; a missing base makes the whole test unknown
+            # PRESENT null; a missing base makes the whole test
+            # unknown, but a missing ITEM is merely skipped (only
+            # Some(true) matches count) — so each term coalesces its
+            # unknown to false and only the base's missing survives
             from functools import reduce
 
             bk = _variant_key(e.expr, schema)
-            return reduce(
+            hit = reduce(
                 lambda a, b: a | b,
-                [bk == _variant_key(i, schema) for i in e.items],
+                [
+                    F.coalesce(bk == _variant_key(i, schema), F.lit(False))
+                    for i in e.items
+                ],
             )
+            return F.when(bk.isNotNull(), hit)
         # a null literal in the list matches null values (tests.rs
         # in_operator_with_null_in_list: In is a chain of the
         # reference's null-aware equality)
@@ -285,7 +328,11 @@ def compile_expr(e: Expr, schema=None) -> Column:
             c = c | base.isNull()
         return c
     if isinstance(e, Between):
-        if _variant_typed(e.expr, schema):
+        if (
+            _variant_typed(e.expr, schema)
+            or _variant_typed(e.low, schema)
+            or _variant_typed(e.high, schema)
+        ):
             # dynamic between = total-order gte/lte chain; a Null
             # endpoint needs no special case — every present value is
             # >= Value::Null under the order, which IS "unbounded"
@@ -312,13 +359,19 @@ def compile_expr(e: Expr, schema=None) -> Column:
         return ~c if e.negated else c
     if isinstance(e, Case):
         # conditions compile in boolean context: a bare dynamic field
-        # as a predicate (iff(x, ...)) converts through Value::to_bool
+        # as a predicate (iff(x, ...)) converts through Value::to_bool.
+        # A condition that can be MISSING gets an explicit unknown arm
+        # right after its true-arm: the reference's eval_to_bool! makes
+        # a missing predicate poison the whole case once evaluation
+        # reaches it (earlier true branches still short-circuit) —
+        # Spark's when() would silently treat it as false instead.
         col: Optional[Column] = None
         for cond, val in e.branches:
-            if col is None:
-                col = F.when(_compile_bool(cond, schema), compile_expr(val, schema))
-            else:
-                col = col.when(_compile_bool(cond, schema), compile_expr(val, schema))
+            c = _compile_bool(cond, schema)
+            v = compile_expr(val, schema)
+            col = F.when(c, v) if col is None else col.when(c, v)
+            if _may_be_missing(cond, schema):
+                col = col.when(c.isNull(), F.lit(None))
         assert col is not None, "case requires at least one branch"
         return col.otherwise(compile_expr(e.default, schema))
     if isinstance(e, Extract):
@@ -381,12 +434,10 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
             raise ValueError(f"{op} requires a string literal phrase")
         return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
 
+    if op in _BOOL_OPS:
+        return _compile_and_or(e, schema)
     # timestamp +/- duration stays exact via intervals
     l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
-    if op == "and":
-        return l & r
-    if op == "or":
-        return l | r
     if op == "eq":
         # `x == null` is a null test in the reference (tests.rs
         # filter_eq_null: matches rows whose value IS the present Null)
@@ -492,6 +543,38 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
     raise AssertionError(op)
 
 
+def _compile_and_or(e: BinOp, schema) -> Column:
+    """``and``/``or`` with the reference's evaluation order
+    (expr_eval.rs:63-69 + the eval_to_bool! macro): the left operand
+    evaluates first — missing poisons the whole expression as unknown;
+    a deciding left value (true for or, false for and) SHORT-CIRCUITS
+    without the right being able to poison; otherwise the right's
+    missing poisons, else the right decides. This differs from SQL's
+    Kleene logic, where NULL|true=true and NULL&false=false.
+
+    Fully-typed operand trees can't be missing (comparisons compile to
+    proper booleans), so they keep the plain &/| — same semantics,
+    and conjunct pushdown stays intact."""
+    l = _compile_bool(e.left, schema)
+    r = _compile_bool(e.right, schema)
+    if not (_may_be_missing(e.left, schema) or _may_be_missing(e.right, schema)):
+        return (l & r) if e.op == "and" else (l | r)
+    unknown = F.lit(None).cast("boolean")
+    if e.op == "or":
+        return (
+            F.when(l.isNull(), unknown)
+            .when(l, F.lit(True))
+            .when(r.isNull(), unknown)
+            .otherwise(r)
+        )
+    return (
+        F.when(l.isNull(), unknown)
+        .when(~l, F.lit(False))
+        .when(r.isNull(), unknown)
+        .otherwise(r)
+    )
+
+
 def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
     """Binary op with at least one per-row dynamic (VARIANT) operand —
     the reference's interpreter semantics (interpreter/mod.rs):
@@ -514,8 +597,7 @@ def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
             op, _variant_key(e.left, schema), _variant_key(e.right, schema)
         )
     if op in _BOOL_OPS:
-        l, r = _compile_bool(e.left, schema), _compile_bool(e.right, schema)
-        return (l & r) if op == "and" else (l | r)
+        return _compile_and_or(e, schema)
 
     def str_side(x: Expr, is_var: bool) -> Column:
         return dyn.as_string(compile_expr(x, schema)) if is_var else compile_expr(
@@ -534,23 +616,18 @@ def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
             raise ValueError(f"{op} requires a string literal phrase")
         return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
 
-    # arithmetic: numeric payloads; string+string concatenates
-    def num_side(x: Expr, is_var: bool) -> Column:
-        return dyn.as_number(compile_expr(x, schema)) if is_var else compile_expr(
-            x, schema
-        )
+    # arithmetic: per-row typed (dynamic.varithmetic) — string+string
+    # concatenates, int⊕int stays integer, floats/division go double,
+    # missing/unsupported propagate as missing. Both sides lift to
+    # variant (literals fold; typed columns wrap).
+    def var_side(x: Expr, is_var: bool) -> Column:
+        if is_var:
+            return compile_expr(x, schema)
+        if isinstance(x, Lit):
+            return dyn.variant_lit(x.value)
+        return dyn.wrap_variant(compile_expr(x, schema))
 
-    l, r = num_side(e.left, lv), num_side(e.right, rv)
-    if op == "add":
-        if _is_string_typed(e.left, schema) or _is_string_typed(e.right, schema):
-            # dynamic + a known-string side: concat, string payloads
-            return F.concat(str_side(e.left, lv), str_side(e.right, rv))
-        return l + r
-    if op == "sub":
-        return l - r
-    if op == "mul":
-        return l * r
-    return l / r
+    return dyn.varithmetic(op, var_side(e.left, lv), var_side(e.right, rv))
 
 
 def _compile_bin(e: Bin, schema=None) -> Column:

@@ -166,11 +166,17 @@ class QueryStatusWriter:
         self.connector = connector
         self.collection = collection
         self._rows: dict[str, dict] = {}
-        #: concurrent request threads upsert + snapshot + rewrite; the
-        #: lock serializes the whole write (status tables are one row
-        #: per query — serializing their rewrite is cheap and keeps the
-        #: collection's last-writer-wins state coherent)
+        #: _lock guards the rows dict + sequence counter (held only for
+        #: the in-memory upsert and snapshot — never across the Spark
+        #: write); _write_lock serializes the connector rewrites, and
+        #: the sequence check under it drops a snapshot that lost the
+        #: race to a newer one — otherwise an older snapshot landing
+        #: last would persist a stale status (e.g. 'running' after
+        #: 'success') until some future query rewrites the table
         self._lock = threading.Lock()
+        self._write_lock = threading.Lock()
+        self._seq = 0
+        self._written_seq = 0
 
     _SCHEMA = (
         "id string, status string, error string, start_time timestamp, "
@@ -201,19 +207,25 @@ class QueryStatusWriter:
                 "update_time": now,
                 "query": query,
             }
-            # snapshot under the lock, write OUTSIDE it: holding the
-            # lock across the Spark createDataFrame + connector write
-            # serialized every concurrent request thread on a slow
-            # status connector (ADVICE r7). Last-writer-wins is the
-            # stated model, so an interleaved newer snapshot landing
-            # first is benign — the newest upsert re-writes it all.
+            # snapshot + sequence under the lock, write OUTSIDE it:
+            # holding the rows lock across the Spark createDataFrame +
+            # connector write serialized every request thread on a slow
+            # status connector (ADVICE r7)
+            self._seq += 1
+            seq = self._seq
             rows = [tuple(r[k] for k in (
                 "id", "status", "error", "start_time", "end_time",
                 "run_time", "run_time_secs", "update_time", "query",
             )) for r in self._rows.values()]
-        spark = self.registry.spark
-        df = spark.createDataFrame(rows, self._SCHEMA)
-        self.registry.source(self.connector).write(df, self.collection)
+        with self._write_lock:
+            if seq <= self._written_seq:
+                # a newer snapshot already landed; writing this one
+                # would roll the persisted table BACK (review r8)
+                return
+            self._written_seq = seq
+            spark = self.registry.spark
+            df = spark.createDataFrame(rows, self._SCHEMA)
+            self.registry.source(self.connector).write(df, self.collection)
 
 
 class MisoServer:

@@ -217,19 +217,28 @@ def test_dynamic_iff_and_countif_boolean_context(spark):
 
 def test_dynamic_sort_total_order(spark):
     """sort by over a mixed-type column follows the reference total
-    order: Null < Bool < numbers < String < Array < Object; missing
-    values obey nulls first/last."""
+    order (Bool < numbers < String < Array < Object) for PRESENT
+    non-null values, while BOTH a present JSON null and a missing key
+    follow the nulls first/last directive — the reference's sort
+    operator places Value::Null as an arrow null (tests.rs
+    sort_nulls_order), unlike comparisons where it is the smallest
+    value."""
     m = _dyn_engine(spark, [
         {"i": 0, "x": "b"}, {"i": 1, "x": 2}, {"i": 2, "x": True},
         {"i": 3, "x": None}, {"i": 4}, {"i": 5, "x": [1]},
         {"i": 6, "x": 1.5}, {"i": 7, "x": {"a": 1}},
     ])
-    got = [r["i"] for r in m.query(
+    got = [int(str(r["i"])) for r in m.query(
         "dyn.c | sort by x asc nulls last | project i"
     ).collect()]
-    got = [json.loads(str(v)) if not isinstance(v, int) else v for v in got]
-    # null(3) < true(2) < 1.5(6) < 2(1) < "b"(0) < [1](5) < {a:1}(7); missing(4) last
-    assert [int(str(x)) for x in got] == [3, 2, 6, 1, 0, 5, 7, 4]
+    # true(2) < 1.5(6) < 2(1) < "b"(0) < [1](5) < {a:1}(7); null(3) and
+    # missing(4) both land at the end (their mutual order is untied)
+    assert got[:6] == [2, 6, 1, 0, 5, 7]
+    assert set(got[6:]) == {3, 4}
+    first = [int(str(r["i"])) for r in m.query(
+        "dyn.c | sort by x asc nulls first | project i"
+    ).collect()]
+    assert set(first[:2]) == {3, 4} and first[2:] == [2, 6, 1, 0, 5, 7]
 
 
 def test_dynamic_summarize_group_and_aggs(spark):
@@ -303,6 +312,88 @@ def test_json_dynamic_dir_connector_via_http(spark, tmp_path):
         if ln.startswith("data: ") and ln != "data: {}"
     ]
     assert rows == [{"tag": "s"}]
+
+
+def test_dynamic_and_or_missing_poisons_like_reference(spark):
+    """The reference's eval_to_bool! short-circuit: the LEFT operand
+    evaluates first — missing poisons unless an earlier deciding value
+    short-circuited. or(missing, true) → unknown (row dropped) but
+    or(true, missing) → true; and(false, missing) → false but
+    and(missing, false) → unknown. Spark's Kleene NULL|true=true /
+    NULL&false=false would keep/keep both."""
+    m = _dyn_engine(spark, [{"i": 1, "a": True}, {"i": 2}])
+    def ids(q):
+        return sorted(int(str(r["i"])) for r in m.query(q).collect())
+    # row 2 has a missing: left-missing poisons even with a true right
+    assert ids("dyn.c | where a or 1 == 1 | project i") == [1]
+    # true left short-circuits before the missing right can poison
+    assert ids("dyn.c | where 1 == 1 or a | project i") == [1, 2]
+    assert ids("dyn.c | where 1 == 2 and a | project i") == []
+    # not(missing) stays missing
+    assert ids("dyn.c | where not(a and 1 == 2) | project i") == [1]
+
+
+def test_dynamic_iff_missing_condition_poisons(spark):
+    m = _dyn_engine(spark, [{"i": 1, "a": 1}, {"i": 2}])
+    got = {
+        int(str(json.loads(s)["i"])): json.loads(s).get("r")
+        for s in m.query('dyn.c | project i, r = iff(a, "t", "f")').toJSON().collect()
+    }
+    # row 2: condition missing → whole case missing → key omitted
+    assert got == {1: "t", 2: None}
+
+
+def test_dynamic_in_missing_item_is_skipped(spark):
+    """is_in skips items whose comparison is unknown — only the BASE
+    being missing poisons the test (interpreter/mod.rs:196)."""
+    m = _dyn_engine(spark, [
+        {"i": 0, "x": 5}, {"i": 1, "x": 7, "y": 5}, {"i": 2, "x": 5},
+    ])
+    got = sorted(int(str(r["i"])) for r in m.query(
+        "dyn.c | where not(x in (99, y)) | project i"
+    ).collect())
+    # rows 0/2: y missing is SKIPPED, x∉{99} → false → not → true
+    assert got == [0, 1, 2]
+
+
+def test_between_with_variant_endpoints(spark):
+    m = _dyn_engine(spark, [{"i": 1, "x": 4}, {"i": 2, "x": 8}, {"i": 3}])
+    got = sorted(int(str(r["i"])) for r in m.query(
+        "dyn.c | where 6 between (x .. 10) | project i"
+    ).collect())
+    assert got == [1]  # 6 >= 4 and 6 <= 10; x=8 fails; missing x poisons
+
+
+def test_dynamic_arithmetic_per_row_types(spark):
+    m = _dyn_engine(spark, [
+        {"i": 1, "a": "foo", "b": "bar"},
+        {"i": 2, "a": 1, "b": 2},
+        {"i": 3, "a": 1, "b": 2.5},
+        {"i": 4, "a": True, "b": 2},
+        {"i": 5, "b": 2},
+    ])
+    got = {
+        int(str(json.loads(s)["i"])): json.loads(s).get("c")
+        for s in m.query("dyn.c | project i, c = a + b").toJSON().collect()
+    }
+    # string+string concatenates; int+int stays integer; int+float is
+    # float; bool+int and missing evaluate as missing (reference bails)
+    assert got == {1: "foobar", 2: 3, 3: 3.5, 4: None, 5: None}
+    div = {
+        int(str(json.loads(s)["i"])): json.loads(s).get("c")
+        for s in m.query("dyn.c | project i, c = a / b").toJSON().collect()
+    }
+    assert div[2] == 0.5  # integer division is float (impl_op "/" arm)
+
+
+def test_read_json_dynamic_tolerates_malformed_lines(spark, tmp_path):
+    p = tmp_path / "messy.jsonl"
+    p.write_text('{"a": 1}\n\nnot json at all\n{"a": 2}\n')
+    df = dyn.read_json_dynamic(spark, str(p))
+    assert sorted(
+        int(str(r["a"])) for r in df.collect() if r["a"] is not None
+    ) == [1, 2]
+    assert df.count() == 2  # blank + malformed lines dropped
 
 
 def test_dynamic_join_keys(spark):

@@ -241,6 +241,9 @@ def test_chunk_documents_zero_shuffle_codegen(spark):
     from miso_spark.functions.text import chunk_documents
     from miso_spark.sources import ParquetDirSource
 
+    # another module's cached `documents` DataFrame would substitute an
+    # InMemoryTableScan for the FileScan this test asserts on
+    spark.catalog.clearCache()
     docs = ParquetDirSource(SF_DIR).table(spark, "documents")
     plan = (
         chunk_documents(docs, chunk_tokens=64, overlap=16)
