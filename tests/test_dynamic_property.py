@@ -184,6 +184,92 @@ def test_vbool_matches_reference_model(spark, collected_pairs):
         assert out[i] == expect, f"to_bool({a!r}): spark={out[i]} model={expect}"
 
 
+def model_add(a, b):
+    """Val::add (interpreter/mod.rs:234 + impl_op): string+string
+    concat, int+int stays int, numeric mixes go float; missing or
+    unsupported → missing (the engine's stand-in for the reference's
+    per-row abort)."""
+    if a is MISSING or b is MISSING:
+        return None
+    if isinstance(a, str) and isinstance(b, str):
+        return a + b
+    for v in (a, b):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+    if isinstance(a, int) and isinstance(b, int):
+        return a + b
+    return float(a) + float(b)
+
+
+def test_varithmetic_add_matches_reference_model(spark, collected_pairs):
+    df = _rows_df(spark, collected_pairs)
+    out = {
+        int(str(r["i"])): (None if r["c"] is None else json.loads(r["c"]))
+        for r in df.select(
+            F.try_variant_get("i", "$", "int").alias("i"),
+            F.to_json(
+                dyn.varithmetic("add", F.col("a"), F.col("b"))
+            ).alias("c"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(collected_pairs):
+        expect = model_add(a, b)
+        got = out[i]
+        if isinstance(expect, float) and isinstance(got, (int, float)):
+            assert got == pytest.approx(expect, rel=1e-6, abs=1e-6), (a, b)
+        else:
+            assert _canon(got) == _canon(expect), f"add({a!r}, {b!r}): {got} vs {expect}"
+
+
+def model_or(a, b):
+    """expr_eval.rs:63-64 — Rust || over eval_to_bool! results:
+    left missing → missing; left true short-circuits; else right
+    missing → missing; else right."""
+    la = model_bool(a)
+    if la is None:
+        return None
+    if la:
+        return True
+    return model_bool(b)
+
+
+def model_and(a, b):
+    la = model_bool(a)
+    if la is None:
+        return None
+    if not la:
+        return False
+    return model_bool(b)
+
+
+def test_and_or_short_circuit_matches_reference_model(spark, collected_pairs):
+    """The compiled and/or over two possibly-missing dynamic operands
+    must follow the reference's short-circuit + poisoning, not SQL
+    Kleene logic."""
+    df = _rows_df(spark, collected_pairs)
+    va, vb = dyn.vbool(F.col("a")), dyn.vbool(F.col("b"))
+
+    def chain(op, l, r):
+        unknown = F.lit(None).cast("boolean")
+        if op == "or":
+            return (F.when(l.isNull(), unknown).when(l, F.lit(True))
+                    .when(r.isNull(), unknown).otherwise(r))
+        return (F.when(l.isNull(), unknown).when(~l, F.lit(False))
+                .when(r.isNull(), unknown).otherwise(r))
+
+    out = {
+        int(str(r["i"])): r
+        for r in df.select(
+            F.try_variant_get("i", "$", "int").alias("i"),
+            chain("or", va, vb).alias("o"),
+            chain("and", va, vb).alias("n"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(collected_pairs):
+        assert out[i]["o"] == model_or(a, b), f"or({a!r}, {b!r})"
+        assert out[i]["n"] == model_and(a, b), f"and({a!r}, {b!r})"
+
+
 def test_sort_matches_model_total_order(spark, collected_pairs):
     """Sorting the generated LEFT values must equal the model's sorted
     order (present values only — a total order has no ties beyond
