@@ -102,6 +102,20 @@ def ingest_json_dynamic(
     return _dynamic_columns(df, "__raw", keys)
 
 
+def read_json_dynamic_stream(
+    spark: SparkSession, path: str, keys: list[str]
+) -> DataFrame:
+    """Structured-Streaming dynamic ingest: a text file-stream over a
+    directory of JSON-lines files, each top-level key a VARIANT column
+    — dynamic filters/projections then run per micro-batch with the
+    same semantics as the batch path. ``keys`` is REQUIRED (streams
+    can't run the discovery aggregation up front); blank/malformed
+    lines drop, like the batch ingest."""
+    if not keys:
+        raise ValueError("streaming dynamic ingest requires explicit keys")
+    return _dynamic_columns(spark.readStream.text(path), "value", keys)
+
+
 def read_json_dynamic(
     spark: SparkSession, path: str, keys: list[str] | None = None
 ) -> DataFrame:

@@ -396,6 +396,28 @@ def test_read_json_dynamic_tolerates_malformed_lines(spark, tmp_path):
     assert df.count() == 2  # blank + malformed lines dropped
 
 
+def test_read_json_dynamic_stream(spark, tmp_path):
+    """Streaming dynamic ingest: dynamic comparisons run per
+    micro-batch; explicit keys are required (no discovery action on a
+    stream)."""
+    from miso_spark.streaming import run_to_memory
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"x": 5}\n{"x": "5"}\n\n{"x": 7}\n')
+    stream = dyn.read_json_dynamic_stream(spark, str(d), keys=["x"])
+    assert stream.isStreaming
+    out = stream.filter(
+        dyn.vcompare("gt", dyn.sort_key(F.col("x")), dyn.literal_sort_key(4))
+    ).select(F.to_json("x").alias("x"))
+    got = sorted(r["x"] for r in run_to_memory(out, "dyn_stream", "append").collect())
+    # total order: 5 > 4 and 7 > 4 numerically, and the STRING "5"
+    # ranks above all numbers — all three pass; the blank line drops
+    assert got == ['"5"', "5", "7"]
+    with pytest.raises(ValueError, match="explicit keys"):
+        dyn.read_json_dynamic_stream(spark, str(d), keys=[])
+
+
 def test_dynamic_join_keys(spark):
     """Joins on dynamic keys: 1 and 1.0 canonicalize to the same key,
     "1" stays separate, present nulls match each other, rows MISSING

@@ -164,3 +164,27 @@ def test_missing_field_evaluates_as_null(spark):
     assert m.query("t_missing.c | where not(exists(missing))").count() == 2
     # existing columns still resolve case-insensitively
     assert m.query("t_missing.c | where ID == 1").count() == 1
+
+
+def test_missing_operand_poisons_and_or_typed(spark):
+    """eval_to_bool! semantics on the TYPED path (expr_eval.rs:13-19,
+    63-69): a provably-missing field inside and/or makes the whole
+    boolean unknown once evaluation reaches it — `missing or true`
+    drops the row (left evaluates first), while `true or missing`
+    keeps it (Rust || short-circuits before the right can poison).
+    SQL Kleene logic (NULL|true=true) would keep both."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("c", spark.createDataFrame([(1,), (2,)], "id long"))
+    m.registry.register("t_poison", mem)
+
+    assert m.query("t_poison.c | where zzz == 1 or id >= 1").count() == 0
+    assert m.query("t_poison.c | where id >= 1 or zzz == 1").count() == 2
+    assert m.query("t_poison.c | where id == 99 and zzz == 1").count() == 0
+    assert m.query("t_poison.c | where id >= 1 and zzz == 1").count() == 0
+    # iff over a missing condition: whole case unknown → key omitted
+    df = m.query("t_poison.c | project r = iff(zzz == 1, 'a', 'b')")
+    assert df.toJSON().collect() == ["{}", "{}"]
