@@ -418,6 +418,22 @@ class Compiler:
             return self._distinct_variant_safe(df)
         if isinstance(step, P.Union):
             other = self._run(step.sub, env)
+            # harmonize dynamic columns: a name that is VARIANT on one
+            # side and typed on the other lifts the typed side into a
+            # variant (the reference's union over dynamic collections
+            # is trivially heterogeneous; unionByName would otherwise
+            # fail on the type conflict)
+            from miso_spark.dynamic import wrap_variant
+
+            for name in set(df.columns) & set(other.columns):
+                lv = FieldPath._is_variant(df.schema[name].dataType)
+                rv = FieldPath._is_variant(other.schema[name].dataType)
+                if lv and not rv:
+                    other = other.withColumn(
+                        name, wrap_variant(F.col(f"`{name}`"))
+                    )
+                elif rv and not lv:
+                    df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
             return df.unionByName(other, allowMissingColumns=True)
         if isinstance(step, P.JoinStep):
             return self._join(df, step, env)

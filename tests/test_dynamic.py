@@ -418,6 +418,28 @@ def test_read_json_dynamic_stream(spark, tmp_path):
         dyn.read_json_dynamic_stream(spark, str(d), keys=[])
 
 
+def test_union_typed_with_dynamic(spark):
+    """union across a typed and a dynamic collection lifts the typed
+    side's conflicting columns to variant instead of failing."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("typed", spark.createDataFrame([(1, "a")], "x long, s string"))
+    mem.put("dyn", dyn.ingest_json_dynamic(spark, [{"x": "mixed"}, {"x": 2}]))
+    m.registry.register("u", mem)
+    got = sorted(
+        json.dumps(json.loads(r), sort_keys=True)
+        for r in m.query("u.typed | union (u.dyn)").toJSON().collect()
+    )
+    assert got == sorted([
+        '{"s": "a", "x": 1}', '{"x": "mixed"}', '{"x": 2}',
+    ])
+    # symmetric direction
+    assert m.query("u.dyn | union (u.typed)").count() == 3
+
+
 def test_dynamic_join_keys(spark):
     """Joins on dynamic keys: 1 and 1.0 canonicalize to the same key,
     "1" stays separate, present nulls match each other, rows MISSING
