@@ -63,9 +63,14 @@ def _dynamic_columns(
     # try_parse_json + filter: one blank or malformed line (common in
     # hand-edited / concatenated .jsonl) must not abort every query —
     # such lines drop, like the typed spark.read.json path tolerates
-    # them. Discovery below also sees only parseable object lines.
+    # them. Valid-but-non-OBJECT lines (a bare scalar or array) drop
+    # too: they carry no keys, and keeping them would inject phantom
+    # all-missing rows that discovery (json_object_keys = NULL for
+    # non-objects) never saw. An empty object {} is a legitimate row.
     pj = F.try_parse_json(F.col(raw_col))
-    df = df.filter(pj.isNotNull())
+    df = df.filter(
+        pj.isNotNull() & F.json_object_keys(F.col(raw_col)).isNotNull()
+    )
     if keys is None:
         keys = sorted(
             r["k"]

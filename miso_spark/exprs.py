@@ -201,6 +201,11 @@ def _variant_typed(e: Expr, schema) -> bool:
         return any(_variant_typed(v, schema) for _, v in e.branches) or _variant_typed(
             e.default, schema
         )
+    if isinstance(e, BinOp) and e.op in _ARITH_OPS:
+        # dynamic arithmetic compiles to a VARIANT result (per-row
+        # output type — dynamic.varithmetic), so consumers of the
+        # result must route through dynamic semantics too
+        return _variant_typed(e.left, schema) or _variant_typed(e.right, schema)
     return False
 
 

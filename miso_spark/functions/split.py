@@ -140,8 +140,13 @@ def cap_per_group(
         )
     orders.append(F.col(id_col))
     w = Window.partitionBy(group_col).orderBy(*orders)
+    # collision-safe scratch name: a caller's own __rn column must
+    # survive untouched
+    rn = "__rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_rows)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= max_rows)
+        .drop(rn)
     )

@@ -55,7 +55,7 @@ _SOURCE_TYPES = {
     "parquet_dir": lambda cfg: ParquetDirSource(cfg["path"], cfg.get("static_fields")),
     "json_dir": lambda cfg: JsonDirSource(cfg["path"], cfg.get("static_fields")),
     "json_dynamic_dir": lambda cfg: JsonDynamicDirSource(
-        cfg["path"], cfg.get("keys")
+        cfg["path"], cfg.get("keys"), cfg.get("static_fields")
     ),
     "csv_dir": lambda cfg: CsvDirSource(cfg["path"], cfg.get("static_fields")),
     "memory": lambda cfg: MemorySource(),
@@ -222,10 +222,13 @@ class QueryStatusWriter:
                 # a newer snapshot already landed; writing this one
                 # would roll the persisted table BACK (review r8)
                 return
-            self._written_seq = seq
             spark = self.registry.spark
             df = spark.createDataFrame(rows, self._SCHEMA)
             self.registry.source(self.connector).write(df, self.collection)
+            # only a SUCCESSFUL write advances the high-water mark — a
+            # failed one must not suppress an older queued snapshot,
+            # which is still better than nothing on the status table
+            self._written_seq = seq
 
 
 class MisoServer:

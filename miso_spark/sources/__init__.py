@@ -214,13 +214,21 @@ class JsonDynamicDirSource(Source):
     JsonDirSource instead (typed columns, full pushdown).
 
     ``keys`` (per-collection dict or flat list) skips the per-query
-    key-discovery aggregation — at scale always pass it."""
+    key-discovery aggregation — at scale always pass it.
+    ``static_fields`` rename-at-scan works like every other source
+    (the registry applies collection_static_fields)."""
 
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})
 
-    def __init__(self, directory: str, keys=None):
+    def __init__(
+        self,
+        directory: str,
+        keys=None,
+        static_fields: dict[str, dict[str, str]] | None = None,
+    ):
         self.directory = directory
         self.keys = keys
+        self.static_fields = static_fields or {}
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         from miso_spark.dynamic import read_json_dynamic

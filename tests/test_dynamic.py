@@ -388,12 +388,58 @@ def test_dynamic_arithmetic_per_row_types(spark):
 
 def test_read_json_dynamic_tolerates_malformed_lines(spark, tmp_path):
     p = tmp_path / "messy.jsonl"
-    p.write_text('{"a": 1}\n\nnot json at all\n{"a": 2}\n')
+    # blank, malformed, and valid-but-non-object (scalar/array) lines
+    # all drop; the empty object {} is a legitimate all-missing row
+    p.write_text('{"a": 1}\n\nnot json at all\n5\n[1,2]\n{}\n{"a": 2}\n')
     df = dyn.read_json_dynamic(spark, str(p))
     assert sorted(
         int(str(r["a"])) for r in df.collect() if r["a"] is not None
     ) == [1, 2]
-    assert df.count() == 2  # blank + malformed lines dropped
+    assert df.count() == 3  # two data rows + the {} row
+
+
+def test_nested_dynamic_arithmetic_routes_dynamic(spark):
+    """An arithmetic result over dynamic operands is itself dynamic:
+    comparisons, aggregations and further arithmetic on it must route
+    through the dynamic semantics (review-2 regression: they hit the
+    typed path and failed analysis)."""
+    m = _dyn_engine(spark, [
+        {"i": 1, "a": 2, "b": 2}, {"i": 2, "a": 1, "b": 1}, {"i": 3, "a": "x", "b": 1},
+    ])
+    got = sorted(int(str(r["i"])) for r in m.query(
+        "dyn.c | where a + b > 3 | project i"
+    ).collect())
+    assert got == [1]  # 4 > 3; 2 is not; "x"+1 is missing → filtered
+    s = [json.loads(x) for x in m.query(
+        "dyn.c | summarize s = sum(a + b)"
+    ).toJSON().collect()]
+    assert s[0]["s"] == 6  # 4 + 2; the missing row contributes nothing
+    twice = {
+        int(str(json.loads(x)["i"])): json.loads(x).get("c")
+        for x in m.query("dyn.c | project i, c = (a + b) * 2").toJSON().collect()
+    }
+    assert twice == {1: 8, 2: 4, 3: None}
+
+
+def test_json_dynamic_dir_static_fields(spark, tmp_path):
+    """static_fields rename-at-scan works on the dynamic connector like
+    every other source type."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import JsonDynamicDirSource
+
+    (tmp_path / "ev.jsonl").write_text('{"ts": 1, "v": "a"}\n{"ts": 2}\n')
+    m = MisoSpark(spark)
+    m.registry.register(
+        "dyn2",
+        JsonDynamicDirSource(
+            str(tmp_path), static_fields={"ev": {"@time": "ts"}}
+        ),
+    )
+    got = sorted(
+        json.dumps(json.loads(s), sort_keys=True)
+        for s in m.query("dyn2.ev | where @time == 2").toJSON().collect()
+    )
+    assert got == ['{"@time": 2}']
 
 
 def test_read_json_dynamic_stream(spark, tmp_path):

@@ -243,26 +243,20 @@ def model_and(a, b):
 
 
 def test_and_or_short_circuit_matches_reference_model(spark, collected_pairs):
-    """The compiled and/or over two possibly-missing dynamic operands
+    """The PRODUCTION-compiled and/or (exprs.compile_expr over BinOp
+    with the frame's schema — the exact path `where a or b` takes)
     must follow the reference's short-circuit + poisoning, not SQL
     Kleene logic."""
+    from miso_spark.exprs import BinOp, Field, compile_expr
+
     df = _rows_df(spark, collected_pairs)
-    va, vb = dyn.vbool(F.col("a")), dyn.vbool(F.col("b"))
-
-    def chain(op, l, r):
-        unknown = F.lit(None).cast("boolean")
-        if op == "or":
-            return (F.when(l.isNull(), unknown).when(l, F.lit(True))
-                    .when(r.isNull(), unknown).otherwise(r))
-        return (F.when(l.isNull(), unknown).when(~l, F.lit(False))
-                .when(r.isNull(), unknown).otherwise(r))
-
+    fa, fb = Field.of("a"), Field.of("b")
     out = {
         int(str(r["i"])): r
         for r in df.select(
             F.try_variant_get("i", "$", "int").alias("i"),
-            chain("or", va, vb).alias("o"),
-            chain("and", va, vb).alias("n"),
+            compile_expr(BinOp("or", fa, fb), df.schema).alias("o"),
+            compile_expr(BinOp("and", fa, fb), df.schema).alias("n"),
         ).collect()
     }
     for i, (a, b) in enumerate(collected_pairs):

@@ -1059,6 +1059,10 @@ def test_cap_per_group_matches_sql_oracle(spark, docs):
 
     with _pytest.raises(ValueError):
         cap_per_group(base, "domain", 0)
+    # a caller's own __rn column survives (collision-safe scratch name)
+    withrn = base.withColumn("__rn", F.lit(42))
+    kept = cap_per_group(withrn, "domain", 5, order_col="score")
+    assert "__rn" in kept.columns and kept.first()["__rn"] == 42
 
 
 def test_chunk_documents_matches_sql_oracle(spark, docs):
