@@ -397,6 +397,8 @@ def compile_expr(e: Expr, schema=None) -> Column:
     if isinstance(e, Bin):
         return _compile_bin(e, schema)
     if isinstance(e, Cast):
+        if _variant_typed(e.expr, schema):
+            return _compile_dyn_cast(e, schema)
         return compile_expr(e.expr, schema).cast(_CAST_TYPES[e.type])
     if isinstance(e, Now):
         return F.current_timestamp()
@@ -635,7 +637,55 @@ def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
     return dyn.varithmetic(op, var_side(e.left, lv), var_side(e.right, rv))
 
 
+def _compile_dyn_cast(e: Cast, schema) -> Column:
+    """Casts over per-row dynamic values with the reference's rules
+    (interpreter/mod.rs:350-404 Val::cast): tobool is Value::to_bool
+    (so tobool("7") is true, not a parse); toint/toreal map null→0,
+    bool→0/1, numbers convert (float truncates toward zero), strings
+    parse; tostring renders null as "null" and scalars via their
+    payload. A MISSING input stays missing; combinations the reference
+    ERRORS on (casting arrays/objects, unparseable strings) evaluate
+    as missing — a vectorized plan can't abort per-row."""
+    from miso_spark import dynamic as dyn
+
+    v = compile_expr(e.expr, schema)
+    if e.type == "bool":
+        return dyn.vbool(v)
+    c = dyn.vclass(v)
+    if e.type == "string":
+        return (
+            F.when(c == dyn.RANK_NULL, F.lit("null"))
+            .when(c <= dyn.RANK_STRING, F.try_variant_get(v, "$", "string"))
+        )
+    num = (
+        F.when(c == dyn.RANK_NULL, F.lit(0.0))
+        .when(c == dyn.RANK_BOOL,
+              F.try_variant_get(v, "$", "boolean").cast("double"))
+        .when(c == dyn.RANK_NUM, dyn.as_number(v))
+        .when(c == dyn.RANK_STRING,
+              F.try_variant_get(v, "$", "string").try_cast("double"))
+    )
+    if e.type in ("int", "long"):
+        # strings parse as INTEGERS in the reference (i64::parse — a
+        # "2.5" errors); numerics truncate toward zero like `as i64`
+        return (
+            F.when(c == dyn.RANK_STRING,
+                   F.try_variant_get(v, "$", "string").try_cast("long"))
+            .otherwise(num.cast("long"))
+            .cast(_CAST_TYPES[e.type])
+        )
+    return num.cast(_CAST_TYPES[e.type])
+
+
 def _compile_bin(e: Bin, schema=None) -> Column:
+    if _variant_typed(e.expr, schema):
+        # numeric binning over a dynamic value: non-numeric rows are
+        # missing (the reference bails per-row)
+        from miso_spark import dynamic as dyn
+
+        x = dyn.as_number(compile_expr(e.expr, schema))
+        size = compile_expr(e.size, schema)
+        return F.floor(x / size) * size
     x = compile_expr(e.expr, schema)
     if isinstance(e.size, Duration):
         secs = e.size.seconds

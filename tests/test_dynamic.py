@@ -421,6 +421,38 @@ def test_nested_dynamic_arithmetic_routes_dynamic(spark):
     assert twice == {1: 8, 2: 4, 3: None}
 
 
+def test_dynamic_casts_and_bin(spark):
+    """Casts over dynamic values follow Val::cast
+    (interpreter/mod.rs:350): tobool is truthiness (tobool("7") true),
+    toint maps null→0 / bool→0,1 / parses integer strings / truncates
+    floats; tostring renders null as "null"; unsupported per-row
+    combos are missing. bin() bins the numeric payload."""
+    m = _dyn_engine(spark, [
+        {"i": 1, "x": 5}, {"i": 2, "x": "7"}, {"i": 3, "x": 2.5},
+        {"i": 4, "x": True}, {"i": 5, "x": None}, {"i": 6},
+        {"i": 7, "x": "2.5"}, {"i": 8, "x": [1]},
+    ])
+    def col(q):
+        return {
+            int(str(json.loads(s)["i"])): json.loads(s).get("v")
+            for s in m.query(q).toJSON().collect()
+        }
+    assert col("dyn.c | project i, v = toint(x)") == {
+        1: 5, 2: 7, 3: 2, 4: 1, 5: 0, 6: None, 7: None, 8: None,
+    }
+    assert col("dyn.c | project i, v = toreal(x)") == {
+        1: 5.0, 2: 7.0, 3: 2.5, 4: 1.0, 5: 0.0, 6: None, 7: 2.5, 8: None,
+    }
+    assert col("dyn.c | project i, v = tobool(x)") == {
+        1: True, 2: True, 3: True, 4: True, 5: False, 6: None, 7: True, 8: True,
+    }
+    s = col("dyn.c | project i, v = tostring(x)")
+    assert (s[1], s[2], s[4], s[5], s[8]) == ("5", "7", "true", "null", None)
+    assert col("dyn.c | project i, v = bin(x, 2)") == {
+        1: 4, 2: None, 3: 2, 4: None, 5: None, 6: None, 7: None, 8: None,
+    }
+
+
 def test_json_dynamic_dir_static_fields(spark, tmp_path):
     """static_fields rename-at-scan works on the dynamic connector like
     every other source type."""
