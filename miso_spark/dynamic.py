@@ -234,18 +234,37 @@ def vbool(v: Column) -> Column:
 def sort_key(v: Column) -> Column:
     """Orderable total-order key for a VARIANT column (NULL when the
     value is missing). Bool payloads ride the num slot (false=0<true=1,
-    matching bool::cmp)."""
-    cls = vclass(v)
-    num = (
-        F.when(cls == RANK_BOOL, F.try_variant_get(v, "$", "boolean").cast("double"))
-        .when(cls == RANK_NUM, as_number(v))
+    matching bool::cmp).
+
+    Built from ONE ``schema_of_variant`` expression with per-slot
+    gates referencing it directly — routing each slot through
+    :func:`vclass` would duplicate the whole class when-chain per slot
+    (~25 schemaOfVariant evaluations per row when whole-stage codegen
+    can't CSE them; measured ~2× slower on a filter-bound scan)."""
+    sch = F.schema_of_variant(v)
+    is_bool = sch == "BOOLEAN"
+    is_num = sch.isin(*_NUM_TYPES) | sch.startswith("DECIMAL")
+    is_str = sch == "STRING"
+    rank = (
+        F.when(sch == "VOID", F.lit(RANK_NULL))
+        .when(is_bool, F.lit(RANK_BOOL))
+        .when(is_num, F.lit(RANK_NUM))
+        .when(is_str, F.lit(RANK_STRING))
+        .when(sch.startswith("ARRAY"), F.lit(RANK_ARRAY))
+        .otherwise(F.lit(RANK_OBJECT))
     )
-    s = F.when(cls == RANK_STRING, as_string(v))
-    j = F.when(cls >= RANK_ARRAY, F.to_json(v))
+    num = (
+        F.when(is_bool, F.try_variant_get(v, "$", "boolean").cast("double"))
+        .when(is_num, F.try_variant_get(v, "$", "double"))
+    )
+    s = F.when(is_str, F.try_variant_get(v, "$", "string"))
+    j = F.when(
+        ~(is_bool | is_num | is_str | (sch == "VOID")), F.to_json(v)
+    )
     return F.when(
         v.isNotNull(),
         F.struct(
-            cls.alias("r"),
+            rank.alias("r"),
             F.coalesce(num, F.lit(0.0)).alias("n"),
             F.coalesce(s, F.lit("")).alias("s"),
             F.coalesce(j, F.lit("")).alias("j"),
