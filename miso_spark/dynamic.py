@@ -203,15 +203,20 @@ def vbool(v: Column) -> Column:
     """``Value::to_bool`` (value/mod.rs:479): null→false, bool as-is,
     numbers ≠0, strings/arrays/objects non-empty. Missing stays NULL so
     ``Not``/``And``/``Or`` propagate not-exist (expr_eval.rs
-    eval_to_bool!)."""
-    cls = vclass(v)
+    eval_to_bool!). Gates reference ONE schema expression (see
+    :func:`sort_key` for why — class-chain duplication costs ~2× on
+    filter-bound scans)."""
+    sch = F.schema_of_variant(v)
     return (
         F.when(v.isNull(), F.lit(None).cast("boolean"))
-        .when(cls == RANK_NULL, F.lit(False))
-        .when(cls == RANK_BOOL, F.try_variant_get(v, "$", "boolean"))
-        .when(cls == RANK_NUM, as_number(v) != 0.0)
-        .when(cls == RANK_STRING, F.length(as_string(v)) > 0)
-        .when(cls == RANK_ARRAY, F.size(as_array(v)) > 0)
+        .when(sch == "VOID", F.lit(False))
+        .when(sch == "BOOLEAN", F.try_variant_get(v, "$", "boolean"))
+        .when(
+            sch.isin(*_NUM_TYPES) | sch.startswith("DECIMAL"),
+            F.try_variant_get(v, "$", "double") != 0.0,
+        )
+        .when(sch == "STRING", F.length(F.try_variant_get(v, "$", "string")) > 0)
+        .when(sch.startswith("ARRAY"), F.size(as_array(v)) > 0)
         .otherwise(F.size(F.map_keys(as_object_map(v))) > 0)
     )
 
