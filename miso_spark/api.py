@@ -28,6 +28,23 @@ from miso_spark.kql import parse_kql
 from miso_spark.sources import MemorySource, SourceRegistry
 
 
+def _pyify(v):
+    """Decode VariantVal cells (dynamic ingest) into native Python
+    values, recursively through dicts/lists; everything else passes
+    through untouched."""
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # pragma: no cover - older Spark
+        return v
+    if isinstance(v, VariantVal):
+        return v.toPython()
+    if isinstance(v, dict):
+        return {k: _pyify(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_pyify(x) for x in v]
+    return v
+
+
 class MisoSpark:
     def __init__(self, spark: SparkSession, registry: SourceRegistry | None = None):
         self.spark = spark
@@ -43,11 +60,14 @@ class MisoSpark:
         return self.compiler.run(parse_kql(kql))
 
     def query_rows(self, kql: str, prefetch: bool = True) -> Iterator[dict]:
-        """Stream result rows incrementally (SSE analog)."""
+        """Stream result rows incrementally (SSE analog). Dynamic
+        (VARIANT) values decode to native Python objects — without
+        this a dynamic string cell would surface as its raw JSON text
+        ('"5"' instead of '5')."""
         self.spark.sparkContext.setJobGroup(self._group, kql[:100], interruptOnCancel=True)
         df = self.query(kql)
         for row in df.toLocalIterator(prefetchPartitions=prefetch):
-            yield row.asDict(recursive=True)
+            yield _pyify(row.asDict(recursive=True))
 
     def query_json(self, kql: str) -> Iterator[str]:
         """Stream rows as JSON strings (serialized on executors)."""

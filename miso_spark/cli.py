@@ -228,6 +228,8 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     ap = argparse.ArgumentParser(prog="miso-spark", description=__doc__)
     ap.add_argument("query", nargs="?", help="KQL query (omit for a REPL)")
     ap.add_argument("--data-dir", help="parquet dir registered as connector 't'")
+    ap.add_argument("--dynamic-dir", help="JSON-lines dir registered as "
+                    "connector 'dyn' with per-row dynamic (VARIANT) typing")
     ap.add_argument("--server", help="HTTP server base URL (remote mode)")
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--json", action="store_true", help="print JSON lines, not a table")
@@ -266,11 +268,13 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     else:
         from miso_spark.api import MisoSpark
         from miso_spark.session import get_spark
-        from miso_spark.sources import ParquetDirSource
+        from miso_spark.sources import JsonDynamicDirSource, ParquetDirSource
 
         m = MisoSpark(get_spark("miso_spark_cli"))
         if args.data_dir:
             m.registry.register("t", ParquetDirSource(args.data_dir))
+        if args.dynamic_dir:
+            m.registry.register("dyn", JsonDynamicDirSource(args.dynamic_dir))
 
         def run_one(q: str) -> None:
             if args.explain:

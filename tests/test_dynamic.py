@@ -518,6 +518,20 @@ def test_union_typed_with_dynamic(spark):
     assert m.query("u.dyn | union (u.typed)").count() == 3
 
 
+def test_query_rows_decodes_variant_values(spark):
+    """The incremental row API (CLI/SSE analog) surfaces dynamic cells
+    as native Python values — a dynamic string is '5', not its raw
+    JSON text '"5"'."""
+    m = _dyn_engine(spark, [{"x": 5}, {"x": "5"}, {"x": [1, 2]}, {"x": None}])
+    got = sorted(
+        (str(type(r.get("x")).__name__), r.get("x"))
+        for r in m.query_rows("dyn.c | project x")
+    )
+    assert got == [
+        ("NoneType", None), ("int", 5), ("list", [1, 2]), ("str", "5"),
+    ]
+
+
 def test_dynamic_join_keys(spark):
     """Joins on dynamic keys: 1 and 1.0 canonicalize to the same key,
     "1" stays separate, present nulls match each other, rows MISSING
