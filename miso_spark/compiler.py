@@ -506,9 +506,9 @@ class Compiler:
                 # empty collection, dropping the row.
                 from miso_spark import dynamic as dyn
 
-                if not fp.is_simple():
+                if any(idxs for _, idxs in fp.segments):
                     raise ValueError(
-                        f"mv-expand: cannot write back through dynamic path {fp}"
+                        f"mv-expand: cannot write back through array index in {fp}"
                     )
                 entries = F.map_entries(dyn.as_object_map(col))
                 if step.kind == "array":
@@ -543,9 +543,9 @@ class Compiler:
                 cls = dyn.vclass(col)
                 exp[name] = (fp, F.when(
                     cls < dyn.RANK_ARRAY, F.array(col)
-                ).otherwise(F.coalesce(dyn.as_array(col), obj_arr)))
+                ).otherwise(F.coalesce(dyn.as_array(col), obj_arr)), True)
             elif isinstance(dtype, ArrayType):
-                exp[name] = (fp, col)
+                exp[name] = (fp, col, False)
             elif isinstance(dtype, MapType):
                 entries = F.map_entries(col)
                 if step.kind == "array":
@@ -562,7 +562,7 @@ class Compiler:
                             F.array(e.getField("key")), F.array(e.getField("value"))
                         ),
                     )
-                exp[name] = (fp, arr)
+                exp[name] = (fp, arr, False)
             elif isinstance(dtype, StructType) and dtype.fields:
                 # JSON objects land as structs on the typed read path;
                 # they expand like the reference's objects (expand.rs):
@@ -615,14 +615,16 @@ class Compiler:
                             [s.getField(g).isNotNull() for g in names],
                         ),
                     )
-                exp[name] = (fp, F.when(col.isNull(), F.lit(None)).otherwise(arr))
+                exp[name] = (
+                    fp, F.when(col.isNull(), F.lit(None)).otherwise(arr), False
+                )
             # scalar/missing fields: pass through untouched
 
         if not exp:
             return df
 
         # m: longest present collection (-1 when all are null/missing)
-        sizes = [F.coalesce(F.size(c), F.lit(-1)) for _, c in exp.values()]
+        sizes = [F.coalesce(F.size(c), F.lit(-1)) for _, c, _ in exp.values()]
         m = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
         # rows to emit: 1 for all-missing (passthrough), m otherwise —
         # filter (not sequence stop) handles m==0 because Spark's
@@ -633,8 +635,25 @@ class Compiler:
             lambda i: i < n_rows,
         )
         df = df.withColumn("__mv_idx", F.explode(idx_list))
-        for _, (fp, arr) in exp.items():
-            df = self._set_field(df, fp, F.get(arr, F.col("__mv_idx")))
+        for _, (fp, arr, varp) in exp.items():
+            val = F.get(arr, F.col("__mv_idx"))
+            if varp and not fp.is_simple():
+                # nested path under a dynamic root: rebuild the variant
+                # with the leaf replaced (expand.rs insert_field_value);
+                # passthrough rows (no expandable value at the path)
+                # keep the root untouched
+                from miso_spark import dynamic as dyn
+
+                root = fp.segments[0][0]
+                segs = [n for n, _ in fp.segments[1:]]
+                df = df.withColumn(
+                    root,
+                    F.when(arr.isNull(), F.col(f"`{root}`")).otherwise(
+                        dyn.set_variant_path(F.col(f"`{root}`"), segs, val)
+                    ),
+                )
+            else:
+                df = self._set_field(df, fp, val)
         return df.drop("__mv_idx")
 
     @staticmethod

@@ -324,6 +324,30 @@ def bool_sort_key(b: Column) -> Column:
     )
 
 
+def with_variant_field(obj: Column, key: str, val: Column) -> Column:
+    """A copy of variant object ``obj`` with ``key`` set to variant
+    ``val`` (replacing any existing entry). NULL/non-object ``obj``
+    yields NULL."""
+    m = obj.try_cast("map<string,variant>")
+    merged = F.map_concat(
+        F.map_filter(m, lambda k, _: k != key),
+        F.create_map(F.lit(key), val),
+    )
+    return F.parse_json(F.to_json(merged))
+
+
+def set_variant_path(v: Column, segs: list[str], leaf: Column) -> Column:
+    """Rebuild dynamic value ``v`` with the nested path ``segs``
+    replaced by ``leaf`` — the write-back half of mv-expand over a
+    nested dynamic path (expand.rs insert_field_value). Intermediate
+    non-objects/missing levels yield NULL (callers guard passthrough
+    rows before writing)."""
+    if not segs:
+        return leaf
+    child = F.try_variant_get(v, f"$.{segs[0]}", "variant")
+    return with_variant_field(v, segs[0], set_variant_path(child, segs[1:], leaf))
+
+
 def varithmetic(op: str, l: Column, r: Column) -> Column:
     """Value arithmetic with the reference's per-row typing
     (interpreter/mod.rs:234-306 impl_op + the String arm of add):

@@ -189,6 +189,24 @@ def test_variant_ingest_list_is_minimal(spark):
     )
 
 
+def test_reference_simple_checks_all_dynamic(spark):
+    """The ENTIRE simple suite must also pass under dynamic (VARIANT)
+    ingest — not just the VARIANT_INGEST-routed cases. Both data
+    models satisfy the reference's own tests: the typed arm for
+    schema-consistent data, the dynamic arm for per-row mixed types
+    (it subsumes the typed semantics on uniform inputs)."""
+    cases = _extract_simple()
+    failed = []
+    for name, q, colls, exp in cases:
+        try:
+            ok = _run_case(spark, q, colls, exp, dynamic=True)
+        except Exception:
+            ok = False
+        if not ok:
+            failed.append(name)
+    assert not failed, f"dynamic arm diverged from reference tests: {failed}"
+
+
 def test_reference_multi_collection_checks(spark):
     cases = _extract_multi()
     assert len(cases) >= 10
