@@ -207,13 +207,17 @@ def test_reference_simple_checks_all_dynamic(spark):
     assert not failed, f"dynamic arm diverged from reference tests: {failed}"
 
 
-def test_reference_multi_collection_checks(spark):
+@pytest.mark.parametrize("dynamic", [False, True], ids=["typed", "dynamic"])
+def test_reference_multi_collection_checks(spark, dynamic):
+    """Joins/unions across collections pass on BOTH ingest arms —
+    dynamic join keys match by canonical value, empty collections are
+    zero-column tables either way."""
     cases = _extract_multi()
     assert len(cases) >= 10
     failed = []
     for name, q, colls, exp in cases:
         try:
-            ok = _run_case(spark, q, colls, exp)
+            ok = _run_case(spark, q, colls, exp, dynamic=dynamic)
         except Exception:
             ok = False
         if not ok:
