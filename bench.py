@@ -48,6 +48,7 @@ HEADLINE = [
     "decontaminate",
     "token_budget_filter",
     "corpus_bigram_logprob",
+    "dynamic_filter",
 ]
 
 
@@ -69,9 +70,31 @@ def _b_token_budget_filter(spark, sf_dir):
     return token_budget_filter(docs, budget=600_000)
 
 
+def _b_dynamic_filter(spark, sf_dir):
+    """Bench-only entry (r8): the dynamic (VARIANT) comparison path —
+    parse events.props per row, total-order filter on a dynamic key.
+    Tracks the cost of per-row dynamic typing vs the typed
+    get_json_object equivalent (~2.8× after the r8 single-schema
+    sort-key rewrite; correctness lives in the parity gate + property
+    suite)."""
+    from pyspark.sql import functions as F
+
+    from miso_spark import dynamic as dyn
+    from miso_spark.sources import ParquetDirSource
+
+    ev = ParquetDirSource(sf_dir).table(spark, "events")
+    kv = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "variant")
+    return ev.withColumn("kv", kv).filter(
+        dyn.vcompare("gt", dyn.sort_key(F.col("kv")), dyn.literal_sort_key(2))
+    ).select("event_id")
+
+
 #: bench entries that are not driver-catalog queries (no SQL oracle
 #: needed here — correctness lives in pytest; this measures the plan)
-EXTRA_BENCH = {"token_budget_filter": _b_token_budget_filter}
+EXTRA_BENCH = {
+    "token_budget_filter": _b_token_budget_filter,
+    "dynamic_filter": _b_dynamic_filter,
+}
 
 
 #: multi-file rewrite targets (files per table): the driver's testdata
