@@ -367,14 +367,27 @@ def varithmetic(op: str, l: Column, r: Column) -> Column:
     per row."""
     if op not in ("add", "sub", "mul", "div"):
         raise ValueError(f"unknown arithmetic op {op}")
+    # single-schema gates per operand (see sort_key) — as_number /
+    # as_string would re-derive their own class checks per use
     ls, rs = F.schema_of_variant(l), F.schema_of_variant(r)
-    ln, rn = as_number(l), as_number(r)
+    l_num = F.when(
+        ls.isin(*_NUM_TYPES) | ls.startswith("DECIMAL"),
+        F.try_variant_get(l, "$", "double"),
+    )
+    r_num = F.when(
+        rs.isin(*_NUM_TYPES) | rs.startswith("DECIMAL"),
+        F.try_variant_get(r, "$", "double"),
+    )
     num = {
-        "add": ln + rn, "sub": ln - rn, "mul": ln * rn, "div": ln / rn,
+        "add": l_num + r_num, "sub": l_num - r_num,
+        "mul": l_num * r_num, "div": l_num / r_num,
     }[op]
     out = F.when(
         F.lit(op == "add") & (ls == "STRING") & (rs == "STRING"),
-        wrap_variant(F.concat(as_string(l), as_string(r))),
+        wrap_variant(F.concat(
+            F.try_variant_get(l, "$", "string"),
+            F.try_variant_get(r, "$", "string"),
+        )),
     )
     if op != "div":
         li = F.try_variant_get(l, "$", "bigint")
