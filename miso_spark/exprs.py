@@ -667,12 +667,17 @@ def _compile_dyn_cast(e: Cast, schema) -> Column:
     )
     if e.type in ("int", "long"):
         # strings parse as INTEGERS in the reference (i64::parse — a
-        # "2.5" errors); numerics truncate toward zero like `as i64`
+        # "2.5" errors); numerics truncate toward zero like `as i64`.
+        # The result stays LONG for both toint and tolong: the
+        # reference's CastType::Int IS i64 (expr.rs) — narrowing to
+        # 32 bits would overflow values the reference handles.
+        # try_cast: a float beyond i64 range becomes missing (Rust's
+        # `as i64` would saturate; ANSI cast would abort the query —
+        # missing is the per-row no-abort policy)
         return (
             F.when(c == dyn.RANK_STRING,
                    F.try_variant_get(v, "$", "string").try_cast("long"))
-            .otherwise(num.cast("long"))
-            .cast(_CAST_TYPES[e.type])
+            .otherwise(num.try_cast("long"))
         )
     return num.cast(_CAST_TYPES[e.type])
 

@@ -264,6 +264,56 @@ def test_and_or_short_circuit_matches_reference_model(spark, collected_pairs):
         assert out[i]["n"] == model_and(a, b), f"and({a!r}, {b!r})"
 
 
+def model_cast_int(v):
+    """Val::cast Int arm (interpreter/mod.rs:374): null→0, bool→0/1,
+    numbers truncate toward zero, strings parse as i64 (strict); other
+    types / unparseable → missing (reference aborts)."""
+    if v is MISSING:
+        return None
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if abs(v) >= 2.0**63:
+            return None  # out of i64 range -> missing (no per-row abort)
+        return int(v)  # trunc toward zero
+    if isinstance(v, str):
+        # Rust i64::parse accepts ASCII digits only — Python's int()
+        # would also parse Unicode digits like '꯳'
+        import re
+
+        if re.fullmatch(r"[+-]?[0-9]+", v):
+            return int(v)
+        return None
+    return None
+
+
+def model_cast_bool(v):
+    return model_bool(v)
+
+
+def test_dynamic_casts_match_reference_model(spark, collected_pairs):
+    """toint/tobool over randomized dynamic values vs the Val::cast
+    model, compiled through the production expression path."""
+    from miso_spark.exprs import Cast, Field, compile_expr
+
+    df = _rows_df(spark, collected_pairs)
+    out = {
+        int(str(r["i"])): r
+        for r in df.select(
+            F.try_variant_get("i", "$", "int").alias("i"),
+            compile_expr(Cast("int", Field.of("a")), df.schema).alias("ci"),
+            compile_expr(Cast("bool", Field.of("a")), df.schema).alias("cb"),
+        ).collect()
+    }
+    for i, (a, _) in enumerate(collected_pairs):
+        assert out[i]["ci"] == model_cast_int(a), f"toint({a!r})"
+        assert out[i]["cb"] == model_cast_bool(a), f"tobool({a!r})"
+
+
 def test_sort_matches_model_total_order(spark, collected_pairs):
     """Sorting the generated LEFT values must equal the model's sorted
     order (present values only — a total order has no ties beyond
