@@ -23,8 +23,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from datetime import datetime, timedelta
-from typing import Optional, Sequence, Union
+from typing import Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
