@@ -56,3 +56,22 @@ def test_catalog_query_matches_oracle(name, spark, ddb):
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     assert _rows(srows, scols) == _rows(drows, dcols), f"{name}: value mismatch"
+
+
+def test_driver_contract_alignment():
+    """The driver window invariants: exactly 50 catalog entries, every
+    one carrying a DuckDB oracle, and __spark_entry__ exposing them
+    1:1 (queries()/oracle_sql() key sets equal)."""
+    import importlib.util
+    import os
+
+    assert len(CATALOG) == 50
+    assert all(q.oracle is not None for q in CATALOG.values())
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_check",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.queries()) == set(CATALOG)
+    assert set(mod.oracle_sql()) == set(CATALOG)
