@@ -28,15 +28,18 @@ from miso_spark.kql import parse_kql
 from miso_spark.sources import MemorySource, SourceRegistry
 
 
+try:
+    from pyspark.sql.types import VariantVal as _VariantVal
+except ImportError:  # pragma: no cover - older Spark
+    _VariantVal = None
+
+
 def _pyify(v):
     """Decode VariantVal cells (dynamic ingest) into native Python
     values, recursively through dicts/lists; everything else passes
-    through untouched."""
-    try:
-        from pyspark.sql.types import VariantVal
-    except ImportError:  # pragma: no cover - older Spark
-        return v
-    if isinstance(v, VariantVal):
+    through untouched. (Import hoisted — this runs per cell in the
+    CLI/SSE streaming hot path.)"""
+    if _VariantVal is not None and isinstance(v, _VariantVal):
         return v.toPython()
     if isinstance(v, dict):
         return {k: _pyify(x) for k, x in v.items()}

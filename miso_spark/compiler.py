@@ -492,7 +492,7 @@ class Compiler:
         - nested field paths (``a.b``) expand in place, like the
           reference's insert_field_value at the original path.
         """
-        exp: dict[str, tuple[FieldPath, Column]] = {}
+        exp: dict[str, tuple[FieldPath, Column, bool]] = {}
         for name in step.fields:
             fp = FieldPath.parse(name)
             dtype = fp.resolve_type(df.schema)
@@ -534,16 +534,13 @@ class Compiler:
                             )
                         ),
                     )
-                # present scalars (incl. Value::Null) wrap as their own
-                # 1-element array: the write-back then re-emits the
-                # original value, i.e. the row passes through — the
-                # typed path can skip scalar COLUMNS entirely, but here
-                # scalar-ness is per row. A missing value stays NULL
-                # (size -1 → passthrough without affecting zip length).
-                cls = dyn.vclass(col)
-                exp[name] = (fp, F.when(
-                    cls < dyn.RANK_ARRAY, F.array(col)
-                ).otherwise(F.coalesce(dyn.as_array(col), obj_arr)), True)
+                # scalar/missing rows leave arr NULL: they don't
+                # join the zip (size -1) and the write-back re-emits
+                # the original value on EVERY emitted row, exactly the
+                # reference's scalar re-insertion (expand.rs
+                # log_to_output_iter Some(other) arm) — the typed path
+                # can skip scalar COLUMNS; here scalar-ness is per row
+                exp[name] = (fp, F.coalesce(dyn.as_array(col), obj_arr), True)
             elif isinstance(dtype, ArrayType):
                 exp[name] = (fp, col, False)
             elif isinstance(dtype, MapType):
@@ -637,21 +634,33 @@ class Compiler:
         df = df.withColumn("__mv_idx", F.explode(idx_list))
         for _, (fp, arr, varp) in exp.items():
             val = F.get(arr, F.col("__mv_idx"))
-            if varp and not fp.is_simple():
-                # nested path under a dynamic root: rebuild the variant
-                # with the leaf replaced (expand.rs insert_field_value);
-                # passthrough rows (no expandable value at the path)
-                # keep the root untouched
+            if varp:
+                # dynamic semantics (expand.rs): a SHORTER collection
+                # pads its tail positions with a present Value::Null —
+                # not a missing key — and scalar/missing rows (arr
+                # NULL) re-emit the original value on every row
                 from miso_spark import dynamic as dyn
 
-                root = fp.segments[0][0]
-                segs = [n for n, _ in fp.segments[1:]]
-                df = df.withColumn(
-                    root,
-                    F.when(arr.isNull(), F.col(f"`{root}`")).otherwise(
-                        dyn.set_variant_path(F.col(f"`{root}`"), segs, val)
-                    ),
-                )
+                val = F.when(
+                    F.col("__mv_idx") < F.size(arr), F.get(arr, F.col("__mv_idx"))
+                ).otherwise(F.parse_json(F.lit("null")))
+                if fp.is_simple():
+                    root = fp.segments[0][0]
+                    df = df.withColumn(
+                        root,
+                        F.when(arr.isNull(), F.col(f"`{root}`")).otherwise(val),
+                    )
+                else:
+                    # nested path under a dynamic root: rebuild the
+                    # variant with the leaf replaced (insert_field_value)
+                    root = fp.segments[0][0]
+                    segs = [n for n, _ in fp.segments[1:]]
+                    df = df.withColumn(
+                        root,
+                        F.when(arr.isNull(), F.col(f"`{root}`")).otherwise(
+                            dyn.set_variant_path(F.col(f"`{root}`"), segs, val)
+                        ),
+                    )
             else:
                 df = self._set_field(df, fp, val)
         return df.drop("__mv_idx")

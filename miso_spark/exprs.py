@@ -650,33 +650,39 @@ def _compile_dyn_cast(e: Cast, schema) -> Column:
     v = compile_expr(e.expr, schema)
     if e.type == "bool":
         return dyn.vbool(v)
-    c = dyn.vclass(v)
+    # single-schema gates (see dynamic.sort_key): routing through
+    # vclass would duplicate the class when-chain per arm
+    sch = F.schema_of_variant(v)
+    is_void = sch == "VOID"
+    is_bool = sch == "BOOLEAN"
+    is_num = sch.isin(*dyn._NUM_TYPES) | sch.startswith("DECIMAL")
+    is_str = sch == "STRING"
+    payload_s = F.try_variant_get(v, "$", "string")
     if e.type == "string":
         return (
-            F.when(c == dyn.RANK_NULL, F.lit("null"))
-            .when(c <= dyn.RANK_STRING, F.try_variant_get(v, "$", "string"))
+            F.when(is_void, F.lit("null"))
+            .when(is_bool | is_num | is_str, payload_s)
         )
     num = (
-        F.when(c == dyn.RANK_NULL, F.lit(0.0))
-        .when(c == dyn.RANK_BOOL,
-              F.try_variant_get(v, "$", "boolean").cast("double"))
-        .when(c == dyn.RANK_NUM, dyn.as_number(v))
-        .when(c == dyn.RANK_STRING,
-              F.try_variant_get(v, "$", "string").try_cast("double"))
+        F.when(is_void, F.lit(0.0))
+        .when(is_bool, F.try_variant_get(v, "$", "boolean").cast("double"))
+        .when(is_num, F.try_variant_get(v, "$", "double"))
+        .when(is_str, payload_s.try_cast("double"))
     )
     if e.type in ("int", "long"):
-        # strings parse as INTEGERS in the reference (i64::parse — a
-        # "2.5" errors); numerics truncate toward zero like `as i64`.
-        # The result stays LONG for both toint and tolong: the
-        # reference's CastType::Int IS i64 (expr.rs) — narrowing to
-        # 32 bits would overflow values the reference handles.
-        # try_cast: a float beyond i64 range becomes missing (Rust's
-        # `as i64` would saturate; ANSI cast would abort the query —
-        # missing is the per-row no-abort policy)
+        # strings parse as INTEGERS in the reference, STRICTLY
+        # (i64::parse — "2.5", " 5" and unicode digits all error;
+        # Spark's try_cast would trim whitespace, so gate on an exact
+        # ASCII-integer match first); numerics truncate toward zero
+        # like `as i64`. The result stays LONG for both toint and
+        # tolong: the reference's CastType::Int IS i64 (expr.rs). A
+        # float beyond i64 range becomes missing via try_cast (Rust
+        # would saturate; ANSI cast would abort the query).
+        strict_int = F.when(
+            payload_s.rlike(r"^[+-]?[0-9]+$"), payload_s.try_cast("long")
+        )
         return (
-            F.when(c == dyn.RANK_STRING,
-                   F.try_variant_get(v, "$", "string").try_cast("long"))
-            .otherwise(num.try_cast("long"))
+            F.when(is_str, strict_int).otherwise(num.try_cast("long"))
         )
     return num.cast(_CAST_TYPES[e.type])
 
@@ -687,6 +693,12 @@ def _compile_bin(e: Bin, schema=None) -> Column:
         # missing (the reference bails per-row)
         from miso_spark import dynamic as dyn
 
+        if isinstance(e.size, Duration):
+            raise ValueError(
+                "bin with a timespan size needs a timestamp column; "
+                "dynamic (JSON-ingested) values bin numerically — "
+                "pass a numeric bin size"
+            )
         x = dyn.as_number(compile_expr(e.expr, schema))
         size = compile_expr(e.size, schema)
         return F.floor(x / size) * size

@@ -421,6 +421,46 @@ def test_nested_dynamic_arithmetic_routes_dynamic(spark):
     assert twice == {1: 8, 2: 4, 3: None}
 
 
+def test_dynamic_zip_scalar_reinsertion_and_null_padding(spark):
+    """Zip semantics over dynamic fields (expand.rs): a scalar field
+    re-emits its value on EVERY emitted row (never zipped), and a
+    shorter collection pads its tail with a PRESENT Value::Null —
+    visible to `== null` — not a missing key."""
+    m = _dyn_engine(spark, [{"a": 5, "c": [1, 2]}, {"a": [9], "c": [1, 2]}])
+    rows = sorted(
+        (json.dumps(json.loads(s), sort_keys=True)
+         for s in m.query("dyn.c | mv-expand a, c").toJSON().collect())
+    )
+    assert rows == sorted([
+        '{"a": 5, "c": 1}', '{"a": 5, "c": 2}',      # scalar re-inserted
+        '{"a": 9, "c": 1}', '{"a": null, "c": 2}',   # present-null pad
+    ])
+    # the padded null matches == null (present Value::Null semantics)
+    padded = m.query("dyn.c | mv-expand a, c | where a == null").count()
+    assert padded == 1
+
+
+def test_dynamic_toint_rejects_padded_strings(spark):
+    """i64::parse is strict: whitespace-padded or unicode-digit
+    strings are missing, even though Spark's bare try_cast would trim
+    and parse them."""
+    m = _dyn_engine(spark, [
+        {"i": 1, "x": " 5"}, {"i": 2, "x": "5 "}, {"i": 3, "x": "5"},
+        {"i": 4, "x": "꯳"},  # MYANMAR SHAN DIGIT THREE
+    ])
+    got = {
+        int(str(json.loads(s)["i"])): json.loads(s).get("v")
+        for s in m.query("dyn.c | project i, v = toint(x)").toJSON().collect()
+    }
+    assert got == {1: None, 2: None, 3: 5, 4: None}
+
+
+def test_dynamic_bin_with_timespan_errors_clearly(spark):
+    m = _dyn_engine(spark, [{"x": 5}])
+    with pytest.raises(ValueError, match="timespan size"):
+        m.query("dyn.c | project v = bin(x, 1h)")
+
+
 def test_dynamic_casts_and_bin(spark):
     """Casts over dynamic values follow Val::cast
     (interpreter/mod.rs:350): tobool is truthiness (tobool("7") true),
