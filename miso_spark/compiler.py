@@ -276,9 +276,25 @@ class Compiler:
                         # into the wire request (scan.rs:102
                         # apply_dynamic_filter parity)
                         self._scan_side_dynamic_filter(steps, i, src, env)
-                    handle, residual = negotiate(
-                        P.Plan(tuple(steps[i:])), src.handle(step.collection), src
-                    )
+                    # pushdown-enabling rewrites ⇄ negotiation to
+                    # fixpoint: the reference's optimizer loops its
+                    # pass group (PushIntoScan + the reorder passes,
+                    # lib.rs:336-348) until nothing changes — a filter
+                    # hoisted through an extend on one round becomes
+                    # absorbable on the next
+                    from miso_spark.rewrite import optimize_steps
+
+                    handle = src.handle(step.collection)
+                    tail = (steps[i],) + optimize_steps(tuple(steps[i + 1:]))
+                    while True:
+                        handle, residual = negotiate(P.Plan(tail), handle, src)
+                        new_tail = (residual.steps[0],) + optimize_steps(
+                            residual.steps[1:]
+                        )
+                        if new_tail == tuple(residual.steps):
+                            break
+                        tail = new_tail
+                    residual = P.Plan(new_tail)
                     if (
                         isinstance(step, P.ScanRaw)
                         and getattr(handle, "raw_query", None) is None
@@ -304,8 +320,11 @@ class Compiler:
                     ).items():
                         if frm in df.columns:
                             df = df.withColumnRenamed(frm, to)
-                    absorbed = len(steps) - i - len(residual.steps)
-                    i += 1 + absorbed
+                    # the residual tail may have been REWRITTEN (not
+                    # just truncated) — splice it in and continue
+                    # engine-side right after the scan position
+                    steps[i + 1 :] = list(residual.steps[1:])
+                    i += 1
                     continue
             if isinstance(step, P.JoinStep):
                 left_steps = (

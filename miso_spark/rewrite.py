@@ -1,0 +1,427 @@
+"""Plan-rewrite passes that enable connector pushdown.
+
+Parity: the subset of miso-optimizations the engine cannot delegate to
+Catalyst because it changes WHAT reaches a connector's ``apply_*``
+hooks, not how a DataFrame plan executes:
+
+- ``convert_sort_limit_to_topn`` (convert_sort_limit_to_topn.rs)
+- ``push_limit_into_limit`` (push_limit_into_limit.rs)
+- ``push_limit_into_topn`` (push_limit_into_topn.rs)
+- ``merge_topns`` (merge_topns.rs)
+- ``project_propagation`` (project_propagation.rs): moves
+  project/extend/rename later by inlining their definitions into the
+  following filter/sort/top/limit/extend/expand steps — so a filter on
+  a computed column can reach the scan — and folds the definitions
+  into a terminal summarize entirely.
+- ``lower_distinct`` (query_to_workflow.rs:146: ``distinct f1, f2``
+  IS ``summarize by f1, f2`` in the reference's step model).
+
+For file-backed sources Catalyst already reorders filters through
+projections and fuses limits, so the compiler applies these passes
+only ahead of external-connector negotiation (compiler.py), where the
+reference's optimizer position is observable: which steps the service
+absorbs vs which stay engine-side. ``optimize_steps`` runs the passes
+to fixpoint, like Optimizer::optimize looping pass groups
+(miso-optimizations/src/lib.rs:156-205).
+"""
+
+from __future__ import annotations
+
+from miso_spark import plan as P
+from miso_spark.exprs import (
+    Between,
+    Bin,
+    BinOp,
+    Case,
+    Cast,
+    Exists,
+    Expr,
+    Extract,
+    Field,
+    In,
+    Lit,
+    Not,
+)
+
+
+class _CannotSubstitute(Exception):
+    """A definition name is used somewhere a general expression can't
+    go (sort key, expand field, nested path) — the pass bails."""
+
+
+def _plain_name(e: Expr) -> str | None:
+    """Single-segment, index-free field name, else None."""
+    if not isinstance(e, Field):
+        return None
+    segs = e.path.segments
+    if len(segs) != 1 or segs[0][1]:
+        return None
+    return segs[0][0]
+
+
+def substitute_fields(e: Expr, mapping: dict[str, Expr]) -> Expr:
+    """Replace plain field references per ``mapping`` (name → defining
+    expression) — the ExprSubstitute analog (expr_substitude.rs).
+    Raises :class:`_CannotSubstitute` when a mapped name is accessed
+    through a nested path or index (``name.sub`` / ``name[0]``): the
+    definition isn't known to be an object/array, so inlining is not
+    semantics-preserving."""
+    if not mapping:
+        return e
+
+    def r(x: Expr) -> Expr:
+        return substitute_fields(x, mapping)
+
+    if isinstance(e, Field):
+        (head, idxs), *rest = e.path.segments
+        if head in mapping:
+            if idxs or rest:
+                raise _CannotSubstitute(head)
+            return mapping[head]
+        return e
+    if isinstance(e, BinOp):
+        return BinOp(e.op, r(e.left), r(e.right))
+    if isinstance(e, Not):
+        return Not(r(e.expr))
+    if isinstance(e, Exists):
+        return Exists(r(e.expr))
+    if isinstance(e, In):
+        return In(r(e.expr), tuple(r(i) for i in e.items))
+    if isinstance(e, Between):
+        return Between(r(e.expr), r(e.low), r(e.high), e.negated)
+    if isinstance(e, Case):
+        return Case(tuple((r(c), r(v)) for c, v in e.branches), r(e.default))
+    if isinstance(e, Extract):
+        return Extract(r(e.pattern), r(e.group), r(e.source))
+    if isinstance(e, Bin):
+        return Bin(r(e.expr), r(e.size))
+    if isinstance(e, Cast):
+        return Cast(e.type, r(e.expr))
+    return e  # Lit / Duration / Now
+
+
+# ---------------------------------------------------------------------------
+# limit / top-n normalization (the reference's "Limit/TopN -
+# merge/optimize BEFORE pushing" group, lib.rs:158-164)
+
+
+def _pairwise_pass(steps: list, fn) -> tuple[list, bool]:
+    """Apply ``fn(a, b) -> list | None`` over adjacent step pairs."""
+    out: list = []
+    changed = False
+    i = 0
+    while i < len(steps):
+        if i + 1 < len(steps):
+            merged = fn(steps[i], steps[i + 1])
+            if merged is not None:
+                out.extend(merged)
+                i += 2
+                changed = True
+                continue
+        out.append(steps[i])
+        i += 1
+    return out, changed
+
+
+def _sort_limit_to_topn(a, b):
+    # convert_sort_limit_to_topn.rs: `sort by s | take n` == `top n by s`
+    if isinstance(a, P.SortStep) and isinstance(b, P.Limit):
+        return [P.Top(a.sorts, b.n)]
+    return None
+
+
+def _limit_into_limit(a, b):
+    # push_limit_into_limit.rs: take n | take m == take min(n, m)
+    if isinstance(a, P.Limit) and isinstance(b, P.Limit):
+        return [P.Limit(min(a.n, b.n))]
+    return None
+
+
+def _limit_into_topn(a, b):
+    # push_limit_into_topn.rs: top n by s | take m == top min(n,m) by s
+    if isinstance(a, P.Top) and isinstance(b, P.Limit):
+        return [P.Top(a.sorts, min(a.n, b.n))]
+    return None
+
+
+def _merge_topns(a, b):
+    # merge_topns.rs: equal sort keys → min limit
+    if isinstance(a, P.Top) and isinstance(b, P.Top) and a.sorts == b.sorts:
+        return [P.Top(a.sorts, min(a.n, b.n))]
+    return None
+
+
+def lower_distinct(steps: list) -> tuple[list, bool]:
+    """``distinct f1, f2`` → ``summarize by f1, f2`` — the reference
+    lowers this at the frontend (query_to_workflow.rs:146), so its
+    engine AND its connectors only ever see a by-only Summarize (which
+    is also why null group keys drop from distinct output there).
+    Field-less ``distinct *`` keeps the Distinct step (all-columns
+    dedup has no static by-list)."""
+    out = []
+    changed = False
+    for s in steps:
+        if isinstance(s, P.Distinct) and s.fields:
+            out.append(
+                P.SummarizeStep(
+                    (), tuple(P.ByField(Field.of(f), f) for f in s.fields)
+                )
+            )
+            changed = True
+        else:
+            out.append(s)
+    return out, changed
+
+
+# ---------------------------------------------------------------------------
+# project propagation (project_propagation.rs)
+
+#: middle steps the definitions can move across
+_MIDDLE = (P.Filter, P.SortStep, P.Top, P.Limit, P.Extend, P.Expand)
+
+
+def _categorize(fields) -> tuple[dict, dict, dict]:
+    """project_propagation.rs categorize_fields: name → rename source /
+    literal / general expression. Only single-segment target names
+    participate (a nested ``a.b = x`` target can't be tracked as a
+    plain definition)."""
+    renames: dict[str, str] = {}
+    literals: dict[str, Lit] = {}
+    exprs: dict[str, Expr] = {}
+    for pf in fields:
+        if "." in pf.name or "[" in pf.name:
+            raise _CannotSubstitute(pf.name)
+        src = _plain_name(pf.expr)
+        if src is not None:
+            renames[pf.name] = src
+        elif isinstance(pf.expr, Lit):
+            literals[pf.name] = pf.expr
+        else:
+            exprs[pf.name] = pf.expr
+    return renames, literals, exprs
+
+
+def _rewrite_sorts(sorts, renames, literals, exprs):
+    """rewrite_sorts: literal keys drop (constant — no effect on
+    order), renamed keys map back to the source column; a sort on a
+    computed definition can't be rewritten (Sort.by is a name, not an
+    expression) — bail."""
+    out = []
+    for s in sorts:
+        if s.by in literals:
+            continue
+        if s.by in exprs:
+            raise _CannotSubstitute(s.by)
+        out.append(P.Sort(renames.get(s.by, s.by), s.order, s.nulls))
+    return tuple(out)
+
+
+def _substitute_middle(step, renames, literals, exprs):
+    """Rewrite one middle step through the definitions; None = the
+    step vanishes (e.g. a sort only on literal keys)."""
+    mapping: dict[str, Expr] = {n: Field.of(s) for n, s in renames.items()}
+    mapping.update(literals)
+    mapping.update(exprs)
+    if isinstance(step, P.Filter):
+        return P.Filter(substitute_fields(step.expr, mapping))
+    if isinstance(step, P.SortStep):
+        sorts = _rewrite_sorts(step.sorts, renames, literals, exprs)
+        return P.SortStep(sorts) if sorts else None
+    if isinstance(step, P.Top):
+        sorts = _rewrite_sorts(step.sorts, renames, literals, exprs)
+        if not sorts:
+            raise _CannotSubstitute("top over constant keys")
+        return P.Top(sorts, step.n)
+    if isinstance(step, P.Limit):
+        return step
+    if isinstance(step, P.Extend):
+        return P.Extend(
+            tuple(
+                P.ProjectField(substitute_fields(pf.expr, mapping), pf.name)
+                for pf in step.fields
+            )
+        )
+    if isinstance(step, P.Expand):
+        fields = []
+        for f in step.fields:
+            if f in literals or f in exprs:
+                raise _CannotSubstitute(f)
+            fields.append(renames.get(f, f))
+        return P.Expand(tuple(fields), step.kind)
+    raise _CannotSubstitute(type(step).__name__)
+
+
+def _rewrite_summarize(sum_step, renames, literals, exprs):
+    """rewrite_summarize: fold the definitions into the summarize —
+    by-expressions substitute inline; aggregations over renamed fields
+    re-point; aggregations over literals turn into the reference's
+    constant forms (dcount→1, avg/min/max→the literal, sum→count×lit).
+    Returns (new_summarize, post_project_fields) or raises."""
+    mapping: dict[str, Expr] = {n: Field.of(s) for n, s in renames.items()}
+    mapping.update(literals)
+    mapping.update(exprs)
+
+    new_by = tuple(
+        P.ByField(substitute_fields(bf.expr, mapping), bf.name)
+        for bf in sum_step.by
+    )
+
+    post: list[P.ProjectField] = []
+    new_aggs: list[tuple[str, P.Agg]] = []
+    for name, agg in sum_step.aggs:
+        if agg.kind == "count":
+            new_aggs.append((name, agg))
+            continue
+        if agg.kind == "countif":
+            new_aggs.append(
+                (name, P.Agg("countif", substitute_fields(agg.arg, mapping)))
+            )
+            continue
+        f = _plain_name(agg.arg)
+        if f is None:
+            # aggregation over a computed argument: substitute inline
+            new_aggs.append(
+                (name, P.Agg(agg.kind, substitute_fields(agg.arg, mapping)))
+            )
+            continue
+        if f in literals:
+            lit = literals[f]
+            if agg.kind == "dcount":
+                post.append(P.ProjectField(Lit(1), name))
+            elif agg.kind in ("avg", "min", "max"):
+                post.append(P.ProjectField(lit, name))
+            elif agg.kind == "sum":
+                new_aggs.append((name, P.Agg("count")))
+                post.append(
+                    P.ProjectField(BinOp("mul", Field.of(name), lit), name)
+                )
+            else:
+                raise _CannotSubstitute(f)
+            continue
+        if f in renames:
+            new_aggs.append((name, P.Agg(agg.kind, Field.of(renames[f]))))
+            continue
+        if f in exprs:
+            new_aggs.append((name, P.Agg(agg.kind, exprs[f])))
+            continue
+        new_aggs.append((name, agg))
+    return P.SummarizeStep(tuple(new_aggs), new_by), post
+
+
+def _leading_fields(step):
+    if isinstance(step, (P.Project, P.Extend)):
+        return step.fields
+    if isinstance(step, P.Rename):
+        return tuple(P.ProjectField(Field.of(frm), to) for frm, to in step.pairs)
+    return None
+
+
+def project_propagation(steps: list) -> tuple[list, bool]:
+    """One application of ProjectPropagation{With,Without}End at the
+    first matching position; the fixpoint loop in
+    :func:`optimize_steps` re-runs until no match fires."""
+    for i, lead in enumerate(steps):
+        fields = _leading_fields(lead)
+        if fields is None:
+            continue
+        try:
+            renames, literals, exprs = _categorize(fields)
+        except _CannotSubstitute:
+            continue
+        if not (renames or literals or exprs):
+            continue
+        # collect the middle run
+        j = i + 1
+        while j < len(steps) and isinstance(steps[j], _MIDDLE):
+            j += 1
+        end = steps[j] if j < len(steps) else None
+        with_end = isinstance(end, (P.Project, P.SummarizeStep))
+        if j == i + 1 and not with_end:
+            continue  # nothing to move across
+        if not with_end and isinstance(steps[i + 1], (P.Project, P.Extend, P.Rename)):
+            # without an end step, swapping project/extend/rename pairs
+            # would ping-pong forever (project_propagation.rs:86-97);
+            # merge passes handle those instead
+            continue
+        try:
+            middle = []
+            for s in steps[i + 1 : j]:
+                new = _substitute_middle(s, renames, literals, exprs)
+                if new is not None:
+                    middle.append(new)
+            if with_end and isinstance(end, P.SummarizeStep):
+                new_sum, post = _rewrite_summarize(end, renames, literals, exprs)
+                tail = []
+                if new_sum.aggs or new_sum.by:
+                    tail.append(new_sum)
+                if post:
+                    tail.append(P.Project(tuple(post)))
+                replaced = middle + tail
+                consumed_end = True
+            elif with_end:  # terminal Project: inline definitions into it
+                mapping: dict[str, Expr] = {
+                    n: Field.of(s) for n, s in renames.items()
+                }
+                mapping.update(literals)
+                mapping.update(exprs)
+                replaced = middle + [
+                    P.Project(
+                        tuple(
+                            P.ProjectField(
+                                substitute_fields(pf.expr, mapping), pf.name
+                            )
+                            for pf in end.fields
+                        )
+                    )
+                ]
+                consumed_end = True
+            else:
+                replaced = middle + [lead]
+                consumed_end = False
+        except _CannotSubstitute:
+            continue
+        rest = steps[j + 1 :] if consumed_end else steps[j:]
+        return steps[:i] + replaced + rest, True
+    return steps, False
+
+
+# ---------------------------------------------------------------------------
+# fixpoint driver
+
+
+def _limit_passes(steps: list) -> tuple[list, bool]:
+    changed = False
+    for fn in (_sort_limit_to_topn, _limit_into_limit, _limit_into_topn, _merge_topns):
+        steps, c = _pairwise_pass(steps, fn)
+        changed = changed or c
+    return steps, changed
+
+
+def optimize_steps(steps, max_rounds: int = 20) -> tuple:
+    """Run the pushdown-enabling passes to fixpoint over ``steps``
+    (tuple in, tuple out), recursing into union/join/let sub-plans."""
+    out = list(steps)
+    # recurse into sub-plans first, so a union sub-plan arrives at
+    # apply_union fully normalized (push_union_into_scan sees the
+    # same shape the reference's recursive optimizer produces)
+    for i, s in enumerate(out):
+        if isinstance(s, P.Union):
+            out[i] = P.Union(P.Plan(optimize_steps(s.sub.steps, max_rounds)))
+        elif isinstance(s, P.JoinStep):
+            out[i] = P.JoinStep(
+                s.left_on, s.right_on, P.Plan(optimize_steps(s.sub.steps, max_rounds)),
+                s.how, s.partitions, s.broadcast,
+            )
+        elif isinstance(s, P.Let):
+            out[i] = P.Let(s.name, P.Plan(optimize_steps(s.sub.steps, max_rounds)))
+    for _ in range(max_rounds):
+        changed = False
+        out, c = lower_distinct(out)
+        changed = changed or c
+        out, c = _limit_passes(out)
+        changed = changed or c
+        out, c = project_propagation(out)
+        changed = changed or c
+        if not changed:
+            break
+    return tuple(out)

@@ -49,19 +49,34 @@ def _field_lit(l: Expr, r: Expr) -> tuple[str, object] | None:
 _RANGE_OPS = {"gt": "gt", "gte": "gte", "lt": "lt", "lte": "lte"}
 
 
-def compile_filter(e: Expr, minimum_should_match: bool = True) -> dict | None:
+def compile_filter(
+    e: Expr,
+    minimum_should_match: bool | None = None,
+    flavor: str = "elasticsearch",
+) -> dict | None:
     """Compile a filter Expr to an ES bool-query dict, or None when any
     part is not pushdown-able (whole-or-nothing, like the reference).
+
+    ``flavor`` gates the token-match predicates on each service's
+    default analysis — the one place the two translations diverge:
+    Elasticsearch's standard analyzer lowercases, so ``has``
+    (case-insensitive) maps to match_phrase and ``has_cs`` stays
+    engine-side (elasticsearch.rs:529 compiles Has, no HasCs arm);
+    Quickwit's default tokenizer preserves case, so ``has_cs`` maps to
+    match_phrase and ``has`` stays engine-side (quickwit.rs:505
+    compiles HasCs, no Has arm).
 
     ``minimum_should_match=False`` emits Quickwit's OR shape
     (quickwit.rs:435 omits the field; elasticsearch.rs:454 sets it —
     semantically identical for a should-only bool, but the wire shapes
-    mirror each connector exactly)."""
+    mirror each connector exactly); default follows the flavor."""
+    if minimum_should_match is None:
+        minimum_should_match = flavor == "elasticsearch"
     if isinstance(e, BinOp):
         if e.op == "or":
             parts = [
-                compile_filter(e.left, minimum_should_match),
-                compile_filter(e.right, minimum_should_match),
+                compile_filter(e.left, minimum_should_match, flavor),
+                compile_filter(e.right, minimum_should_match, flavor),
             ]
             if any(p is None for p in parts):
                 return None
@@ -71,8 +86,8 @@ def compile_filter(e: Expr, minimum_should_match: bool = True) -> dict | None:
             return out
         if e.op == "and":
             parts = [
-                compile_filter(e.left, minimum_should_match),
-                compile_filter(e.right, minimum_should_match),
+                compile_filter(e.left, minimum_should_match, flavor),
+                compile_filter(e.right, minimum_should_match, flavor),
             ]
             if any(p is None for p in parts):
                 return None
@@ -104,16 +119,21 @@ def compile_filter(e: Expr, minimum_should_match: bool = True) -> dict | None:
             if fl is None:
                 return None
             return {"match_phrase_prefix": {fl[0]: {"query": _fmt(fl[1])}}}
-        if e.op == "has":
+        if e.op == "has" and flavor == "elasticsearch":
             fl = _field_lit(e.left, e.right)
             if fl is None or not isinstance(fl[1], str):
                 return None
             return {"match_phrase": {fl[0]: fl[1]}}
-        # contains/endswith/has_cs and arithmetic have no exact ES
-        # analog in the reference's translation → keep engine-side
+        if e.op == "has_cs" and flavor == "quickwit":
+            fl = _field_lit(e.left, e.right)
+            if fl is None or not isinstance(fl[1], str):
+                return None
+            return {"match_phrase": {fl[0]: fl[1]}}
+        # contains/endswith, the flavor's non-native token match, and
+        # arithmetic have no exact analog → keep engine-side
         return None
     if isinstance(e, Not):
-        inner = compile_filter(e.expr, minimum_should_match)
+        inner = compile_filter(e.expr, minimum_should_match, flavor)
         if inner is None:
             return None
         return {"bool": {"must_not": inner}}

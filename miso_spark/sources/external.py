@@ -227,7 +227,7 @@ class QuickwitSource(ExternalHttpSource):
         (quickwit.rs:435); otherwise identical to the ES DSL."""
         from miso_spark.sources.es_dsl import compile_filter
 
-        return compile_filter(expr, minimum_should_match=False)
+        return compile_filter(expr, flavor="quickwit")
 
     def handle(self, collection: str):
         """Fresh pushdown handle for ``collection`` (get_handle analog:

@@ -82,9 +82,7 @@ class PushHandle:
             return None
         from miso_spark.sources.es_dsl import compile_filter
 
-        dsl = compile_filter(
-            expr, minimum_should_match=self.flavor == "elasticsearch"
-        )
+        dsl = compile_filter(expr, flavor=self.flavor)
         if dsl is None:
             return None
         return replace(self, queries=self.queries + (dsl,))

@@ -13,20 +13,28 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime
 
-from miso_spark.exprs import Between, BinOp, Exists, Expr, Field, In, Lit, Not
+from miso_spark.exprs import Between, BinOp, Exists, Expr, Extract, Field, In, Lit, Not
 
 
 @dataclass(frozen=True)
 class SplFilter:
     """search: fast indexed `| search` term; where: `| where` clause.
-    Both set = the reference's Batched result (one op of each)."""
+    Both set = the reference's Batched result (one op of each).
+    ``ops``: trailing complex op tuples (the RexThenWhere form,
+    splunk/mod.rs:615: ``('rex', field, pattern)`` +
+    ``('where', ...)`` + ``('fields_minus', tmp)``) — emitted after
+    search/where, can't participate in OR/NOT."""
 
     search: str | None = None
     where: str | None = None
+    ops: tuple = ()
 
     def single(self) -> tuple[str, str] | None:
         """(kind, text) when exactly one clause kind is present —
-        OR/NOT can only wrap single-kind results (mod.rs as_str)."""
+        OR/NOT can only wrap single-kind results (mod.rs as_str;
+        Batched/RexThenWhere results have no single string form)."""
+        if self.ops:
+            return None
         if self.search is not None and self.where is None:
             return ("search", self.search)
         if self.where is not None and self.search is None:
@@ -87,6 +95,41 @@ def _flatten(e: Expr, op: str) -> list[Expr]:
 _CMP = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
 
 
+def _extract_parts(e: Expr) -> tuple[str, int, str] | None:
+    """(pattern, group, source_field) when ``e`` is a fully-literal
+    extract over a plain field (compile_extract_filter's guards,
+    splunk/mod.rs:594-609)."""
+    if not isinstance(e, Extract):
+        return None
+    if not isinstance(e.pattern, Lit) or not isinstance(e.pattern.value, str):
+        return None
+    if not isinstance(e.group, Lit) or not isinstance(e.group.value, int):
+        return None
+    src = _field(e.source)
+    if src is None:
+        return None
+    return e.pattern.value, e.group.value, src
+
+
+def _rex_ops(ex: Extract, trailing: str) -> tuple | None:
+    """The RexThenWhere op triple (splunk/mod.rs:615 into_spl_ops):
+    rex into a temp field, a where over it (``trailing`` formats the
+    temp name in), then the temp field dropped from the output."""
+    parts = _extract_parts(ex)
+    if parts is None:
+        return None
+    pattern, group, src = parts
+    tmp = f"_extract_{src.replace('.', '_')}"
+    spl_pat = convert_to_splunk_named_capture(pattern, group, tmp)
+    if spl_pat is None:
+        return None
+    return (
+        ("rex", src, spl_pat),
+        ("where", trailing.format(tmp)),
+        ("fields_minus", tmp),
+    )
+
+
 def compile_filter_spl(e: Expr) -> SplFilter | None:
     if isinstance(e, BinOp):
         if e.op == "or":
@@ -103,11 +146,21 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
                 return None
             search_parts = [r.search for r in results if r.search is not None]
             where_parts = [r.where for r in results if r.where is not None]
+            ops = tuple(op for r in results for op in r.ops)
             return SplFilter(
                 search=_and_combine(search_parts) if search_parts else None,
                 where=_and_combine(where_parts) if where_parts else None,
+                ops=ops,
             )
         if e.op == "eq":
+            # extract(p, g, src) == "lit" → rex + where + drop-temp
+            # (splunk/mod.rs:735 compile_extract_filter)
+            for ex, lit in ((e.left, e.right), (e.right, e.left)):
+                if isinstance(ex, Extract) and isinstance(lit, Lit) and lit.value is not None:
+                    ops = _rex_ops(ex, "{}=" + _val(lit.value))
+                    if ops is None:
+                        return None
+                    return SplFilter(ops=ops)
             fl = _field_lit(e.left, e.right, commute=True)
             if fl is None:
                 return None
@@ -150,6 +203,17 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
     if isinstance(e, Exists):
         f = _field(e.expr)
         if f is None:
+            if isinstance(e.expr, Extract):
+                # exists(extract(...)) → rex + isnotnull over the temp
+                # field. The reference's as_pushable_exists_field only
+                # takes plain fields, but its own connector corpus
+                # (tests/common/test_cases.rs extract_first_word_from_
+                # title) expects Splunk to fully absorb this shape once
+                # the filter is reordered before the extend — rex then
+                # isnotnull is the exact SPL realization.
+                ops = _rex_ops(e.expr, "isnotnull({})")
+                if ops is not None:
+                    return SplFilter(ops=ops)
             return None
         return SplFilter(where=f"isnotnull({f})")
     if isinstance(e, In):
@@ -320,6 +384,8 @@ class SplunkHandle:
                 h = h._push("search", flt.search)
             if flt.where is not None:
                 h = h._push("where", flt.where)
+            for op in flt.ops:
+                h = h._push(*op)
         return h
 
     def apply_project(self, fields):
@@ -485,4 +551,7 @@ class SplunkHandle:
                 spl += f" | rename {clause}"
             elif kind == "rex":
                 spl += f' | rex field={op[1]} "{op[2]}"'
+            elif kind == "fields_minus":
+                # FieldsRemove (splunk/mod.rs:550): drop the rex temp
+                spl += f" | fields - {op[1]}"
         return spl
