@@ -264,8 +264,6 @@ class Compiler:
                     # prefix into the service (PushIntoScan parity) and
                     # execute over the wire; the unabsorbed residual
                     # continues engine-side on the returned DataFrame
-                    from miso_spark.sources.pushdown import negotiate
-
                     if isinstance(step, P.ScanRaw):
                         self._require_cap(step.connector, CAP_RAW, "raw query")
                     if self.dynamic_filter and isinstance(step, P.Scan):
@@ -276,25 +274,13 @@ class Compiler:
                         # into the wire request (scan.rs:102
                         # apply_dynamic_filter parity)
                         self._scan_side_dynamic_filter(steps, i, src, env)
-                    # pushdown-enabling rewrites ⇄ negotiation to
-                    # fixpoint: the reference's optimizer loops its
-                    # pass group (PushIntoScan + the reorder passes,
-                    # lib.rs:336-348) until nothing changes — a filter
-                    # hoisted through an extend on one round becomes
-                    # absorbable on the next
-                    from miso_spark.rewrite import optimize_steps
+                    from miso_spark.sources.pushdown import (
+                        negotiate_to_fixpoint,
+                    )
 
-                    handle = src.handle(step.collection)
-                    tail = (steps[i],) + optimize_steps(tuple(steps[i + 1:]))
-                    while True:
-                        handle, residual = negotiate(P.Plan(tail), handle, src)
-                        new_tail = (residual.steps[0],) + optimize_steps(
-                            residual.steps[1:]
-                        )
-                        if new_tail == tuple(residual.steps):
-                            break
-                        tail = new_tail
-                    residual = P.Plan(new_tail)
+                    handle, residual = negotiate_to_fixpoint(
+                        P.Plan(tuple(steps[i:])), src.handle(step.collection), src
+                    )
                     if (
                         isinstance(step, P.ScanRaw)
                         and getattr(handle, "raw_query", None) is None

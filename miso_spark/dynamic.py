@@ -54,6 +54,11 @@ import re as _re
 #: keys would need a bracket syntax Spark's path grammar doesn't offer
 _KEY_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
+#: hard cap on key discovery (`keys=None`): more distinct top-level
+#: keys than this raises instead of collecting — one VARIANT column per
+#: key stops being a schema and starts being a transposed row store
+MAX_DISCOVERED_KEYS = 1000
+
 
 def _dynamic_columns(
     df: DataFrame, raw_col: str, keys: list[str] | None
@@ -72,12 +77,26 @@ def _dynamic_columns(
         pj.isNotNull() & F.json_object_keys(F.col(raw_col)).isNotNull()
     )
     if keys is None:
-        keys = sorted(
-            r["k"]
-            for r in df.select(
-                F.explode(F.json_object_keys(raw_col)).alias("k")
-            ).distinct().collect()
+        # discovery collect is bounded by DISTINCT top-level keys, and
+        # hard-capped: a corpus with per-row synthetic keys (request-id
+        # -as-key logs) would otherwise stream an unbounded distinct
+        # set into the driver. Over the cap we error and point at
+        # `keys=` — same degrade-don't-collect posture as the dynamic
+        # filter's _collect_join_keys bound (compiler.py:762).
+        rows = (
+            df.select(F.explode(F.json_object_keys(raw_col)).alias("k"))
+            .distinct()
+            .limit(MAX_DISCOVERED_KEYS + 1)
+            .collect()
         )
+        if len(rows) > MAX_DISCOVERED_KEYS:
+            raise ValueError(
+                f"dynamic ingest: more than {MAX_DISCOVERED_KEYS} distinct "
+                f"top-level keys discovered — this data shape (per-row "
+                f"synthetic keys?) would explode into one VARIANT column "
+                f"per key; pass keys=[...] with the columns you need"
+            )
+        keys = sorted(r["k"] for r in rows)
     bad = [k for k in keys if not _KEY_RE.match(k)]
     if bad:
         raise ValueError(

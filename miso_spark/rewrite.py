@@ -403,17 +403,23 @@ def optimize_steps(steps, max_rounds: int = 20) -> tuple:
     out = list(steps)
     # recurse into sub-plans first, so a union sub-plan arrives at
     # apply_union fully normalized (push_union_into_scan sees the
-    # same shape the reference's recursive optimizer produces)
+    # same shape the reference's recursive optimizer produces).
+    # Identity-preserving: an unchanged step keeps its object — the
+    # compiler keys per-run caches by step identity (prejoined joins)
     for i, s in enumerate(out):
-        if isinstance(s, P.Union):
-            out[i] = P.Union(P.Plan(optimize_steps(s.sub.steps, max_rounds)))
-        elif isinstance(s, P.JoinStep):
-            out[i] = P.JoinStep(
-                s.left_on, s.right_on, P.Plan(optimize_steps(s.sub.steps, max_rounds)),
-                s.how, s.partitions, s.broadcast,
-            )
-        elif isinstance(s, P.Let):
-            out[i] = P.Let(s.name, P.Plan(optimize_steps(s.sub.steps, max_rounds)))
+        if isinstance(s, (P.Union, P.JoinStep, P.Let)):
+            sub = optimize_steps(s.sub.steps, max_rounds)
+            if sub == tuple(s.sub.steps):
+                continue
+            if isinstance(s, P.Union):
+                out[i] = P.Union(P.Plan(sub))
+            elif isinstance(s, P.JoinStep):
+                out[i] = P.JoinStep(
+                    s.left_on, s.right_on, P.Plan(sub),
+                    s.how, s.partitions, s.broadcast,
+                )
+            else:
+                out[i] = P.Let(s.name, P.Plan(sub))
     for _ in range(max_rounds):
         changed = False
         out, c = lower_distinct(out)

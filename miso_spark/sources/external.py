@@ -43,11 +43,14 @@ class ConnectorUnavailableError(ConnectionError):
 
 
 def _quickwit_agg_timestamps(df: DataFrame, handle) -> DataFrame:
-    """Aggregation-response datetime parity (quickwit.rs:905-931): a
-    group key on the index's timestamp field comes back as epoch
-    MILLIS (group_by_value_to_datetime multiplies by 1e6 to nanos); a
-    min/max over it comes back as epoch NANOS (agg_value_to_datetime).
-    Convert numeric columns accordingly so the engine sees timestamps."""
+    """Aggregation-response datetime parity: a group key on the index's
+    timestamp field comes back as epoch MILLIS from both services
+    (quickwit.rs:905 group_by_value_to_datetime, date_histogram keys);
+    a min/max metric over it comes back as epoch NANOS from Quickwit
+    (quickwit.rs:921 agg_value_to_datetime) but epoch MILLIS from
+    Elasticsearch (elasticsearch.rs:860 value_to_datetime resolves the
+    magnitude — ES date aggs are milli-based). Convert numeric columns
+    accordingly so the engine sees timestamps."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import NumericType
 
@@ -57,9 +60,41 @@ def _quickwit_agg_timestamps(df: DataFrame, handle) -> DataFrame:
         df = df.withColumn(ts, F.timestamp_millis(F.col(ts).cast("long")))
     for name in handle.agg_timestamp_fields:
         if name in numeric:
-            df = df.withColumn(
-                name, F.timestamp_micros((F.col(name) / 1000).cast("long"))
-            )
+            if handle.flavor == "elasticsearch":
+                df = df.withColumn(name, F.timestamp_millis(F.col(name).cast("long")))
+            else:
+                df = df.withColumn(
+                    name, F.timestamp_micros((F.col(name) / 1000).cast("long"))
+                )
+    return df
+
+
+def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
+    """transform_log parity for hit rows (quickwit.rs:838,
+    elasticsearch.rs:848 + miso-common/src/time_utils.rs
+    parse_timestamp): the index's timestamp field arrives as an
+    RFC3339 string or a numeric epoch whose magnitude picks the unit
+    (seconds / millis / micros / nanos) — surface it typed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType, StringType
+
+    if ts is None or ts not in df.columns:
+        return df
+    dt = df.schema[ts].dataType
+    if isinstance(dt, StringType):
+        return df.withColumn(ts, F.to_timestamp(ts))
+    if isinstance(dt, NumericType):
+        # time_utils.rs:3 magnitude thresholds (MAX_TIMESTAMP_SECONDS
+        # = 8589934591 and its 1e3/1e6 multiples)
+        c = F.col(ts).cast("double")
+        mag = F.abs(c)
+        return df.withColumn(
+            ts,
+            F.when(mag <= 8589934591.0, F.timestamp_seconds(c))
+            .when(mag <= 8589934591e3, F.timestamp_millis(c.cast("long")))
+            .when(mag <= 8589934591e6, F.timestamp_micros(c.cast("long")))
+            .otherwise(F.timestamp_micros((c / 1000).cast("long"))),
+        )
     return df
 
 
@@ -374,13 +409,7 @@ class QuickwitSource(ExternalHttpSource):
             df = spark.read.json(rdd)
             if handle.limit is not None:
                 df = df.limit(handle.limit)
-            ts = handle.timestamp_field
-            if ts is not None and ts in df.columns:
-                from pyspark.sql import functions as F
-                from pyspark.sql.types import StringType
-
-                if isinstance(df.schema[ts].dataType, StringType):
-                    df = df.withColumn(ts, F.to_timestamp(ts))
+            df = _timestamp_typed(df, handle.timestamp_field)
             return df
         payload = self._request_json(path, body)
         docs = [h["_source"] for h in payload["hits"]["hits"]]
@@ -413,13 +442,7 @@ class QuickwitSource(ExternalHttpSource):
         df = spark.read.json(rdd)
         # transform_log parity (quickwit.rs:838): the index's timestamp
         # field arrives as an RFC3339 string — surface it typed
-        ts = handle.timestamp_field
-        if ts is not None and ts in df.columns:
-            from pyspark.sql import functions as F
-            from pyspark.sql.types import StringType
-
-            if isinstance(df.schema[ts].dataType, StringType):
-                df = df.withColumn(ts, F.to_timestamp(ts))
+        df = _timestamp_typed(df, handle.timestamp_field)
         return df
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
@@ -597,13 +620,7 @@ class ElasticsearchSource(ExternalHttpSource):
                 df = spark.read.json(rdd)
                 if handle.limit is not None:
                     df = df.limit(handle.limit)
-                ts = handle.timestamp_field
-                if ts is not None and ts in df.columns:
-                    from pyspark.sql import functions as F
-                    from pyspark.sql.types import StringType
-
-                    if isinstance(df.schema[ts].dataType, StringType):
-                        df = df.withColumn(ts, F.to_timestamp(ts))
+                df = _timestamp_typed(df, handle.timestamp_field)
                 return df
             payload = self._post_json(
                 f"/{indexes}/_search?scroll={self.scroll_timeout_s}s&size={scroll_size}",
@@ -639,13 +656,7 @@ class ElasticsearchSource(ExternalHttpSource):
             # transform_log parity (elasticsearch.rs:848): the index's
             # timestamp field arrives as a string — surface it typed,
             # like the Quickwit search() above
-            ts = handle.timestamp_field
-            if ts is not None and ts in df.columns:
-                from pyspark.sql import functions as F
-                from pyspark.sql.types import StringType
-
-                if isinstance(df.schema[ts].dataType, StringType):
-                    df = df.withColumn(ts, F.to_timestamp(ts))
+            df = _timestamp_typed(df, handle.timestamp_field)
             return df
         else:
             body = {"query": query or {"match_all": {}}, "size": size}
@@ -756,10 +767,33 @@ def _make_offset_fetcher(url: str, sid: str, token: str | None,
                 if not page:
                     break  # resultCount overshot reality — stop clean
                 for d in page:
-                    yield _json.dumps(d)
+                    yield _json.dumps(transform_splunk_row(d))
                 offset += len(page)
 
     return fetch
+
+
+#: Splunk result internals dropped from rows (splunk/mod.rs:1032-1035)
+_SPLUNK_INTERNAL_FIELDS = ("_serial", "_bkt", "_cd", "_si")
+
+
+def transform_splunk_row(row: dict) -> dict:
+    """transform_log parity (splunk/mod.rs:1015): Splunk returns every
+    extracted field as a string, but ``_raw`` carries the original
+    event JSON with proper types — parse it and merge the typed values
+    over the stringly ones, then drop the per-result internals. ``_raw``
+    and ``_time`` stay, like the reference."""
+    import json
+
+    raw = row.get("_raw")
+    if isinstance(raw, str):
+        try:
+            parsed = json.loads(raw)
+        except ValueError:
+            parsed = None
+        if isinstance(parsed, dict):
+            row = {**row, **parsed}
+    return {k: v for k, v in row.items() if k not in _SPLUNK_INTERNAL_FIELDS}
 
 
 class SplunkSource(ExternalHttpSource):
@@ -920,7 +954,7 @@ class SplunkSource(ExternalHttpSource):
             page = payload.get("results", [])
             if not page:
                 return docs
-            docs.extend(page)
+            docs.extend(transform_splunk_row(r) for r in page)
             offset += len(page)
 
     def run_job_with_previews(self, spl: str, preview_interval_s: float = 0.05):

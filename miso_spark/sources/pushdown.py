@@ -400,6 +400,24 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
     return handle, P.Plan((steps[0],) + tuple(steps[i:]))
 
 
+def negotiate_to_fixpoint(plan: P.Plan, handle, source=None):
+    """negotiate() interleaved with the pushdown-enabling plan rewrites
+    (miso_spark.rewrite) until neither changes anything — the
+    reference's optimizer loops its pass group (PushIntoScan + the
+    reorder/propagation passes, miso-optimizations/src/lib.rs:336-348)
+    the same way: a filter hoisted through an extend on one round
+    becomes absorbable on the next. Returns (handle, residual_plan)."""
+    from miso_spark.rewrite import optimize_steps
+
+    tail = (plan.steps[0],) + optimize_steps(tuple(plan.steps[1:]))
+    while True:
+        handle, residual = negotiate(P.Plan(tail), handle, source)
+        new_tail = (residual.steps[0],) + optimize_steps(residual.steps[1:])
+        if new_tail == tuple(residual.steps):
+            return handle, P.Plan(new_tail)
+        tail = new_tail
+
+
 # ---- aggregation response decoding (quickwit.rs:997-1110) -------------
 
 

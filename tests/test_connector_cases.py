@@ -1,0 +1,232 @@
+"""The reference's live-connector e2e corpus, run against the
+in-process evaluating stubs (tests/search_stubs.py).
+
+Port of tests/common/predicate_pushdown.rs same_results() over every
+case of tests/common/test_cases.rs (42) plus quickwit.rs's
+QUICKWIT_RAW_QUERY_TESTS (5), for each of the three connectors the
+reference tests live (Elastic, Quickwit, Splunk). Per case this
+asserts exactly what the reference asserts:
+
+1. **Steps**: optimizer + pushdown leaves precisely the expected
+   residual engine-side (predicate_pushdown.rs:73 compares optimized
+   steps against the parse of the per-connector expected query; Scan
+   equality ignores the handle, scan.rs:45).
+2. **Pushdown == no-pushdown**: the same query with every apply_* hook
+   refused returns the same sorted rows (predicate_pushdown.rs:132).
+3. **Expected rows**: count or exact JSON logs
+   (predicate_pushdown.rs:138).
+
+The cases and document sets are extracted from the reference checkout
+at test time (tests/connector_corpus.py) — nothing is copied in.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import connector_corpus as corpus  # noqa: E402
+from search_stubs import ElasticStub, QuickwitStub, SplunkStub  # noqa: E402
+
+from miso_spark import plan as P  # noqa: E402
+from miso_spark.compiler import Compiler  # noqa: E402
+from miso_spark.kql import parse_kql  # noqa: E402
+from miso_spark.rewrite import optimize_steps  # noqa: E402
+from miso_spark.sources import SourceRegistry  # noqa: E402
+from miso_spark.sources.external import (  # noqa: E402
+    ElasticsearchSource,
+    QuickwitSource,
+    SplunkSource,
+)
+from miso_spark.sources.pushdown import negotiate_to_fixpoint  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(corpus.TEST_CASES_RS),
+    reason="reference checkout not present",
+)
+
+
+# ---------------------------------------------------------------------------
+# no-pushdown arm: refuse every apply_* hook (Optimizer::empty() analog)
+
+
+class _RefuseAllHandle:
+    """Wraps the real handle; every apply_* refuses so all steps stay
+    engine-side. Raw queries still pass through — sending the native
+    query isn't an optimization, it's the scan itself."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def _refuse(self, *a, **kw):
+        return None
+
+    apply_filter = apply_project = apply_limit = apply_topn = _refuse
+    apply_count = apply_summarize = apply_union = _refuse
+
+    def with_raw_query(self, q):
+        return _RefuseAllHandle(self.inner.with_raw_query(q))
+
+    @property
+    def raw_query(self):
+        return getattr(self.inner, "raw_query", None)
+
+
+class _NoPushSource:
+    def __init__(self, inner):
+        self._inner = inner
+
+    def handle(self, collection):
+        return _RefuseAllHandle(self._inner.handle(collection))
+
+    def search(self, spark, collection, handle=None):
+        real = handle.inner if isinstance(handle, _RefuseAllHandle) else handle
+        return self._inner.search(spark, collection, real)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+# ---------------------------------------------------------------------------
+# fixtures: stub + source per connector
+
+BASE = corpus.load_base_cases()
+RAW = corpus.load_quickwit_raw_cases()
+
+
+def _static_fields(ts_map):
+    return {idx: {"@time": f} for idx, f in ts_map.items()}
+
+
+@pytest.fixture(scope="module")
+def rigs(spark):
+    docs = corpus.load_resources()
+    ts = corpus.TIMESTAMP_FIELDS
+    rigs = {}
+
+    qw_stub = QuickwitStub(docs, ts)
+    qw = QuickwitSource(qw_stub.url, timestamp_fields=dict(ts))
+    qw.static_fields = _static_fields(ts)
+    rigs["Quickwit"] = (qw_stub, qw)
+
+    es_stub = ElasticStub(docs, ts)
+    es = ElasticsearchSource(es_stub.url, timestamp_fields=dict(ts))
+    es.static_fields = _static_fields(ts)
+    rigs["Elastic"] = (es_stub, es)
+
+    sp_stub = SplunkStub(docs, ts)
+    sp = SplunkSource(sp_stub.url)
+    # splunk/mod.rs:1084: every index maps @time to Splunk's _time
+    sp.static_fields = {idx: {"@time": "_time"} for idx in ts}
+    rigs["Splunk"] = (sp_stub, sp)
+
+    yield rigs
+    for stub, _ in rigs.values():
+        stub.shutdown()
+
+
+def _compilers(spark, src):
+    push = Compiler(SourceRegistry(spark).register("test", src))
+    plain = Compiler(SourceRegistry(spark).register("test", _NoPushSource(src)))
+    return push, plain
+
+
+# ---------------------------------------------------------------------------
+# normalization
+
+
+def _norm_val(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(timespec="seconds")
+    if isinstance(v, dict):
+        return {k: _norm_val(x) for k, x in v.items() if x is not None}
+    if isinstance(v, (list, tuple)):
+        return [_norm_val(x) for x in v]
+    return v
+
+
+def _rows(df) -> list[str]:
+    out = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        d = {k: _norm_val(v) for k, v in d.items() if v is not None}
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+def _norm_steps(steps) -> tuple:
+    """Comparable plan form: scans by (type, connector, collection) —
+    handle-free, like Scan's PartialEq (scan.rs:45) — plus the
+    frontend's distinct lowering and the same rewrite passes applied
+    to both sides (the expected strings are written post-optimizer, so
+    this is a no-op for them everywhere but `distinct`)."""
+    out = []
+    for s in (steps[:1] + optimize_steps(steps[1:])):
+        if isinstance(s, (P.Scan, P.ScanRaw)):
+            out.append((type(s).__name__, s.connector, s.collection))
+        elif isinstance(s, P.Union):
+            out.append(("Union", _norm_steps(s.sub.steps)))
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# the gate
+
+
+def _run_case(spark, rigs, connector: str, case: corpus.Case):
+    stub, src = rigs[connector]
+
+    plan = parse_kql(case.query)
+
+    # 1. steps: pushdown leaves exactly the expected residual
+    handle, residual = negotiate_to_fixpoint(
+        plan, src.handle(plan.steps[0].collection), src
+    )
+    expected_plan = parse_kql(case.expected_for(connector))
+    assert _norm_steps(residual.steps) == _norm_steps(expected_plan.steps), (
+        f"[{case.name}] residual steps after pushdown differ from the "
+        f"reference's expected residual {case.expected_for(connector)!r}"
+    )
+
+    # 2 + 3. results: pushdown == no-pushdown == expected
+    push, plain = _compilers(spark, src)
+    push_rows = _rows(push.run(plan))
+    plain_rows = _rows(plain.run(parse_kql(case.query)))
+    assert push_rows == plain_rows, (
+        f"[{case.name}] pushdown results != no-pushdown results"
+    )
+    if case.count is not None:
+        assert len(push_rows) == case.count, (
+            f"[{case.name}] row count {len(push_rows)} != expected {case.count}"
+        )
+    else:
+        expected = sorted(
+            json.dumps(_norm_val(row), sort_keys=True, default=str)
+            for row in case.logs
+        )
+        assert push_rows == expected, f"[{case.name}] rows != expected logs"
+
+
+@pytest.mark.parametrize("case", BASE, ids=lambda c: c.name)
+@pytest.mark.parametrize("connector", ("Elastic", "Quickwit", "Splunk"))
+def test_base_corpus(spark, rigs, connector, case):
+    _run_case(spark, rigs, connector, case)
+
+
+@pytest.mark.parametrize("case", RAW, ids=lambda c: c.name)
+def test_quickwit_raw_corpus(spark, rigs, case):
+    _run_case(spark, rigs, "Quickwit", case)

@@ -136,6 +136,21 @@ def test_ingest_empty_rows(spark):
     assert df.count() == 0 and df.columns == []
 
 
+def test_ingest_key_discovery_is_capped(spark, monkeypatch):
+    """Adversarial key space: per-row synthetic keys (request-id-as-key
+    logs) must raise, pointing at keys=, instead of collecting an
+    unbounded distinct key set into the driver (the
+    _collect_join_keys degrade-don't-collect posture)."""
+    monkeypatch.setattr(dyn, "MAX_DISCOVERED_KEYS", 8)
+    rows = [{f"req_{i}": i} for i in range(20)]
+    with pytest.raises(ValueError, match="keys="):
+        dyn.ingest_json_dynamic(spark, rows)
+    # explicit keys skip discovery entirely and stay bounded
+    df = dyn.ingest_json_dynamic(spark, rows, keys=["req_3"])
+    assert df.columns == ["req_3"]
+    assert df.count() == 20
+
+
 def test_ingest_explicit_keys_skips_discovery(spark):
     df = dyn.ingest_json_dynamic(spark, [{"a": 1, "b": 2}], keys=["a"])
     assert df.columns == ["a"]
@@ -621,3 +636,27 @@ def test_dynamic_expand_mixed_arrays(spark):
         {"a": 1, "b": 10}, {"a": 1, "b": 20}, {"a": 2, "b": "x"},
         {"a": 4, "b": "scalar"}, {"a": 5},
     ]
+
+
+def test_mixed_type_sort_and_group_keys_succeed(spark):
+    """Deliberate TypeTracker divergence, pinned (SURVEY §3): the
+    reference ERRORS on a sort/summarize key holding differing types
+    across rows ("cannot operate over differing types",
+    type_tracker.rs:27-33 via sort.rs:317 / summarize.rs:154); this
+    engine instead succeeds with the reference's own cross-type total
+    order (value/mod.rs:147). A stray string in one row of 100 TB
+    should not kill the job when the engine already defines the order
+    for comparisons."""
+    rows = [{"k": 5, "v": 1}, {"k": "five", "v": 2}, {"k": True, "v": 3},
+            {"k": 7, "v": 4}]
+    df = dyn.ingest_json_dynamic(spark, rows)
+
+    # sort: bool < numbers < strings (reference class ranks)
+    ordered = [json.loads(r["k"]) if r["k"] is not None else None
+               for r in df.orderBy(dyn.order_by_key(F.col("k")).asc())
+               .select(F.to_json(F.col("k")).alias("k")).collect()]
+    assert ordered == [True, 5, 7, "five"]
+
+    # summarize by the mixed key: one group per distinct typed value
+    grouped = df.groupBy(dyn.sort_key(F.col("k")).alias("g")).count()
+    assert grouped.count() == 4

@@ -1005,9 +1005,10 @@ def test_agg_limit_truncates_decoded_groups(spark):
 
 def test_es_agg_limit_and_timestamp_typing(spark):
     """ES arm of the same truncation + the timestamp transforms the
-    reference ES connector applies (elasticsearch.rs:882,:893):
-    timestamp group keys (epoch millis) and min/max-over-time aggs
-    (epoch nanos) surface typed, not as raw numbers."""
+    reference ES connector applies (elasticsearch.rs:882,:893 via
+    value_to_datetime's magnitude detection): timestamp group keys AND
+    min/max-over-time aggs come back as epoch MILLIS from ES — unlike
+    Quickwit's nano-valued metric aggs — and surface typed."""
     import http.server
     import threading
 
@@ -1031,9 +1032,9 @@ def test_es_agg_limit_and_timestamp_typing(spark):
                 "aggregations": {
                     "summarize_0": {"buckets": [
                         {"key": 1700000000000, "doc_count": 4,
-                         "first": {"value": 1700000000123456789}},
+                         "first": {"value": 1700000000123.0}},
                         {"key": 1700086400000, "doc_count": 3,
-                         "first": {"value": 1700086400123456789}},
+                         "first": {"value": 1700086400123.0}},
                     ]}
                 },
             })
