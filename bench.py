@@ -71,12 +71,13 @@ def _b_token_budget_filter(spark, sf_dir):
 
 
 def _b_dynamic_filter(spark, sf_dir):
-    """Bench-only entry (r8): the dynamic (VARIANT) comparison path —
-    parse events.props per row, total-order filter on a dynamic key.
-    Tracks the cost of per-row dynamic typing vs the typed
-    get_json_object equivalent (~2.8× after the r8 single-schema
-    sort-key rewrite; correctness lives in the parity gate + property
-    suite)."""
+    """Bench-only entry (r8, r9-fast-pathed): the dynamic (VARIANT)
+    comparison path — parse events.props per row, total-order filter
+    on a dynamic key. Tracks the cost of per-row dynamic typing vs the
+    typed get_json_object equivalent. r9: a scalar literal routes
+    through dyn.vcompare_literal (what the engine compiles for
+    `x > 2`), which folds every different-class branch to a constant —
+    measured ~2× over the r8 sort-key struct comparison."""
     from pyspark.sql import functions as F
 
     from miso_spark import dynamic as dyn
@@ -85,7 +86,7 @@ def _b_dynamic_filter(spark, sf_dir):
     ev = ParquetDirSource(sf_dir).table(spark, "events")
     kv = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "variant")
     return ev.withColumn("kv", kv).filter(
-        dyn.vcompare("gt", dyn.sort_key(F.col("kv")), dyn.literal_sort_key(2))
+        dyn.vcompare_literal("gt", F.col("kv"), 2)
     ).select("event_id")
 
 

@@ -435,3 +435,75 @@ def vcompare(op: str, lk: Column, rk: Column) -> Column:
     row is filtered and ``not()`` stays unknown (interpreter/mod.rs
     impl_cmp)."""
     return _CMP_PRED[op](lk, rk)
+
+
+def vcompare_literal(op: str, v: Column, value: object) -> Column | None:
+    """``vcompare`` fast path for ``<variant> <op> <scalar literal>``:
+    the literal fixes its class, so the cross-type total order
+    decomposes into ONE class-rank test plus ONE typed payload
+    comparison — same truth table as comparing full sort keys
+    (the literal's key has zero-default num/str/json slots, so the
+    lexicographic struct comparison reduces to: same class → payload
+    comparison; different class → rank comparison), but without
+    building the 4-slot struct or ever rendering ``to_json``. Returns
+    None for literal classes without a fast path (arrays/objects) —
+    the caller falls back to full sort keys.
+
+    Missing input stays SQL-unknown, like vcompare."""
+    if isinstance(value, bool):
+        lrank = RANK_BOOL
+
+        def payload(vv):
+            return F.try_variant_get(vv, "$", "boolean").cast("double")
+
+        lpay = F.lit(1.0 if value else 0.0)
+    elif isinstance(value, (int, float)):
+        lrank = RANK_NUM
+
+        def payload(vv):
+            return F.try_variant_get(vv, "$", "double")
+
+        lpay = F.lit(float(value))
+    elif isinstance(value, str):
+        lrank = RANK_STRING
+
+        def payload(vv):
+            return F.try_variant_get(vv, "$", "string")
+
+        lpay = F.lit(value)
+    elif value is None:
+        lrank = RANK_NULL
+        payload = None
+        lpay = None
+    else:
+        return None
+
+    if payload is None:  # null literal: same class ⇒ equal values
+        same_result = F.lit(op in ("eq", "gte", "lte"))
+    else:
+        same_result = _CMP_PRED[op](payload(v), lpay)
+
+    # every different-class branch folds to a CONSTANT at compile time
+    # (rank vs rank is known here) — only the literal's own class reads
+    # row data, so the whole filter is one schema_of_variant dispatch
+    # plus one typed payload comparison
+    def const(crank) -> Column:
+        py = {"eq": crank == lrank, "ne": crank != lrank,
+              "gt": crank > lrank, "gte": crank >= lrank,
+              "lt": crank < lrank, "lte": crank <= lrank}[op]
+        return F.lit(py)
+
+    sch = F.schema_of_variant(v)
+    is_num = sch.isin(*_NUM_TYPES) | sch.startswith("DECIMAL")
+    by_class = (
+        F.when(sch == "VOID",
+               same_result if lrank == RANK_NULL else const(RANK_NULL))
+        .when(sch == "BOOLEAN",
+              same_result if lrank == RANK_BOOL else const(RANK_BOOL))
+        .when(is_num, same_result if lrank == RANK_NUM else const(RANK_NUM))
+        .when(sch == "STRING",
+              same_result if lrank == RANK_STRING else const(RANK_STRING))
+        .when(sch.startswith("ARRAY"), const(RANK_ARRAY))
+        .otherwise(const(RANK_OBJECT))
+    )
+    return F.when(v.isNotNull(), by_class)

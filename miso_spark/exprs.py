@@ -599,6 +599,23 @@ def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
 
     op = e.op
     if op in _CMP_OPS:
+        # scalar-literal fast path: the literal fixes the class, so
+        # the total order decomposes into rank test + typed payload
+        # comparison — no 4-slot sort-key struct (dyn.vcompare_literal)
+        swap = {"eq": "eq", "ne": "ne", "gt": "lt", "gte": "lte",
+                "lt": "gt", "lte": "gte"}
+        if lv and not rv and isinstance(e.right, Lit):
+            fp = dyn.vcompare_literal(
+                op, compile_expr(e.left, schema), e.right.value
+            )
+            if fp is not None:
+                return fp
+        if rv and not lv and isinstance(e.left, Lit):
+            fp = dyn.vcompare_literal(
+                swap[op], compile_expr(e.right, schema), e.left.value
+            )
+            if fp is not None:
+                return fp
         return dyn.vcompare(
             op, _variant_key(e.left, schema), _variant_key(e.right, schema)
         )

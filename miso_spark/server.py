@@ -12,7 +12,8 @@ Parity: miso-server/src/http_server.rs routes:
 - ``POST /explain`` {"query": "..."} → the physical plan.
 - ``GET /health``, ``GET /metrics`` (basic counters).
 - ``GET|POST|DELETE /connectors/{id}`` — registry management
-  (types: parquet_dir | json_dir | json_dynamic_dir | csv_dir |
+  (types: parquet_dir | json_dir | json_dynamic_dir |
+   dynamic_parquet_dir | csv_dir |
   memory).
 - ``GET|POST|DELETE /views/{id}`` — named KQL views, referenced from
   queries like let-bound variables (``myview | where ...``).
@@ -37,6 +38,7 @@ from miso_spark.kql import parse_kql
 from miso_spark.plan import Let, Plan
 from miso_spark.sources import (
     CsvDirSource,
+    DynamicParquetDirSource,
     JsonDirSource,
     JsonDynamicDirSource,
     MemorySource,
@@ -56,6 +58,9 @@ _SOURCE_TYPES = {
     "json_dir": lambda cfg: JsonDirSource(cfg["path"], cfg.get("static_fields")),
     "json_dynamic_dir": lambda cfg: JsonDynamicDirSource(
         cfg["path"], cfg.get("keys"), cfg.get("static_fields")
+    ),
+    "dynamic_parquet_dir": lambda cfg: DynamicParquetDirSource(
+        cfg["path"], cfg.get("static_fields")
     ),
     "csv_dir": lambda cfg: CsvDirSource(cfg["path"], cfg.get("static_fields")),
     "memory": lambda cfg: MemorySource(),

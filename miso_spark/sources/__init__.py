@@ -241,6 +241,39 @@ class JsonDynamicDirSource(Source):
         )
 
 
+class DynamicParquetDirSource(Source):
+    """Directory of ``<collection>.parquet`` files whose columns are
+    Spark 4 VARIANT — dynamic (per-row mixed-type, missing-vs-null
+    preserving) tables AT REST. This is the 100 TB dynamic story:
+    JSONL ingest (:class:`JsonDynamicDirSource` /
+    miso_spark.dynamic.read_json_dynamic) pays a parse per query, while
+    a variant parquet table is written once (``write()``) and scanned
+    columnar afterwards.
+
+    Catalyst's variant rewrite turns ``variant_get(col, '$', type)``
+    comparisons into shredded struct accesses that reach the parquet
+    reader as PushedFilters with a pruned ReadSchema (asserted in
+    tests/test_plans.py::test_dynamic_parquet_scan_pushdown) — the
+    engine's dynamic operators run unchanged over the round-trip
+    (tests/test_dynamic.py parquet arm)."""
+
+    capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW, CAP_WRITE})
+
+    def __init__(self, directory: str, static_fields: dict[str, dict[str, str]] | None = None):
+        self.directory = directory
+        self.static_fields = static_fields or {}
+
+    def table(self, spark: SparkSession, collection: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.directory, f"{collection}.parquet")
+        )
+
+    def write(self, df: DataFrame, collection: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(
+            os.path.join(self.directory, f"{collection}.parquet")
+        )
+
+
 class CsvDirSource(Source):
     # read-only: no write() → no CAP_WRITE; tee/write negotiation fails
     capabilities = frozenset({CAP_FILTER, CAP_PROJECT, CAP_LIMIT, CAP_RAW})

@@ -660,3 +660,52 @@ def test_mixed_type_sort_and_group_keys_succeed(spark):
     # summarize by the mixed key: one group per distinct typed value
     grouped = df.groupBy(dyn.sort_key(F.col("k")).alias("g")).count()
     assert grouped.count() == 4
+
+
+def test_dynamic_parquet_round_trip_operator_suite(spark, tmp_path_factory):
+    """VARIANT at rest (r9): write a dynamic table to parquet
+    (DynamicParquetDirSource) and re-run the dynamic operator surface
+    over the round-trip — every query must return exactly what the
+    direct (ingest) dynamic table returns, including missing-vs-null
+    and cross-type semantics."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import DynamicParquetDirSource, MemorySource
+
+    rows = [
+        {"x": 5, "tag": "a", "arr": [1, 2]},
+        {"x": "5", "tag": "b"},
+        {"x": True, "tag": "a", "arr": ["s"]},
+        {"x": None, "tag": "b"},
+        {"tag": "a"},
+        {"x": 7.5, "tag": None},
+    ]
+    live = dyn.ingest_json_dynamic(spark, rows)
+
+    d = tmp_path_factory.mktemp("dynrt")
+    pq = DynamicParquetDirSource(str(d))
+    pq.write(live, "c")
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("c", live)
+    m.registry.register("mem", mem)
+    m.registry.register("pq", pq)
+
+    queries = [
+        "| where x == 5",                      # typed eq (fast path)
+        '| where x == "5"',                    # string eq, not numeric 5
+        "| where x > 2",                       # cross-type total order
+        "| where exists(x)",                   # present null IS present
+        "| where not(exists(x))",              # missing key only
+        "| where x == 5 or x == 7.5",
+        "| summarize c = count() by tag",      # null group key drops
+        "| sort by x nulls first | project tag",
+        "| mv-expand kind=array arr | project arr",
+        "| extend y = x + 1 | where exists(y) | project y",
+    ]
+    for tail in queries:
+        a = sorted(m.query("mem.c " + tail).toJSON().collect())
+        b = sorted(m.query("pq.c " + tail).toJSON().collect())
+        assert a == b, (tail, a, b)
+        # every query must exercise at least one row to mean anything
+    assert sorted(m.query("pq.c | where not(exists(x))").toJSON().collect()) == ['{"tag":"a"}']

@@ -690,3 +690,28 @@ def test_views_connector_scan_and_reserved_name(server):
     for v in ("loop_a", "loop_b", "small_nations", "small_nations_count"):
         urllib.request.urlopen(urllib.request.Request(
             f"http://127.0.0.1:{server.port}/views/{v}", method="DELETE"))
+
+
+def test_dynamic_parquet_dir_connector_route(server, spark, tmp_path):
+    """dynamic_parquet_dir registers over HTTP like every connector
+    type and serves VARIANT-at-rest queries (r9)."""
+    from miso_spark import dynamic as dyn
+    from miso_spark.sources import DynamicParquetDirSource
+
+    DynamicParquetDirSource(str(tmp_path)).write(
+        dyn.ingest_json_dynamic(spark, [{"x": 5}, {"x": "5"}, {"y": 1}]),
+        "logs",
+    )
+    _post(server, "/connectors/dynpq",
+          {"type": "dynamic_parquet_dir", "path": str(tmp_path)})
+    resp = _post(
+        server, "/query", {"query": 'dynpq.logs | where x == "5" | project x'}
+    )
+    rows, done = [], False
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("event: done"):
+            done = True
+        elif line.startswith("data: ") and not done:
+            rows.append(json.loads(line[6:]))
+    assert done and rows == [{"x": "5"}]
