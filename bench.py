@@ -49,6 +49,8 @@ HEADLINE = [
     "token_budget_filter",
     "corpus_bigram_logprob",
     "dynamic_filter",
+    "skew_join_aqe",
+    "skew_join_salted",
 ]
 
 
@@ -90,11 +92,51 @@ def _b_dynamic_filter(spark, sf_dir):
     ).select("event_id")
 
 
+def _b_skew_join(salted: bool):
+    """Hot-key join arm (r9): one key carries ~50% of the fact rows
+    (every even user_id folds to key 0), joined to a per-key dim too
+    wide to broadcast by hint. ``salted=False`` measures Spark's AQE
+    skew-join split handling the straggler partition at runtime;
+    ``salted=True`` measures functions/skew.py salted_join spreading
+    the hot key across 16 salts up front. Both must scale ~linearly
+    (sf1 exponent gate ≤ ~1.0); which wins is the documented tradeoff
+    — AQE needs no plan change, salting caps the worst partition
+    deterministically."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from miso_spark.functions.skew import salted_join
+        from miso_spark.sources import ParquetDirSource
+
+        ev = ParquetDirSource(sf_dir).table(spark, "events")
+        hot = F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        )
+        left = ev.withColumn("k", hot)
+        right = (
+            ev.select(hot.alias("k"))
+            .distinct()
+            .withColumn("w", F.sha2(F.col("k").cast("string"), 256))
+            # hint away the broadcast: the scenario is a replicable-but-
+            # not-broadcastable side, the case salted_join exists for
+            .hint("shuffle_hash")
+        )
+        if salted:
+            joined = salted_join(left, right, "k", "k", num_salts=16)
+            return joined.select("event_id", "w")
+        return left.join(right, left["k"] == right["k"]).select("event_id", "w")
+
+    return run
+
+
 #: bench entries that are not driver-catalog queries (no SQL oracle
 #: needed here — correctness lives in pytest; this measures the plan)
 EXTRA_BENCH = {
     "token_budget_filter": _b_token_budget_filter,
     "dynamic_filter": _b_dynamic_filter,
+    "skew_join_aqe": _b_skew_join(salted=False),
+    "skew_join_salted": _b_skew_join(salted=True),
 }
 
 
@@ -167,6 +209,8 @@ SF1_HEADLINE = [
     "near_dedup_pipeline",
     "decontaminate",
     "token_budget_filter",
+    "skew_join_aqe",
+    "skew_join_salted",
 ]
 SF1_COPIES = 10
 

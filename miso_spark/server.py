@@ -349,9 +349,17 @@ class MisoServer:
         spill. Spark's Tungsten memory manager performs the same
         bounded-buffer-then-spill behavior per task automatically
         (UnsafeExternalSorter / spillable hash aggregates), governed by
-        executor memory rather than per-operator knobs — so the values
-        are parsed, validated, and recorded (served under /metrics →
-        workflow_limits_bytes) rather than re-implemented."""
+        executor memory rather than per-operator knobs — so the
+        sort/summarize values are parsed, validated, and recorded
+        (served under /metrics → workflow_limits_bytes), with
+        enforcement delegated to the spill machinery (proven live in
+        tests/test_server.py::test_workflow_limits_enforced).
+
+        ``join_memory_limit`` has a REAL per-operator Spark knob and is
+        enforced: it caps ``spark.sql.autoBroadcastJoinThreshold`` — a
+        build side larger than the limit may not be materialized
+        per-task and must shuffle instead, which is exactly the
+        reference's bound on a join's in-memory table."""
         with open(path) as f:
             cfg = json.load(f)
         limits = dict(self._DEFAULT_WORKFLOW_LIMITS)
@@ -360,6 +368,16 @@ class MisoServer:
                 raise ValueError(f"unknown workflow limit {k!r}")
             limits[k] = self._parse_bytesize(v)
         self.workflow_limits = limits
+        if "join_memory_limit" in (cfg.get("workflow_limits") or {}):
+            spark = self.miso.spark
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                current = self._parse_bytesize(raw)
+            except ValueError:
+                current = -1 if str(raw).startswith("-") else 0
+            cap = limits["join_memory_limit"]
+            if current < 0 or current > cap:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(cap))
         for name, ccfg in cfg.get("connectors", {}).items():
             self.add_connector(name, ccfg)
         qsc = cfg.get("query_status_collection")

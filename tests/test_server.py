@@ -715,3 +715,84 @@ def test_dynamic_parquet_dir_connector_route(server, spark, tmp_path):
         elif line.startswith("data: ") and not done:
             rows.append(json.loads(line[6:]))
     assert done and rows == [{"x": "5"}]
+
+
+def test_workflow_limits_enforced(spark, tmp_path):
+    """workflow_limits ENFORCEMENT (r9, limits.rs parity):
+
+    - join_memory_limit maps to a real per-operator knob: it caps
+      spark.sql.autoBroadcastJoinThreshold, so a build side over the
+      limit may not materialize per-task — /explain flips from
+      BroadcastHashJoin to a shuffle join under a tiny limit.
+    - sort/summarize limits delegate to Tungsten's bounded-buffer-then-
+      spill: with the spill thresholds constrained to a few rows, a
+      far-over-limit windowed sort+aggregation still COMPLETES through
+      the live /query route with results equal to the unconstrained
+      run, and /metrics reports the configured limits throughout.
+    """
+    from miso_spark.server import MisoServer
+
+    def explain(srv, q):
+        resp = _post(srv, "/explain", {"query": q})
+        return json.load(resp)["plan"]
+
+    join_q = "t.orders | join (t.customer) on $left.o_custkey == $right.c_custkey | count"
+    agg_q = ("t.lineitem | summarize n = count(), s = sum(l_quantity)"
+             " by l_orderkey | sort by s desc | take 5")
+
+    def query_rows(srv, q):
+        rows, done = [], False
+        for raw in _post(srv, "/query", {"query": q}):
+            line = raw.decode().strip()
+            if line.startswith("event: done"):
+                done = True
+            elif line.startswith("data: ") and not done:
+                rows.append(json.loads(line[6:]))
+        assert done
+        return rows
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.windowExec.buffer.in.memory.threshold",
+                  "spark.sql.windowExec.buffer.spill.threshold")
+    }
+    srv = MisoServer(spark, port=0)
+    srv.add_connector("t", {"type": "parquet_dir", "path": SF_DIR})
+    srv.start_background()
+    try:
+        baseline_plan = explain(srv, join_q)
+        assert "BroadcastHashJoin" in baseline_plan, baseline_plan
+        baseline_rows = query_rows(srv, agg_q)
+
+        cfg = tmp_path / "limits.json"
+        cfg.write_text(json.dumps({
+            "workflow_limits": {"join_memory_limit": "1 KiB",
+                                "sort_memory_limit": "1 KiB",
+                                "summarize_memory_limit": "1 KiB"},
+        }))
+        srv.load_config(str(cfg))
+        # join limit enforced: the dim no longer fits the join buffer
+        limited_plan = explain(srv, join_q)
+        assert "BroadcastHashJoin" not in limited_plan, limited_plan
+
+        # sort/summarize delegate to Tungsten spill: constrain the
+        # spill thresholds to force the bounded-buffer path and prove
+        # the over-limit aggregation still completes, same results
+        spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "16")
+        assert query_rows(srv, agg_q) == baseline_rows
+
+        m = json.load(_get(srv, "/metrics"))
+        assert m["workflow_limits_bytes"] == {
+            "join_memory_limit": 1024,
+            "sort_memory_limit": 1024,
+            "summarize_memory_limit": 1024,
+        }
+    finally:
+        srv.shutdown()
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
