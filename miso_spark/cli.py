@@ -236,7 +236,33 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
     ap.add_argument("--partial", action="store_true", help="request partial_stream")
     ap.add_argument("--pager", action="store_true",
                     help="interactive scrollback for large results (REPL tty default)")
+    ap.add_argument("--tui", action="store_true",
+                    help="full-screen interactive app (query editor + "
+                         "results-with-preview, the miso-tui analog)")
     args = ap.parse_args(argv)
+
+    if args.tui:
+        from miso_spark.tui import run_terminal
+
+        if args.server:
+            def tui_runner(q: str):
+                return run_remote(args.server, q, args.partial)
+        else:
+            from miso_spark.api import MisoSpark
+            from miso_spark.session import get_spark
+            from miso_spark.sources import JsonDynamicDirSource, ParquetDirSource
+
+            m = MisoSpark(get_spark("miso_spark_cli"))
+            if args.data_dir:
+                m.registry.register("t", ParquetDirSource(args.data_dir))
+            if args.dynamic_dir:
+                m.registry.register("dyn", JsonDynamicDirSource(args.dynamic_dir))
+
+            def tui_runner(q: str):
+                return m.query_rows(q)
+
+        run_terminal(tui_runner, args.query)
+        return 0
 
     def show(rows: list[dict]) -> None:
         if args.json:

@@ -343,6 +343,13 @@ def project_propagation(steps: list) -> tuple[list, bool]:
             # would ping-pong forever (project_propagation.rs:86-97);
             # merge passes handle those instead
             continue
+        if isinstance(lead, P.Project) and any(
+            isinstance(s, P.Extend) for s in steps[i + 1 : j]
+        ):
+            # a RESTRICTIVE project moved after a middle extend would
+            # drop the extend's output columns from the result —
+            # `project a = b | where .. | extend c = ..` must keep c
+            continue
         try:
             middle = []
             for s in steps[i + 1 : j]:

@@ -127,3 +127,19 @@ def test_union_subplan_recursed():
 def test_noop_on_plain_pipeline():
     steps = parse_kql("t.c | where x > 1 | take 5").steps
     assert optimize_steps(steps) == steps
+
+
+def test_project_not_moved_past_middle_extend():
+    # a restrictive project moved after an extend would drop the
+    # extend's output column — the pass must leave this pipeline alone
+    out = opt("t.c | project a = b | where a > 1 | extend c = a")
+    assert kinds(out) == ["Scan", "Project", "Filter", "Extend"]
+
+
+def test_simultaneous_binding_substitution():
+    # extend fields all evaluate against the INPUT row, so `c = a`
+    # reads the input's a — substitution into a later filter preserves
+    # that (c > 5 becomes input-a > 5, legal before the extend)
+    out = opt("t.c | extend a = b * 2, c = a | where c > 5")
+    assert kinds(out) == ["Scan", "Filter", "Extend"]
+    assert out[1].expr == BinOp("gt", Field.of("a"), Lit(5))

