@@ -49,6 +49,7 @@ HEADLINE = [
     "token_budget_filter",
     "corpus_bigram_logprob",
     "dynamic_filter",
+    "dynamic_at_rest",
     "skew_join_aqe",
     "skew_join_salted",
 ]
@@ -90,6 +91,40 @@ def _b_dynamic_filter(spark, sf_dir):
     return ev.withColumn("kv", kv).filter(
         dyn.vcompare_literal("gt", F.col("kv"), 2)
     ).select("event_id")
+
+
+def _b_dynamic_at_rest(spark, sf_dir):
+    """Bench-only entry (r9): the same dynamic filter as
+    `dynamic_filter`, but over VARIANT AT REST — events.props ingested
+    once into a variant-columned parquet table (dynamic_parquet_dir
+    model) and scanned columnar per query, instead of try_parse_json
+    per row per query. The delta between this entry and
+    `dynamic_filter` is the parse cost the at-rest story amortizes
+    away; the remaining gap to the typed baseline is the price of
+    per-row dynamic typing itself."""
+    from pyspark.sql import functions as F
+
+    from miso_spark import dynamic as dyn
+    from miso_spark.sources import ParquetDirSource
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"dynrest_{os.path.basename(sf_dir.rstrip('/'))}.parquet",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = ParquetDirSource(sf_dir).table(spark, "events")
+        (
+            ev.select(
+                "event_id",
+                F.try_variant_get(
+                    F.try_parse_json(F.col("props")), "$.k", "variant"
+                ).alias("kv"),
+            )
+            .write.mode("overwrite").parquet(out)
+        )
+    df = spark.read.parquet(out)
+    return df.filter(dyn.vcompare_literal("gt", F.col("kv"), 2)).select("event_id")
 
 
 def _b_skew_join(salted: bool):
@@ -135,6 +170,7 @@ def _b_skew_join(salted: bool):
 EXTRA_BENCH = {
     "token_budget_filter": _b_token_budget_filter,
     "dynamic_filter": _b_dynamic_filter,
+    "dynamic_at_rest": _b_dynamic_at_rest,
     "skew_join_aqe": _b_skew_join(salted=False),
     "skew_join_salted": _b_skew_join(salted=True),
 }

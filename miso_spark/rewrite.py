@@ -392,6 +392,34 @@ def project_propagation(steps: list) -> tuple[list, bool]:
     return steps, False
 
 
+def push_steps_into_union(steps: list) -> tuple[list, bool]:
+    """push_steps_into_union.rs: a filter/project/extend/rename after
+    a run of unions copies INTO each union branch and moves before the
+    unions — data reduces before merging, and each branch's scan gets
+    its own shot at absorbing the step into its connector (the
+    heterogeneous-union case apply_union can't merge). Safe for
+    columns missing on one branch: expression compilation is
+    schema-aware (a missing field evaluates as missing, the
+    reference's interpreter semantics), so the pushed copy drops/keeps
+    exactly the rows the post-union step would."""
+    for i in range(len(steps)):
+        if not isinstance(steps[i], P.Union):
+            continue
+        j = i
+        while j < len(steps) and isinstance(steps[j], P.Union):
+            j += 1
+        if j >= len(steps) or not isinstance(
+            steps[j], (P.Filter, P.Project, P.Extend, P.Rename)
+        ):
+            continue
+        step = steps[j]
+        new_unions = [
+            P.Union(P.Plan(tuple(u.sub.steps) + (step,))) for u in steps[i:j]
+        ]
+        return steps[:i] + [step] + new_unions + steps[j + 1 :], True
+    return steps, False
+
+
 # ---------------------------------------------------------------------------
 # fixpoint driver
 
@@ -434,6 +462,8 @@ def optimize_steps(steps, max_rounds: int = 20) -> tuple:
         out, c = _limit_passes(out)
         changed = changed or c
         out, c = project_propagation(out)
+        changed = changed or c
+        out, c = push_steps_into_union(out)
         changed = changed or c
         if not changed:
             break

@@ -1663,3 +1663,44 @@ def test_compiler_adopts_sliced_fetch_rdd_into_run_ledger(spark):
         assert ctx.persisted == []
     finally:
         srv.shutdown()
+
+
+def test_union_branches_get_pushed_filter_over_the_wire(spark):
+    """push_steps_into_union parity end-to-end: a filter after a union
+    the connector CANNOT merge (different timestamp fields, so
+    apply_union refuses) copies into each branch, and BOTH branch
+    search requests ship it — the heterogeneous-union scale path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from search_stubs import QuickwitStub
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    docs = {
+        "stack": [{"user": "a", "creationDate": "2024-01-01T00:00:00Z"},
+                  {"user": "b", "creationDate": "2024-01-02T00:00:00Z"}],
+        "hdfs": [{"user": "a", "timestamp": 1700000000},
+                 {"user": "c", "timestamp": 1700000001}],
+    }
+    ts = {"stack": "creationDate", "hdfs": "timestamp"}
+    stub = QuickwitStub(docs, ts)
+    try:
+        src = QuickwitSource(stub.url, timestamp_fields=dict(ts))
+        reg = SourceRegistry(spark).register("test", src)
+        df = Compiler(reg).run(
+            parse_kql('test.stack | union (test.hdfs) | where user == "a"')
+        )
+        rows = df.collect()
+        assert len(rows) == 2  # one "a" from each branch
+        # every branch's wire request carried the term filter
+        searched = {idx: body for idx, body in stub.core.search_requests}
+        assert set(searched) == {"stack", "hdfs"}
+        for body in searched.values():
+            assert {"term": {"user": {"value": "a"}}} in body["query"]["bool"]["must"]
+    finally:
+        stub.shutdown()

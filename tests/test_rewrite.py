@@ -143,3 +143,24 @@ def test_simultaneous_binding_substitution():
     out = opt("t.c | extend a = b * 2, c = a | where c > 5")
     assert kinds(out) == ["Scan", "Filter", "Extend"]
     assert out[1].expr == BinOp("gt", Field.of("a"), Lit(5))
+
+
+def test_filter_pushes_into_union_branches():
+    # push_steps_into_union.rs: the filter copies into each branch AND
+    # moves before the union run
+    out = opt("t.a | union (t.b) | where x > 1 | take 5")
+    assert kinds(out) == ["Scan", "Filter", "Union", "Limit"]
+    assert kinds(out[2].sub.steps) == ["Scan", "Filter"]
+    assert out[1] == out[2].sub.steps[1]
+
+
+def test_project_pushes_into_union_branches():
+    out = opt("t.a | union (t.b) | project x")
+    assert kinds(out) == ["Scan", "Project", "Union"]
+    assert kinds(out[2].sub.steps) == ["Scan", "Project"]
+
+
+def test_multi_union_run_gets_the_copy():
+    out = opt("t.a | union (t.b) | union (t.c) | where x > 1")
+    assert kinds(out) == ["Scan", "Filter", "Union", "Union"]
+    assert all(kinds(u.sub.steps) == ["Scan", "Filter"] for u in out[2:4])
