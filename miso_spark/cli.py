@@ -105,9 +105,11 @@ class ResultsPager:
             self.selected += 1
         elif k in ("k", "up") and self.selected > 0:
             self.selected -= 1
-        elif k in ("d", "page_down"):
+        elif k in ("d", "page_down", "pagedown"):
+            # both spellings: the REPL driver emits "page_down", the
+            # TUI terminal driver maps curses.KEY_NPAGE to "pagedown"
             self.selected = min(self.selected + self.height // 2, last)
-        elif k in ("u", "page_up"):
+        elif k in ("u", "page_up", "pageup"):
             self.selected = max(self.selected - self.height // 2, 0)
         elif k in ("g", "home"):
             self.selected = 0

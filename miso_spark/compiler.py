@@ -190,7 +190,7 @@ class Compiler:
         dynamic-filtered query."""
 
         def __init__(self):
-            self.prejoined: dict[int, DataFrame] = {}
+            self.prejoined: dict[int, tuple] = {}  # id(join) → (join, df)
             self.persisted: list = []
 
         def release(self) -> None:
@@ -266,6 +266,23 @@ class Compiler:
                     # continues engine-side on the returned DataFrame
                     if isinstance(step, P.ScanRaw):
                         self._require_cap(step.connector, CAP_RAW, "raw query")
+                    from miso_spark.rewrite import optimize_steps
+                    from miso_spark.sources.pushdown import (
+                        make_absorb_predicate,
+                    )
+
+                    # pre-run the negotiation's plan rewrites so the
+                    # step OBJECTS the dynamic filter caches by
+                    # identity (prejoined joins) are the ones that
+                    # survive into the residual — optimize_steps is a
+                    # fixpoint, so negotiate's own run over the same
+                    # tail is an identity-preserving no-op
+                    steps[i + 1 :] = list(
+                        optimize_steps(
+                            tuple(steps[i + 1 :]),
+                            can_absorb=make_absorb_predicate(step, src),
+                        )
+                    )
                     if self.dynamic_filter and isinstance(step, P.Scan):
                         # consumer-is-this-scan dynamic filter: a
                         # downstream join's small right side runs
@@ -416,10 +433,22 @@ class Compiler:
             return out
         if isinstance(step, P.Distinct):
             if step.fields:
-                df = df.select(*[
-                    FieldPath.parse(f).to_column(df.schema).alias(f)
-                    for f in step.fields
-                ])
+                # fielded Distinct (direct plan construction only — the
+                # frontends lower it) shares the summarize-by lowering
+                # (query_to_workflow.rs:146) so null group keys drop on
+                # every path, matching the external-connector rewrite
+                from miso_spark.exprs import Field as _Field
+
+                return self._apply(
+                    P.SummarizeStep(
+                        (),
+                        tuple(
+                            P.ByField(_Field.of(f), f) for f in step.fields
+                        ),
+                    ),
+                    df,
+                    env,
+                )
             return self._distinct_variant_safe(df)
         if isinstance(step, P.Union):
             other = self._run(step.sub, env)
@@ -834,7 +863,10 @@ class Compiler:
         ctx = self._ctx()
         right = self._run(sub, env).persist()
         ctx.persisted.append(right)
-        ctx.prejoined[id(join)] = right
+        # the value keeps a reference to the JoinStep itself: the cache
+        # is keyed by id(), and a collected step object would free its
+        # id for reuse by a later-allocated JoinStep in the same run
+        ctx.prejoined[id(join)] = (join, right)
         keys = self._collect_join_keys(right, join.right_on)
         if keys is None:
             return
@@ -912,7 +944,8 @@ class Compiler:
         left_scan=None,
     ) -> DataFrame:
         assert left is not None, "join requires an input"
-        right = self._ctx().prejoined.pop(id(step), None)
+        prejoined = self._ctx().prejoined.pop(id(step), None)
+        right = prejoined[1] if prejoined is not None else None
         right_rows_bound = None
         sub0 = step.sub.steps[0] if step.sub.steps else None
         if isinstance(sub0, P.Scan):

@@ -248,14 +248,22 @@ class Parser:
         if k == "summarize":
             return self._summarize()
         if k == "distinct":
-            fields = []
+            # `distinct f1, f2` IS `summarize by f1, f2` — lowered at
+            # the frontend exactly like the reference
+            # (query_to_workflow.rs:146), so null group keys drop on
+            # every execution path. Field-less `distinct *` keeps the
+            # Distinct step (all-columns dedup has no static by-list).
             if self.peek().kind == "*":
                 self.next()
-            elif self._is_ident_tok(self.peek()):
-                fields.append(str(self._field().path))
+                return P.Distinct(())
+            if self._is_ident_tok(self.peek()):
+                fields = [self._field()]
                 while self.accept(","):
-                    fields.append(str(self._field().path))
-            return P.Distinct(tuple(fields))
+                    fields.append(self._field())
+                return P.SummarizeStep(
+                    (), tuple(P.ByField(f, str(f.path)) for f in fields)
+                )
+            return P.Distinct(())
         if k == "union":
             self.expect("(")
             sub = self.parse_query()

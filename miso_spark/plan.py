@@ -213,7 +213,16 @@ class Plan:
         return self._with(SummarizeStep(tuple(aggs.items()), tuple(by)))
 
     def distinct(self, *fields: str) -> "Plan":
-        return self._with(Distinct(tuple(fields)))
+        # fielded distinct IS `summarize by` (query_to_workflow.rs:146)
+        # — lowered here so every construction path shares the
+        # reference's null-group-key-dropping semantics
+        if fields:
+            from miso_spark.exprs import Field as _F
+
+            return self._with(
+                SummarizeStep((), tuple(ByField(_F.of(f), f) for f in fields))
+            )
+        return self._with(Distinct(()))
 
     def union(self, sub: "Plan") -> "Plan":
         return self._with(Union(sub))

@@ -100,6 +100,86 @@ def substitute_fields(e: Expr, mapping: dict[str, Expr]) -> Expr:
     return e  # Lit / Duration / Now
 
 
+def _referenced_heads(e) -> set:
+    """Head names of every field path referenced by ``e``."""
+    out: set[str] = set()
+
+    def walk(x) -> None:
+        if x is None:
+            return
+        if isinstance(x, Field):
+            out.add(x.path.segments[0][0])
+        elif isinstance(x, BinOp):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, Not):
+            walk(x.expr)
+        elif isinstance(x, Exists):
+            walk(x.expr)
+        elif isinstance(x, In):
+            walk(x.expr)
+            for i in x.items:
+                walk(i)
+        elif isinstance(x, Between):
+            walk(x.expr)
+            walk(x.low)
+            walk(x.high)
+        elif isinstance(x, Case):
+            for c, v in x.branches:
+                walk(c)
+                walk(v)
+            walk(x.default)
+        elif isinstance(x, Extract):
+            walk(x.pattern)
+            walk(x.group)
+            walk(x.source)
+        elif isinstance(x, Bin):
+            walk(x.expr)
+            walk(x.size)
+        elif isinstance(x, Cast):
+            walk(x.expr)
+
+    walk(e)
+    return out
+
+
+def _head(name: str) -> str:
+    return name.split(".")[0].split("[")[0]
+
+
+def _step_refs(step) -> set:
+    """Head names a middle step reads."""
+    if isinstance(step, P.Filter):
+        return _referenced_heads(step.expr)
+    if isinstance(step, (P.SortStep, P.Top)):
+        return {_head(s.by) for s in step.sorts}
+    if isinstance(step, P.Extend):
+        refs: set[str] = set()
+        for pf in step.fields:
+            refs |= _referenced_heads(pf.expr)
+        return refs
+    if isinstance(step, P.Expand):
+        return {_head(f) for f in step.fields}
+    return set()  # Limit
+
+
+def _end_refs(end) -> set:
+    if isinstance(end, P.Project):
+        refs: set[str] = set()
+        for pf in end.fields:
+            refs |= _referenced_heads(pf.expr)
+        return refs
+    if isinstance(end, P.SummarizeStep):
+        refs = set()
+        for bf in end.by:
+            refs |= _referenced_heads(bf.expr)
+        for _, agg in end.aggs:
+            if agg.arg is not None:
+                refs |= _referenced_heads(agg.arg)
+        return refs
+    return set()
+
+
 # ---------------------------------------------------------------------------
 # limit / top-n normalization (the reference's "Limit/TopN -
 # merge/optimize BEFORE pushing" group, lib.rs:158-164)
@@ -308,6 +388,62 @@ def _rewrite_summarize(sum_step, renames, literals, exprs):
     return P.SummarizeStep(tuple(new_aggs), new_by), post
 
 
+def _propagation_hazard(lead, middle, end, renames, literals, exprs) -> bool:
+    """Semantics-preservation guard the reference's ProjectPropagation
+    lacks (its ExprSubstitute is built once from the lead and never
+    invalidated, project_propagation.rs:126-172 — a deliberate
+    divergence, see SURVEY §3): bail when
+
+    - a middle Extend redefines a mapped name or a column any mapping
+      value reads (substitutions planted after it would see the new
+      value);
+    - a middle Expand explodes a column a mapping value reads (the
+      array the lead captured becomes a scalar element) — except a
+      pure rename under a restrictive Project lead, where nothing else
+      can observe the source;
+    - a restrictive Project lead is moved past a step that reads a
+      column the project dropped (the read would resurrect it);
+    - a Rename lead is moved past a step that reads a renamed-away
+      source name (same resurrection).
+    """
+    defined = set(renames) | set(literals) | set(exprs)
+    rename_sources = set(renames.values())
+    expr_sources: set[str] = set()
+    for v in exprs.values():
+        expr_sources |= _referenced_heads(v)
+    sources = rename_sources | expr_sources
+
+    restrictive = isinstance(lead, P.Project)
+    removed: set[str] = set()
+    if isinstance(lead, P.Rename):
+        removed = rename_sources - defined
+
+    for s in middle:
+        refs = _step_refs(s)
+        if restrictive and not refs <= defined:
+            return True
+        if removed & refs:
+            return True
+        if isinstance(s, P.Extend):
+            targets = {_head(pf.name) for pf in s.fields}
+            if targets & (defined | sources):
+                return True
+        if isinstance(s, P.Expand):
+            rewritten = {renames.get(f, f) for f in s.fields}
+            for f in rewritten:
+                if f in expr_sources:
+                    return True
+                if f in rename_sources and not restrictive and not isinstance(lead, P.Rename):
+                    return True
+    if end is not None:
+        erefs = _end_refs(end)
+        if restrictive and not erefs <= defined:
+            return True
+        if removed & erefs:
+            return True
+    return False
+
+
 def _leading_fields(step):
     if isinstance(step, (P.Project, P.Extend)):
         return step.fields
@@ -349,6 +485,10 @@ def project_propagation(steps: list) -> tuple[list, bool]:
             # a RESTRICTIVE project moved after a middle extend would
             # drop the extend's output columns from the result —
             # `project a = b | where .. | extend c = ..` must keep c
+            continue
+        if _propagation_hazard(lead, steps[i + 1 : j],
+                               steps[j] if with_end else None,
+                               renames, literals, exprs):
             continue
         try:
             middle = []
@@ -392,7 +532,7 @@ def project_propagation(steps: list) -> tuple[list, bool]:
     return steps, False
 
 
-def push_steps_into_union(steps: list) -> tuple[list, bool]:
+def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
     """push_steps_into_union.rs: a filter/project/extend/rename after
     a run of unions copies INTO each union branch and moves before the
     unions — data reduces before merging, and each branch's scan gets
@@ -401,7 +541,15 @@ def push_steps_into_union(steps: list) -> tuple[list, bool]:
     columns missing on one branch: expression compilation is
     schema-aware (a missing field evaluates as missing, the
     reference's interpreter semantics), so the pushed copy drops/keeps
-    exactly the rows the post-union step would."""
+    exactly the rows the post-union step would.
+
+    ``can_absorb`` (negotiation only): the reference fires this pass
+    unconditionally, but moving a step the main connector CANNOT
+    absorb before the unions leaves it engine-side in a position that
+    blocks ``apply_union`` from ever seeing the union run — one merged
+    multi-index search becomes N separate wire searches. When the
+    predicate says the outer copy won't absorb, keep the step after
+    the unions (the pre-r9 shape: merged search + engine-side step)."""
     for i in range(len(steps)):
         if not isinstance(steps[i], P.Union):
             continue
@@ -413,6 +561,8 @@ def push_steps_into_union(steps: list) -> tuple[list, bool]:
         ):
             continue
         step = steps[j]
+        if can_absorb is not None and not can_absorb(step):
+            continue
         new_unions = [
             P.Union(P.Plan(tuple(u.sub.steps) + (step,))) for u in steps[i:j]
         ]
@@ -432,9 +582,12 @@ def _limit_passes(steps: list) -> tuple[list, bool]:
     return steps, changed
 
 
-def optimize_steps(steps, max_rounds: int = 20) -> tuple:
+def optimize_steps(steps, max_rounds: int = 20, can_absorb=None) -> tuple:
     """Run the pushdown-enabling passes to fixpoint over ``steps``
-    (tuple in, tuple out), recursing into union/join/let sub-plans."""
+    (tuple in, tuple out), recursing into union/join/let sub-plans.
+    ``can_absorb`` gates :func:`push_steps_into_union` (see there); it
+    describes the OUTER scan's connector, so it is not forwarded into
+    sub-plans (their scans negotiate with their own connectors)."""
     out = list(steps)
     # recurse into sub-plans first, so a union sub-plan arrives at
     # apply_union fully normalized (push_union_into_scan sees the
@@ -463,7 +616,7 @@ def optimize_steps(steps, max_rounds: int = 20) -> tuple:
         changed = changed or c
         out, c = project_propagation(out)
         changed = changed or c
-        out, c = push_steps_into_union(out)
+        out, c = push_steps_into_union(out, can_absorb)
         changed = changed or c
         if not changed:
             break

@@ -376,7 +376,10 @@ class MisoServer:
             except ValueError:
                 current = -1 if str(raw).startswith("-") else 0
             cap = limits["join_memory_limit"]
-            if current < 0 or current > cap:
+            # current < 0 means broadcast is explicitly DISABLED — the
+            # strictest setting, trivially within any memory cap; only
+            # lower an over-cap threshold, never re-enable broadcasts
+            if current > cap:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(cap))
         for name, ccfg in cfg.get("connectors", {}).items():
             self.add_connector(name, ccfg)

@@ -400,6 +400,28 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
     return handle, P.Plan((steps[0],) + tuple(steps[i:]))
 
 
+def make_absorb_predicate(scan, source):
+    """``can_absorb`` gate for push_steps_into_union (rewrite.py): a
+    step is worth moving before a union run only if the outer scan's
+    connector would absorb it from a fresh handle — tested by running
+    a one-step negotiation, so the answer uses the exact apply_*
+    guards. Returns None (no gating) when the scan has no negotiating
+    source."""
+    if source is None or not isinstance(scan, P.Scan):
+        return None
+
+    def can_absorb(step) -> bool:
+        try:
+            _, res = negotiate(
+                P.Plan((scan, step)), source.handle(scan.collection), source
+            )
+            return len(res.steps) == 1
+        except Exception:
+            return False
+
+    return can_absorb
+
+
 def negotiate_to_fixpoint(plan: P.Plan, handle, source=None):
     """negotiate() interleaved with the pushdown-enabling plan rewrites
     (miso_spark.rewrite) until neither changes anything — the
@@ -409,10 +431,15 @@ def negotiate_to_fixpoint(plan: P.Plan, handle, source=None):
     becomes absorbable on the next. Returns (handle, residual_plan)."""
     from miso_spark.rewrite import optimize_steps
 
-    tail = (plan.steps[0],) + optimize_steps(tuple(plan.steps[1:]))
+    can_absorb = make_absorb_predicate(plan.steps[0], source)
+    tail = (plan.steps[0],) + optimize_steps(
+        tuple(plan.steps[1:]), can_absorb=can_absorb
+    )
     while True:
         handle, residual = negotiate(P.Plan(tail), handle, source)
-        new_tail = (residual.steps[0],) + optimize_steps(residual.steps[1:])
+        new_tail = (residual.steps[0],) + optimize_steps(
+            residual.steps[1:], can_absorb=can_absorb
+        )
         if new_tail == tuple(residual.steps):
             return handle, P.Plan(new_tail)
         tail = new_tail

@@ -111,10 +111,12 @@ def _extract_parts(e: Expr) -> tuple[str, int, str] | None:
     return e.pattern.value, e.group.value, src
 
 
-def _rex_ops(ex: Extract, trailing: str) -> tuple | None:
+def _rex_ops(ex: Extract, make_where) -> tuple | None:
     """The RexThenWhere op triple (splunk/mod.rs:615 into_spl_ops):
-    rex into a temp field, a where over it (``trailing`` formats the
-    temp name in), then the temp field dropped from the output."""
+    rex into a temp field, a where over it (``make_where(tmp)`` builds
+    the clause — a callable, not a format template, so user literals
+    containing ``{``/``}`` can't break str.format), then the temp
+    field dropped from the output."""
     parts = _extract_parts(ex)
     if parts is None:
         return None
@@ -125,7 +127,7 @@ def _rex_ops(ex: Extract, trailing: str) -> tuple | None:
         return None
     return (
         ("rex", src, spl_pat),
-        ("where", trailing.format(tmp)),
+        ("where", make_where(tmp)),
         ("fields_minus", tmp),
     )
 
@@ -157,7 +159,8 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
             # (splunk/mod.rs:735 compile_extract_filter)
             for ex, lit in ((e.left, e.right), (e.right, e.left)):
                 if isinstance(ex, Extract) and isinstance(lit, Lit) and lit.value is not None:
-                    ops = _rex_ops(ex, "{}=" + _val(lit.value))
+                    val = _val(lit.value)
+                    ops = _rex_ops(ex, lambda t: f"{t}={val}")
                     if ops is None:
                         return None
                     return SplFilter(ops=ops)
@@ -211,7 +214,7 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
                 # title) expects Splunk to fully absorb this shape once
                 # the filter is reordered before the extend — rex then
                 # isnotnull is the exact SPL realization.
-                ops = _rex_ops(e.expr, "isnotnull({})")
+                ops = _rex_ops(e.expr, lambda t: f"isnotnull({t})")
                 if ops is not None:
                     return SplFilter(ops=ops)
             return None

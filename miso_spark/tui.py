@@ -272,6 +272,7 @@ class LogView:
         self.row: Optional[dict] = None
         self.scroll_y = 0
         self.focused = False
+        self._page = 8  # body lines of the last render (height - 2)
 
     def set_row(self, row: Optional[dict]) -> None:
         self.row = row
@@ -282,23 +283,29 @@ class LogView:
             return ["(no row selected)"]
         return json.dumps(self.row, indent=2, sort_keys=True, default=str).split("\n")
 
-    def handle_key(self, key: str, height: int = 10) -> None:
+    def handle_key(self, key: str, height: int | None = None) -> None:
+        # default to the page size of the last render — a hardcoded
+        # height would make the tail of a long row unreachable on
+        # shorter panes (max_scroll clamped too low) and mis-size the
+        # page step on taller ones
+        h = height if height is not None else self._page
         n = len(self._text_lines())
-        max_scroll = max(0, n - height)
+        max_scroll = max(0, n - h)
         if key in ("k", "up"):
             self.scroll_y = max(0, self.scroll_y - 1)
         elif key in ("j", "down"):
             self.scroll_y = min(max_scroll, self.scroll_y + 1)
         elif key == "pageup":
-            self.scroll_y = max(0, self.scroll_y - height // 2)
+            self.scroll_y = max(0, self.scroll_y - max(1, h // 2))
         elif key == "pagedown":
-            self.scroll_y = min(max_scroll, self.scroll_y + height // 2)
+            self.scroll_y = min(max_scroll, self.scroll_y + max(1, h // 2))
         elif key == "home":
             self.scroll_y = 0
         elif key == "end":
             self.scroll_y = max_scroll
 
     def render(self, width: int, height: int) -> list[str]:
+        self._page = max(1, height - 2)
         title = "┌ Log " + "─" * max(0, width - 7) + "┐"
         inner = width - 4
         body = self._text_lines()[self.scroll_y : self.scroll_y + height - 2]

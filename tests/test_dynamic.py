@@ -283,8 +283,11 @@ def test_dynamic_summarize_group_and_aggs(spark):
 
 
 def test_dynamic_distinct(spark):
-    """distinct over dynamic columns: 5 and 5.0 canonicalize equal,
-    5 and "5" stay distinct, present null distinct from missing."""
+    """distinct over dynamic columns: 5 and 5.0 canonicalize equal, 5
+    and "5" stay distinct. `distinct x` IS `summarize by x` in the
+    reference (query_to_workflow.rs:146) and summarize drops null
+    group keys (summarize.rs:151) — so both the present null and the
+    missing row drop, on every execution path."""
     m = _dyn_engine(spark, [
         {"x": 5}, {"x": 5.0}, {"x": "5"}, {"x": None}, {}, {"x": 5},
     ])
@@ -292,9 +295,14 @@ def test_dynamic_distinct(spark):
         json.dumps(json.loads(s), sort_keys=True)
         for s in m.query("dyn.c | distinct x").toJSON().collect()
     )
-    # 4 distinct values: 5 (5.0 canonicalizes to it), "5", the present
-    # null (serialized explicitly — it IS a value), and missing ({})
-    assert got == sorted(['{"x": 5}', '{"x": "5"}', '{"x": null}', "{}"])
+    assert got == sorted(['{"x": 5}', '{"x": "5"}'])
+    # field-less `distinct *` keeps the Distinct step: whole-row dedup,
+    # null/missing rows are rows like any other
+    star = sorted(
+        json.dumps(json.loads(s), sort_keys=True)
+        for s in m.query("dyn.c | distinct *").toJSON().collect()
+    )
+    assert star == sorted(['{"x": 5}', '{"x": "5"}', '{"x": null}', "{}"])
 
 
 def test_json_dynamic_dir_connector_via_http(spark, tmp_path):

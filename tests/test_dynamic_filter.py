@@ -541,3 +541,29 @@ def test_dynamic_filter_events_bounded(spark):
         assert len(comp.dynamic_filter_events) <= comp.DYNAMIC_FILTER_EVENTS_CAP
     finally:
         stub.shutdown()
+
+
+def test_prejoined_cache_survives_negotiation_rewrite(spark):
+    """The scan-side dynamic filter pre-runs the join's right side and
+    caches it keyed by the JoinStep's identity. A sub-plan the
+    negotiation rewrites (`sort by | take` → Top) used to REBUILD the
+    JoinStep, orphaning the cache entry — the right side ran twice and
+    the entry leaked. The compiler now pre-optimizes the tail before
+    the pre-run so the cached step object is the one in the residual."""
+    kql = "qw.logs | join (mem.lookup | sort by tag | take 2) on key"
+    rows = {}
+    for dyn in (True, False):
+        stub = _Stub({"logs": LOGS})
+        try:
+            reg = _mem_registry(spark, stub, [("a", "t1"), ("d", "t4")])
+            comp = Compiler(reg, dynamic_filter=dyn)
+            df = comp.run(parse_kql(kql))
+            rows[dyn] = sorted(tuple(str(x) for x in r) for r in df.collect())
+            if dyn:
+                assert len(comp.dynamic_filter_events) == 1
+                # consumed by the join — an orphaned entry means the
+                # rebuilt JoinStep missed the cache and re-ran the side
+                assert not comp._tls.pending.prejoined
+        finally:
+            stub.shutdown()
+    assert rows[True] == rows[False]

@@ -80,7 +80,9 @@ def test_join_union_distinct():
     assert j.how == "left" and j.partitions == 4
     assert (j.left_on, j.right_on) == ("o_custkey", "c_custkey")
     assert isinstance(s[2], P.Union)
-    assert s[3] == P.Distinct(("o_orderstatus",))
+    # distinct lowers to summarize-by at the frontend
+    # (query_to_workflow.rs:146)
+    assert s[3].aggs == () and [b.name for b in s[3].by] == ["o_orderstatus"]
 
 
 def test_join_condition_sides_normalized():

@@ -278,8 +278,13 @@ def test_summarize_aggregations(agg, kind):
 
 
 def test_distinct():
+    # `distinct f1, f2` IS `summarize by f1, f2` — lowered at the
+    # frontend like the reference (query_to_workflow.rs:146)
     s = steps("connector.table | distinct field1, field2")[1]
-    assert isinstance(s, P.Distinct) and s.fields == ("field1", "field2")
+    assert isinstance(s, P.SummarizeStep) and s.aggs == ()
+    assert [b.name for b in s.by] == ["field1", "field2"]
+    star = steps("connector.table | distinct *")[1]
+    assert isinstance(star, P.Distinct) and star.fields == ()
 
 
 def test_count():

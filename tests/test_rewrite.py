@@ -164,3 +164,117 @@ def test_multi_union_run_gets_the_copy():
     out = opt("t.a | union (t.b) | union (t.c) | where x > 1")
     assert kinds(out) == ["Scan", "Filter", "Union", "Union"]
     assert all(kinds(u.sub.steps) == ["Scan", "Filter"] for u in out[2:4])
+
+
+# ---------------------------------------------------------------------------
+# substitution-hazard guards (_propagation_hazard): the reference's
+# ExprSubstitute is built once from the lead and never invalidated
+# (project_propagation.rs:126-172); these pin the cases where blind
+# substitution would change results — the pass must bail (and the
+# fixpoint may still converge via a DIFFERENT, sound application order)
+
+
+def test_middle_extend_redefining_mapped_name_converges_soundly():
+    # `a` is redefined mid-pipeline; substituting the stale `a = b`
+    # into the terminal project would return b instead of c. The
+    # guarded fixpoint instead folds from the tail: x = c, then the
+    # lead's a = b reaches the filter.
+    out = opt("t.c | extend a = b | where a > 0 | extend a = c | project x = a")
+    assert kinds(out) == ["Scan", "Filter", "Project"]
+    assert out[1].expr == BinOp("gt", Field.of("b"), Lit(0))
+    assert out[2].fields[0].expr == Field.of("c")
+
+
+def test_middle_extend_redefining_mapping_source_converges_soundly():
+    # the middle extend overwrites b, the SOURCE of the lead's a = b;
+    # planting `a → b` after it would read the new b (0) instead of
+    # the captured one
+    out = opt("t.c | extend a = b | where x > 0 | extend b = 0 | project y = a")
+    assert kinds(out) == ["Scan", "Filter", "Project"]
+    assert out[2].fields[0].expr == Field.of("b")  # the ORIGINAL b
+
+
+def test_expand_of_mapping_source_blocks_propagation():
+    # mv-expand changes arr from array to element; the lead captured
+    # the ARRAY into a — moving the extend after the expand would
+    # capture the element
+    out = opt("t.c | extend a = arr | where x > 0 | mv-expand arr | project p = a, q = arr")
+    assert kinds(out) == ["Scan", "Extend", "Filter", "Expand", "Project"]
+
+
+def test_restrictive_project_keeps_filter_on_dropped_column():
+    # `project a = b` drops z; the filter's z reads missing → no rows.
+    # Moving the filter before the project would resurrect z.
+    out = opt("t.c | project a = b | where z > 5 | take 3")
+    assert kinds(out) == ["Scan", "Project", "Filter", "Limit"]
+
+
+def test_restrictive_project_still_moves_past_mapped_filter():
+    # positive control: the filter only touches mapped names → moves
+    out = opt("t.c | project a = b | where a > 5 | take 3")
+    assert kinds(out) == ["Scan", "Filter", "Limit", "Project"]
+    assert out[1].expr == BinOp("gt", Field.of("b"), Lit(5))
+
+
+def test_restrictive_project_keeps_summarize_on_dropped_column():
+    out = opt("t.c | project a = b | where a > 0 | summarize n = count() by q")
+    assert kinds(out) == ["Scan", "Project", "Filter", "SummarizeStep"]
+
+
+def test_rename_keeps_filter_on_renamed_away_source():
+    # project-rename a = b removes b; a filter on b must read missing
+    out = opt("t.c | project-rename a = b | where b > 0 | take 3")
+    assert kinds(out) == ["Scan", "Rename", "Filter", "Limit"]
+
+
+def test_rename_moves_past_filter_on_new_name():
+    out = opt("t.c | project-rename a = b | where a > 0 | take 3")
+    assert kinds(out) == ["Scan", "Filter", "Limit", "Rename"]
+    assert out[1].expr == BinOp("gt", Field.of("b"), Lit(0))
+
+
+def test_rename_keeps_sort_on_renamed_away_source():
+    out = opt("t.c | project-rename a = b | sort by b | take 2")
+    assert kinds(out) == ["Scan", "Rename", "Top"]
+
+
+def test_middle_extend_recreating_removed_name_converges_soundly():
+    # rename removes b, the middle extend recreates it: the one-shot
+    # rewrite (rename moved after extend) would rename the RECREATED b
+    # into a. The guard blocks that order; the fixpoint instead folds
+    # the extend into the terminal project first, then the rename —
+    # ending at a = source-b, b = 5, which is the original semantics.
+    out = opt("t.c | project-rename a = b | where x > 0 | extend b = 5 | project a, b")
+    assert kinds(out) == ["Scan", "Filter", "Project"]
+    assert out[2].fields[0].expr == Field.of("b")
+    assert out[2].fields[1].expr == Lit(5)
+
+
+def test_union_push_gated_on_absorbability():
+    from miso_spark.rewrite import push_steps_into_union
+
+    steps = list(parse_kql("t.a | union (t.b) | where x > 1").steps)
+    pushed, changed = push_steps_into_union(list(steps), can_absorb=lambda s: True)
+    assert changed and kinds(pushed) == ["Scan", "Filter", "Union"]
+    kept, changed = push_steps_into_union(list(steps), can_absorb=lambda s: False)
+    assert not changed and kinds(kept) == ["Scan", "Union", "Filter"]
+
+
+def test_union_push_gate_preserves_multi_index_merge():
+    # an Extend quickwit cannot absorb must NOT move before the union:
+    # pre-union it would block apply_union (one merged multi-index
+    # search becomes two wire searches)
+    from miso_spark.sources.external import QuickwitSource
+    from miso_spark.sources.pushdown import negotiate_to_fixpoint
+
+    src = QuickwitSource("http://x:1", timestamp_fields={"a": "ts", "b": "ts"})
+    plan = parse_kql("qw.a | union (qw.b) | extend z = x")
+    h, residual = negotiate_to_fixpoint(plan, src.handle("a"), src)
+    assert h.indexes("a") == "a,b"  # union absorbed into one search
+    assert kinds(residual.steps) == ["Scan", "Extend"]
+
+    # absorbable filter still pushes into branches and merges fully
+    plan2 = parse_kql("qw.a | union (qw.b) | where level == 'err'")
+    h2, residual2 = negotiate_to_fixpoint(plan2, src.handle("a"), src)
+    assert h2.indexes("a") == "a,b"
+    assert kinds(residual2.steps) == ["Scan"]

@@ -796,3 +796,31 @@ def test_workflow_limits_enforced(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_memory_limit_keeps_broadcast_disabled(spark, tmp_path):
+    """autoBroadcastJoinThreshold=-1 means broadcast is explicitly
+    DISABLED — the strictest setting, trivially within any cap. A
+    join_memory_limit must not re-enable broadcasts by raising it."""
+    from miso_spark.server import MisoServer
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    srv = MisoServer(spark, port=0)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cfg = tmp_path / "limits.json"
+        cfg.write_text(json.dumps(
+            {"workflow_limits": {"join_memory_limit": "100 MiB"}}
+        ))
+        srv.load_config(str(cfg))
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+
+        # over-cap threshold still clamps down
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024**2))
+        srv.load_config(str(cfg))
+        assert (spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                == str(100 * 1024**2))
+    finally:
+        # serve loop never started — httpd.shutdown() would block
+        srv.httpd.server_close()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

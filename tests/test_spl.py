@@ -222,3 +222,14 @@ def test_time_hoist_refused_after_head_or_stats():
     assert h is not None
     spl = h.build_spl("idx")
     assert spl.index("| head 10") < spl.index('| search level=CASE("error")')
+
+
+def test_extract_filter_literal_with_braces():
+    """The rex-then-where clause is built by a callable, not
+    str.format — a literal containing `{`/`}` must compile instead of
+    raising KeyError/ValueError."""
+    f = filt("extract('(\\\\w+)', 1, msg) == 'a{b}'")
+    assert f is not None
+    kinds = [op[0] for op in f.ops]
+    assert kinds == ["rex", "where", "fields_minus"]
+    assert f.ops[1][1] == '_extract_msg="a{b}"'

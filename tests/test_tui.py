@@ -257,3 +257,32 @@ def test_app_frame_snapshot_shape():
     # split view: list gutter on the left, Log box on the right
     assert any("┌ Log" in line for line in frame)
     assert any(line.lstrip().startswith(">") for line in frame)
+
+
+def test_results_list_page_keys_move_selection():
+    """The terminal driver emits "pagedown"/"pageup" (curses KEY_NPAGE/
+    KEY_PPAGE); the list-mode pager must accept those spellings too."""
+    v = ResultsWithPreview()
+    for i in range(40):
+        v.push_row({"i": i})
+    v.render(80, 24)  # builds the pager
+    v.handle_key("pagedown")
+    assert v._pager.selected > 0
+    before = v._pager.selected
+    v.handle_key("pageup")
+    assert v._pager.selected < before
+
+
+def test_log_view_scroll_tracks_render_height():
+    """Scrolling clamps against the LAST RENDERED pane height, not a
+    hardcoded 10 — the tail of a long row must be reachable on short
+    panes."""
+    lv = LogView()
+    lv.set_row({f"k{i:02d}": i for i in range(20)})  # 22 json lines
+    n = len(lv._text_lines())
+    lv.render(40, 6)  # 4 body lines
+    lv.handle_key("end")
+    assert lv.scroll_y == n - 4  # last line visible
+    lv.render(40, 30)  # taller than the row: no scroll range
+    lv.handle_key("end")
+    assert lv.scroll_y == 0
