@@ -24,6 +24,23 @@ from miso_spark.sources import CAP_RAW, CAP_WRITE, SourceRegistry
 COUNT_FIELD_NAME = "Count"
 
 
+def _union_type_conflict(lt, rt) -> bool:
+    """True when unioning two typed columns of these types would need
+    a lossy or failing coercion (string∪bigint, timestamp∪bigint,
+    mismatched structs). Equal types, all-null columns and pure
+    numeric widenings (int∪double) are SQL-standard coercions Spark
+    performs safely — not conflicts."""
+    from pyspark.sql.types import NullType, NumericType
+
+    if lt == rt:
+        return False
+    if isinstance(lt, NullType) or isinstance(rt, NullType):
+        return False
+    if isinstance(lt, NumericType) and isinstance(rt, NumericType):
+        return False
+    return True
+
+
 def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
     cols = []
     for s in sorts:
@@ -460,14 +477,28 @@ class Compiler:
             from miso_spark.dynamic import wrap_variant
 
             for name in set(df.columns) & set(other.columns):
-                lv = FieldPath._is_variant(df.schema[name].dataType)
-                rv = FieldPath._is_variant(other.schema[name].dataType)
+                lt = df.schema[name].dataType
+                rt = other.schema[name].dataType
+                lv = FieldPath._is_variant(lt)
+                rv = FieldPath._is_variant(rt)
                 if lv and not rv:
                     other = other.withColumn(
                         name, wrap_variant(F.col(f"`{name}`"))
                     )
                 elif rv and not lv:
                     df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+                elif not lv and not rv and _union_type_conflict(lt, rt):
+                    # typed∪typed with irreconcilable types (the
+                    # reference's union is untyped per-row — e.g.
+                    # stack's rfc3339 @time unioned with hdfs's epoch
+                    # @time, test_cases.rs union_different_timestamp_
+                    # field): lift BOTH sides to variant so each row
+                    # keeps its own value instead of a lossy (or
+                    # crashing, under ANSI) coercion
+                    df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+                    other = other.withColumn(
+                        name, wrap_variant(F.col(f"`{name}`"))
+                    )
             return df.unionByName(other, allowMissingColumns=True)
         if isinstance(step, P.JoinStep):
             return self._join(df, step, env)

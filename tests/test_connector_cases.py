@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import re
 import os
 import sys
 
@@ -230,3 +231,73 @@ def test_base_corpus(spark, rigs, connector, case):
 @pytest.mark.parametrize("case", RAW, ids=lambda c: c.name)
 def test_quickwit_raw_corpus(spark, rigs, case):
     _run_case(spark, rigs, "Quickwit", case)
+
+
+# ---------------------------------------------------------------------------
+# memory-differential arm: the same query over the same documents
+# through the MEMORY path must equal the connector path. The
+# pushdown-vs-no-pushdown arm above runs the plan REWRITES in both
+# arms (negotiate_to_fixpoint applies them before refusing hooks), so
+# a rewrite that changes semantics escapes it — this arm executes with
+# no negotiation at all, pinning external == engine for every case.
+
+
+@pytest.fixture(scope="module")
+def mem_compiler(spark):
+    from miso_spark.sources import MemorySource
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    docs = corpus.load_resources()
+    mem = MemorySource()
+    for cname, rows in docs.items():
+        rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+        df = spark.read.json(rdd)
+        # type the designated timestamp field like the connector
+        # config does (quickwit.rs setup(): stack → rfc3339 strings,
+        # hdfs → epoch seconds) — a real lake table has typed times
+        tf = corpus.TIMESTAMP_FIELDS.get(cname)
+        if tf and tf in df.columns:
+            if isinstance(df.schema[tf].dataType, NumericType):
+                df = df.withColumn(tf, F.timestamp_seconds(F.col(tf)))
+            else:
+                df = df.withColumn(tf, F.col(tf).cast("timestamp"))
+        mem.put(cname, df)
+    mem.static_fields = _static_fields(corpus.TIMESTAMP_FIELDS)
+    return Compiler(SourceRegistry(spark).register("test", mem))
+
+
+_ISO_TS = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def _canon_times(row_json: str) -> str:
+    """The connector path returns timestamps as the service's strings
+    ("...T23:55:37.000Z"); the memory path parses them into Spark
+    timestamps rendered differently. Canonicalize ISO-8601-looking
+    strings to second precision so the comparison is about VALUES."""
+    def canon(v):
+        if isinstance(v, str) and _ISO_TS.match(v):
+            return (datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                    .astimezone(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"))
+        if isinstance(v, dict):
+            return {k: canon(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [canon(x) for x in v]
+        return v
+
+    return json.dumps(canon(json.loads(row_json)), sort_keys=True)
+
+
+@pytest.mark.parametrize("case", BASE, ids=lambda c: c.name)
+def test_memory_differential(spark, rigs, mem_compiler, case):
+    _, src = rigs["Quickwit"]
+    push, _ = _compilers(spark, src)
+    push_rows = [_canon_times(r) for r in _rows(push.run(parse_kql(case.query)))]
+    mem_rows = [_canon_times(r) for r in _rows(mem_compiler.run(parse_kql(case.query)))]
+    assert mem_rows == push_rows, (
+        f"[{case.name}] memory-path results != connector-path results"
+    )

@@ -581,6 +581,32 @@ def test_union_typed_with_dynamic(spark):
     assert m.query("u.dyn | union (u.typed)").count() == 3
 
 
+def test_union_typed_type_conflict_lifts_to_variant(spark):
+    """union of two TYPED collections whose shared column has
+    irreconcilable types (string vs long — the reference's
+    union_different_timestamp_field shape, where its untyped rows
+    just keep their own values) lifts both sides to variant instead
+    of a lossy or ANSI-failing coercion."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame([("2008-07-31T21:42:52Z",)], "t string"))
+    mem.put("b", spark.createDataFrame([(1440670452,)], "t long"))
+    m.registry.register("u", mem)
+    got = sorted(
+        json.dumps(json.loads(r), sort_keys=True)
+        for r in m.query("u.a | union (u.b)").toJSON().collect()
+    )
+    assert got == sorted(['{"t": "2008-07-31T21:42:52Z"}', '{"t": 1440670452}'])
+    # numeric widening is NOT a conflict: stays a plain double column
+    mem.put("c", spark.createDataFrame([(1,)], "t long"))
+    mem.put("d", spark.createDataFrame([(2.5,)], "t double"))
+    out = m.query("u.c | union (u.d)")
+    assert dict(out.dtypes)["t"] == "double" and out.count() == 2
+
+
 def test_query_rows_decodes_variant_values(spark):
     """The incremental row API (CLI/SSE analog) surfaces dynamic cells
     as native Python values — a dynamic string is '5', not its raw
