@@ -24,19 +24,46 @@ from miso_spark.sources import CAP_RAW, CAP_WRITE, SourceRegistry
 COUNT_FIELD_NAME = "Count"
 
 
+def _strip_nullability(t):
+    """The same type modulo nullable/containsNull flags — Spark's
+    unionByName reconciles those natively; they are not conflicts."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(t, ArrayType):
+        return ArrayType(_strip_nullability(t.elementType), True)
+    if isinstance(t, MapType):
+        return MapType(
+            _strip_nullability(t.keyType), _strip_nullability(t.valueType), True
+        )
+    if isinstance(t, StructType):
+        return StructType([
+            StructField(f.name, _strip_nullability(f.dataType), True)
+            for f in t.fields
+        ])
+    return t
+
+
 def _union_type_conflict(lt, rt) -> bool:
     """True when unioning two typed columns of these types would need
     a lossy or failing coercion (string∪bigint, timestamp∪bigint,
-    mismatched structs). Equal types, all-null columns and pure
-    numeric widenings (int∪double) are SQL-standard coercions Spark
-    performs safely — not conflicts."""
-    from pyspark.sql.types import NullType, NumericType
+    mismatched structs). Equal types modulo nullability, all-null
+    columns, pure numeric widenings (int∪double) and date∪timestamp
+    are SQL-standard coercions Spark performs safely — not
+    conflicts."""
+    from pyspark.sql.types import (
+        DateType,
+        NullType,
+        NumericType,
+        TimestampType,
+    )
 
-    if lt == rt:
+    if _strip_nullability(lt) == _strip_nullability(rt):
         return False
     if isinstance(lt, NullType) or isinstance(rt, NullType):
         return False
     if isinstance(lt, NumericType) and isinstance(rt, NumericType):
+        return False
+    if {type(lt), type(rt)} == {DateType, TimestampType}:
         return False
     return True
 
@@ -283,24 +310,27 @@ class Compiler:
                     # continues engine-side on the returned DataFrame
                     if isinstance(step, P.ScanRaw):
                         self._require_cap(step.connector, CAP_RAW, "raw query")
-                    from miso_spark.rewrite import optimize_steps
-                    from miso_spark.sources.pushdown import (
-                        make_absorb_predicate,
-                    )
-
-                    # pre-run the negotiation's plan rewrites so the
-                    # step OBJECTS the dynamic filter caches by
-                    # identity (prejoined joins) are the ones that
-                    # survive into the residual — optimize_steps is a
-                    # fixpoint, so negotiate's own run over the same
-                    # tail is an identity-preserving no-op
-                    steps[i + 1 :] = list(
-                        optimize_steps(
-                            tuple(steps[i + 1 :]),
-                            can_absorb=make_absorb_predicate(step, src),
-                        )
-                    )
                     if self.dynamic_filter and isinstance(step, P.Scan):
+                        from miso_spark.rewrite import optimize_steps
+                        from miso_spark.sources.pushdown import (
+                            make_absorb_predicate,
+                        )
+
+                        # pre-run the negotiation's plan rewrites so
+                        # the step OBJECTS the dynamic filter caches
+                        # by identity (prejoined joins) are the ones
+                        # that survive into the residual —
+                        # optimize_steps is a fixpoint, so negotiate's
+                        # own run over the same tail is an
+                        # identity-preserving no-op. Only the dynamic
+                        # filter consumes the identity guarantee, so
+                        # don't pay the double fixpoint without it.
+                        steps[i + 1 :] = list(
+                            optimize_steps(
+                                tuple(steps[i + 1 :]),
+                                can_absorb=make_absorb_predicate(step, src),
+                            )
+                        )
                         # consumer-is-this-scan dynamic filter: a
                         # downstream join's small right side runs
                         # first and its observed keys land here as a
@@ -452,19 +482,9 @@ class Compiler:
             if step.fields:
                 # fielded Distinct (direct plan construction only — the
                 # frontends lower it) shares the summarize-by lowering
-                # (query_to_workflow.rs:146) so null group keys drop on
-                # every path, matching the external-connector rewrite
-                from miso_spark.exprs import Field as _Field
-
+                # so null group keys drop on every path
                 return self._apply(
-                    P.SummarizeStep(
-                        (),
-                        tuple(
-                            P.ByField(_Field.of(f), f) for f in step.fields
-                        ),
-                    ),
-                    df,
-                    env,
+                    P.distinct_to_summarize(step.fields), df, env
                 )
             return self._distinct_variant_safe(df)
         if isinstance(step, P.Union):

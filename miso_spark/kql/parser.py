@@ -257,12 +257,10 @@ class Parser:
                 self.next()
                 return P.Distinct(())
             if self._is_ident_tok(self.peek()):
-                fields = [self._field()]
+                fields = [str(self._field().path)]
                 while self.accept(","):
-                    fields.append(self._field())
-                return P.SummarizeStep(
-                    (), tuple(P.ByField(f, str(f.path)) for f in fields)
-                )
+                    fields.append(str(self._field().path))
+                return P.distinct_to_summarize(fields)
             return P.Distinct(())
         if k == "union":
             self.expect("(")

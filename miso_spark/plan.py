@@ -131,6 +131,17 @@ class Distinct(Step):
     fields: tuple[str, ...] = ()  # empty → all columns
 
 
+def distinct_to_summarize(fields) -> SummarizeStep:
+    """THE fielded-distinct lowering: `distinct f1, f2` IS
+    `summarize by f1, f2` (query_to_workflow.rs:146), so null group
+    keys drop on every execution path. Single source of truth for the
+    kql parser, the Plan builder, the compiler's direct-construction
+    fallback and rewrite.lower_distinct."""
+    from miso_spark.exprs import Field as _F
+
+    return SummarizeStep((), tuple(ByField(_F.of(f), f) for f in fields))
+
+
 @dataclass(frozen=True)
 class Union(Step):
     sub: "Plan"
@@ -213,15 +224,8 @@ class Plan:
         return self._with(SummarizeStep(tuple(aggs.items()), tuple(by)))
 
     def distinct(self, *fields: str) -> "Plan":
-        # fielded distinct IS `summarize by` (query_to_workflow.rs:146)
-        # — lowered here so every construction path shares the
-        # reference's null-group-key-dropping semantics
         if fields:
-            from miso_spark.exprs import Field as _F
-
-            return self._with(
-                SummarizeStep((), tuple(ByField(_F.of(f), f) for f in fields))
-            )
+            return self._with(distinct_to_summarize(fields))
         return self._with(Distinct(()))
 
     def union(self, sub: "Plan") -> "Plan":

@@ -242,11 +242,7 @@ def lower_distinct(steps: list) -> tuple[list, bool]:
     changed = False
     for s in steps:
         if isinstance(s, P.Distinct) and s.fields:
-            out.append(
-                P.SummarizeStep(
-                    (), tuple(P.ByField(Field.of(f), f) for f in s.fields)
-                )
-            )
+            out.append(P.distinct_to_summarize(s.fields))
             changed = True
         else:
             out.append(s)
@@ -433,8 +429,16 @@ def _propagation_hazard(lead, middle, end, renames, literals, exprs) -> bool:
             for f in rewritten:
                 if f in expr_sources:
                     return True
-                if f in rename_sources and not restrictive and not isinstance(lead, P.Rename):
-                    return True
+                if f in rename_sources:
+                    # exploding a rename source is safe only when the
+                    # lead DROPS the source (Project/Rename) and
+                    # exactly one mapping reads it — with two targets
+                    # aliasing the same source (`project a = b, c = b
+                    # | mv-expand a`), the un-expanded alias must keep
+                    # the whole array, which the moved lead can't do
+                    uses = sum(1 for src in renames.values() if src == f)
+                    if isinstance(lead, P.Extend) or uses > 1:
+                        return True
     if end is not None:
         erefs = _end_refs(end)
         if restrictive and not erefs <= defined:

@@ -280,9 +280,15 @@ def _canon_times(row_json: str) -> str:
     strings to second precision so the comparison is about VALUES."""
     def canon(v):
         if isinstance(v, str) and _ISO_TS.match(v):
-            return (datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
-                    .astimezone(datetime.timezone.utc)
-                    .isoformat(timespec="seconds"))
+            dt = datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                # a naive rendering is the same instant as the aware
+                # one — never reinterpret it through the machine's
+                # local timezone
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            return dt.astimezone(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            )
         if isinstance(v, dict):
             return {k: canon(x) for k, x in v.items()}
         if isinstance(v, list):

@@ -278,3 +278,17 @@ def test_union_push_gate_preserves_multi_index_merge():
     h2, residual2 = negotiate_to_fixpoint(plan2, src.handle("a"), src)
     assert h2.indexes("a") == "a,b"
     assert kinds(residual2.steps) == ["Scan"]
+
+
+def test_expand_of_source_aliased_twice_blocks_propagation():
+    # both a and c read b; exploding one alias must not explode the
+    # other (c keeps the whole array per output row)
+    out = opt("t.c | project a = b, c = b | mv-expand a | take 3")
+    assert kinds(out) == ["Scan", "Project", "Expand", "Limit"]
+
+
+def test_expand_of_singly_renamed_source_still_moves():
+    # positive control: one alias only — expand rewrites to the source
+    out = opt("t.c | project a = b | mv-expand a | take 3")
+    assert kinds(out) == ["Scan", "Expand", "Limit", "Project"]
+    assert out[1].fields == ("b",)
