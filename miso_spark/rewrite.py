@@ -560,17 +560,29 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
         j = i
         while j < len(steps) and isinstance(steps[j], P.Union):
             j += 1
-        if j >= len(steps) or not isinstance(
-            steps[j], (P.Filter, P.Project, P.Extend, P.Rename)
-        ):
+        if j >= len(steps):
             continue
         step = steps[j]
+        row_local = isinstance(step, (P.Filter, P.Project, P.Extend, P.Rename))
+        # limit/top-n also push (limit_into_union / topn_into_union in
+        # the reference): each branch and the main stream cap
+        # independently, and a MERGE copy stays after the unions (the
+        # reference's MuxLimit/MuxTopN — here the same plain step) to
+        # cap the combined stream. Guard against re-firing on an
+        # already-pushed shape: the main-stream copy would sit directly
+        # before the union run.
+        capping = isinstance(step, (P.Limit, P.Top))
+        if not row_local and not capping:
+            continue
+        if capping and i > 0 and steps[i - 1] == step:
+            continue
         if can_absorb is not None and not can_absorb(step):
             continue
         new_unions = [
             P.Union(P.Plan(tuple(u.sub.steps) + (step,))) for u in steps[i:j]
         ]
-        return steps[:i] + [step] + new_unions + steps[j + 1 :], True
+        tail = [step] if capping else []
+        return steps[:i] + [step] + new_unions + tail + steps[j + 1 :], True
     return steps, False
 
 

@@ -109,11 +109,6 @@ class PushHandle:
         return replace(self, limit=n)
 
     def apply_topn(self, sorts: tuple[P.Sort, ...], n: int):
-        # quickwit.rs:1313: no top-n over raw / top-n / group-by
-        if self.raw_query is not None or self.sorts is not None or self.group_by:
-            return None
-        if self.limit is not None and self.limit < n:
-            n = self.limit
         if self.flavor == "elasticsearch":
             # elasticsearch.rs:1322: nulls → "missing": _first/_last
             sort_json = tuple(
@@ -124,6 +119,17 @@ class PushHandle:
             sort_json = tuple(
                 {s.by: {"order": s.order, "nulls": s.nulls}} for s in sorts
             )
+        if self.sorts == sort_json:
+            # the same top-n again (push_steps_into_union leaves a
+            # post-union merge copy; once the union merged into one
+            # search the merge copy is this exact top-n) — absorb as
+            # min(n), the service stream is already so ordered
+            return replace(self, limit=min(self.limit or n, n))
+        # quickwit.rs:1313: no top-n over raw / top-n / group-by
+        if self.raw_query is not None or self.sorts is not None or self.group_by:
+            return None
+        if self.limit is not None and self.limit < n:
+            n = self.limit
         return replace(self, sorts=sort_json, limit=n)
 
     def apply_count(self):

@@ -70,8 +70,6 @@ DELEGATED = {
     "remove_redundant_steps_before_count": "EliminateSorts/CollapseProject",
     "remove_redundant_steps_before_summarize": "EliminateSorts/CollapseProject",
     "dont_remove_sorts_before_limit_before_count": "EliminateSorts keeps the limit-guarded sort",
-    "limit_into_union": "LimitPushDown through Union children",
-    "topn_into_union": "LimitPushDown + TakeOrderedAndProject per partition",
     "summarize_into_union": "partial aggregation (Tungsten map-side combine) is the mux split",
     "remove_no_op_filter_where_true": "BooleanSimplification + PruneFilters",
     "where_false_short_circuits": "PruneFilters + PropagateEmptyRelation",
@@ -80,7 +78,6 @@ DELEGATED = {
     "const_fold_in_fields_simple::case": "ConstantFolding",
     "const_fold_in_fields_partial::case": "ConstantFolding",
     "const_fold_only_affects_first_matched_step": "ConstantFolding",
-    "union_inner_short_circuit_removes_union": "PropagateEmptyRelation",
     "join_inner_right_short_circuit_returns_empty::case": "PropagateEmptyRelation",
     "join_left_outer_short_circuit_removes_join::case": "PropagateEmptyRelation",
     "remove_redundant_sort_before_topn_exact_match": "EliminateSorts under TakeOrdered",
@@ -194,9 +191,22 @@ def _eq_simultaneous_binding(got, case):
     assert got[-1] == case.input[0]
 
 
+def _eq_limit_pushed_into_dead_union(got, case):
+    # the limit PUSHES into the (filter-false) union branch and caps
+    # the main/merged streams; removing the dead union itself is
+    # PropagateEmptyRelation's job at physical planning
+    assert got == (
+        P.Limit(10),
+        P.Union(P.Plan((P.Filter(Lit(False)), P.Limit(10)))),
+        P.Limit(10),
+    )
+
+
 #: our output differs from the reference's expected shape but is
 #: semantically equal (or strictly sound where theirs is not)
 EQUIVALENT = {
+    "union_inner_short_circuit_removes_union":
+        _eq_limit_pushed_into_dead_union,
     "test_project_propagation_through_next_step::literal through filter":
         _eq_literal_through_filter,
     "test_project_propagation_multi_step::literal through filter with sort removed":

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from dataclasses import replace
 
 from miso_spark import parse_kql
 from miso_spark import plan as P
@@ -132,9 +133,15 @@ def test_pushdown_guards_match_reference():
     flt = _filter_expr("c.t | where a == 1")
 
     topn_h = PushHandle().apply_topn(top.sorts, top.n)
-    # no filter / topn over topn (quickwit.rs:1268,:1313)
+    # no filter / DIFFERENT topn over topn (quickwit.rs:1268,:1313);
+    # the IDENTICAL topn re-absorbs as min(n) — push_steps_into_union
+    # leaves a post-union merge copy that the merged search already
+    # satisfies
     assert topn_h.apply_filter(flt) is None
-    assert topn_h.apply_topn(top.sorts, top.n) is None
+    same = topn_h.apply_topn(top.sorts, top.n)
+    assert same is not None and same.limit == top.n
+    other_sorts = (replace(top.sorts[0], by="other"),)
+    assert topn_h.apply_topn(other_sorts, top.n) is None
     # no summarize after limit/sort — the service aggregates first
     # regardless of pipeline order (quickwit.rs:1376)
     assert topn_h.apply_summarize(summarize) is None

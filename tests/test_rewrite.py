@@ -147,11 +147,26 @@ def test_simultaneous_binding_substitution():
 
 def test_filter_pushes_into_union_branches():
     # push_steps_into_union.rs: the filter copies into each branch AND
-    # moves before the union run
+    # moves before the union run; the trailing take also pushes
+    # (limit_into_union) keeping a post-union merge copy
     out = opt("t.a | union (t.b) | where x > 1 | take 5")
-    assert kinds(out) == ["Scan", "Filter", "Union", "Limit"]
-    assert kinds(out[2].sub.steps) == ["Scan", "Filter"]
-    assert out[1] == out[2].sub.steps[1]
+    assert kinds(out) == ["Scan", "Filter", "Limit", "Union", "Limit"]
+    assert kinds(out[3].sub.steps) == ["Scan", "Filter", "Limit"]
+    assert out[1] == out[3].sub.steps[1]
+
+
+def test_limit_pushes_into_union_branches():
+    out = opt("t.a | union (t.b) | take 7")
+    assert kinds(out) == ["Scan", "Limit", "Union", "Limit"]
+    assert kinds(out[2].sub.steps) == ["Scan", "Limit"]
+    assert out[1] == P.Limit(7) and out[3] == P.Limit(7)
+
+
+def test_topn_pushes_into_union_branches():
+    out = opt("t.a | union (t.b) | top 3 by x")
+    assert kinds(out) == ["Scan", "Top", "Union", "Top"]
+    assert kinds(out[2].sub.steps) == ["Scan", "Top"]
+    assert out[1] == out[3]
 
 
 def test_project_pushes_into_union_branches():
