@@ -536,6 +536,58 @@ def project_propagation(steps: list) -> tuple[list, bool]:
     return steps, False
 
 
+def split_summarize_for_union(step):
+    """(partial, merge) split of a post-union summarize — the
+    reference's MuxIntoUnion + Summarize::convert_to_partial/_to_mux
+    (mux_into_union.rs:46, summarize.rs:93-135): each branch computes
+    a partial aggregate, a merge step combines them (count/countif →
+    sum, sum → sum, min/max → min/max, dcount → arg joins the partial
+    group keys, merged as dcount; by-only stays by-only — the
+    distinct-after-union case).
+
+    Returns None for splits that would CHANGE RESULTS: the engine
+    drops null group keys (summarize.rs:151 parity), so adding a
+    dcount argument to the partial by-list drops its null rows — fine
+    for the dcount itself (it never counts nulls) but corrupting any
+    SIBLING aggregate's row set. The reference splits those anyway
+    (convert_to_partial) — a divergence we refuse; avg needs a
+    sum+count decomposition with a post-project and is not split.
+    """
+    dcounts = [(n, a) for n, a in step.aggs if a.kind == "dcount"]
+    others = [(n, a) for n, a in step.aggs if a.kind != "dcount"]
+    if any(a.kind not in ("count", "countif", "sum", "min", "max")
+           for _, a in others):
+        return None
+    if dcounts and others:
+        return None  # partial by-list growth would corrupt siblings
+    if len(dcounts) > 1:
+        return None
+    by_names = {bf.name for bf in step.by}
+    partial_by = list(step.by)
+    merge_aggs = []
+    partial_aggs = []
+    for name, agg in step.aggs:
+        if agg.kind == "dcount":
+            arg = _plain_name(agg.arg)
+            if arg is None or name in by_names:
+                return None
+            if arg not in by_names:
+                partial_by.append(P.ByField(Field.of(arg), arg))
+            merge_aggs.append((name, P.Agg("dcount", Field.of(arg))))
+        elif agg.kind in ("count", "countif"):
+            partial_aggs.append((name, agg))
+            merge_aggs.append((name, P.Agg("sum", Field.of(name))))
+        else:  # sum / min / max merge with themselves
+            partial_aggs.append((name, agg))
+            merge_aggs.append((name, P.Agg(agg.kind, Field.of(name))))
+    partial = P.SummarizeStep(tuple(partial_aggs), tuple(partial_by))
+    merge = P.SummarizeStep(
+        tuple(merge_aggs),
+        tuple(P.ByField(Field.of(bf.name), bf.name) for bf in step.by),
+    )
+    return partial, merge
+
+
 def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
     """push_steps_into_union.rs: a filter/project/extend/rename after
     a run of unions copies INTO each union branch and moves before the
@@ -572,17 +624,31 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
         # already-pushed shape: the main-stream copy would sit directly
         # before the union run.
         capping = isinstance(step, (P.Limit, P.Top))
-        if not row_local and not capping:
+        summarizing = isinstance(step, P.SummarizeStep)
+        if not row_local and not capping and not summarizing:
             continue
-        if capping and i > 0 and steps[i - 1] == step:
+        if (capping or summarizing) and i > 0 and isinstance(
+            steps[i - 1], type(step)
+        ):
+            # already-pushed shape: the main-stream partial/cap copy
+            # sits directly before the union run — splitting the merge
+            # step again would stack layers forever
             continue
-        if can_absorb is not None and not can_absorb(step):
+        if summarizing:
+            split = split_summarize_for_union(step)
+            if split is None:
+                continue
+            branch_step, tail_step = split
+        else:
+            branch_step, tail_step = step, (step if capping else None)
+        if can_absorb is not None and not can_absorb(branch_step):
             continue
         new_unions = [
-            P.Union(P.Plan(tuple(u.sub.steps) + (step,))) for u in steps[i:j]
+            P.Union(P.Plan(tuple(u.sub.steps) + (branch_step,)))
+            for u in steps[i:j]
         ]
-        tail = [step] if capping else []
-        return steps[:i] + [step] + new_unions + tail + steps[j + 1 :], True
+        tail = [tail_step] if tail_step is not None else []
+        return steps[:i] + [branch_step] + new_unions + tail + steps[j + 1 :], True
     return steps, False
 
 
@@ -598,12 +664,19 @@ def _limit_passes(steps: list) -> tuple[list, bool]:
     return steps, changed
 
 
-def optimize_steps(steps, max_rounds: int = 20, can_absorb=None) -> tuple:
+def optimize_steps(
+    steps, max_rounds: int = 20, can_absorb=None, push_unions: bool = True
+) -> tuple:
     """Run the pushdown-enabling passes to fixpoint over ``steps``
     (tuple in, tuple out), recursing into union/join/let sub-plans.
     ``can_absorb`` gates :func:`push_steps_into_union` (see there); it
     describes the OUTER scan's connector, so it is not forwarded into
-    sub-plans (their scans negotiate with their own connectors)."""
+    sub-plans (their scans negotiate with their own connectors).
+    ``push_unions=False`` disables the union pushes entirely — used on
+    negotiation RESIDUALS, where the pre-union copy of an
+    already-pushed step has been absorbed into the handle and the pass
+    would mistake the post-union merge copy for a fresh push (stacking
+    a second partial into every branch)."""
     out = list(steps)
     # recurse into sub-plans first, so a union sub-plan arrives at
     # apply_union fully normalized (push_union_into_scan sees the
@@ -632,8 +705,9 @@ def optimize_steps(steps, max_rounds: int = 20, can_absorb=None) -> tuple:
         changed = changed or c
         out, c = project_propagation(out)
         changed = changed or c
-        out, c = push_steps_into_union(out, can_absorb)
-        changed = changed or c
+        if push_unions:
+            out, c = push_steps_into_union(out, can_absorb)
+            changed = changed or c
         if not changed:
             break
     return tuple(out)

@@ -307,3 +307,42 @@ def test_memory_differential(spark, rigs, mem_compiler, case):
     assert mem_rows == push_rows, (
         f"[{case.name}] memory-path results != connector-path results"
     )
+
+
+def test_union_summarize_splits_to_one_wire_aggregation(spark, rigs):
+    """union | summarize over the same connector compiles to ONE
+    multi-index search carrying the partial aggregation (terms agg on
+    the wire), with the engine-side merge re-aggregating — and the
+    rows equal both the no-pushdown run and the memory path."""
+    stub, src = rigs["Quickwit"]
+    q = "test.stack | union (test.stack_mirror) | summarize n = count() by type"
+    push, plain = _compilers(spark, src)
+    before = len(stub.core.search_requests)
+    push_rows = _rows(push.run(parse_kql(q)))
+    agg_reqs = [
+        (idx, b) for idx, b in stub.core.search_requests[before:]
+        if b and "aggs" in b
+    ]
+    assert len(agg_reqs) == 1 and agg_reqs[0][0] == "stack,stack_mirror"
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    assert push_rows == plain_rows
+    # counts double the single-index ones: stack_mirror is a copy
+    rows = [json.loads(r) for r in push_rows]
+    assert all(r["n"] % 2 == 0 for r in rows)
+
+
+def test_union_summarize_heterogeneous_branches(spark, rigs):
+    """Branches that CANNOT merge into one search (different doc sets,
+    one yielding zero agg buckets) still each absorb their partial; the
+    engine merge keeps the count's integer type — a residual
+    re-optimization once stacked a second partial into the branches,
+    summing a missing column into doubles."""
+    stub, src = rigs["Quickwit"]
+    q = "test.stack | union (test.hdfs) | summarize n = count() by type"
+    push, plain = _compilers(spark, src)
+    df = push.run(parse_kql(q))
+    assert dict(df.dtypes)["n"] == "bigint"
+    push_rows = _rows(df)
+    assert push_rows == _rows(plain.run(parse_kql(q)))
+    rows = {json.loads(r)["type"]: json.loads(r)["n"] for r in push_rows}
+    assert rows == {"question": 8, "answer": 2}  # hdfs rows lack type

@@ -70,7 +70,13 @@ DELEGATED = {
     "remove_redundant_steps_before_count": "EliminateSorts/CollapseProject",
     "remove_redundant_steps_before_summarize": "EliminateSorts/CollapseProject",
     "dont_remove_sorts_before_limit_before_count": "EliminateSorts keeps the limit-guarded sort",
-    "summarize_into_union": "partial aggregation (Tungsten map-side combine) is the mux split",
+    "summarize_into_union": (
+        "mixed dcount+count/sum split refused: the reference's partial "
+        "adds the dcount arg to the group keys and (its own summarize "
+        "dropping null keys, summarize.rs:151) loses the arg-null rows "
+        "from SIBLING aggregates — split_summarize_for_union only "
+        "splits result-preserving combinations"
+    ),
     "remove_no_op_filter_where_true": "BooleanSimplification + PruneFilters",
     "where_false_short_circuits": "PruneFilters + PropagateEmptyRelation",
     "const_fold_in_filter_simple_arith": "ConstantFolding",

@@ -307,3 +307,43 @@ def test_expand_of_singly_renamed_source_still_moves():
     out = opt("t.c | project a = b | mv-expand a | take 3")
     assert kinds(out) == ["Scan", "Expand", "Limit", "Project"]
     assert out[1].fields == ("b",)
+
+
+def test_summarize_splits_into_union_branches():
+    # mux_into_union.rs + convert_to_partial: count/sum partials per
+    # branch, merged by sum after the unions
+    out = opt("t.a | union (t.b) | summarize n = count(), s = sum(v) by k")
+    assert kinds(out) == ["Scan", "SummarizeStep", "Union", "SummarizeStep"]
+    partial, merge = out[1], out[3]
+    assert dict(partial.aggs) == {"n": P.Agg("count"), "s": P.Agg("sum", Field.of("v"))}
+    assert out[2].sub.steps[1] == partial
+    assert dict(merge.aggs) == {
+        "n": P.Agg("sum", Field.of("n")),
+        "s": P.Agg("sum", Field.of("s")),
+    }
+    assert [bf.name for bf in merge.by] == ["k"]
+
+
+def test_distinct_after_union_splits_as_by_only():
+    out = opt("t.a | union (t.b) | distinct k")
+    assert kinds(out) == ["Scan", "SummarizeStep", "Union", "SummarizeStep"]
+    assert out[1].aggs == () and out[3].aggs == ()
+
+
+def test_lone_dcount_splits_via_group_keys():
+    out = opt("t.a | union (t.b) | summarize d = dcount(x) by k")
+    assert kinds(out) == ["Scan", "SummarizeStep", "Union", "SummarizeStep"]
+    partial, merge = out[1], out[3]
+    assert partial.aggs == () and [bf.name for bf in partial.by] == ["k", "x"]
+    assert dict(merge.aggs) == {"d": P.Agg("dcount", Field.of("x"))}
+
+
+def test_mixed_dcount_with_siblings_not_split():
+    # the partial's extra group key would drop x-null rows from n
+    out = opt("t.a | union (t.b) | summarize n = count(), d = dcount(x) by k")
+    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+
+
+def test_avg_not_split():
+    out = opt("t.a | union (t.b) | summarize a = avg(v) by k")
+    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
