@@ -545,42 +545,31 @@ def split_summarize_for_union(step):
     group keys, merged as dcount; by-only stays by-only — the
     distinct-after-union case).
 
-    Returns None for splits that would CHANGE RESULTS: the engine
-    drops null group keys (summarize.rs:151 parity), so adding a
-    dcount argument to the partial by-list drops its null rows — fine
-    for the dcount itself (it never counts nulls) but corrupting any
-    SIBLING aggregate's row set. The reference splits those anyway
-    (convert_to_partial) — a divergence we refuse; avg needs a
-    sum+count decomposition with a post-project and is not split.
+    Returns None for splits that would CHANGE RESULTS. The reference
+    also splits dcount by joining its argument to the partial group
+    keys (convert_to_partial) — refused here entirely: the engine
+    drops null group keys (summarize.rs:151 parity) but counts a
+    PRESENT null as a distinct dcount value (tests.rs
+    dcount_with_nulls), so the partial's by-list would silently drop
+    the null bucket (and corrupt sibling aggregates' row sets). avg
+    needs a sum+count decomposition with a post-project and is not
+    split. Dotted output/by names are refused too: the merge step
+    must reference the partial's FLAT output columns, and a dotted
+    name would re-parse as a nested path.
     """
-    dcounts = [(n, a) for n, a in step.aggs if a.kind == "dcount"]
-    others = [(n, a) for n, a in step.aggs if a.kind != "dcount"]
     if any(a.kind not in ("count", "countif", "sum", "min", "max")
-           for _, a in others):
+           for _, a in step.aggs):
         return None
-    if dcounts and others:
-        return None  # partial by-list growth would corrupt siblings
-    if len(dcounts) > 1:
+    names = [bf.name for bf in step.by] + [n for n, _ in step.aggs]
+    if any("." in n or "[" in n for n in names):
         return None
-    by_names = {bf.name for bf in step.by}
-    partial_by = list(step.by)
     merge_aggs = []
-    partial_aggs = []
     for name, agg in step.aggs:
-        if agg.kind == "dcount":
-            arg = _plain_name(agg.arg)
-            if arg is None or name in by_names:
-                return None
-            if arg not in by_names:
-                partial_by.append(P.ByField(Field.of(arg), arg))
-            merge_aggs.append((name, P.Agg("dcount", Field.of(arg))))
-        elif agg.kind in ("count", "countif"):
-            partial_aggs.append((name, agg))
+        if agg.kind in ("count", "countif"):
             merge_aggs.append((name, P.Agg("sum", Field.of(name))))
         else:  # sum / min / max merge with themselves
-            partial_aggs.append((name, agg))
             merge_aggs.append((name, P.Agg(agg.kind, Field.of(name))))
-    partial = P.SummarizeStep(tuple(partial_aggs), tuple(partial_by))
+    partial = P.SummarizeStep(tuple(step.aggs), tuple(step.by))
     merge = P.SummarizeStep(
         tuple(merge_aggs),
         tuple(P.ByField(Field.of(bf.name), bf.name) for bf in step.by),
@@ -631,8 +620,8 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             steps[i - 1], type(step)
         ):
             # already-pushed shape: the main-stream partial/cap copy
-            # sits directly before the union run — splitting the merge
-            # step again would stack layers forever
+            # sits directly before the union run — splitting the
+            # post-union merge copy again would stack layers forever
             continue
         if summarizing:
             split = split_summarize_for_union(step)
@@ -641,6 +630,17 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             branch_step, tail_step = split
         else:
             branch_step, tail_step = step, (step if capping else None)
+        if all(
+            u.sub.steps and u.sub.steps[-1] == branch_step
+            for u in steps[i:j]
+        ):
+            # second already-pushed guard, robust when OTHER passes
+            # move the main-stream copy away from the union run
+            # (project_propagation hoisting a pushed Top through an
+            # extend): every branch already ends with this exact copy
+            # — re-pushing the merge copy would stack duplicates every
+            # fixpoint round and never converge
+            continue
         if can_absorb is not None and not can_absorb(branch_step):
             continue
         new_unions = [

@@ -123,8 +123,11 @@ class PushHandle:
             # the same top-n again (push_steps_into_union leaves a
             # post-union merge copy; once the union merged into one
             # search the merge copy is this exact top-n) — absorb as
-            # min(n), the service stream is already so ordered
-            return replace(self, limit=min(self.limit or n, n))
+            # min(n), the service stream is already so ordered. The
+            # explicit None check keeps an absorbed limit of 0.
+            return replace(
+                self, limit=n if self.limit is None else min(self.limit, n)
+            )
         # quickwit.rs:1313: no top-n over raw / top-n / group-by
         if self.raw_query is not None or self.sorts is not None or self.group_by:
             return None

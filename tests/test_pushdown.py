@@ -1711,3 +1711,12 @@ def test_union_branches_get_pushed_filter_over_the_wire(spark):
             assert {"term": {"user": {"value": "a"}}} in body["query"]["bool"]["must"]
     finally:
         stub.shutdown()
+
+
+def test_identical_topn_reabsorb_keeps_zero_limit():
+    """take 0 absorbed between two identical top-ns must stay 0 — the
+    falsy-zero `or` bug reset it to n."""
+    top = parse_kql("c.t | top 5 by ts").steps[1]
+    h = PushHandle().apply_topn(top.sorts, top.n).apply_limit(0)
+    again = h.apply_topn(top.sorts, top.n)
+    assert again is not None and again.limit == 0

@@ -330,18 +330,45 @@ def test_distinct_after_union_splits_as_by_only():
     assert out[1].aggs == () and out[3].aggs == ()
 
 
-def test_lone_dcount_splits_via_group_keys():
+def test_dcount_never_splits():
+    # the reference splits dcount by joining its arg to the partial
+    # group keys (convert_to_partial) — but the engine counts a
+    # PRESENT null as a distinct dcount value (tests.rs
+    # dcount_with_nulls) while the partial by-list would DROP the
+    # null bucket (summarize.rs:151 null-group-key parity): the split
+    # undercounts by one and loses all-null groups. Refused.
     out = opt("t.a | union (t.b) | summarize d = dcount(x) by k")
-    assert kinds(out) == ["Scan", "SummarizeStep", "Union", "SummarizeStep"]
-    partial, merge = out[1], out[3]
-    assert partial.aggs == () and [bf.name for bf in partial.by] == ["k", "x"]
-    assert dict(merge.aggs) == {"d": P.Agg("dcount", Field.of("x"))}
-
-
-def test_mixed_dcount_with_siblings_not_split():
-    # the partial's extra group key would drop x-null rows from n
+    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
     out = opt("t.a | union (t.b) | summarize n = count(), d = dcount(x) by k")
     assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+
+
+def test_dotted_by_name_not_split():
+    # the merge step reads the partial's FLAT output columns; a dotted
+    # by-name would re-parse as a nested path and null every group key
+    out = opt("t.a | union (t.b) | summarize n = count() by a.b")
+    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+
+
+def test_union_push_converges_when_propagation_moves_the_copy():
+    # project_propagation hoists the pushed Top through the extend,
+    # separating it from the union run — the branch-tail guard must
+    # still recognize the already-pushed shape instead of stacking a
+    # new copy every fixpoint round
+    out = opt("t.a | extend s2 = s | union (t.b) | top 3 by s2")
+    tops_in_branch = [
+        s for u in out if isinstance(u, P.Union)
+        for s in u.sub.steps if isinstance(s, P.Top)
+    ]
+    assert len(tops_in_branch) == 1
+    assert sum(isinstance(s, P.Top) for s in out) <= 2
+
+    out2 = opt("t.a | project a = b | union (t.b) | take 3")
+    limits_in_branch = [
+        s for u in out2 if isinstance(u, P.Union)
+        for s in u.sub.steps if isinstance(s, P.Limit)
+    ]
+    assert len(limits_in_branch) == 1
 
 
 def test_avg_not_split():
