@@ -614,10 +614,13 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
         # before the union run.
         capping = isinstance(step, (P.Limit, P.Top))
         summarizing = isinstance(step, P.SummarizeStep)
-        if not row_local and not capping and not summarizing:
+        counting = isinstance(step, P.CountStep)
+        if not row_local and not capping and not summarizing and not counting:
             continue
-        if (capping or summarizing) and i > 0 and isinstance(
-            steps[i - 1], type(step)
+        if (capping or summarizing or counting) and i > 0 and isinstance(
+            steps[i - 1],
+            # a summarize merge copy also follows a pushed CountStep
+            (type(step), P.CountStep) if summarizing else type(step),
         ):
             # already-pushed shape: the main-stream partial/cap copy
             # sits directly before the union run — splitting the
@@ -628,6 +631,14 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             if split is None:
                 continue
             branch_step, tail_step = split
+        elif counting:
+            # count → MuxCount (mux_into_union.rs:44): per-branch
+            # counts, summed after the unions; the engine's count
+            # column is COUNT_FIELD_NAME ("Count")
+            branch_step = step
+            tail_step = P.SummarizeStep(
+                (("Count", P.Agg("sum", Field.of("Count"))),), ()
+            )
         else:
             branch_step, tail_step = step, (step if capping else None)
         if all(

@@ -346,3 +346,15 @@ def test_union_summarize_heterogeneous_branches(spark, rigs):
     assert push_rows == _rows(plain.run(parse_kql(q)))
     rows = {json.loads(r)["type"]: json.loads(r)["n"] for r in push_rows}
     assert rows == {"question": 8, "answer": 2}  # hdfs rows lack type
+
+
+def test_union_count_splits_to_per_branch_wire_counts(spark, rigs):
+    """`union | count` absorbs a count per branch (or one merged count
+    query for same-connector unions) and sums engine-side — matching
+    the no-pushdown run exactly."""
+    stub, src = rigs["Quickwit"]
+    q = "test.stack | union (test.hdfs) | count"
+    push, plain = _compilers(spark, src)
+    push_rows = _rows(push.run(parse_kql(q)))
+    assert push_rows == _rows(plain.run(parse_kql(q)))
+    assert json.loads(push_rows[0])["Count"] == 20  # 10 stack + 10 hdfs

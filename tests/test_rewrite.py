@@ -374,3 +374,15 @@ def test_union_push_converges_when_propagation_moves_the_copy():
 def test_avg_not_split():
     out = opt("t.a | union (t.b) | summarize a = avg(v) by k")
     assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+
+
+def test_count_pushes_into_union_branches():
+    # mux_into_union.rs:44 Count → MuxCount: per-branch counts summed
+    out = opt("t.a | union (t.b) | count")
+    assert kinds(out) == ["Scan", "CountStep", "Union", "SummarizeStep"]
+    assert kinds(out[2].sub.steps) == ["Scan", "CountStep"]
+    merge = out[3]
+    assert dict(merge.aggs) == {"Count": P.Agg("sum", Field.of("Count"))}
+    assert merge.by == ()
+    # converged: re-optimizing the result is a no-op
+    assert optimize_steps(out) == out
