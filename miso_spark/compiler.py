@@ -319,25 +319,34 @@ class Compiler:
                         # pre-run the negotiation's plan rewrites so
                         # the step OBJECTS the dynamic filter caches
                         # by identity (prejoined joins) are the ones
-                        # that survive into the residual —
-                        # optimize_steps is a fixpoint, so negotiate's
-                        # own run over the same tail is an
-                        # identity-preserving no-op. Only the dynamic
-                        # filter consumes the identity guarantee, so
-                        # don't pay the double fixpoint without it.
-                        steps[i + 1 :] = list(
-                            optimize_steps(
-                                tuple(steps[i + 1 :]),
-                                can_absorb=make_absorb_predicate(step, src),
-                            )
-                        )
+                        # that survive into the residual. The identity
+                        # assumption only holds when the rewrites have
+                        # ACTUALLY converged — optimize_steps caps its
+                        # internal loop at max_rounds, so confirm a
+                        # fixpoint (one extra no-op call) and keep
+                        # iterating a few outer rounds if it was still
+                        # moving; a plan that never settles skips the
+                        # dynamic filter rather than caching a JoinStep
+                        # object negotiate would rebuild (its persisted
+                        # producer would be orphaned and recomputed).
+                        pred = make_absorb_predicate(step, src)
+                        tail = tuple(steps[i + 1 :])
+                        converged = False
+                        for _ in range(5):
+                            new_tail = optimize_steps(tail, can_absorb=pred)
+                            if new_tail == tail:
+                                converged = True
+                                break
+                            tail = new_tail
+                        steps[i + 1 :] = list(tail)
                         # consumer-is-this-scan dynamic filter: a
                         # downstream join's small right side runs
                         # first and its observed keys land here as a
                         # Filter step, which negotiate then pushes
                         # into the wire request (scan.rs:102
                         # apply_dynamic_filter parity)
-                        self._scan_side_dynamic_filter(steps, i, src, env)
+                        if converged:
+                            self._scan_side_dynamic_filter(steps, i, src, env)
                     from miso_spark.sources.pushdown import (
                         negotiate_to_fixpoint,
                     )
@@ -800,24 +809,47 @@ class Compiler:
         return df.select(*[c.alias(n) for n, c in cols.items()])
 
     def _extend(self, df: DataFrame, fields) -> DataFrame:
-        """Extend with nested targets: adds/overwrites a field inside
-        an EXISTING struct column (Column.withField), or creates the
-        struct path when the top-level column is absent or not a
-        struct — insert_field_value parity (interpreter/mod.rs)."""
+        """Extend with SIMULTANEOUS input-row binding: every field
+        expression evaluates against the step's INPUT row, then all
+        writes land atomically — the reference's ProjectIter.eval
+        builds a LogInterpreter over the original log and writes into a
+        fresh output merged at the end (project.rs:42-67), so in
+        ``extend a = b*2, c = a`` the ``c`` reads the INPUT ``a``, not
+        the new one. project_propagation's ExprSubstitute assumes this
+        binding when it inlines extend definitions into later steps
+        (rewrite.py), so the engine must match or negotiated plans
+        would return different rows than engine-side execution.
+
+        Nested targets add/overwrite a field inside an EXISTING struct
+        column (Column.withField) or create the struct path when the
+        top-level column is absent or not a struct — insert_field_value
+        parity (interpreter/mod.rs:514; a non-object base is replaced
+        by a fresh object). Writes into the output apply in field
+        order (insert_field_value is sequential on the OUTPUT log), so
+        two targets under one top-level name merge."""
         from pyspark.sql.types import StructType
 
+        out_cols: dict[str, Column] = {}
         for f in fields:
+            # compiled against the INPUT schema: the Column expression
+            # references input column names, and the single
+            # withColumns() below resolves every one against `df`
             expr = compile_expr(f.expr, df.schema)
             if "." not in f.name:
-                df = df.withColumn(f.name, expr)
+                out_cols[f.name] = expr
                 continue
             top, *rest = f.name.split(".")
-            is_struct = top in df.columns and isinstance(df.schema[top].dataType, StructType)
-            if is_struct:
-                df = df.withColumn(top, F.col(top).withField(".".join(rest), expr))
+            if top in out_cols:
+                # earlier target this extend wrote `top` — merge into
+                # that pending value (output-log sequential writes)
+                out_cols[top] = out_cols[top].withField(".".join(rest), expr)
+            elif top in df.columns and isinstance(
+                df.schema[top].dataType, StructType
+            ):
+                out_cols[top] = F.col(f"`{top}`").withField(".".join(rest), expr)
             else:
-                df = df.withColumn(top, self._fresh_nested(rest, expr))
-        return df
+                out_cols[top] = self._fresh_nested(rest, expr)
+        return df.withColumns(out_cols) if out_cols else df
 
     # ---- dynamic filtering (dynamic_filter.rs parity) ----------------
 

@@ -696,7 +696,12 @@ def optimize_steps(
     # compiler keys per-run caches by step identity (prejoined joins)
     for i, s in enumerate(out):
         if isinstance(s, (P.Union, P.JoinStep, P.Let)):
-            sub = optimize_steps(s.sub.steps, max_rounds)
+            # push_unions forwards: a push_unions=False residual
+            # re-optimize must not run union pushes inside nested
+            # sub-plans either (the already-pushed shape guards are a
+            # backstop, not the invariant). can_absorb stays
+            # scan-local by design.
+            sub = optimize_steps(s.sub.steps, max_rounds, push_unions=push_unions)
             if sub == tuple(s.sub.steps):
                 continue
             if isinstance(s, P.Union):

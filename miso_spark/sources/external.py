@@ -85,15 +85,21 @@ def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
         return df.withColumn(ts, F.to_timestamp(ts))
     if isinstance(dt, NumericType):
         # time_utils.rs:3 magnitude thresholds (MAX_TIMESTAMP_SECONDS
-        # = 8589934591 and its 1e3/1e6 multiples)
-        c = F.col(ts).cast("double")
-        mag = F.abs(c)
+        # = 8589934591 and its 1e3/1e6 multiples). Dispatch on the
+        # ORIGINAL numeric column and reduce nanos with integer
+        # arithmetic: a nanosecond epoch (~1.7e18) exceeds double's
+        # 53-bit mantissa, so routing through a double cast would
+        # shave up to hundreds of nanoseconds off before the micros
+        # conversion. SQL DIV truncates toward zero like Rust's `/`.
+        mag = F.abs(F.col(f"`{ts}`"))
+        lng = F.col(f"`{ts}`").cast("long")
         return df.withColumn(
             ts,
-            F.when(mag <= 8589934591.0, F.timestamp_seconds(c))
-            .when(mag <= 8589934591e3, F.timestamp_millis(c.cast("long")))
-            .when(mag <= 8589934591e6, F.timestamp_micros(c.cast("long")))
-            .otherwise(F.timestamp_micros((c / 1000).cast("long"))),
+            # seconds may be fractional — convert the original value
+            F.when(mag <= F.lit(8589934591), F.timestamp_seconds(F.col(f"`{ts}`")))
+            .when(mag <= F.lit(8589934591_000), F.timestamp_millis(lng))
+            .when(mag <= F.lit(8589934591_000_000), F.timestamp_micros(lng))
+            .otherwise(F.timestamp_micros(F.expr(f"CAST(`{ts}` AS BIGINT) DIV 1000"))),
         )
     return df
 

@@ -749,6 +749,31 @@ def test_quickwit_agg_timestamp_conversion(spark):
     assert out.schema["first"].dataType.typeName() == "timestamp"
 
 
+def test_timestamp_typed_nanos_exact(spark):
+    """time_utils.rs parse_timestamp magnitude dispatch over hit rows:
+    a NANOSECOND epoch must convert with integer arithmetic — routing
+    through a double cast loses up to hundreds of nanoseconds above
+    2^53 (ADVICE r9). 1700000000123456789 ns must land on exactly
+    ...123456 micros, and each unit magnitude picks its branch."""
+    from miso_spark.sources.external import _timestamp_typed
+
+    df = spark.createDataFrame(
+        [
+            (1, 1700000000),  # seconds
+            (2, 1700000000123),  # millis
+            (3, 1700000000123456),  # micros
+            (4, 1700000000123456789),  # nanos
+        ],
+        "id long, ts long",
+    )
+    out = {r["id"]: r["ts"] for r in _timestamp_typed(df, "ts").collect()}
+    assert out[1].microsecond == 0
+    assert out[2].microsecond == 123000
+    assert out[3].microsecond == 123456
+    assert out[4].microsecond == 123456  # exact: no double rounding
+    assert all(str(v).startswith("2023-11-1") for v in out.values())
+
+
 def test_splunk_previews_round_trip_live_wire():
     """Preview streaming (query_runner.rs:232): status_buckets in the
     creation form, results_preview rounds while RUNNING, final results

@@ -142,6 +142,41 @@ def test_string_column_plus_concat(m):
     assert r == [{"c": "xx", "lc": "vx"}]
 
 
+def test_extend_simultaneous_input_binding(m):
+    """ProjectIter.eval binds every field expression to the INPUT log
+    (project.rs:42-63: one LogInterpreter over the original `log`,
+    writes land in a fresh output merged at the end) — so in
+    `extend v = v * 2, w = v` the `w` reads the ORIGINAL v, not the
+    doubled one. project_propagation's substitution (rewrite.py)
+    assumes exactly this; engine-side execution must match or
+    negotiated external plans diverge from engine plans (ADVICE r9)."""
+    r = rows(m, "mem.vals | where id == 1 | extend v = v * 2, w = v"
+                " | project v, w")
+    assert r == [{"v": 20, "w": 10}]
+
+
+def test_extend_self_chain_then_filter_matches_propagated_form(m):
+    """The exact hazard shape from ADVICE r9: `extend a = v*2, c = a |
+    where c > 5`. Under input binding `c` copies the INPUT `a`, which
+    is missing on mem.vals — so the filter drops every row, and the
+    engine path agrees with the propagated (substituted) form instead
+    of diverging to the sequential reading (c = v*2)."""
+    r = rows(m, "mem.vals | extend a = v * 2, c = a | where c > 5 | count")
+    assert r == [{"Count": 0}]
+
+
+def test_extend_nested_targets_same_top_merge(m):
+    """Two nested targets under one new top-level name merge into the
+    same struct (insert_field_value writes sequentially into the
+    output log, interpreter/mod.rs:514)."""
+    r = rows(
+        m,
+        "mem.vals | where id == 1 | extend o.a = v, o.b = id"
+        " | project x = o.a, y = o.b",
+    )
+    assert r == [{"x": 10, "y": 1}]
+
+
 def test_missing_field_evaluates_as_null(spark):
     """Dynamic-log missing-field semantics (tests.rs
     project_nonexistent_field_arithmetic / filter_null_field_comparison):
