@@ -390,10 +390,31 @@ q(
     """,
 )
 
+def _b_tee_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tee → scan-back round trip over a REAL sink (the workflow Tee
+    step + create_sink negotiation, miso-server lib.rs): filter
+    lineitem, `tee` into a temp parquet connector, then scan the
+    tee'd collection back and `count` it. The oracle checks the whole
+    write→read path — rows that survive the filter, land in the sink,
+    and read back — giving the §2.1 tee/write row an oracle-checked
+    entry (previously pytest-only) while keeping the bare-count step
+    covered (the scan-back ends in CountStep)."""
+    import tempfile
+
+    from miso_spark.sources import ParquetDirSource
+
+    reg = make_registry(spark, sf_dir)
+    reg.register("sink", ParquetDirSource(tempfile.mkdtemp(prefix="miso_tee_")))
+    c = Compiler(reg)
+    # the Tee step writes eagerly at compile time and passes rows on
+    c.run(parse_kql("t.lineitem | where l_quantity > 45 | tee sink.teed"))
+    return c.run(parse_kql("sink.teed | count"))
+
+
 q(
-    "count_op",
-    kql="t.lineitem | count",
-    oracle='SELECT COUNT(*) AS "Count" FROM lineitem',
+    "tee_roundtrip",
+    builder=_b_tee_roundtrip,
+    oracle='SELECT COUNT(*) AS "Count" FROM lineitem WHERE l_quantity > 45',
 )
 
 q(

@@ -15,6 +15,12 @@ hooks, not how a DataFrame plan executes:
   into a terminal summarize entirely.
 - ``lower_distinct`` (query_to_workflow.rs:146: ``distinct f1, f2``
   IS ``summarize by f1, f2`` in the reference's step model).
+- ``push_filter_into_join`` (push_filter_into_join.rs): one-sided
+  post-join filter conditions move into their join branch, so each
+  side's connector negotiation sees them.
+- ``push_project_into_join`` (push_project_into_join.rs +
+  eliminate_unused_fields.rs's required-fields walk): both join sides
+  narrow to the fields the post-join tail needs.
 
 For file-backed sources Catalyst already reorders filters through
 projections and fuses limits, so the compiler applies these passes
@@ -100,15 +106,16 @@ def substitute_fields(e: Expr, mapping: dict[str, Expr]) -> Expr:
     return e  # Lit / Duration / Now
 
 
-def _referenced_heads(e) -> set:
-    """Head names of every field path referenced by ``e``."""
-    out: set[str] = set()
+def _referenced_fields(e) -> list:
+    """Every :class:`Field` referenced by ``e`` (shared traversal for
+    the head- and path-level collectors)."""
+    out: list = []
 
     def walk(x) -> None:
         if x is None:
             return
         if isinstance(x, Field):
-            out.add(x.path.segments[0][0])
+            out.append(x)
         elif isinstance(x, BinOp):
             walk(x.left)
             walk(x.right)
@@ -141,6 +148,16 @@ def _referenced_heads(e) -> set:
 
     walk(e)
     return out
+
+
+def _referenced_heads(e) -> set:
+    """Head names of every field path referenced by ``e``."""
+    return {f.path.segments[0][0] for f in _referenced_fields(e)}
+
+
+def _referenced_paths(e) -> set:
+    """Full dotted path strings of every field referenced by ``e``."""
+    return {str(f.path) for f in _referenced_fields(e)}
 
 
 def _head(name: str) -> str:
@@ -537,13 +554,18 @@ def project_propagation(steps: list) -> tuple[list, bool]:
 
 
 def split_summarize_for_union(step):
-    """(partial, merge) split of a post-union summarize — the
+    """(partial, merge, post) split of a post-union summarize — the
     reference's MuxIntoUnion + Summarize::convert_to_partial/_to_mux
     (mux_into_union.rs:46, summarize.rs:93-135): each branch computes
     a partial aggregate, a merge step combines them (count/countif →
-    sum, sum → sum, min/max → min/max, dcount → arg joins the partial
-    group keys, merged as dcount; by-only stays by-only — the
-    distinct-after-union case).
+    sum, sum → sum, min/max → min/max; by-only stays by-only — the
+    distinct-after-union case). ``avg`` decomposes like the
+    reference's MUX_AVG suffixes (summarize.rs:9, :113-120 —
+    ``{name}_sum = sum(arg)`` + ``{name}_num = countif(exists(arg))``
+    per branch; the MuxAvg merge state sums both and divides,
+    workflow summarize.rs:517) — here the division is the ``post``
+    Project, with the reference's empty-input identity avg(∅) = 0.0
+    (summarize.rs:655). ``post`` is None when no avg is present.
 
     Returns None for splits that would CHANGE RESULTS. The reference
     also splits dcount by joining its argument to the partial group
@@ -551,30 +573,68 @@ def split_summarize_for_union(step):
     drops null group keys (summarize.rs:151 parity) but counts a
     PRESENT null as a distinct dcount value (tests.rs
     dcount_with_nulls), so the partial's by-list would silently drop
-    the null bucket (and corrupt sibling aggregates' row sets). avg
-    needs a sum+count decomposition with a post-project and is not
-    split. Dotted output/by names are refused too: the merge step
-    must reference the partial's FLAT output columns, and a dotted
-    name would re-parse as a nested path.
+    the null bucket (and corrupt sibling aggregates' row sets).
+    Dotted output/by names are refused too: the merge step must
+    reference the partial's FLAT output columns, and a dotted name
+    would re-parse as a nested path.
     """
-    if any(a.kind not in ("count", "countif", "sum", "min", "max")
+    if any(a.kind not in ("count", "countif", "sum", "min", "max", "avg")
            for _, a in step.aggs):
         return None
     names = [bf.name for bf in step.by] + [n for n, _ in step.aggs]
     if any("." in n or "[" in n for n in names):
         return None
-    merge_aggs = []
+    taken = set(names)
+    if any(
+        f"{n}_sum" in taken or f"{n}_num" in taken
+        for n, a in step.aggs if a.kind == "avg"
+    ):
+        # a MUX suffix name collides with a real output — refuse
+        # rather than silently overwrite (the reference's BTreeMap
+        # insert would clobber)
+        return None
+    avg_present = any(a.kind == "avg" for _, a in step.aggs)
+    partial_aggs: list[tuple[str, P.Agg]] = []
+    merge_aggs: list[tuple[str, P.Agg]] = []
+    post: list[P.ProjectField] = []
     for name, agg in step.aggs:
+        if agg.kind == "avg":
+            s, n = f"{name}_sum", f"{name}_num"
+            partial_aggs.append((s, P.Agg("sum", agg.arg)))
+            partial_aggs.append((n, P.Agg("countif", Exists(agg.arg))))
+            merge_aggs.append((s, P.Agg("sum", Field.of(s))))
+            merge_aggs.append((n, P.Agg("sum", Field.of(n))))
+            post.append(
+                P.ProjectField(
+                    Case(
+                        ((BinOp("eq", Field.of(n), Lit(0)), Lit(0.0)),),
+                        BinOp("div", Field.of(s), Field.of(n)),
+                    ),
+                    name,
+                )
+            )
+            continue
+        partial_aggs.append((name, agg))
         if agg.kind in ("count", "countif"):
             merge_aggs.append((name, P.Agg("sum", Field.of(name))))
         else:  # sum / min / max merge with themselves
             merge_aggs.append((name, P.Agg(agg.kind, Field.of(name))))
-    partial = P.SummarizeStep(tuple(step.aggs), tuple(step.by))
+        if avg_present:
+            post.append(P.ProjectField(Field.of(name), name))
+    partial = P.SummarizeStep(tuple(partial_aggs), tuple(step.by))
     merge = P.SummarizeStep(
         tuple(merge_aggs),
         tuple(P.ByField(Field.of(bf.name), bf.name) for bf in step.by),
     )
-    return partial, merge
+    if not avg_present:
+        return partial, merge, None
+    # the post project must also carry the group keys and restore the
+    # ORIGINAL output order (by keys first, then aggs in declared
+    # order — the merge's _sum/_num columns drop here)
+    key_fields = [P.ProjectField(Field.of(bf.name), bf.name) for bf in step.by]
+    by_name = {pf.name: pf for pf in post}
+    ordered = [by_name[n] for n, _ in step.aggs]
+    return partial, merge, P.Project(tuple(key_fields + ordered))
 
 
 def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
@@ -630,17 +690,19 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             split = split_summarize_for_union(step)
             if split is None:
                 continue
-            branch_step, tail_step = split
+            branch_step, merge_step, post_step = split
+            tail_steps = [merge_step] + ([post_step] if post_step else [])
         elif counting:
             # count → MuxCount (mux_into_union.rs:44): per-branch
             # counts, summed after the unions; the engine's count
             # column is COUNT_FIELD_NAME ("Count")
             branch_step = step
-            tail_step = P.SummarizeStep(
-                (("Count", P.Agg("sum", Field.of("Count"))),), ()
-            )
+            tail_steps = [
+                P.SummarizeStep((("Count", P.Agg("sum", Field.of("Count"))),), ())
+            ]
         else:
-            branch_step, tail_step = step, (step if capping else None)
+            branch_step = step
+            tail_steps = [step] if capping else []
         if all(
             u.sub.steps and u.sub.steps[-1] == branch_step
             for u in steps[i:j]
@@ -658,8 +720,337 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             P.Union(P.Plan(tuple(u.sub.steps) + (branch_step,)))
             for u in steps[i:j]
         ]
-        tail = [tail_step] if tail_step is not None else []
-        return steps[:i] + [branch_step] + new_unions + tail + steps[j + 1 :], True
+        return (
+            steps[:i] + [branch_step] + new_unions + tail_steps + steps[j + 1 :],
+            True,
+        )
+    return steps, False
+
+
+# ---------------------------------------------------------------------------
+# join pushes (push_filter_into_join.rs / push_project_into_join.rs):
+# move a post-join filter's one-sided conditions, and the fields the
+# post-join tail actually needs, into the join's sides BEFORE connector
+# negotiation — so `external_a | join (external_b | project ..) on id |
+# where b_field > 5` ships the b_field filter in the right side's wire
+# request instead of fetching it unfiltered and filtering in the engine.
+
+
+def _last_step_out_fields(step) -> set | None:
+    """Statically-known output field names of a step — the
+    right_workflow_fields contract (push_filter_into_join.rs:118):
+    only a terminal Project or Summarize pins the name set exactly."""
+    if isinstance(step, P.Project):
+        return {pf.name for pf in step.fields}
+    if isinstance(step, P.SummarizeStep):
+        return {n for n, _ in step.aggs} | {bf.name for bf in step.by}
+    return None
+
+
+def _flatten_and(e: Expr) -> list:
+    """flatten_and_conditions (push_filter_into_join.rs:108)."""
+    if isinstance(e, BinOp) and e.op == "and":
+        return _flatten_and(e.left) + _flatten_and(e.right)
+    return [e]
+
+
+def _and_all(conds: list) -> Expr:
+    out = conds[0]
+    for c in conds[1:]:
+        out = BinOp("and", out, c)
+    return out
+
+
+def _related(p: str, q: str) -> bool:
+    """Same path, or one is a nested extension of the other."""
+    return p == q or p.startswith((q + ".", q + "[")) or q.startswith((p + ".", p + "["))
+
+
+def _suffix_shadows(path: str, right_fields: set) -> bool:
+    """True when ``path``'s head looks like the engine's join collision
+    suffix of a right-side output name (x → x1; join.rs:57 and
+    compiler._join agree on the scheme): the post-join column by that
+    name is the RIGHT side's renamed copy, which a left/right
+    classification over pre-join names cannot model. The reference's
+    pass classifies any unknown name as left (push_filter_into_join.rs
+    classify_condition) and would push the condition to the wrong
+    side; we refuse it instead (a deliberate soundness divergence)."""
+    head = _head(path)
+    stripped = head.rstrip("0123456789")
+    if not stripped or stripped == head:
+        return False
+    return stripped in {_head(f) for f in right_fields}
+
+
+def _hits_right(path: str, right_fields: set) -> bool:
+    """``path`` reads right-side output: exact match, or a nested
+    access under a right output name (the reference's exact Field
+    equality would classify ``a.b`` as LEFT when the right outputs
+    object ``a`` — and push the condition to the wrong side; treating
+    prefix relations as right hits is the sound reading)."""
+    return any(_related(path, rf) for rf in right_fields)
+
+
+def _classify_condition(cond: Expr, right_fields: set) -> str:
+    """'left' | 'right' | 'both' — classify_condition
+    (push_filter_into_join.rs:131). Field-less (constant) conditions
+    and suffix-shadowed names stay after the join ('both')."""
+    paths = _referenced_paths(cond)
+    if not paths:
+        return "both"
+    has_left = has_right = False
+    for p in paths:
+        if _suffix_shadows(p, right_fields):
+            return "both"
+        if _hits_right(p, right_fields):
+            has_right = True
+        else:
+            has_left = True
+    if has_left and not has_right:
+        return "left"
+    if has_right and not has_left:
+        return "right"
+    return "both"
+
+
+def push_filter_into_join(steps: list) -> tuple[list, bool]:
+    """push_filter_into_join.rs: split a post-join filter's AND
+    conditions by side and push each into its join branch — left
+    conditions move before the join (inner/left joins), right
+    conditions append to the join's sub-plan (inner/right joins),
+    both-sided conditions stay after. Outer joins block everything
+    (a pushed condition would turn padded nulls into dropped rows
+    asymmetrically). Converges naturally: after one firing the
+    remaining post-join filter holds only 'both' conditions, and the
+    sub-plan's last step becomes the pushed Filter, so its output
+    field set is no longer statically known."""
+    for i in range(len(steps) - 1):
+        join, filt = steps[i], steps[i + 1]
+        if not isinstance(join, P.JoinStep) or not isinstance(filt, P.Filter):
+            continue
+        if join.how == "outer":
+            continue
+        if not join.sub.steps:
+            continue
+        right_fields = _last_step_out_fields(join.sub.steps[-1])
+        if right_fields is None:
+            continue
+        if join.left_on == join.right_on:
+            # the join merge keeps one column under the shared name,
+            # sourced from the left (compiler._join coalesce) — the
+            # reference drops the right's copy too
+            right_fields = right_fields - {join.right_on}
+        left_conds, right_conds, rest = [], [], []
+        for cond in _flatten_and(filt.expr):
+            side = _classify_condition(cond, right_fields)
+            if side == "left" and join.how in ("inner", "left"):
+                left_conds.append(cond)
+            elif side == "right" and join.how in ("inner", "right"):
+                right_conds.append(cond)
+            else:
+                rest.append(cond)
+        if not left_conds and not right_conds:
+            continue
+        out = list(steps[:i])
+        if left_conds:
+            out.append(P.Filter(_and_all(left_conds)))
+        new_sub = join.sub
+        if right_conds:
+            new_sub = P.Plan(
+                tuple(join.sub.steps) + (P.Filter(_and_all(right_conds)),)
+            )
+        out.append(
+            P.JoinStep(
+                join.left_on, join.right_on, new_sub,
+                join.how, join.partitions, join.broadcast,
+            )
+        )
+        if rest:
+            out.append(P.Filter(_and_all(rest)))
+        out.extend(steps[i + 2 :])
+        return out, True
+    return steps, False
+
+
+#: steps the project-into-join pattern may cross (the reference's
+#: `[^Join Union Tee Write]*?` lazy middle)
+_PPIJ_MIDDLE = (P.Filter, P.Extend, P.Rename, P.Expand, P.SortStep, P.Top, P.Limit)
+_PPIJ_END = (P.Project, P.SummarizeStep, P.CountStep)
+
+
+def required_before_step(step, after: set):
+    """compute_required_before_step (eliminate_unused_fields.rs:73)
+    over full dotted paths. Returns the field paths the INPUT of
+    ``step`` must carry so the steps from ``step`` onward (which need
+    ``after`` of its output) still see everything they read, or None
+    for a shape the exact-match model can't track soundly (a nested
+    path overlapping an extend/rename target — the reference misses
+    those and can under-require; we bail)."""
+    if isinstance(step, P.CountStep):
+        return set()
+    if isinstance(step, P.SummarizeStep):
+        req: set = set()
+        for bf in step.by:
+            req |= _referenced_paths(bf.expr)
+        for _, agg in step.aggs:
+            if agg.arg is not None:
+                req |= _referenced_paths(agg.arg)
+        return req
+    if isinstance(step, P.Project):
+        req = set()
+        for pf in step.fields:
+            req |= _referenced_paths(pf.expr)
+        return req
+    if isinstance(step, P.Extend):
+        after = set(after)
+        needed: set = set()
+        for pf in step.fields:
+            if {p for p in after if _related(p, pf.name)} - {pf.name}:
+                return None
+            if pf.name in after:
+                # extend binds against the INPUT row (project.rs:42),
+                # so the definition's inputs are input-level needs
+                needed |= _referenced_paths(pf.expr)
+        for pf in step.fields:
+            after.discard(pf.name)
+        return after | needed
+    if isinstance(step, P.Rename):
+        after = set(after)
+        needed = set()
+        for frm, to in step.pairs:
+            if {p for p in after if _related(p, to)} - {to}:
+                return None
+            if to in after:
+                needed.add(frm)
+        for _, to in step.pairs:
+            after.discard(to)
+        return after | needed
+    if isinstance(step, P.Filter):
+        return set(after) | _referenced_paths(step.expr)
+    if isinstance(step, (P.SortStep, P.Top)):
+        return set(after) | {s.by for s in step.sorts}
+    if isinstance(step, P.Expand):
+        return set(after) | set(step.fields)
+    if isinstance(step, P.Limit):
+        return set(after)
+    return None
+
+
+def scan_narrowing_fields(steps) -> set | None:
+    """EliminateUnusedFields analog for refused-pushdown tails
+    (eliminate_unused_fields.rs:22-56): given the ENGINE-SIDE residual
+    after a scan (the scan itself excluded), return the top-level
+    source field names it can possibly read — so the connector's hit
+    fetch can narrow ``_source_includes`` even though no project was
+    absorbed. Returns None unless the residual reaches a
+    Count/Summarize/Project end with a trackable required-fields walk
+    (the reference's pattern ``Scan ([^Tee Write]+?) [Count Summarize
+    Project]``; unlike the reference, an end DIRECTLY after the scan
+    also qualifies — that is exactly the refused-computed-project
+    case this narrowing exists for). Join steps contribute their left
+    key and pass the tail's requirements through (right-side names
+    become harmless extra includes); Unions pass through unchanged —
+    both per compute_required_before_step."""
+    end_idx = None
+    for idx, s in enumerate(steps):
+        if isinstance(s, (P.Tee, P.Write)):
+            return None
+        if isinstance(s, (P.Project, P.SummarizeStep, P.CountStep)):
+            end_idx = idx
+            break
+    if end_idx is None:
+        return None
+    required: set = set()
+    for s in reversed(steps[: end_idx + 1]):
+        if isinstance(s, P.JoinStep):
+            required = set(required) | {s.left_on}
+            continue
+        if isinstance(s, P.Union):
+            continue
+        required = required_before_step(s, required)
+        if required is None:
+            return None
+    return {_head(p) for p in required} or None
+
+
+def _identity_project(names) -> P.Project:
+    return P.Project(
+        tuple(P.ProjectField(Field.of(n), n) for n in sorted(names))
+    )
+
+
+def push_project_into_join(steps: list) -> tuple[list, bool]:
+    """push_project_into_join.rs: when the steps after a join end at a
+    Project/Summarize/Count, both join sides narrow to the fields that
+    tail actually needs — an identity project lands before the join
+    (left schema is unknown, so always) and appended to the right
+    sub-plan (only when it drops fields). Ahead of negotiation this
+    turns into ``_source_includes`` on each side's wire request.
+
+    Divergences from the reference, both soundness fixes:
+
+    - the join KEYS always stay on their sides. The reference removes
+      a same-named right key from right_fields before splitting, so
+      its pruned right project drops the key and the join matches
+      nothing (push_project_into_join.rs:56 + its overlapping_join_keys
+      test never checks the right side).
+    - already-pushed guard: the pass re-fires only if it would change
+      something (the reference re-fires unconditionally whenever the
+      pattern matches, stacking identity projects / ping-ponging with
+      MergeConsecutiveProjects; our fixpoint loop must converge)."""
+    for i, join in enumerate(steps):
+        if not isinstance(join, P.JoinStep) or not join.sub.steps:
+            continue
+        raw_right = _last_step_out_fields(join.sub.steps[-1])
+        if raw_right is None:
+            continue
+        j = i + 1
+        while j < len(steps) and isinstance(steps[j], _PPIJ_MIDDLE):
+            j += 1
+        if j >= len(steps) or not isinstance(steps[j], _PPIJ_END):
+            continue
+        required: set = set()
+        for s in reversed(steps[i + 1 : j + 1]):
+            required = required_before_step(s, required)
+            if required is None:
+                break
+        if required is None:
+            continue
+        required |= {join.left_on, join.right_on}
+        right_fields = raw_right - (
+            {join.right_on} if join.left_on == join.right_on else set()
+        )
+        if any(_suffix_shadows(p, right_fields) for p in required):
+            continue
+        left_required = {
+            _head(p) for p in required if not _hits_right(p, right_fields)
+        }
+        right_required = {
+            rf for rf in right_fields
+            if any(_related(p, rf) for p in required)
+        }
+        # keys stay (divergence 1 above)
+        left_required.add(_head(join.left_on))
+        if join.right_on in raw_right:
+            right_required.add(join.right_on)
+        prune_right = len(right_required) < len(raw_right)
+        prev_out = _last_step_out_fields(steps[i - 1]) if i > 0 else None
+        insert_left = not (prev_out is not None and prev_out <= left_required)
+        if not insert_left and not prune_right:
+            continue
+        out = list(steps[:i])
+        if insert_left:
+            out.append(_identity_project(left_required))
+        new_join = join
+        if prune_right:
+            new_join = P.JoinStep(
+                join.left_on, join.right_on,
+                P.Plan(tuple(join.sub.steps) + (_identity_project(right_required),)),
+                join.how, join.partitions, join.broadcast,
+            )
+        out.append(new_join)
+        out.extend(steps[i + 1 :])
+        return out, True
     return steps, False
 
 
@@ -689,37 +1080,45 @@ def optimize_steps(
     would mistake the post-union merge copy for a fresh push (stacking
     a second partial into every branch)."""
     out = list(steps)
-    # recurse into sub-plans first, so a union sub-plan arrives at
-    # apply_union fully normalized (push_union_into_scan sees the
-    # same shape the reference's recursive optimizer produces).
-    # Identity-preserving: an unchanged step keeps its object — the
-    # compiler keys per-run caches by step identity (prejoined joins)
-    for i, s in enumerate(out):
-        if isinstance(s, (P.Union, P.JoinStep, P.Let)):
-            # push_unions forwards: a push_unions=False residual
-            # re-optimize must not run union pushes inside nested
-            # sub-plans either (the already-pushed shape guards are a
-            # backstop, not the invariant). can_absorb stays
-            # scan-local by design.
-            sub = optimize_steps(s.sub.steps, max_rounds, push_unions=push_unions)
-            if sub == tuple(s.sub.steps):
-                continue
-            if isinstance(s, P.Union):
-                out[i] = P.Union(P.Plan(sub))
-            elif isinstance(s, P.JoinStep):
-                out[i] = P.JoinStep(
-                    s.left_on, s.right_on, P.Plan(sub),
-                    s.how, s.partitions, s.broadcast,
-                )
-            else:
-                out[i] = P.Let(s.name, P.Plan(sub))
     for _ in range(max_rounds):
         changed = False
+        # recurse into sub-plans each round — first so a union sub-plan
+        # arrives at apply_union fully normalized (the shape the
+        # reference's recursive optimizer produces), and per-round so a
+        # step a join push APPENDED to a sub-plan (push_filter_into_join
+        # right conditions) gets normalized inside it too.
+        # Identity-preserving: an unchanged step keeps its object — the
+        # compiler keys per-run caches by step identity (prejoined
+        # joins). push_unions forwards: a push_unions=False residual
+        # re-optimize must not run union pushes inside nested sub-plans
+        # either (the already-pushed shape guards are a backstop, not
+        # the invariant). can_absorb stays scan-local by design.
+        for i, s in enumerate(out):
+            if isinstance(s, (P.Union, P.JoinStep, P.Let)):
+                sub = optimize_steps(
+                    s.sub.steps, max_rounds, push_unions=push_unions
+                )
+                if sub == tuple(s.sub.steps):
+                    continue
+                changed = True
+                if isinstance(s, P.Union):
+                    out[i] = P.Union(P.Plan(sub))
+                elif isinstance(s, P.JoinStep):
+                    out[i] = P.JoinStep(
+                        s.left_on, s.right_on, P.Plan(sub),
+                        s.how, s.partitions, s.broadcast,
+                    )
+                else:
+                    out[i] = P.Let(s.name, P.Plan(sub))
         out, c = lower_distinct(out)
         changed = changed or c
         out, c = _limit_passes(out)
         changed = changed or c
         out, c = project_propagation(out)
+        changed = changed or c
+        out, c = push_filter_into_join(out)
+        changed = changed or c
+        out, c = push_project_into_join(out)
         changed = changed or c
         if push_unions:
             out, c = push_steps_into_union(out, can_absorb)

@@ -250,6 +250,24 @@ class PushHandle:
     def with_raw_query(self, query: dict):
         return replace(self, raw_query=query)
 
+    def narrow_source(self, names) -> "PushHandle":
+        """EliminateUnusedFields analog for REFUSED tails
+        (eliminate_unused_fields.rs:22-27): the engine-side residual
+        only reads ``names`` (in service terms), so the hit fetch can
+        narrow ``_source_includes`` even though no project step was
+        absorbed. No-op when the handle already narrows (an absorbed
+        project), has no hit fetch (count / aggregations), or is a raw
+        query (the service defines its output)."""
+        if (
+            self.raw_query is not None
+            or self.count
+            or self.aggs is not None
+            or self.source_includes
+            or not names
+        ):
+            return self
+        return replace(self, source_includes=tuple(sorted(names)))
+
     # ---- request assembly (quickwit.rs query(), :1174-1210) ----------
 
     def indexes(self, collection: str) -> str:
@@ -454,6 +472,26 @@ def negotiate_to_fixpoint(plan: P.Plan, handle, source=None):
             residual.steps[1:], can_absorb=can_absorb, push_unions=False
         )
         if new_tail == tuple(residual.steps):
+            # refused-tail narrowing (eliminate_unused_fields.rs
+            # analog): the residual stayed engine-side, but its used
+            # source fields still bound what the hit fetch must return
+            # — narrow _source_includes on connectors that expose it.
+            # Names map visible → service like absorbed steps do
+            # (FieldReplacer parity).
+            if hasattr(handle, "narrow_source"):
+                from miso_spark.rewrite import scan_narrowing_fields
+
+                need = scan_narrowing_fields(list(new_tail[1:]))
+                if need:
+                    static = (
+                        source.collection_static_fields(new_tail[0].collection)
+                        if source is not None
+                        and isinstance(new_tail[0], P.Scan)
+                        else {}
+                    )
+                    handle = handle.narrow_source(
+                        {static.get(n, n) for n in need}
+                    )
             return handle, P.Plan(new_tail)
         tail = new_tail
 

@@ -299,6 +299,9 @@ class SearchCore:
         self._scrolls: dict[str, tuple[list, int]] = {}
         self._ids = itertools.count(1)
         self.search_requests: list[tuple[str, dict]] = []
+        #: every _source narrowing that reached a search (URL param or
+        #: body _source), as the comma-joined field list
+        self.source_includes_seen: list[str] = []
 
     def _docs(self, index_expr: str) -> list[dict]:
         docs = []
@@ -353,6 +356,8 @@ class SearchCore:
         includes = params.get("_source_includes")
         if includes is None and isinstance(body.get("_source"), list):
             includes = ",".join(body["_source"])
+        if includes:
+            self.source_includes_seen.append(includes)
         if includes:
             keep = includes.split(",")
             docs = [

@@ -358,3 +358,51 @@ def test_union_count_splits_to_per_branch_wire_counts(spark, rigs):
     push_rows = _rows(push.run(parse_kql(q)))
     assert push_rows == _rows(plain.run(parse_kql(q)))
     assert json.loads(push_rows[0])["Count"] == 20  # 10 stack + 10 hdfs
+
+
+def test_union_summarize_avg_splits_and_matches(spark, rigs):
+    """avg over a union decomposes into per-branch sum+countif
+    partials (summarize.rs:9 MUX_AVG suffixes, workflow summarize.rs
+    :517 MuxAvg merge) shipped in each branch's wire aggregation, with
+    an engine-side merge + divide. Rows must equal the no-pushdown run
+    — including the all-missing-group edge (answers lack
+    acceptedAnswerId → num 0 → the reference's avg(∅) = 0.0 identity)
+    and the missing-branch edge (hdfs docs lack the group key, so the
+    branch contributes no groups)."""
+    stub, src = rigs["Quickwit"]
+    q = (
+        "test.stack | union (test.hdfs)"
+        " | summarize m = avg(acceptedAnswerId) by type"
+    )
+    push, plain = _compilers(spark, src)
+    before = len(stub.core.search_requests)
+    push_rows = _rows(push.run(parse_kql(q)))
+    agg_reqs = [
+        b for _, b in stub.core.search_requests[before:] if b and "aggs" in b
+    ]
+    assert agg_reqs, "no aggregation went over the wire"
+    flat = json.dumps(agg_reqs)
+    assert "m_sum" in flat and "m_num" in flat, flat
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    assert push_rows == plain_rows
+    rows = {json.loads(r)["type"]: json.loads(r)["m"] for r in push_rows}
+    assert rows["answer"] == 0.0  # all-missing group: avg(∅) identity
+    assert rows["question"] > 0
+
+
+def test_refused_project_still_narrows_source(spark, rigs):
+    """eliminate_unused_fields.rs analog for refused tails: a COMPUTED
+    project cannot absorb (apply_project is identity-only,
+    quickwit.rs:1277), but the residual only reads two fields — the
+    hit fetch must narrow _source_includes to them, with rows equal to
+    the no-pushdown run."""
+    stub, src = rigs["Quickwit"]
+    q = "test.stack | project qid2 = questionId * 2, t = type"
+    push, plain = _compilers(spark, src)
+    before = len(stub.core.source_includes_seen)
+    push_rows = _rows(push.run(parse_kql(q)))
+    seen = stub.core.source_includes_seen[before:]
+    assert "questionId,type" in seen, seen
+    assert push_rows == _rows(plain.run(parse_kql(q)))
+    row = json.loads(push_rows[0])
+    assert set(row) == {"qid2", "t"}

@@ -651,6 +651,48 @@ def test_compiler_pushes_kql_into_quickwit(spark):
         stub.shutdown()
 
 
+def test_post_join_filter_reaches_right_side_wire_request(spark):
+    """push_filter_into_join end-to-end (reference lib.rs:185): in
+    `scan | join (scan b | project ..) on id | where b_field > 5` the
+    b_field condition must ship in the RIGHT side's search request —
+    not fetch the right side unfiltered and filter in the engine."""
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import SourceRegistry
+    from miso_spark.sources.external import QuickwitSource
+
+    stub = _QuickwitStub(
+        pages=[[{"id": 1, "lf": "x"}], [],
+               [{"id": 1, "b_field": 9}], []]
+    )
+    try:
+        reg = SourceRegistry(spark).register("qw", QuickwitSource(stub.url))
+        df = Compiler(reg).run(
+            parse_kql(
+                "qw.logs | join (qw.other | project b_field, id) on id"
+                " | where b_field > 5"
+            )
+        )
+        rows = [r.asDict() for r in df.collect()]
+        assert rows == [{"id": 1, "lf": "x", "b_field": 9}]
+        right_reqs = [
+            b for p, b in stub.requests
+            if "/other/_search" in p and b is not None
+        ]
+        assert right_reqs, [p for p, _ in stub.requests]
+        assert {"range": {"b_field": {"gt": "5"}}} in right_reqs[0]["query"][
+            "bool"
+        ]["must"], right_reqs[0]
+        # and the left side went out WITHOUT the right-side condition
+        left_reqs = [
+            b for p, b in stub.requests if "/logs/_search" in p
+        ]
+        assert all(
+            not b or "b_field" not in json.dumps(b) for b in left_reqs
+        ), left_reqs
+    finally:
+        stub.shutdown()
+
+
 def test_compiler_pushes_count_into_quickwit(spark):
     from miso_spark.compiler import Compiler
     from miso_spark.sources import SourceRegistry

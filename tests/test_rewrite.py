@@ -371,9 +371,43 @@ def test_union_push_converges_when_propagation_moves_the_copy():
     assert len(limits_in_branch) == 1
 
 
-def test_avg_not_split():
+def test_avg_splits_with_mux_suffixes():
+    # summarize.rs:9,:113-120: avg decomposes into {name}_sum = sum +
+    # {name}_num = countif(exists) partials per branch; the merge sums
+    # both and a post project divides (MuxAvg, workflow summarize.rs:517)
     out = opt("t.a | union (t.b) | summarize a = avg(v) by k")
+    assert kinds(out) == [
+        "Scan", "SummarizeStep", "Union", "SummarizeStep", "Project"
+    ]
+    partial = out[1]
+    assert set(dict(partial.aggs)) == {"a_sum", "a_num"}
+    assert dict(partial.aggs)["a_sum"] == P.Agg("sum", Field.of("v"))
+    assert dict(partial.aggs)["a_num"] == P.Agg("countif", Exists(Field.of("v")))
+    assert kinds(out[2].sub.steps) == ["Scan", "SummarizeStep"]
+    merge = out[3]
+    assert set(dict(merge.aggs)) == {"a_sum", "a_num"}
+    post = out[4]
+    assert [pf.name for pf in post.fields] == ["k", "a"]
+    assert optimize_steps(out) == out  # converged
+
+
+def test_avg_split_refused_on_suffix_collision():
+    # a real output named a_sum would be clobbered by the MUX suffix
+    out = opt(
+        "t.a | union (t.b) | summarize a = avg(v), a_sum = sum(w) by k"
+    )
     assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+
+
+def test_avg_split_mixed_with_other_aggs_keeps_order():
+    out = opt(
+        "t.a | union (t.b) | summarize n = count(), a = avg(v), mx = max(v) by k"
+    )
+    assert kinds(out) == [
+        "Scan", "SummarizeStep", "Union", "SummarizeStep", "Project"
+    ]
+    post = out[4]
+    assert [pf.name for pf in post.fields] == ["k", "n", "a", "mx"]
 
 
 def test_count_pushes_into_union_branches():
@@ -386,3 +420,193 @@ def test_count_pushes_into_union_branches():
     assert merge.by == ()
     # converged: re-optimizing the result is a no-op
     assert optimize_steps(out) == out
+
+
+# ---- push_filter_into_join (push_filter_into_join.rs) -----------------
+
+
+def test_inner_join_filter_split_push():
+    # the reference's inner_join_split_push: one-sided conditions move
+    # into their branches, nothing remains after the join
+    out = opt(
+        "t.a | join (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where lf > 5 and rf == 10"
+    )
+    assert kinds(out) == ["Scan", "Filter", "JoinStep"]
+    assert out[1].expr == BinOp("gt", Field.of("lf"), Lit(5))
+    sub = out[2].sub.steps
+    # the sub-plan fixpoint then hoists the pushed filter through the
+    # identity project, putting it right at the scan for negotiation
+    assert kinds(sub) == ["Scan", "Filter", "Project"]
+    assert sub[1].expr == BinOp("eq", Field.of("rf"), Lit(10))
+    assert optimize_steps(out) == out  # converged
+
+
+def test_left_join_only_left_pushed():
+    out = opt(
+        "t.a | join kind=left (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where lf > 5 and rf == 10"
+    )
+    assert kinds(out) == ["Scan", "Filter", "JoinStep", "Filter"]
+    assert out[1].expr == BinOp("gt", Field.of("lf"), Lit(5))
+    assert out[3].expr == BinOp("eq", Field.of("rf"), Lit(10))
+    assert kinds(out[2].sub.steps) == ["Scan", "Project"]
+
+
+def test_right_join_only_right_pushed():
+    out = opt(
+        "t.a | join kind=right (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where lf > 5 and rf == 10"
+    )
+    assert kinds(out) == ["Scan", "JoinStep", "Filter"]
+    assert kinds(out[1].sub.steps) == ["Scan", "Filter", "Project"]
+    assert out[1].sub.steps[1].expr == BinOp("eq", Field.of("rf"), Lit(10))
+    assert out[2].expr == BinOp("gt", Field.of("lf"), Lit(5))
+
+
+def test_outer_join_filter_not_pushed():
+    out = opt(
+        "t.a | join kind=outer (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where lf > 5"
+    )
+    assert kinds(out) == ["Scan", "JoinStep", "Filter"]
+
+
+def test_both_side_condition_stays():
+    out = opt(
+        "t.a | join (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where lf + rf > 10"
+    )
+    assert kinds(out) == ["Scan", "JoinStep", "Filter"]
+
+
+def test_join_key_overlap_classified_left():
+    # reference's join_key_overlap_classified_as_left: with a merged
+    # same-named key, the key condition counts as LEFT
+    out = opt(
+        "t.a | join (t.b | project rf, id) on id | where id > 5"
+    )
+    assert kinds(out) == ["Scan", "Filter", "JoinStep"]
+    assert out[1].expr == BinOp("gt", Field.of("id"), Lit(5))
+    assert kinds(out[2].sub.steps) == ["Scan", "Project"]
+
+
+def test_no_right_field_info_unchanged():
+    # reference's no_field_info_unchanged: right sub-plan not ending in
+    # project/summarize has an unknown output set
+    out = opt(
+        "t.a | join (t.b | where x > 1) on $left.id == $right.rid"
+        " | where lf > 5"
+    )
+    assert kinds(out) == ["Scan", "JoinStep", "Filter"]
+
+
+def test_suffix_shadowed_name_not_pushed():
+    # soundness divergence: `rf1` is the engine's collision suffix for
+    # the right's `rf` — the reference would classify it LEFT and push
+    # it to the wrong side; the engine keeps it after the join
+    out = opt(
+        "t.a | join (t.b | project rf, rid) on $left.id == $right.rid"
+        " | where rf1 > 5"
+    )
+    assert kinds(out) == ["Scan", "JoinStep", "Filter"]
+
+
+def test_nested_access_of_right_output_classified_right():
+    # soundness divergence: the reference's exact Field equality calls
+    # `obj.x` LEFT when the right outputs `obj`; it is a right read
+    out = opt(
+        "t.a | join (t.b | project obj, rid) on $left.id == $right.rid"
+        " | where obj.x > 5"
+    )
+    assert kinds(out) == ["Scan", "JoinStep"]
+    sub = out[1].sub.steps
+    assert kinds(sub) == ["Scan", "Project", "Filter"]
+
+
+def test_summarize_right_workflow_filter_push():
+    # reference's summarize_right_workflow: agg/by names pin the set
+    out = opt(
+        "t.a | join (t.b | summarize rf = sum(v) by rid) on $left.id == $right.rid"
+        " | where lf > 5 and rf == 10"
+    )
+    assert kinds(out) == ["Scan", "Filter", "JoinStep"]
+    sub = out[2].sub.steps
+    assert kinds(sub) == ["Scan", "SummarizeStep", "Filter"]
+
+
+# ---- push_project_into_join (push_project_into_join.rs) ----------------
+
+
+def test_project_into_join_prunes_both_sides():
+    # reference's prunes_both_sides
+    out = opt(
+        "t.a | join (t.b | project rf, rid, extra) on $left.id == $right.rid"
+        " | project lf, rf"
+    )
+    assert kinds(out) == ["Scan", "Project", "JoinStep", "Project"]
+    assert {pf.name for pf in out[1].fields} == {"id", "lf"}
+    sub = out[2].sub.steps
+    # the appended identity project merged into the sub-plan's own
+    # project (propagation), leaving one narrowed project
+    assert kinds(sub) == ["Scan", "Project"]
+    assert {pf.name for pf in sub[1].fields} == {"rf", "rid"}
+    assert optimize_steps(out) == out  # converged
+
+
+def test_count_prunes_to_join_keys():
+    # reference's count_prunes_to_join_keys_only — but the right key
+    # STAYS in the pruned right project (divergence: the reference
+    # drops it and would join on nothing)
+    out = opt(
+        "t.a | join (t.b | project rf, rid) on $left.id == $right.rid | count"
+    )
+    assert kinds(out) == ["Scan", "Project", "JoinStep", "CountStep"]
+    assert {pf.name for pf in out[1].fields} == {"id"}
+    sub = out[2].sub.steps
+    assert {pf.name for pf in sub[-1].fields} == {"rid"}
+
+
+def test_project_into_join_preserves_intermediate_steps():
+    # reference's preserves_intermediate_steps — but note the fixpoint
+    # then ALSO hoists the filter through the inserted identity project
+    # (project_propagation) and splits it into the join (both are
+    # sound; the reference's single-pass tests stop earlier)
+    out = opt(
+        "t.a | join (t.b | project rf, rid, extra) on $left.id == $right.rid"
+        " | where lf > 5 | project lf, rf"
+    )
+    names = kinds(out)
+    assert names[0] == "Scan"
+    assert "JoinStep" in names and names[-1] == "Project"
+    # the filter ended up BEFORE the join (left-side push)
+    join_at = names.index("JoinStep")
+    assert "Filter" in names[:join_at]
+    # right side pruned to rf, rid
+    sub = out[join_at].sub.steps
+    assert {pf.name for pf in sub[-1].fields} == {"rf", "rid"}
+    assert optimize_steps(out) == out
+
+
+def test_overlapping_join_keys_right_keeps_key():
+    # reference's overlapping_join_keys + the key-preservation fix
+    out = opt("t.a | join (t.b | project rf, id) on id | project rf")
+    names = kinds(out)
+    join_at = names.index("JoinStep")
+    assert {pf.name for pf in out[join_at - 1].fields} == {"id"}
+    sub = out[join_at].sub.steps
+    assert {pf.name for pf in sub[-1].fields} == {"rf", "id"}
+
+
+def test_project_into_join_converges_with_leading_project():
+    # ping-pong hazard: propagation merges the inserted identity
+    # project into a preceding project; the pass must not re-insert
+    out = opt(
+        "t.a | project lf = x, id | join (t.b | project rf, rid)"
+        " on $left.id == $right.rid | project lf, rf"
+    )
+    assert optimize_steps(out) == out
+    # no stacked identity projects anywhere
+    names = kinds(out)
+    for a, b in zip(names, names[1:]):
+        assert not (a == "Project" and b == "Project"), names
