@@ -311,6 +311,33 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
     return out
 
 
+#: entries whose dominant shuffle's row WIDTH we track (VERDICT r9 #6:
+#: dedup_minhash_verified's banding shuffle is the widest-exponent
+#: entry — a row-width regression (e.g. banding starting to carry text
+#: instead of hashed longs) should surface as bytes/row here before it
+#: costs wall time at sf1)
+SHUFFLE_PROFILE = {"dedup_minhash_verified", "near_dedup_pipeline"}
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle write bytes, records) across all completed
+    stages, from the JVM AppStatusStore (works with spark.ui.enabled
+    false — it backs the REST API). Deltas around a query's runs give
+    the query's shuffle volume; bytes/records is the mean shuffled
+    row width, repeat-count invariant."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark.sparkContext._jvm.java.util.ArrayList()
+    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    stages = store.stageList(empty, *defaults)
+    tot_b = tot_r = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot_b += s.shuffleWriteBytes()
+        tot_r += s.shuffleWriteRecords()
+    return tot_b, tot_r
+
+
 def main() -> None:
     from miso_spark.catalog import CATALOG
     from miso_spark.session import get_spark
@@ -340,9 +367,13 @@ def main() -> None:
             return CATALOG[name](spark, sf_dir)
         return EXTRA_BENCH[name](spark, sf_dir)
 
+    shuffle_profile: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         if name not in CATALOG and name not in EXTRA_BENCH:
             continue
+        profiled = name in SHUFFLE_PROFILE
+        if profiled:
+            b0, r0 = _shuffle_totals(spark)
         runs: list[float] = []
         for _ in range(repeat):
             df = build(name, bench_dir)
@@ -351,6 +382,14 @@ def main() -> None:
             # without collecting to the driver
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        if profiled:
+            b1, r1 = _shuffle_totals(spark)
+            db, dr = b1 - b0, r1 - r0
+            shuffle_profile[name] = {
+                "shuffle_bytes": db // repeat,
+                "shuffle_records": dr // repeat,
+                "bytes_per_row": round(db / dr, 2) if dr else 0.0,
+            }
         # report BOTH: best-of-N (plan cost, scheduler noise removed —
         # the BASELINE.md regression gate) and the first run (what a
         # cold query actually costs; keeps BENCH files cross-comparable
@@ -368,6 +407,7 @@ def main() -> None:
         "queries_single": singles,
         "repeat": repeat,
         "sf": sf,
+        "shuffle_profile": shuffle_profile,
     }
 
     # sf1 scaling arm (one decade up from sf0.1; best-of-2 per query —

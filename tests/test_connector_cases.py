@@ -309,6 +309,82 @@ def test_memory_differential(spark, rigs, mem_compiler, case):
     )
 
 
+# VARIANT-ingest differential arm: the same corpus through per-row
+# DYNAMIC ingest (one VARIANT column per top-level key). The typed
+# memory arm above pins rewrite-layer soundness over schema'd columns;
+# this arm pins it under the reference's dynamic data model (Val
+# total-order, missing-vs-null, per-row typed arithmetic) — a rewrite
+# that is only sound for typed columns (e.g. a project substitution
+# that assumes a cast) fails here.
+
+
+@pytest.fixture(scope="module")
+def dyn_compiler(spark):
+    from pyspark.sql import functions as F
+
+    from miso_spark.dynamic import as_number, as_string, ingest_json_dynamic
+    from miso_spark.sources import MemorySource
+
+    docs = corpus.load_resources()
+    mem = MemorySource()
+    for cname, rows in docs.items():
+        df = ingest_json_dynamic(spark, rows)
+        # the designated time field is TYPED, like every arm (the
+        # reference's connector setups designate a typed time axis;
+        # payload stays dynamic): stack → rfc3339 strings, hdfs →
+        # epoch seconds
+        tf = corpus.TIMESTAMP_FIELDS.get(cname)
+        if tf and tf in df.columns:
+            sample = next((r[tf] for r in rows if r.get(tf) is not None), None)
+            c = F.col(f"`{tf}`")
+            typed = (
+                F.timestamp_seconds(as_number(c))
+                if isinstance(sample, (int, float))
+                else F.to_timestamp(as_string(c))
+            )
+            df = df.withColumn(tf, typed)
+        mem.put(cname, df)
+    mem.static_fields = _static_fields(corpus.TIMESTAMP_FIELDS)
+    return Compiler(SourceRegistry(spark).register("test", mem))
+
+
+def _dyn_rows(df) -> list[str]:
+    """_rows with VARIANT results unwrapped to their JSON values
+    (VariantVal → toPython) so the comparison is about VALUES, not the
+    column's storage type; a variant null unwraps to None and drops,
+    like absent fields drop on the connector path."""
+    from pyspark.sql.types import VariantVal
+
+    def unwrap(v):
+        if isinstance(v, VariantVal):
+            return unwrap(v.toPython())
+        if isinstance(v, dict):
+            return {k: unwrap(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [unwrap(x) for x in v]
+        return v
+
+    out = []
+    for r in df.collect():
+        d = {k: _norm_val(unwrap(v)) for k, v in r.asDict(recursive=True).items()}
+        d = {k: v for k, v in d.items() if v is not None}
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("case", BASE, ids=lambda c: c.name)
+def test_dynamic_differential(spark, rigs, dyn_compiler, case):
+    _, src = rigs["Quickwit"]
+    push, _ = _compilers(spark, src)
+    push_rows = [_canon_times(r) for r in _rows(push.run(parse_kql(case.query)))]
+    dyn_rows = [
+        _canon_times(r) for r in _dyn_rows(dyn_compiler.run(parse_kql(case.query)))
+    ]
+    assert dyn_rows == push_rows, (
+        f"[{case.name}] dynamic-ingest results != connector-path results"
+    )
+
+
 def test_union_summarize_splits_to_one_wire_aggregation(spark, rigs):
     """union | summarize over the same connector compiles to ONE
     multi-index search carrying the partial aggregation (terms agg on
