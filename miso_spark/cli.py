@@ -247,8 +247,12 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
         from miso_spark.tui import run_terminal
 
         if args.server:
+            # remote mode is INCREMENTAL (miso-tui client.rs): the
+            # runner returns the live SSE generator and the app drains
+            # it per tick, rendering rows as the server delivers them
+            # (with --partial, replace-on-round previews)
             def tui_runner(q: str):
-                return run_remote(args.server, q, args.partial)
+                return stream_remote(args.server, q, args.partial)
         else:
             from miso_spark.api import MisoSpark
             from miso_spark.session import get_spark
@@ -263,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
             def tui_runner(q: str):
                 return m.query_rows(q)
 
-        run_terminal(tui_runner, args.query)
+        run_terminal(tui_runner, args.query, incremental=bool(args.server))
         return 0
 
     def show(rows: list[dict]) -> None:

@@ -470,15 +470,67 @@ class Footer:
 # app (app.rs)
 
 
+#: rows to drain from an active stream per UI tick (app.rs LOGS_CHUNK)
+LOGS_CHUNK = 4096
+
+
+class _QueryStream:
+    """client.rs query_stream: read the runner's row iterable on a
+    background thread into a queue of ``("log", row)`` /
+    ``("error", msg)`` messages (StreamMessage analog), terminated by
+    ``("eos", None)`` (the channel-disconnect the reference sees when
+    the sender drops). The app drains it non-blocking per tick."""
+
+    def __init__(self, runner: Callable[[str], Iterable[dict]], query: str):
+        import queue
+        import threading
+
+        self.q: "queue.Queue[tuple[str, object]]" = queue.Queue()
+        self._empty = queue.Empty
+
+        def work() -> None:
+            try:
+                for row in runner(query):
+                    self.q.put(("log", row))
+            except Exception as e:  # noqa: BLE001 — surfaces as modal
+                self.q.put(("error", str(e)))
+            finally:
+                self.q.put(("eos", None))
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def try_recv(self):
+        """One queued message or None (mpsc try_recv: Empty → None)."""
+        try:
+            return self.q.get_nowait()
+        except self._empty:
+            return None
+
+
 class App:
     """The reference TUI's message loop, headless. ``runner(query)``
     returns an iterable of row dicts (raise to surface an error modal);
     copied text lands in ``self.clipboard`` (a list — the injected
-    arboard analog)."""
+    arboard analog).
+
+    ``incremental=True`` is the remote (client.rs) mode: ``run_query``
+    spawns the runner on a background thread and returns immediately;
+    the terminal loop calls :meth:`poll_stream` each tick to drain up
+    to LOGS_CHUNK rows into the results view — rows render as the SSE
+    stream delivers them instead of after the query completes. Rows
+    tagged ``_miso_metadata`` (the server's partial_stream protocol,
+    partial_stream.rs:33-34) render as replace-on-round-done previews
+    through ResultsWithPreview; the untagged final batch replaces the
+    last preview."""
 
     def __init__(self, runner: Callable[[str], Iterable[dict]],
-                 query: str | None = None):
+                 query: str | None = None, incremental: bool = False):
         self.runner = runner
+        self.incremental = incremental
+        self.stream: Optional[_QueryStream] = None
+        self._round_buf: list[dict] = []
+        self._partial_seen = False
+        self._final_started = False
         self.results = ResultsWithPreview()
         self.query_input = QueryInput(query or "")
         self.footer = Footer()
@@ -543,8 +595,18 @@ class App:
             self.footer.buffer = TextBuffer(multiline=False)
             self.change_focus("results")
 
-    # -- query execution (app.rs run_query, synchronous here) ----------
+    # -- query execution (app.rs run_query) -----------------------------
     def run_query(self, query: str) -> None:
+        if self.incremental:
+            if self.stream is not None:
+                return  # app.rs:262 — one active stream at a time
+            self.results.clear()
+            self._round_buf = []
+            self._partial_seen = False
+            self._final_started = False
+            self.change_focus("results")
+            self.stream = _QueryStream(self.runner, query)
+            return
         self.results.clear()
         self.change_focus("results")
         try:
@@ -553,6 +615,56 @@ class App:
         except Exception as e:  # noqa: BLE001 — any engine error → modal
             self.error_modal.show(str(e))
             self.change_focus("query")
+
+    # -- incremental drain (app.rs handle_events:114-135) ---------------
+    def poll_stream(self, max_logs: int = LOGS_CHUNK) -> int:
+        """Drain up to ``max_logs`` queued stream rows into the results
+        view; error → modal + focus back to query (app.rs:124-128);
+        eos → stream slot freed. Returns rows pushed (0 = idle tick)."""
+        if self.stream is None:
+            return 0
+        pushed = 0
+        while pushed < max_logs:
+            msg = self.stream.try_recv()
+            if msg is None:
+                break
+            kind, payload = msg
+            if kind == "log":
+                self._push_stream_row(payload)
+                pushed += 1
+            elif kind == "error":
+                self.stream = None
+                self.error_modal.show(str(payload))
+                self.change_focus("query")
+                break
+            else:  # eos
+                self.stream = None
+                break
+        return pushed
+
+    def _push_stream_row(self, row: dict) -> None:
+        """Partial-stream protocol (server.py /query + partial_stream
+        .rs): rows tagged ``_miso_metadata.id`` buffer until the
+        round's ``done`` marker, which REPLACES the view with that
+        round (each round is the full current partial state); the
+        untagged final batch replaces the last preview."""
+        meta = row.get("_miso_metadata") if isinstance(row, dict) else None
+        if meta is not None:
+            self._partial_seen = True
+            if meta.get("done"):
+                self.results.clear()
+                for r in self._round_buf:
+                    self.results.push_row(r)
+                self._round_buf = []
+            else:
+                self._round_buf.append(
+                    {k: v for k, v in row.items() if k != "_miso_metadata"}
+                )
+            return
+        if self._partial_seen and not self._final_started:
+            self.results.clear()  # final batch supersedes the preview
+        self._final_started = True
+        self.results.push_row(row)
 
     # -- frame --------------------------------------------------------
     def render(self, width: int = 80, height: int = 24) -> str:
@@ -581,13 +693,20 @@ class App:
 
 
 def run_terminal(runner: Callable[[str], Iterable[dict]],
-                 query: str | None = None) -> None:  # pragma: no cover
-    """Interactive loop: curses reads keys, App renders frames."""
+                 query: str | None = None,
+                 incremental: bool = False) -> None:  # pragma: no cover
+    """Interactive loop: curses reads keys, App renders frames. With
+    ``incremental`` (remote mode) the key read is non-blocking and each
+    tick drains the active SSE stream, so rows appear as they arrive —
+    the reference's event loop (app.rs handle_events: poll terminal
+    first, then drain up to LOGS_CHUNK stream messages)."""
     import curses
 
     def main(stdscr):
         curses.curs_set(0)
-        app = App(runner, query)
+        if incremental:
+            stdscr.timeout(50)  # ms; getch returns -1 on idle ticks
+        app = App(runner, query, incremental=incremental)
         keymap = {
             curses.KEY_UP: "up", curses.KEY_DOWN: "down",
             curses.KEY_LEFT: "left", curses.KEY_RIGHT: "right",
@@ -605,10 +724,15 @@ def run_terminal(runner: Callable[[str], Iterable[dict]],
                 stdscr.addstr(i, 0, line)
             stdscr.refresh()
             c = stdscr.getch()
+            if c == -1:  # idle tick (incremental mode timeout)
+                app.poll_stream()
+                continue
             key = keymap.get(c)
             if key is None and 32 <= c < 127:
                 key = chr(c)
             if key is not None:
                 app.handle_key(key)
+            if incremental:
+                app.poll_stream()
 
     curses.wrapper(main)

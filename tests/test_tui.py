@@ -286,3 +286,142 @@ def test_log_view_scroll_tracks_render_height():
     lv.render(40, 30)  # taller than the row: no scroll range
     lv.handle_key("end")
     assert lv.scroll_y == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental (remote) mode — client.rs query_stream + app.rs
+# handle_events drain loop, headless
+
+
+def _drain(app, timeout_s: float = 10.0) -> None:
+    """Poll until the stream slot frees (eos/error), like the terminal
+    loop's idle ticks."""
+    import time
+
+    t0 = time.time()
+    while app.stream is not None:
+        app.poll_stream()
+        if time.time() - t0 > timeout_s:
+            raise AssertionError("stream never finished")
+        time.sleep(0.005)
+
+
+def test_incremental_stream_renders_rows():
+    app = App(lambda q: iter(ROWS[:5]), incremental=True)
+    app.run_query("whatever")
+    assert app.focused == "results"
+    _drain(app)
+    frame = app.render(80, 24)
+    assert "row0" in frame and "row4" in frame
+    assert app.stream is None  # slot freed — a new query may run
+
+
+def test_incremental_error_opens_modal_and_refocuses_query():
+    def boom(q):
+        yield {"a": 1}
+        raise RuntimeError("wire dropped")
+
+    app = App(boom, incremental=True)
+    app.run_query("x")
+    _drain(app)
+    assert app.error_modal.is_visible()
+    assert "wire dropped" in app.render(80, 24)
+    assert app.focused == "query"
+
+
+def test_incremental_run_ignored_while_stream_active():
+    """app.rs run_query:262 — a second run while a stream is active is
+    a no-op (the active rx is not replaced)."""
+    import threading
+
+    gate = threading.Event()
+
+    def slow(q):
+        yield {"a": 1}
+        gate.wait(5)
+        yield {"a": 2}
+
+    app = App(slow, incremental=True)
+    app.run_query("first")
+    first = app.stream
+    app.run_query("second")
+    assert app.stream is first
+    gate.set()
+    _drain(app)
+
+
+def test_partial_rounds_replace_preview_then_final():
+    """The server's partial_stream SSE protocol through the app: each
+    round's done marker REPLACES the results view with that round's
+    full partial state; the untagged final batch replaces the last
+    preview (partial_stream.rs round model, server.py /query emit)."""
+    feed_rows = [
+        {"k": "a", "n": 1, "_miso_metadata": {"id": 0}},
+        {"k": "b", "n": 1, "_miso_metadata": {"id": 0}},
+        {"_miso_metadata": {"id": 0, "done": True}},
+        {"k": "a", "n": 7, "_miso_metadata": {"id": 1}},
+        {"_miso_metadata": {"id": 1, "done": True}},
+        {"k": "a", "n": 9},
+        {"k": "b", "n": 3},
+    ]
+    app = App(lambda q: iter(feed_rows), incremental=True)
+    app.run_query("x")
+    # wait until the worker thread has queued everything (tiny feed)
+    import time
+    for _ in range(1000):
+        if app.stream is not None and app.stream.q.qsize() >= len(feed_rows) + 1:
+            break
+        time.sleep(0.005)
+    # step: round 0 (2 rows + marker)
+    assert app.poll_stream(max_logs=3) == 3
+    rows = app.results.rows
+    assert [(r["k"], r["n"]) for r in rows] == [("a", 1), ("b", 1)]
+    # step: round 1 replaces round 0
+    assert app.poll_stream(max_logs=2) == 2
+    assert [(r["k"], r["n"]) for r in app.results.rows] == [("a", 7)]
+    # final untagged batch replaces the preview
+    _drain(app)
+    assert [(r["k"], r["n"]) for r in app.results.rows] == [("a", 9), ("b", 3)]
+
+
+@pytest.mark.usefixtures("spark")
+def test_remote_app_against_live_server(spark):
+    """End-to-end remote mode (VERDICT r9 #5): the full-screen app
+    driven by cli.stream_remote against a live in-process HTTP server
+    — rows arrive through the SSE stream and render in
+    ResultsWithPreview; a second query reuses the freed stream slot;
+    a partial_stream query renders its final state."""
+    import os
+
+    from miso_spark.cli import stream_remote
+    from miso_spark.server import MisoServer
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    srv = MisoServer(spark, port=0)
+    srv.add_connector("t", {"type": "parquet_dir", "path": sf_dir})
+    srv.start_background()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        app = App(lambda q: stream_remote(base, q), incremental=True)
+        app.run_query("t.region | sort by r_regionkey | take 3")
+        _drain(app, timeout_s=60)
+        frame = app.render(100, 24)
+        assert "AFRICA" in frame and "r_regionkey" in frame
+
+        # stream slot freed → next query runs; errors surface as modal
+        app.run_query("t.region | where")
+        _drain(app, timeout_s=60)
+        assert app.error_modal.is_visible()
+        app.handle_key("esc")  # dismiss
+
+        # partial stream end-to-end: final state must render
+        papp = App(
+            lambda q: stream_remote(base, q, partial=True), incremental=True
+        )
+        papp.run_query("t.nation | summarize n = count() by n_regionkey")
+        _drain(papp, timeout_s=120)
+        rows = {(r["n_regionkey"], r["n"]) for r in papp.results.rows}
+        assert rows == {(0, 5), (1, 5), (2, 5), (3, 5), (4, 5)}
+    finally:
+        srv.shutdown()
