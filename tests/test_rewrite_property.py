@@ -1,0 +1,253 @@
+"""Property-based soundness gate for the rewrite layer.
+
+The stub-vs-memory differential (tests/test_connector_cases.py) pins
+the rewrite passes over the reference's own 42 query shapes; this
+suite generalizes it: hypothesis generates random (schema-tracked)
+KQL pipelines over in-memory tables and asserts that
+``optimize_steps`` — every pushdown-enabling pass, union pushes
+included (can_absorb=None fires them unconditionally, like the
+reference's pass list) — never changes the result multiset. A pass
+that is only sound for absorbed plans, or only for typed columns the
+generator didn't pick, fails here before it can ship a wrong wire
+request.
+
+Determinism by construction: ``take`` only generates directly after a
+sort over EVERY live column (ties are then fully identical rows, so
+any tie-break yields the same multiset), and ``top`` only while a
+unique row key is live (joins clear the flag, disjoint-id unions
+keep it).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from miso_spark import plan as P
+from miso_spark.compiler import Compiler
+from miso_spark.kql import parse_kql
+from miso_spark.rewrite import optimize_steps
+from miso_spark.sources import MemorySource, SourceRegistry
+
+# ---------------------------------------------------------------------------
+# fixed tables: nullable ints/floats/strings, a low-cardinality group
+# key, disjoint unique ids across the two tables (union keeps the
+# row-key unique; joins do not)
+
+A_ROWS = [
+    (
+        i,
+        None if i % 7 == 3 else (i * 3) % 11,
+        None if i % 5 == 4 else float((i * 2) % 9),
+        None if i % 6 == 5 else f"s{i % 4}",
+        f"g{i % 3}",
+    )
+    for i in range(40)
+]
+B_ROWS = [
+    (
+        1000 + i,
+        None if i % 4 == 2 else (i * 5) % 13,
+        f"t{i % 3}",
+    )
+    for i in range(20)
+]
+
+
+@pytest.fixture(scope="module")
+def rig(spark):
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame(A_ROWS, "id long, x long, y double, s string, g string"))
+    mem.put("b", spark.createDataFrame(B_ROWS, "id long, x long, t string"))
+    return Compiler(SourceRegistry(spark).register("m", mem))
+
+
+# ---------------------------------------------------------------------------
+# schema-tracked pipeline generator
+
+
+NUM_COLS = {"id", "x", "y", "bx", "bid", "n", "sx", "mx", "av", "ci", "Count"}
+
+
+@st.composite
+def pipelines(draw) -> str:
+    cols = {"id", "x", "y", "s", "g"}
+    id_unique = True
+    steps: list[str] = []
+    ext_n = 0
+    for _ in range(draw(st.integers(min_value=1, max_value=5))):
+        choices = ["where", "extend", "sort_take", "union"]
+        if len(cols) > 1:
+            choices.append("project")
+        if cols & NUM_COLS:
+            choices.append("summarize")
+        if id_unique and "id" in cols:
+            choices.append("top")
+        if not {"bid", "bx", "t"} & cols:
+            choices.append("join")
+        if cols:
+            choices.append("distinct")
+        choices.append("count")
+        kind = draw(st.sampled_from(sorted(choices)))
+
+        if kind == "where":
+            nums = sorted(cols & NUM_COLS)
+            strs = sorted(cols - NUM_COLS)
+            arms = []
+            if nums:
+                arms.append("num")
+            if strs:
+                arms.append("str")
+            arms.append("exists")
+            arm = draw(st.sampled_from(arms))
+            if arm == "num":
+                c = draw(st.sampled_from(nums))
+                op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
+                lit = draw(st.integers(min_value=0, max_value=8))
+                steps.append(f"where {c} {op} {lit}")
+            elif arm == "str":
+                c = draw(st.sampled_from(strs))
+                op = draw(st.sampled_from(["contains", "startswith", "=="]))
+                lit = draw(st.sampled_from(["s1", "t2", "g0", "1"]))
+                steps.append(f'where {c} {op} "{lit}"')
+            else:
+                c = draw(st.sampled_from(sorted(cols)))
+                neg = draw(st.booleans())
+                steps.append(
+                    f"where not(exists({c}))" if neg else f"where exists({c})"
+                )
+        elif kind == "extend":
+            nums = sorted(cols & NUM_COLS)
+            ext_n += 1
+            name = f"e{ext_n}"
+            if nums and draw(st.booleans()):
+                c = draw(st.sampled_from(nums))
+                steps.append(f"extend {name} = {c} + 1")
+            else:
+                steps.append(f"extend {name} = 7")
+            cols = cols | {name}
+            NUM_COLS.add(name)  # e* are always numeric
+        elif kind == "project":
+            keep = sorted(
+                draw(
+                    st.sets(
+                        st.sampled_from(sorted(cols)),
+                        min_size=1,
+                        max_size=len(cols),
+                    )
+                )
+            )
+            steps.append("project " + ", ".join(keep))
+            if "id" not in keep:
+                id_unique = False
+            cols = set(keep)
+        elif kind == "sort_take":
+            # total order over EVERY live column → any ties are fully
+            # identical rows → take is multiset-deterministic
+            keys = ", ".join(
+                f"{c} {draw(st.sampled_from(['asc', 'desc']))}"
+                for c in sorted(cols)
+            )
+            steps.append(f"sort by {keys}")
+            if draw(st.booleans()):
+                steps.append(f"take {draw(st.integers(min_value=1, max_value=30))}")
+        elif kind == "top":
+            n = draw(st.integers(min_value=1, max_value=20))
+            order = draw(st.sampled_from(["asc", "desc"]))
+            steps.append(f"top {n} by id {order}")
+        elif kind == "union":
+            branch = "m.b"
+            if draw(st.booleans()):
+                branch += f" | where x >= {draw(st.integers(min_value=0, max_value=9))}"
+            steps.append(f"union ({branch})")
+            cols = cols | {"id", "x", "t"}
+            # ids are disjoint across a and b → still a unique row key
+            # (only if id survived so far; if projected away, the union
+            # re-adds b's ids but a-rows have null id → not a key)
+        elif kind == "join":
+            k = draw(st.sampled_from(["inner", "left"]))
+            on_left = draw(st.sampled_from(sorted(cols & NUM_COLS) or ["x"]))
+            steps.append(
+                f"join kind={k} (m.b | project-rename bid = id, bx = x)"
+                f" on $left.{on_left} == $right.bx"
+            )
+            cols = cols | {"bid", "bx", "t"}
+            id_unique = False
+        elif kind == "summarize":
+            nums = sorted(cols & NUM_COLS)
+            c = draw(st.sampled_from(nums))
+            aggs = draw(
+                st.sets(
+                    st.sampled_from(["n", "sx", "mx", "av", "ci"]),
+                    min_size=1,
+                    max_size=3,
+                )
+            )
+            frag = []
+            for a in sorted(aggs):
+                if a == "n":
+                    frag.append("n = count()")
+                elif a == "sx":
+                    frag.append(f"sx = sum({c})")
+                elif a == "mx":
+                    frag.append(f"mx = max({c})")
+                elif a == "av":
+                    frag.append(f"av = avg({c})")
+                else:
+                    frag.append(f"ci = countif({c} > 3)")
+            by = None
+            by_choices = sorted(cols - {c})
+            if by_choices and draw(st.booleans()):
+                by = draw(st.sampled_from(by_choices))
+            steps.append(
+                "summarize " + ", ".join(frag) + (f" by {by}" if by else "")
+            )
+            cols = set(aggs) | ({by} if by else set())
+            id_unique = by == "id" and id_unique
+        elif kind == "distinct":
+            keep = sorted(
+                draw(
+                    st.sets(
+                        st.sampled_from(sorted(cols)),
+                        min_size=1,
+                        max_size=min(3, len(cols)),
+                    )
+                )
+            )
+            steps.append("distinct " + ", ".join(keep))
+            cols = set(keep)
+            id_unique = keep == ["id"] and id_unique
+        else:  # count
+            steps.append("count")
+            cols = {"Count"}
+            id_unique = True
+    return "m.a | " + " | ".join(steps) if steps else "m.a"
+
+
+def _rows(df) -> list[str]:
+    out = []
+    for r in df.collect():
+        d = {}
+        for k, v in r.asDict(recursive=True).items():
+            if isinstance(v, float):
+                v = round(v, 6)
+            d[k] = v
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=pipelines())
+def test_optimize_steps_preserves_results(rig, q):
+    plan = parse_kql(q)
+    opt = optimize_steps(plan.steps)
+    base = _rows(rig.run(plan))
+    rewritten = _rows(rig.run(P.Plan(opt)))
+    assert rewritten == base, f"rewrite changed results for: {q}\nopt={opt}"
