@@ -149,6 +149,16 @@ def _phrase_regex(phrase: str, case_insensitive: bool) -> str:
     return f"{pre}(^|[^A-Za-z0-9]){esc}([^A-Za-z0-9]|$)"
 
 
+def _has_predicate(l: Column, phrase: str, case_insensitive: bool) -> Column:
+    """has/has_cs: word-boundary phrase match. An empty phrase matches
+    NOTHING (string_ops.rs:86-88 returns false before searching; the
+    bare boundary regex would instead match any text with a non-alnum
+    edge)."""
+    if phrase == "":
+        return F.lit(False)
+    return l.rlike(_phrase_regex(phrase, case_insensitive))
+
+
 _CAST_TYPES = {
     "bool": "boolean",
     "int": "int",
@@ -382,8 +392,26 @@ def compile_expr(e: Expr, schema=None) -> Column:
         src = compile_expr(e.source, schema)
         # regexp_extract yields '' on no-match; miso yields null (string_ops.rs:14)
         if isinstance(e.pattern, Lit) and isinstance(e.group, Lit):
-            extracted = F.regexp_extract(src, str(e.pattern.value), int(e.group.value))
-            matched = src.rlike(str(e.pattern.value))
+            pat_s, grp_i = str(e.pattern.value), int(e.group.value)
+            # string_ops.rs:15-17 bails on a negative group at eval
+            # time (a query error, not a per-row crash)…
+            if grp_i < 0:
+                raise ValueError(
+                    "extract: capture group index must be non-negative"
+                )
+            # …and caps.get(out_of_range) yields NULL (string_ops.rs:37,
+            # test_extract_invalid_group), where Spark's regexp_extract
+            # raises REGEX_GROUP_INDEX at runtime. Count the pattern's
+            # groups up front; Java-only syntax Python can't parse
+            # falls through to Spark's own validation.
+            try:
+                n_groups = re.compile(pat_s).groups
+            except re.error:
+                n_groups = None
+            if n_groups is not None and grp_i > n_groups:
+                return F.lit(None).cast("string")
+            extracted = F.regexp_extract(src, pat_s, grp_i)
+            matched = src.rlike(pat_s)
         else:
             # dynamic pattern/group (field arguments — the reference
             # evaluates extract per-row, parser_tests.rs:1276); Spark's
@@ -438,7 +466,7 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         # has / has_cs need a literal phrase to build the boundary regex
         if not isinstance(e.right, Lit) or not isinstance(e.right.value, str):
             raise ValueError(f"{op} requires a string literal phrase")
-        return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
+        return _has_predicate(l, e.right.value, case_insensitive=(op == "has"))
 
     if op in _BOOL_OPS:
         return _compile_and_or(e, schema)
@@ -637,7 +665,7 @@ def _compile_dyn_binop(e: BinOp, schema, lv: bool, rv: bool) -> Column:
             return l.endswith(r)
         if not isinstance(e.right, Lit) or not isinstance(e.right.value, str):
             raise ValueError(f"{op} requires a string literal phrase")
-        return l.rlike(_phrase_regex(e.right.value, case_insensitive=(op == "has")))
+        return _has_predicate(l, e.right.value, case_insensitive=(op == "has"))
 
     # arithmetic: per-row typed (dynamic.varithmetic) — string+string
     # concatenates, int⊕int stays integer, floats/division go double,

@@ -121,12 +121,15 @@ def compile_filter(
             return {"match_phrase_prefix": {fl[0]: {"query": _fmt(fl[1])}}}
         if e.op == "has" and flavor == "elasticsearch":
             fl = _field_lit(e.left, e.right)
-            if fl is None or not isinstance(fl[1], str):
+            # empty phrase matches NOTHING engine-side (string_ops.rs
+            # :86-88) — keep it there; an empty match_phrase analyzes
+            # to zero tokens and its service behavior is flavor-defined
+            if fl is None or not isinstance(fl[1], str) or not fl[1]:
                 return None
             return {"match_phrase": {fl[0]: fl[1]}}
         if e.op == "has_cs" and flavor == "quickwit":
             fl = _field_lit(e.left, e.right)
-            if fl is None or not isinstance(fl[1], str):
+            if fl is None or not isinstance(fl[1], str) or not fl[1]:
                 return None
             return {"match_phrase": {fl[0]: fl[1]}}
         # contains/endswith, the flavor's non-native token match, and

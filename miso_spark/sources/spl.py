@@ -185,13 +185,15 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
             return SplFilter(search=f"{fl[0]}={fl[1]}*")
         if e.op == "has":
             fl = _field_lit(e.left, e.right)
-            if fl is None or not isinstance(fl[1], str):
+            # empty phrase = engine-side false (string_ops.rs:86-88);
+            # like(x, "%%") would instead match every non-null value
+            if fl is None or not isinstance(fl[1], str) or not fl[1]:
                 return None
             v = _esc(fl[1].lower()).replace("%", "\\%")
             return SplFilter(where=f'like(lower({fl[0]}), "%{v}%")')
         if e.op == "has_cs":
             fl = _field_lit(e.left, e.right)
-            if fl is None or not isinstance(fl[1], str):
+            if fl is None or not isinstance(fl[1], str) or not fl[1]:
                 return None
             v = _esc(fl[1]).replace("%", "\\%")
             return SplFilter(where=f'like({fl[0]}, "%{v}%")')

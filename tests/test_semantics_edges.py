@@ -223,3 +223,78 @@ def test_missing_operand_poisons_and_or_typed(spark):
     # iff over a missing condition: whole case unknown → key omitted
     df = m.query("t_poison.c | project r = iff(zzz == 1, 'a', 'b')")
     assert df.toJSON().collect() == ["{}", "{}"]
+
+
+@pytest.fixture(scope="module")
+def strops(m, spark):
+    """string_ops.rs test corpus rows (test_has_* / test_extract_*)."""
+    m.registry.source("mem").put(
+        "strops",
+        spark.createDataFrame(
+            [("Hello World",), ("test-case",), ("exact",), ("short",),
+             ("test",), ("",)],
+            "s string",
+        ),
+    )
+    m.registry.source("mem").put(
+        "rexsrc", spark.createDataFrame([("abc 123 def",)], "s string")
+    )
+    return m
+
+
+def _hits(strops, pred):
+    return sorted(r["s"] for r in strops.query(f"mem.strops | where {pred}").collect())
+
+
+def test_has_case_insensitive(strops):
+    # string_ops.rs test_has_case_insensitive
+    assert _hits(strops, 's has "hello"') == ["Hello World"]
+    assert _hits(strops, 's has "WORLD"') == ["Hello World"]
+    assert _hits(strops, 's has "ell"') == []
+    assert _hits(strops, 's has "wor"') == []
+    assert _hits(strops, 's has "test"') == ["test", "test-case"]
+    assert _hits(strops, 's has "case"') == ["test-case"]
+
+
+def test_has_case_sensitive(strops):
+    # string_ops.rs test_has_case_sensitive
+    assert _hits(strops, 's has_cs "Hello"') == ["Hello World"]
+    assert _hits(strops, 's has_cs "hello"') == []
+    assert _hits(strops, 's has_cs "World"') == ["Hello World"]
+    assert _hits(strops, 's has_cs "world"') == []
+    assert _hits(strops, 's has_cs "ell"') == []
+
+
+def test_has_edge_cases(strops):
+    # string_ops.rs test_has_edge_cases: empty phrase matches NOTHING
+    # (even the empty string), longer-than-text can't match, exact hits
+    assert _hits(strops, 's has ""') == []
+    assert _hits(strops, 's has_cs ""') == []
+    assert _hits(strops, 's has "longer"') == []
+    assert _hits(strops, 's has "exact"') == ["exact"]
+    assert _hits(strops, 's has_cs "exact"') == ["exact"]
+
+
+def _x(strops, expr):
+    rows = strops.query(f"mem.rexsrc | project v = {expr}").collect()
+    return rows[0]["v"]
+
+
+def test_extract_groups(strops):
+    # string_ops.rs test_extract_basic/_no_match/_group_zero/_multiple
+    assert _x(strops, r"extract('(\d+)', 1, s)") == "123"
+    assert _x(strops, r"extract('(zzz)', 1, s)") is None
+    assert _x(strops, r"extract('\d+', 0, s)") == "123"
+    assert _x(strops, r"extract('(\w+) (\d+)', 2, s)") == "123"
+
+
+def test_extract_invalid_group_is_null(strops):
+    # string_ops.rs test_extract_invalid_group: caps.get(5) → None →
+    # NULL (Spark's regexp_extract would raise REGEX_GROUP_INDEX)
+    assert _x(strops, r"extract('(\d+)', 5, s)") is None
+
+
+def test_extract_negative_group_errors(strops):
+    # string_ops.rs:15-17 bail — a query error, not a per-row crash
+    with pytest.raises(Exception, match="non-negative"):
+        strops.query(r"mem.rexsrc | project v = extract('(\d+)', -1, s)").collect()
