@@ -9,10 +9,16 @@ reference's own connector corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from miso_spark import plan as P
 from miso_spark.exprs import BinOp, Exists, Extract, Field, Lit
 from miso_spark.kql import parse_kql
-from miso_spark.rewrite import optimize_steps
+from miso_spark.rewrite import (
+    optimize_steps,
+    required_before_step,
+    scan_narrowing_fields,
+)
 
 
 def opt(q: str) -> tuple:
@@ -610,3 +616,83 @@ def test_project_into_join_converges_with_leading_project():
     names = kinds(out)
     for a, b in zip(names, names[1:]):
         assert not (a == "Project" and b == "Project"), names
+
+
+# ---------------------------------------------------------------------------
+# compute_required_before_step corpus (eliminate_unused_fields.rs
+# :177-270 in-file tests) — the used-fields walk behind BOTH
+# push_project_into_join's pruning and the refused-tail _source
+# narrowing
+
+
+def _req(step, after):
+    got = required_before_step(step, set(after))
+    return None if got is None else set(got)
+
+
+def test_count_requires_nothing():
+    # eliminate_unused_fields.rs:177
+    assert _req(P.CountStep(), {"x"}) == set()
+
+
+def test_summarize_requires_used_fields():
+    # :182 — sum(x) by y needs exactly {x, y}
+    step = P.SummarizeStep(
+        (("r", P.Agg("sum", Field.of("x"))),),
+        (P.ByField(Field.of("y"), "y"),),
+    )
+    assert _req(step, set()) == {"x", "y"}
+
+
+def test_filter_unions_with_after():
+    # :195 — where-on-a plus a downstream need of b → {a, b}
+    step = P.Filter(Exists(Field.of("a")))
+    assert _req(step, {"b"}) == {"a", "b"}
+
+
+def test_sort_adds_sort_field():
+    # :239
+    step = P.SortStep((P.Sort("s"),))
+    assert _req(step, {"x"}) == {"s", "x"}
+
+
+def test_join_narrowing_adds_left_key():
+    # :248 — the walk used by scan_narrowing_fields: a join in the
+    # residual contributes its left key and passes the tail through
+    steps = [
+        P.JoinStep("k", "rk", P.Plan((P.Scan("m", "b"),))),
+        P.Project((P.ProjectField(Field.of("x"), "x"),)),
+    ]
+    assert scan_narrowing_fields(steps) == {"k", "x"}
+
+
+@pytest.mark.parametrize(
+    "mappings,after,expected",
+    [
+        ([("a", "b")], {"a"}, {"b"}),
+        ([("c", None)], {"c"}, {"a", "b"}),  # c = a + b
+        ([("a", "b"), ("c", "d")], {"a"}, {"b"}),
+        ([("a", "b"), ("b", "c")], {"a"}, {"b"}),
+        ([("a", "b"), ("b", "c")], {"a", "b"}, {"b", "c"}),
+    ],
+    ids=[
+        "simple",
+        "expr with multiple inputs",
+        "ignores unused outputs",
+        "overlapping names",
+        "both outputs needed",
+    ],
+)
+def test_extend_required_fields(mappings, after, expected):
+    # :270 test_case matrix — extend binds to the INPUT row
+    # (project.rs:42), so definitions of UNNEEDED outputs contribute
+    # nothing and overlapping names don't chain
+    fields = tuple(
+        P.ProjectField(
+            BinOp("add", Field.of("a"), Field.of("b")) if frm is None
+            else Field.of(frm),
+            to,
+        )
+        for to, frm in mappings
+    )
+    assert _req(P.Extend(fields), after) == expected
