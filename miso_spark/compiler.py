@@ -72,7 +72,17 @@ def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
     cols = []
     for s in sorts:
         fp = FieldPath.parse(s.by)
-        c = fp.to_column(schema)
+        if schema is not None and fp.is_missing_in(schema):
+            # a sort key absent from this input's schema evaluates as
+            # missing, which sorts under the nulls directive like every
+            # other missing value (sort.rs arrow nulls) — it must NOT
+            # be an analysis error: union pushes legitimately copy a
+            # top/sort whose key only exists on a SIBLING branch
+            # (push_steps_into_union.rs), and rows here simply all tie
+            # on that key
+            c = F.lit(None).cast("string")
+        else:
+            c = fp.to_column(schema)
         if schema is not None and FieldPath._is_variant(fp.resolve_type(schema)):
             # per-row dynamic values sort under the reference's
             # cross-type total order (value/mod.rs:147 — Bool < numbers

@@ -637,6 +637,104 @@ def split_summarize_for_union(step):
     return partial, merge, P.Project(tuple(key_fields + ordered))
 
 
+def _null_equiv_value(e: Expr) -> bool:
+    """True when ``e`` provably evaluates to the same VALUE whether a
+    referenced field is MISSING from the input schema or PRESENT with
+    a null value. The union compile materializes branch-absent columns
+    as SQL null (typed rows can't carry per-row missing-ness), so a
+    step copied past the unions (push_steps_into_union) sees MISSING
+    where the post-union original saw NULL — only expressions where
+    the two coincide may move. Values: field refs, literals, and
+    null-propagating operators (arithmetic, bin, cast, extract) all
+    yield null either way; comparisons/case/in/between yield a proper
+    boolean for null but unknown for missing, so they may NOT appear
+    in value position."""
+    if isinstance(e, (Field, Lit)):
+        return True
+    if isinstance(e, BinOp):
+        return e.op in ("add", "sub", "mul", "div") and (
+            _null_equiv_value(e.left) and _null_equiv_value(e.right)
+        )
+    if isinstance(e, Bin):
+        return _null_equiv_value(e.expr) and _null_equiv_value(e.size)
+    if isinstance(e, Cast):
+        return _null_equiv_value(e.expr)
+    if isinstance(e, Extract):
+        return all(
+            _null_equiv_value(x) for x in (e.pattern, e.group, e.source)
+        )
+    if isinstance(e, Exists):
+        # exists gives the same proper boolean (false) for both
+        return _null_equiv_value(e.expr)
+    return False
+
+
+def _null_equiv_bool(e: Expr) -> bool:
+    """True when filtering on ``e`` keeps the same rows whether a
+    referenced field is MISSING or PRESENT-null (see
+    _null_equiv_value). Inside an AND-tree, the engine's missing
+    result (unknown → row dropped) and the total-order null result
+    coincide exactly when the null result is FALSE — which holds for
+    eq/gt/gte against a non-null literal and for the string ops, but
+    NOT for ne/lt/lte (null is smallest, so null<x / null!=x are
+    TRUE), eq against a null literal (isNull is TRUE), field-vs-field
+    equality (eqNullSafe), or any OR / NOT / CASE position (unknown
+    poisons where false would not)."""
+    if isinstance(e, Lit):
+        return isinstance(e.value, bool)
+    if isinstance(e, Exists):
+        return _null_equiv_value(e.expr)
+    if isinstance(e, Not):
+        return isinstance(e.expr, Exists) and _null_equiv_value(e.expr.expr)
+    if isinstance(e, BinOp):
+        if e.op == "and":
+            return _null_equiv_bool(e.left) and _null_equiv_bool(e.right)
+        if e.op in ("eq", "gt", "gte") or e.op in _STR_OPS_SAFE:
+            for lit_side, val_side in ((e.right, e.left), (e.left, e.right)):
+                if (
+                    isinstance(lit_side, Lit)
+                    and lit_side.value is not None
+                    and _null_equiv_value(val_side)
+                ):
+                    return True
+            return False
+    return False
+
+
+_STR_OPS_SAFE = {"contains", "startswith", "endswith", "has", "has_cs"}
+
+
+def _union_push_safe(step) -> bool:
+    """Gate for copying a row-local step past a union run."""
+    if isinstance(step, P.Filter):
+        return _null_equiv_bool(step.expr)
+    if isinstance(step, (P.Project, P.Extend)):
+        return all(_null_equiv_value(pf.expr) for pf in step.fields)
+    return True  # Rename: name-level only, missing→missing / null→null
+
+
+def _summarize_push_safe(step) -> bool:
+    """Same gate for the per-branch summarize partials: group keys and
+    sum/min/max/avg args must be value-equivalent (null either way —
+    null keys then drop in BOTH arms, summarize.rs:151); a countif
+    predicate counts only proper TRUE, so unknown≈false and the
+    AND-position boolean rule applies."""
+    for bf in step.by:
+        if not _null_equiv_value(bf.expr):
+            return False
+    for _, agg in step.aggs:
+        if agg.arg is None:
+            continue
+        ok = (
+            _null_equiv_bool(agg.arg)
+            if agg.kind == "countif"
+            else _null_equiv_value(agg.arg)
+        )
+        if not ok:
+            return False
+    return True
+
+
 def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
     """push_steps_into_union.rs: a filter/project/extend/rename after
     a run of unions copies INTO each union branch and moves before the
@@ -676,6 +774,13 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
         summarizing = isinstance(step, P.SummarizeStep)
         counting = isinstance(step, P.CountStep)
         if not row_local and not capping and not summarizing and not counting:
+            continue
+        if row_local and not _union_push_safe(step):
+            # the copy would see a branch-absent column as MISSING
+            # where the post-union original sees NULL — result-changing
+            # for this expression shape (see _null_equiv_bool)
+            continue
+        if summarizing and not _summarize_push_safe(step):
             continue
         if (capping or summarizing or counting) and i > 0 and isinstance(
             steps[i - 1],
@@ -1066,6 +1171,36 @@ def _limit_passes(steps: list) -> tuple[list, bool]:
     return steps, changed
 
 
+def fold_exprs(steps: list) -> tuple[list, bool]:
+    """const_folding parity (miso-optimizations/src/const_folding,
+    partial_evaluator.rs): simplify filter / project / extend
+    expressions with the shared partial evaluator. Catalyst folds the
+    same shapes engine-side, but connector wire requests are built
+    from THIS tree before Catalyst ever sees it — `x == 1 or x == 2`
+    ships as one terms filter, `not(x > 5)` as a plain range, and a
+    contradictory range (`x > 5 and x < 3` → false) skips the service
+    roundtrip. Unlike the reference's pass (first match only), every
+    matching step folds."""
+    from miso_spark.sources.case_transform import partial_eval
+
+    out = list(steps)
+    changed = False
+    for i, s in enumerate(out):
+        if isinstance(s, P.Filter):
+            ne = partial_eval(s.expr)
+            if ne != s.expr:
+                out[i] = P.Filter(ne)
+                changed = True
+        elif isinstance(s, (P.Project, P.Extend)):
+            nf = tuple(
+                P.ProjectField(partial_eval(pf.expr), pf.name) for pf in s.fields
+            )
+            if nf != s.fields:
+                out[i] = type(s)(nf)
+                changed = True
+    return out, changed
+
+
 def optimize_steps(
     steps, max_rounds: int = 20, can_absorb=None, push_unions: bool = True
 ) -> tuple:
@@ -1110,6 +1245,8 @@ def optimize_steps(
                     )
                 else:
                     out[i] = P.Let(s.name, P.Plan(sub))
+        out, c = fold_exprs(out)
+        changed = changed or c
         out, c = lower_distinct(out)
         changed = changed or c
         out, c = _limit_passes(out)

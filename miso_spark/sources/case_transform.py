@@ -18,7 +18,17 @@ NOT-guards), so a pushdown through it never changes results.
 
 from __future__ import annotations
 
-from miso_spark.exprs import Between, BinOp, Case, Exists, Expr, In, Lit, Not
+from miso_spark.exprs import (
+    Between,
+    BinOp,
+    Case,
+    Exists,
+    Expr,
+    Field,
+    In,
+    Lit,
+    Not,
+)
 
 _ARITH = {"add": lambda a, b: a + b, "sub": lambda a, b: a - b,
           "mul": lambda a, b: a * b, "div": lambda a, b: a / b}
@@ -92,16 +102,23 @@ def partial_eval(e: Expr) -> Expr:
     literal-only arithmetic/comparisons evaluate, boolean connectives
     short-circuit on literal true/false. Division by a literal zero is
     left untouched (the engine's ANSI semantics error there — folding
-    would hide it)."""
+    would hide it).
+
+    r10 widened to the reference's full rule set (partial_evaluator.rs
+    :130-350), minus its null-UNSOUND arithmetic identities: the
+    reference folds ``x * 0 → 0`` and ``0 / x → 0.0``, but a missing
+    ``x`` poisons arithmetic in its own runtime (and null does in
+    this engine), so those rewrites change rows; only the identity
+    arms that return the field expression itself (``x + 0``,
+    ``x - 0``, ``x * 1``) are value- and null-preserving. Everything
+    here feeds wire requests (es_dsl/spl build from this tree), so
+    cleaner shapes are cheaper queries: ``x == 1 or x == 2`` ships a
+    terms filter, ``not(x > 5)`` ships a plain range, and a
+    contradictory range never reaches the service at all."""
     if isinstance(e, BinOp):
         left, right = partial_eval(e.left), partial_eval(e.right)
         if e.op in ("and", "or"):
-            for a, b in ((left, right), (right, left)):
-                if isinstance(a, Lit) and isinstance(a.value, bool):
-                    if e.op == "and":
-                        return b if a.value else Lit(False)
-                    return Lit(True) if a.value else b
-            return BinOp(e.op, left, right)
+            return _fold_bool(e.op, left, right)
         if (
             isinstance(left, Lit) and isinstance(right, Lit)
             and isinstance(left.value, (int, float))
@@ -119,6 +136,20 @@ def partial_eval(e: Expr) -> Expr:
             and isinstance(left.value, str) and isinstance(right.value, str)
         ):
             return Lit((left.value == right.value) == (e.op == "eq"))
+        # null-preserving identities only (partial_evaluator.rs:291-
+        # 340 minus the x*0 / 0/x arms — see docstring)
+        if e.op == "add":
+            if _is_num(left, 0):
+                return right
+            if _is_num(right, 0):
+                return left
+        if e.op == "sub" and _is_num(right, 0):
+            return left
+        if e.op == "mul":
+            if _is_num(left, 1):
+                return right
+            if _is_num(right, 1):
+                return left
         return BinOp(e.op, left, right)
     if isinstance(e, Not):
         inner = partial_eval(e.expr)
@@ -126,9 +157,23 @@ def partial_eval(e: Expr) -> Expr:
             return Lit(not inner.value)
         if isinstance(inner, Not):
             return inner.expr
+        # comparison inversion (partial_evaluator.rs:146-156) — exact
+        # under the engine's total-order comparison semantics (null is
+        # an ordinary smallest value on BOTH the typed and dynamic
+        # paths, so ¬(x > 5) ≡ x <= 5 row-for-row)
+        if isinstance(inner, BinOp) and inner.op in _INVERT:
+            return BinOp(_INVERT[inner.op], inner.left, inner.right)
         return Not(inner)
     if isinstance(e, In):
-        return In(partial_eval(e.expr), tuple(partial_eval(i) for i in e.items))
+        left = partial_eval(e.expr)
+        items: list[Expr] = []
+        for i in e.items:
+            i = partial_eval(i)
+            if i not in items:  # dedup (partial_evaluator.rs:162-168)
+                items.append(i)
+        if len(items) == 1:
+            return partial_eval(BinOp("eq", left, items[0]))
+        return In(left, tuple(items))
     if isinstance(e, Between):
         return Between(
             partial_eval(e.expr), partial_eval(e.low), partial_eval(e.high),
@@ -136,7 +181,171 @@ def partial_eval(e: Expr) -> Expr:
         )
     if isinstance(e, Exists):
         return Exists(partial_eval(e.expr))
+    if isinstance(e, Case):
+        return _fold_case(e)
     return e
+
+
+def _is_num(e: Expr, v) -> bool:
+    return (
+        isinstance(e, Lit)
+        and isinstance(e.value, (int, float))
+        and not isinstance(e.value, bool)
+        and e.value == v
+    )
+
+
+_INVERT = {"eq": "ne", "ne": "eq", "gt": "lte", "gte": "lt",
+           "lt": "gte", "lte": "gt"}
+
+#: normalized (field OP literal) orientation for the range rules
+_FLIP = {"gt": "lt", "gte": "lte", "lt": "gt", "lte": "gte"}
+
+
+def _field_cmp(e: Expr):
+    """(path, op, number) from ``field <cmp> numeric-literal`` in
+    either orientation (partial_evaluator.rs extract_field_cmp)."""
+    if not (isinstance(e, BinOp) and e.op in _FLIP):
+        return None
+    l, r = e.left, e.right
+    if isinstance(l, Field) and _is_numlit(r):
+        return (str(l.path), e.op, r.value)
+    if _is_numlit(l) and isinstance(r, Field):
+        return (str(r.path), _FLIP[e.op], l.value)
+    return None
+
+
+def _is_numlit(e: Expr) -> bool:
+    return (
+        isinstance(e, Lit)
+        and isinstance(e.value, (int, float))
+        and not isinstance(e.value, bool)
+    )
+
+
+def _eq_or_in_field(e: Expr):
+    """Field of a ``field == literal`` / ``field in (literals)`` arm
+    (partial_evaluator.rs extract_or_in_field)."""
+    if isinstance(e, BinOp) and e.op == "eq":
+        if isinstance(e.left, Field) and isinstance(e.right, Lit):
+            return e.left
+        if isinstance(e.right, Field) and isinstance(e.left, Lit):
+            return e.right
+    if isinstance(e, In) and isinstance(e.expr, Field):
+        if all(isinstance(i, Lit) for i in e.items):
+            return e.expr
+    return None
+
+
+def _collect_eq_values(e: Expr, fld: Field, out: list) -> bool:
+    if isinstance(e, BinOp) and e.op == "or":
+        return (
+            _collect_eq_values(e.left, fld, out)
+            and _collect_eq_values(e.right, fld, out)
+        )
+    if isinstance(e, In) and e.expr == fld:
+        for i in e.items:
+            if not isinstance(i, Lit):
+                return False
+            out.append(i.value)
+        return True
+    if isinstance(e, BinOp) and _eq_or_in_field(e) == fld:
+        lit = e.right if isinstance(e.right, Lit) else e.left
+        out.append(lit.value)
+        return True
+    return False
+
+
+def _fold_bool(op: str, l: Expr, r: Expr) -> Expr:
+    """and/or folding: literal short-circuit, idempotence, absorption,
+    range contradiction/subsumption (and), OR-of-equalities → IN (or)
+    — partial_evaluator.rs:210-290. All arms are exact under Kleene
+    logic (absorption and idempotence hold with unknowns) and under
+    the engine's total-order comparisons (the range rules fire only
+    when both literals are numbers, and every non-number class orders
+    entirely on one side of all numbers, so both conjuncts agree on
+    non-numeric rows)."""
+    for a, b in ((l, r), (r, l)):
+        if isinstance(a, Lit) and isinstance(a.value, bool):
+            if op == "and":
+                return b if a.value else Lit(False)
+            return Lit(True) if a.value else b
+    if l == r:
+        return l
+    # absorption: a AND (a OR b) → a; a OR (a AND b) → a
+    other = "or" if op == "and" else "and"
+    for a, b in ((l, r), (r, l)):
+        if isinstance(b, BinOp) and b.op == other and a in (b.left, b.right):
+            return a
+    if op == "and":
+        fc_l, fc_r = _field_cmp(l), _field_cmp(r)
+        if fc_l and fc_r and fc_l[0] == fc_r[0]:
+            _, op1, n1 = fc_l
+            _, op2, n2 = fc_r
+            contradiction = {
+                ("gt", "lt"): n1 >= n2, ("gt", "lte"): n1 >= n2,
+                ("gte", "lt"): n1 >= n2, ("gte", "lte"): n1 > n2,
+                ("lt", "gt"): n2 >= n1, ("lt", "gte"): n2 >= n1,
+                ("lte", "gt"): n2 >= n1, ("lte", "gte"): n2 > n1,
+            }.get((op1, op2), False)
+            if contradiction:
+                return Lit(False)
+            if op1 in ("gt", "gte") and op2 in ("gt", "gte"):
+                if n1 > n2 or (n1 == n2 and (op1 == "gt" or op2 == "gte")):
+                    return l
+                return r
+            if op1 in ("lt", "lte") and op2 in ("lt", "lte"):
+                if n1 < n2 or (n1 == n2 and (op1 == "lt" or op2 == "lte")):
+                    return l
+                return r
+    else:
+        fl, fr = _eq_or_in_field(l), _eq_or_in_field(r)
+        if fl is not None and fl == fr:
+            vals: list = []
+            if _collect_eq_values(BinOp("or", l, r), fl, vals) and len(vals) >= 2:
+                deduped: list = []
+                for v in vals:
+                    if v not in deduped:
+                        deduped.append(v)
+                if len(deduped) == 1:
+                    return BinOp("eq", fl, Lit(deduped[0]))
+                return In(fl, tuple(Lit(v) for v in deduped))
+    return BinOp(op, l, r)
+
+
+def _fold_case(e: Case) -> Expr:
+    """CASE folding (partial_evaluator.rs:176-208): literal-true
+    predicate returns its branch, literal-false branches drop, no
+    branches left returns the default, and a single boolean
+    true/false branch collapses to the predicate (or its negation)."""
+    branches = []
+    for pred, val in e.branches:
+        pred, val = partial_eval(pred), partial_eval(val)
+        if isinstance(pred, Lit) and pred.value is True:
+            if not branches:
+                return val
+            # an always-true branch ends the chain: later branches and
+            # the default are unreachable
+            return Case(tuple(branches), val)
+        if isinstance(pred, Lit) and pred.value is False:
+            continue
+        branches.append((pred, val))
+    default = partial_eval(e.default)
+    if not branches:
+        return default
+    if len(branches) == 1:
+        pred, val = branches[0]
+        if (
+            isinstance(val, Lit) and val.value is True
+            and isinstance(default, Lit) and default.value is False
+        ):
+            return pred
+        if (
+            isinstance(val, Lit) and val.value is False
+            and isinstance(default, Lit) and default.value is True
+        ):
+            return partial_eval(Not(pred))
+    return Case(tuple(branches), default)
 
 
 def case_transform(e: Expr) -> Expr:

@@ -98,9 +98,11 @@ def test_simple_branch_true_match():
 
 
 def test_simple_branch_false_match():
-    # :152 — where x == "yes" → not(questionId == 7)
+    # :152 — where x == "yes" → not(questionId == 7); the partial
+    # evaluator additionally inverts the comparison (partial_evaluator
+    # .rs:146-156), exact under total-order null semantics
     got = case_transform(eq(CASE_Q, Lit("yes")))
-    assert got == Not(eq(f("questionId"), Lit(7)))
+    assert got == BinOp("ne", f("questionId"), Lit(7))
 
 
 def test_no_match_gives_false():
@@ -113,7 +115,7 @@ def test_multi_branch_middle_match():
     # :214 — where x == "two" → not(a == 1) and a == 2
     got = case_transform(eq(CASE_AB, Lit("two")))
     _assert_equivalent(eq(CASE_AB, Lit("two")), got, A_DOM)
-    assert got == BinOp("and", Not(eq(f("a"), Lit(1))), eq(f("a"), Lit(2)))
+    assert got == BinOp("and", BinOp("ne", f("a"), Lit(1)), eq(f("a"), Lit(2)))
 
 
 def test_multi_branch_default_match():
@@ -123,8 +125,8 @@ def test_multi_branch_default_match():
     _assert_equivalent(eq(CASE_AB, Lit("other")), got, A_DOM)
     assert {"and"} == {got.op}
     assert {got.left, got.right} == {
-        Not(eq(f("a"), Lit(1))),
-        Not(eq(f("a"), Lit(2))),
+        BinOp("ne", f("a"), Lit(1)),
+        BinOp("ne", f("a"), Lit(2)),
     }
 
 
@@ -176,7 +178,7 @@ def test_multiple_matches_gives_or():
     assert got == BinOp(
         "or",
         eq(f("a"), Lit(1)),
-        BinOp("and", Not(eq(f("a"), Lit(1))), eq(f("a"), Lit(2))),
+        BinOp("and", BinOp("ne", f("a"), Lit(1)), eq(f("a"), Lit(2))),
     )
     _assert_equivalent(orig, got, A_DOM)
 

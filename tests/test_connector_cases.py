@@ -482,3 +482,37 @@ def test_refused_project_still_narrows_source(spark, rigs):
     assert push_rows == _rows(plain.run(parse_kql(q)))
     row = json.loads(push_rows[0])
     assert set(row) == {"qid2", "t"}
+
+
+def test_folded_filters_reach_the_wire(spark, rigs):
+    """const_folding parity end-to-end (fold_exprs, r10): the wire
+    request is built from the engine's Expr tree before Catalyst can
+    fold anything, so the rewrite layer must do it — an OR of
+    equalities ships as ONE terms filter, an inverted range as a plain
+    range, and a contradictory range never reaches the service."""
+    stub, src = rigs["Quickwit"]
+    push, plain = _compilers(spark, src)
+
+    # x == a or x == b → terms
+    q = "test.stack | where questionId == 4 or questionId == 6"
+    before = len(stub.core.search_requests)
+    rows = _rows(push.run(parse_kql(q)))
+    reqs = json.dumps([b for _, b in stub.core.search_requests[before:]])
+    assert '"terms"' in reqs, reqs
+    assert rows == _rows(plain.run(parse_kql(q)))
+    assert len(rows) == 3  # questionId 4 twice, 6 once
+
+    # not(x > n) → single lte range, no must_not wrapper
+    q2 = "test.stack | where not(questionId > 9)"
+    before = len(stub.core.search_requests)
+    rows2 = _rows(push.run(parse_kql(q2)))
+    reqs2 = json.dumps([b for _, b in stub.core.search_requests[before:]])
+    assert '"lte"' in reqs2 and "must_not" not in reqs2, reqs2
+    assert rows2 == _rows(plain.run(parse_kql(q2)))
+    assert len(rows2) == 4  # questionIds 4, 4, 6, 9
+
+    # contradictory range folds to false before negotiation — the
+    # residual filter is `where false`; rows must still be correct
+    q3 = "test.stack | where questionId > 5 and questionId < 3"
+    rows3 = _rows(push.run(parse_kql(q3)))
+    assert rows3 == [] == _rows(plain.run(parse_kql(q3)))

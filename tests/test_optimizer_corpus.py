@@ -79,11 +79,11 @@ DELEGATED = {
     ),
     "remove_no_op_filter_where_true": "BooleanSimplification + PruneFilters",
     "where_false_short_circuits": "PruneFilters + PropagateEmptyRelation",
-    "const_fold_in_filter_simple_arith": "ConstantFolding",
-    "const_fold_in_filter_nested": "ConstantFolding",
-    "const_fold_in_fields_simple::case": "ConstantFolding",
-    "const_fold_in_fields_partial::case": "ConstantFolding",
-    "const_fold_only_affects_first_matched_step": "ConstantFolding",
+    # const_fold_* cases moved to EXACT in r10: fold_exprs
+    # (rewrite.py) now runs the shared partial evaluator over
+    # filter/project/extend expressions engine-side, because wire
+    # requests are built from this tree BEFORE Catalyst's
+    # ConstantFolding can help
     "join_inner_right_short_circuit_returns_empty::case": "PropagateEmptyRelation",
     "join_left_outer_short_circuit_removes_join::case": "PropagateEmptyRelation",
     "remove_redundant_sort_before_topn_exact_match": "EliminateSorts under TakeOrdered",
@@ -141,8 +141,11 @@ GUARDED = {
 
 
 def _eq_literal_through_filter(got, case):
-    # const-true filter kept (Catalyst folds it); project moved last
-    assert got[0] == P.Filter(BinOp("eq", Lit(50), Lit(50)))
+    # the substituted comparison now const-folds to a `where true`
+    # (fold_exprs, r10); the step itself stays — removing it is
+    # PruneFilters' job engine-side, and a no-op filter is absorbable
+    # wire-side. Project moved last, as the reference expects.
+    assert got[0] == P.Filter(Lit(True))
     assert got[-1] == case.input[0]
 
 

@@ -696,3 +696,49 @@ def test_extend_required_fields(mappings, after, expected):
         for to, frm in mappings
     )
     assert _req(P.Extend(fields), after) == expected
+
+
+# ---------------------------------------------------------------------------
+# union-push missing-vs-null guard (property-suite finds, r10): the
+# union compile materializes branch-absent columns as SQL null, so a
+# step copied past the unions sees MISSING where the original saw
+# NULL — only null-equivalent expression shapes may move
+
+
+def test_union_push_refuses_null_divergent_filter():
+    # hypothesis-found: `summarize by g | union (m.b) | where id < 0`
+    # — post-union the summarize rows carry id = null, which SURVIVES
+    # `< 0` under the total order; the pre-union copy would see id
+    # MISSING and drop them. lt/lte/ne/or/not must not push.
+    for pred in ("id < 0", "id <= 0", "id != 5", "id == 1 or x == 2",
+                 "not(id > 5)", "id == null"):
+        q = f"m.a | summarize n = count() by g | union (m.b) | where {pred}"
+        out = optimize_steps(parse_kql(q).steps)
+        assert isinstance(out[-1], P.Filter), (pred, out)
+        assert not any(
+            isinstance(s, P.Filter)
+            for s in out[-2].sub.steps
+        ), (pred, out)
+
+
+def test_union_push_still_moves_null_equivalent_filters():
+    # eq/gt/gte against a non-null literal, string ops, exists: the
+    # null result is FALSE, matching the missing result inside an
+    # AND-tree — these keep pushing
+    for pred in ("x > 1", "x == 1", "x >= 1 and s contains 'a'",
+                 "exists(x)", "not(exists(x))"):
+        q = f"m.a | union (m.b) | where {pred}"
+        out = optimize_steps(parse_kql(q).steps)
+        assert isinstance(out[1], P.Filter), (pred, out)
+
+
+def test_top_pushed_before_union_tolerates_sibling_only_key():
+    # hypothesis-found: the pre-union Top copy may sort by a key that
+    # only exists on a SIBLING branch — the key compiles as null (all
+    # rows tie) instead of UNRESOLVED_COLUMN (compiler._sort_cols)
+    q = (
+        "m.a | extend e1 = 7 | union (m.b)"
+        " | sort by e1 asc, t asc, id asc | take 1"
+    )
+    out = optimize_steps(parse_kql(q).steps)
+    assert any(isinstance(s, P.Top) for s in out)
