@@ -1171,6 +1171,191 @@ def _limit_passes(steps: list) -> tuple[list, bool]:
     return steps, changed
 
 
+def _extract_eq_constraints(e: Expr) -> dict:
+    """``field == non-null-literal`` facts from an AND-tree
+    (filter_propagation.rs extract_equality_constraints). A null
+    literal is excluded: ``x == null`` is a null TEST here, so
+    surviving rows carry a null x that substitution could not
+    represent as a value."""
+    if isinstance(e, BinOp) and e.op == "eq":
+        for f, v in ((e.left, e.right), (e.right, e.left)):
+            if (
+                isinstance(f, Field)
+                and f.path.is_simple()
+                and isinstance(v, Lit)
+                and v.value is not None
+            ):
+                return {str(f.path): v}
+        return {}
+    if isinstance(e, BinOp) and e.op == "and":
+        out = _extract_eq_constraints(e.left)
+        for k, v in _extract_eq_constraints(e.right).items():
+            out.setdefault(k, v)
+        return out
+    return {}
+
+
+def _extract_range_constraints(e: Expr) -> dict:
+    """{path: [(op, number)]} from an AND-tree of numeric range
+    comparisons (filter_propagation.rs extract_range_constraints)."""
+    fc = _field_cmp_simple(e)
+    if fc is not None:
+        p, op, v = fc
+        return {p: [(op, v)]}
+    if isinstance(e, BinOp) and e.op == "and":
+        out = _extract_range_constraints(e.left)
+        for k, v in _extract_range_constraints(e.right).items():
+            out.setdefault(k, []).extend(v)
+        return out
+    return {}
+
+
+def _field_cmp_simple(e: Expr):
+    from miso_spark.sources.case_transform import _field_cmp
+
+    fc = _field_cmp(e)
+    if fc is None:
+        return None
+    # restrict to simple (non-nested) paths — shadow tracking below is
+    # name-level
+    if isinstance(e.left, Field) and not e.left.path.is_simple():
+        return None
+    if isinstance(e.right, Field) and not e.right.path.is_simple():
+        return None
+    return fc
+
+
+def _implied(known: list, op: str, val) -> bool | None:
+    """check_implication (filter_propagation.rs:158-176): does any
+    known bound on the same field decide ``field <op> val`` for every
+    surviving row? Sound under the engine's TOTAL order because both
+    bounds are numbers and only transitivity is used (a non-numeric
+    class sits entirely on one side of all numbers, so it satisfies or
+    violates both comparisons together)."""
+    lower = {"gt", "gte"}
+    strict = {"gt", "lt"}
+    for kop, kv in known:
+        if (kop in lower) == (op in lower):
+            if kop in lower:
+                stronger = kv > val or (
+                    kv == val and (kop in strict or op not in strict)
+                )
+            else:
+                stronger = kv < val or (
+                    kv == val and (kop in strict or op not in strict)
+                )
+            if stronger:
+                return True
+        else:
+            if kop in lower:
+                contradicts = val < kv or (
+                    val == kv and (kop in strict or op in strict)
+                )
+            else:
+                contradicts = val > kv or (
+                    val == kv and (kop in strict or op in strict)
+                )
+            if contradicts:
+                return False
+    return None
+
+
+def _apply_ranges(e: Expr, ranges: dict) -> Expr:
+    fc = _field_cmp_simple(e)
+    if fc is not None and fc[0] in ranges:
+        res = _implied(ranges[fc[0]], fc[1], fc[2])
+        if res is not None:
+            return Lit(res)
+    r = lambda x: _apply_ranges(x, ranges)  # noqa: E731
+    if isinstance(e, BinOp):
+        return BinOp(e.op, r(e.left), r(e.right))
+    if isinstance(e, Not):
+        return Not(r(e.expr))
+    if isinstance(e, Case):
+        return Case(tuple((r(c), r(v)) for c, v in e.branches), r(e.default))
+    return e
+
+
+def propagate_filter_constraints(steps: list) -> tuple[list, bool]:
+    """filter_propagation.rs: facts a filter establishes (``x == 5``,
+    ``x > 3``) substitute into downstream summarize BY expressions —
+    ``where x == 5 | summarize by case(x == 7, ...)`` becomes
+    ``... by case(5 == 7, ...)``, which fold_exprs then collapses; the
+    simplified group expression is what ships in the wire aggregation.
+    Unlike the reference (which substitutes across ANY middle
+    extend/project with stale facts), constraints DROP at a step that
+    shadows the field and at a project that doesn't pass it through
+    identically — substitution past either would change results."""
+    out = list(steps)
+    changed = False
+    for i, s in enumerate(out):
+        if not isinstance(s, P.Filter):
+            continue
+        eqs = _extract_eq_constraints(s.expr)
+        ranges = _extract_range_constraints(s.expr)
+        if not eqs and not ranges:
+            continue
+        for j in range(i + 1, len(out)):
+            t = out[j]
+            if isinstance(t, P.SummarizeStep):
+                new_by = []
+                ch = False
+                for bf in t.by:
+                    if isinstance(bf.expr, Field):
+                        # deliberate divergence: the reference
+                        # substitutes bare by-fields too
+                        # (filter_propagation.rs:319), turning `where
+                        # level == 'x' | summarize by level` into a
+                        # by-LITERAL — which no connector can absorb
+                        # as a terms/stats-by aggregation. The bare
+                        # key is already a single value; substitution
+                        # gains nothing and loses the wire push.
+                        new_by.append(bf)
+                        continue
+                    try:
+                        ne = substitute_fields(bf.expr, eqs)
+                    except _CannotSubstitute:
+                        ne = bf.expr
+                    if ranges:
+                        ne = _apply_ranges(ne, ranges)
+                    ch = ch or ne != bf.expr
+                    new_by.append(P.ByField(ne, bf.name))
+                if ch:
+                    out[j] = P.SummarizeStep(t.aggs, tuple(new_by))
+                    changed = True
+                break  # schema changes past the summarize
+            if isinstance(t, (P.Extend, P.Rename, P.Project)):
+                if isinstance(t, P.Rename):
+                    # a pure relabel transfers the fact to the new name
+                    for frm, to in t.pairs:
+                        eqs.pop(to, None)
+                        ranges.pop(to, None)
+                        if frm in eqs:
+                            eqs[to] = eqs.pop(frm)
+                        if frm in ranges:
+                            ranges[to] = ranges.pop(frm)
+                elif isinstance(t, P.Extend):
+                    for pf in t.fields:
+                        eqs.pop(pf.name, None)
+                        ranges.pop(pf.name, None)
+                else:  # Project: only identity-kept fields survive
+                    kept = {
+                        pf.name
+                        for pf in t.fields
+                        if isinstance(pf.expr, Field)
+                        and str(pf.expr.path) == pf.name
+                    }
+                    eqs = {k: v for k, v in eqs.items() if k in kept}
+                    ranges = {k: v for k, v in ranges.items() if k in kept}
+                if not eqs and not ranges:
+                    break
+                continue
+            if isinstance(t, (P.Filter, P.Limit, P.SortStep, P.Top, P.Distinct)):
+                continue  # row-subset / reorder: facts still hold
+            break  # union/join/expand/scan boundaries: stop
+    return out, changed
+
+
 def fold_exprs(steps: list) -> tuple[list, bool]:
     """const_folding parity (miso-optimizations/src/const_folding,
     partial_evaluator.rs): simplify filter / project / extend
@@ -1198,6 +1383,44 @@ def fold_exprs(steps: list) -> tuple[list, bool]:
             if nf != s.fields:
                 out[i] = type(s)(nf)
                 changed = True
+        elif isinstance(s, P.SummarizeStep):
+            nb = tuple(
+                P.ByField(partial_eval(bf.expr), bf.name) for bf in s.by
+            )
+            na = tuple(
+                (n, P.Agg(a.kind, partial_eval(a.arg)) if a.arg is not None else a)
+                for n, a in s.aggs
+            )
+            if nb != s.by or na != s.aggs:
+                out[i] = P.SummarizeStep(na, nb)
+                changed = True
+    return out, changed
+
+
+def summarize_const_to_project(steps: list) -> tuple[list, bool]:
+    """summarize_const_to_project.rs: an agg-less summarize whose
+    group keys are ALL literals yields at most one row carrying those
+    constants — Limit(1) + Project. Unlike the reference, a null
+    literal refuses: the engine (like the reference's own runtime,
+    summarize.rs:151) drops null group keys, so the original returns
+    ZERO rows where the limit+project would return one."""
+    out = list(steps)
+    changed = False
+    for i, s in enumerate(out):
+        if not isinstance(s, P.SummarizeStep) or s.aggs or not s.by:
+            continue
+        if all(
+            isinstance(bf.expr, Lit) and bf.expr.value is not None
+            for bf in s.by
+        ):
+            out[i : i + 1] = [
+                P.Limit(1),
+                P.Project(
+                    tuple(P.ProjectField(bf.expr, bf.name) for bf in s.by)
+                ),
+            ]
+            changed = True
+            break
     return out, changed
 
 
@@ -1246,6 +1469,10 @@ def optimize_steps(
                 else:
                     out[i] = P.Let(s.name, P.Plan(sub))
         out, c = fold_exprs(out)
+        changed = changed or c
+        out, c = propagate_filter_constraints(out)
+        changed = changed or c
+        out, c = summarize_const_to_project(out)
         changed = changed or c
         out, c = lower_distinct(out)
         changed = changed or c

@@ -89,9 +89,12 @@ DELEGATED = {
     "remove_redundant_sort_before_topn_exact_match": "EliminateSorts under TakeOrdered",
     "remove_redundant_sort_before_topn_prefix": "EliminateSorts",
     "remove_redundant_sort_before_mux_topn": "EliminateSorts",
-    "summarize_const_to_project": "constant aggregate folding",
-    "filter_propagation_into_summarize_case": "constant propagation into CASE",
-    "filter_propagation_range_into_summarize_case": "constant propagation",
+    # summarize_const_to_project + filter_propagation_* moved to
+    # EXACT in r10: propagate_filter_constraints substitutes filter
+    # facts into summarize BY exprs, fold_exprs collapses the
+    # now-constant CASE, and summarize_const_to_project turns the
+    # agg-less all-literal summarize into Limit(1)+Project — all
+    # engine-side, where the wire aggregation is built
     "merge_consecutive_extends_basic_rename": "CollapseProject",
     "merge_consecutive_extends_conflict_resolution": "CollapseProject",
     "merge_consecutive_extends_complex_expr": "CollapseProject",

@@ -742,3 +742,145 @@ def test_top_pushed_before_union_tolerates_sibling_only_key():
     )
     out = optimize_steps(parse_kql(q).steps)
     assert any(isinstance(s, P.Top) for s in out)
+
+
+# ---------------------------------------------------------------------------
+# filter_propagation.rs + summarize_const_to_project.rs corpora (r10):
+# filter facts substitute into downstream summarize BY exprs, the
+# folded constant CASE collapses, and an agg-less all-literal
+# summarize becomes Limit(1)+Project — wire aggregations then carry
+# the simplified group expression
+
+
+def _prop(q):
+    from miso_spark.rewrite import propagate_filter_constraints
+
+    out, changed = propagate_filter_constraints(list(parse_kql(q).steps))
+    return tuple(out), changed
+
+
+def test_substitutes_field_in_case_expr():
+    # filter_propagation.rs:286
+    out, changed = _prop(
+        "t.c | where x == 5 | summarize by result = case(x == 7, 'no', 'yes')"
+    )
+    assert changed
+    assert out[2].by[0].expr.branches[0][0] == BinOp("eq", Lit(5), Lit(7))
+
+
+def test_extracts_multiple_constraints_from_and():
+    # :319 — the reference substitutes BARE by-fields too; we
+    # deliberately keep them (a by-literal can't absorb as a
+    # terms/stats-by wire aggregation — the substitution gains nothing
+    # and loses the push). Composite exprs still substitute BOTH facts.
+    _, changed = _prop(
+        "t.c | where x == 5 and y == 'foo' | summarize by a = x, b = y"
+    )
+    assert not changed
+    out, changed = _prop(
+        "t.c | where x == 5 and y == 'foo'"
+        " | summarize by r = case(x == 7 and y == 'foo', 'a', 'b')"
+    )
+    assert changed
+    cond = out[2].by[0].expr.branches[0][0]
+    assert cond == BinOp(
+        "and", BinOp("eq", Lit(5), Lit(7)), BinOp("eq", Lit("foo"), Lit("foo"))
+    )
+
+
+def test_unchanged_when_no_matching_fields():
+    # :346
+    _, changed = _prop("t.c | where x == 5 | summarize by y")
+    assert not changed
+
+
+def test_unchanged_for_non_equality_filter_on_bare_field():
+    # :361 — a range fact never substitutes a VALUE
+    _, changed = _prop("t.c | where x > 5 | summarize by x")
+    assert not changed
+
+
+def test_bare_by_field_pushdown_preserved_end_to_end():
+    # the shape that forced the bare-field refusal: the stats-by must
+    # still reach the wire (see test_pushdown splunk/quickwit asserts)
+    out = opt("t.c | where level == 'err' | summarize n = count() by level")
+    assert kinds(out) == ["Scan", "Filter", "SummarizeStep"]
+    assert isinstance(out[2].by[0].expr, Field)
+
+
+def test_range_implies_true_and_false():
+    # :392 / :422
+    out, changed = _prop(
+        "t.c | where x > 5 | summarize by r = case(x > 3, 'a', 'b')"
+    )
+    assert changed and out[2].by[0].expr.branches[0][0] == Lit(True)
+    out, changed = _prop(
+        "t.c | where x < 3 | summarize by r = case(x > 5, 'a', 'b')"
+    )
+    assert changed and out[2].by[0].expr.branches[0][0] == Lit(False)
+
+
+def test_range_multiple_bounds():
+    # :452 — any bound may decide
+    out, changed = _prop(
+        "t.c | where x > 3 and x < 10 | summarize by r = case(x > 1, 'a', 'b')"
+    )
+    assert changed and out[2].by[0].expr.branches[0][0] == Lit(True)
+
+
+def test_range_undetermined_unchanged():
+    # :485
+    _, changed = _prop(
+        "t.c | where x > 5 | summarize by r = case(x > 10, 'a', 'b')"
+    )
+    assert not changed
+
+
+def test_constraint_drops_at_shadowing_extend():
+    # divergence pin: the reference substitutes stale facts across a
+    # middle extend that REDEFINES the field (its recurring
+    # substitution-staleness bug); facts must drop at the shadow
+    _, changed = _prop(
+        "t.c | where x == 5 | extend x = y | summarize by r = case(x == 7, 'a', 'b')"
+    )
+    assert not changed
+
+
+def test_constraint_drops_at_restrictive_project():
+    # post-project the field is MISSING, not equal to the fact
+    _, changed = _prop(
+        "t.c | where x == 5 | project g | summarize by r = case(x == 7, 'a', 'b')"
+    )
+    assert not changed
+
+
+def test_filter_propagation_end_to_end_collapses_to_project():
+    # the corpus shape: where x == 5 | summarize by case(x == 7,..) →
+    # where | limit 1 | project result='yes' (propagate → fold →
+    # summarize_const_to_project, one fixpoint)
+    out = opt("t.c | where x == 5 | summarize by result = case(x == 7, 'no', 'yes')")
+    assert kinds(out) == ["Scan", "Filter", "Limit", "Project"]
+    assert out[3].fields == (P.ProjectField(Lit("yes"), "result"),)
+
+
+def test_summarize_const_to_project_shapes():
+    # summarize_const_to_project.rs tests: single/multiple consts
+    # convert; aggs or a non-literal key refuse; a NULL literal key
+    # refuses (the engine drops null group keys → zero rows, which
+    # Limit(1)+Project would not preserve — divergence pin)
+    from miso_spark.rewrite import summarize_const_to_project as sctp
+
+    one = parse_kql("t.c | summarize by Column1 = 'yes'").steps
+    out, ch = sctp(list(one))
+    assert ch and kinds(out) == ["Scan", "Limit", "Project"]
+    assert out[2].fields == (P.ProjectField(Lit("yes"), "Column1"),)
+
+    multi = parse_kql("t.c | summarize by a = 1, b = 'x'").steps
+    out, ch = sctp(list(multi))
+    assert ch and [pf.name for pf in out[2].fields] == ["a", "b"]
+
+    aggy = parse_kql("t.c | summarize n = count() by a = 1").steps
+    assert sctp(list(aggy))[1] is False
+
+    field_key = parse_kql("t.c | summarize by a = x").steps
+    assert sctp(list(field_key))[1] is False
