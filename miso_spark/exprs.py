@@ -337,8 +337,19 @@ def compile_expr(e: Expr, schema=None) -> Column:
         # reference's null-aware equality)
         base = compile_expr(e.expr, schema)
         items = [i for i in e.items if not (isinstance(i, Lit) and i.value is None)]
+        # an item of a provably DIFFERENT total-order class can never
+        # equal the base (value/mod.rs class ranks) — drop it instead
+        # of letting Spark's isin coercion crash (string base, int item
+        # → ANSI cast error on the first non-numeric row)
+        bc = _static_class(e.expr, schema)
+        if bc is not None:
+            items = [
+                i
+                for i in items
+                if _static_class(i, schema) in (None, bc)
+            ]
         c = base.isin(*[compile_expr(i, schema) for i in items]) if items else F.lit(False)
-        if len(items) != len(e.items):
+        if any(isinstance(i, Lit) and i.value is None for i in e.items):
             c = c | base.isNull()
         return c
     if isinstance(e, Between):
@@ -362,8 +373,22 @@ def compile_expr(e: Expr, schema=None) -> Column:
         x = compile_expr(e.expr, schema)
         low_null = isinstance(e.low, Lit) and e.low.value is None
         high_null = isinstance(e.high, Lit) and e.high.value is None
+        # a cross-class endpoint decomposes into the gte/lte pair so
+        # the class-rank forms apply (total order, never a coercion)
+        xc = _static_class(e.expr, schema)
+        cross = xc is not None and any(
+            _static_class(b, schema) not in (None, xc)
+            for b, skip in ((e.low, low_null), (e.high, high_null))
+            if not skip
+        )
         if low_null and high_null:
             c = x.isNotNull()
+        elif cross:
+            c = F.lit(True)
+            if not low_null:
+                c = c & _compile_binop(BinOp("gte", e.expr, e.low), schema)
+            if not high_null:
+                c = c & _compile_binop(BinOp("lte", e.expr, e.high), schema)
         elif low_null:
             c = x <= compile_expr(e.high, schema)
         elif high_null:
@@ -440,6 +465,98 @@ def _provably_missing(x: Expr, schema) -> bool:
     )
 
 
+#: total-order type classes (value/mod.rs:147-207):
+#: Null < Bool < numbers < Timestamp < Timespan < String < Array < Object
+(
+    _CLASS_NULL,
+    _CLASS_BOOL,
+    _CLASS_NUM,
+    _CLASS_TS,
+    _CLASS_SPAN,
+    _CLASS_STR,
+    _CLASS_ARR,
+    _CLASS_OBJ,
+) = range(8)
+
+
+def _static_class(e: Expr, schema) -> Optional[int]:
+    """Total-order class of ``e``'s STATIC type — a non-null literal's
+    value class, or a schema column's type class. None when
+    undeterminable (variant columns, computed exprs, null literals)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DateType,
+        DayTimeIntervalType,
+        MapType,
+        NumericType,
+        StringType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(e, Lit):
+        v = e.value
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return _CLASS_BOOL
+        if isinstance(v, (int, float)):
+            return _CLASS_NUM
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return _CLASS_TS
+        if isinstance(v, str):
+            return _CLASS_STR
+        return None
+    if isinstance(e, Duration):
+        return _CLASS_SPAN
+    if isinstance(e, Field) and schema is not None:
+        t = e.path.resolve_type(schema)
+        if t is None or FieldPath._is_variant(t):
+            return None
+        if isinstance(t, BooleanType):
+            return _CLASS_BOOL
+        if isinstance(t, NumericType):
+            return _CLASS_NUM
+        if isinstance(t, (TimestampType, TimestampNTZType, DateType)):
+            return _CLASS_TS
+        if isinstance(t, DayTimeIntervalType):
+            return _CLASS_SPAN
+        if isinstance(t, StringType):
+            return _CLASS_STR
+        if isinstance(t, ArrayType):
+            return _CLASS_ARR
+        if isinstance(t, (StructType, MapType)):
+            return _CLASS_OBJ
+    return None
+
+
+def _cross_class_cmp(op: str, l: Column, r: Column, cl: int, cr: int) -> Column:
+    """Comparison between operands of provably DIFFERENT total-order
+    classes (value/mod.rs:147: class rank decides; classes never tie).
+    Spark would instead coerce — `string_col > 3` casts the column and
+    CRASHES under ANSI on the first non-numeric value, where the
+    reference says every string outranks every number. A null operand
+    takes the Null class (smallest). All forms are proper booleans
+    built from isNull/isNotNull — parquet-pushable."""
+    if op == "eq":
+        return l.isNull() & r.isNull()
+    if op == "ne":
+        return ~(l.isNull() & r.isNull())
+    if op == "gt":
+        return l.isNotNull() if cl > cr else l.isNotNull() & r.isNull()
+    if op == "gte":
+        return (l.isNotNull() | r.isNull()) if cl > cr else r.isNull()
+    if op == "lt":
+        return r.isNotNull() if cl < cr else r.isNotNull() & l.isNull()
+    if op == "lte":
+        return (r.isNotNull() | l.isNull()) if cl < cr else l.isNull()
+    raise ValueError(op)
+
+
 def _compile_binop(e: BinOp, schema=None) -> Column:
     op = e.op
     # a MISSING operand makes every reference comparison/string-op
@@ -472,6 +589,10 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         return _compile_and_or(e, schema)
     # timestamp +/- duration stays exact via intervals
     l, r = compile_expr(e.left, schema), compile_expr(e.right, schema)
+    if op in _CMP_OPS:
+        cl, cr = _static_class(e.left, schema), _static_class(e.right, schema)
+        if cl is not None and cr is not None and cl != cr:
+            return _cross_class_cmp(op, l, r, cl, cr)
     if op == "eq":
         # `x == null` is a null test in the reference (tests.rs
         # filter_eq_null: matches rows whose value IS the present Null)

@@ -96,18 +96,45 @@ def pipelines(draw) -> str:
         if kind == "where":
             nums = sorted(cols & NUM_COLS)
             strs = sorted(cols - NUM_COLS)
-            arms = []
+            arms = ["exists"]
             if nums:
-                arms.append("num")
+                arms += ["num", "in", "between", "combo", "case"]
             if strs:
                 arms.append("str")
-            arms.append("exists")
             arm = draw(st.sampled_from(arms))
             if arm == "num":
                 c = draw(st.sampled_from(nums))
                 op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
                 lit = draw(st.integers(min_value=0, max_value=8))
                 steps.append(f"where {c} {op} {lit}")
+            elif arm == "in":
+                c = draw(st.sampled_from(nums))
+                vals = sorted(
+                    draw(st.sets(st.integers(0, 8), min_size=1, max_size=3))
+                )
+                neg = draw(st.booleans())
+                pred = f"{c} in ({', '.join(map(str, vals))})"
+                steps.append(f"where not({pred})" if neg else f"where {pred}")
+            elif arm == "between":
+                c = draw(st.sampled_from(nums))
+                lo = draw(st.integers(0, 6))
+                hi = lo + draw(st.integers(0, 5))
+                kw = draw(st.sampled_from(["between", "!between"]))
+                steps.append(f"where {c} {kw} ({lo} .. {hi})")
+            elif arm == "combo":
+                c1, c2 = (draw(st.sampled_from(nums)) for _ in range(2))
+                j = draw(st.sampled_from(["and", "or"]))
+                l1 = draw(st.integers(0, 8))
+                l2 = draw(st.integers(0, 8))
+                o1 = draw(st.sampled_from([">", "<", "=="]))
+                o2 = draw(st.sampled_from([">", ">=", "!="]))
+                steps.append(f"where {c1} {o1} {l1} {j} {c2} {o2} {l2}")
+            elif arm == "case":
+                c = draw(st.sampled_from(nums))
+                lit = draw(st.integers(0, 8))
+                steps.append(
+                    f"where iff({c} > {lit}, true, false)"
+                )
             elif arm == "str":
                 c = draw(st.sampled_from(strs))
                 op = draw(st.sampled_from(["contains", "startswith", "=="]))
@@ -250,4 +277,101 @@ def test_optimize_steps_preserves_results(rig, q):
     opt = optimize_steps(plan.steps)
     base = _rows(rig.run(plan))
     rewritten = _rows(rig.run(P.Plan(opt)))
+    assert rewritten == base, f"rewrite changed results for: {q}\nopt={opt}"
+
+
+# ---------------------------------------------------------------------------
+# convergence property (no Spark — plan-level): optimize_steps is a
+# fixpoint; re-optimizing its output must be the identity, or the
+# negotiation-layer assumptions about step identity break (compiler
+# pre-run + prejoined cache)
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=pipelines())
+def test_optimize_steps_converges(q):
+    once = optimize_steps(parse_kql(q).steps)
+    twice = optimize_steps(once)
+    assert twice == once, f"non-convergent rewrite for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous-union arm: table c's x is a STRING, so `a ∪ c` lifts x
+# to VARIANT (the engine's heterogeneous-type union) and downstream
+# filters/sorts on x run the dynamic total-order path — the rewrite
+# layer must stay sound across the typed→dynamic boundary too
+
+C_ROWS = [
+    (2000 + i, f"v{(i * 3) % 7}" if i % 4 else None)
+    for i in range(15)
+]
+
+
+@pytest.fixture(scope="module")
+def het_rig(spark):
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame(A_ROWS, "id long, x long, y double, s string, g string"))
+    mem.put("c", spark.createDataFrame(C_ROWS, "id long, x string"))
+    return Compiler(SourceRegistry(spark).register("m", mem))
+
+
+@st.composite
+def het_pipelines(draw) -> str:
+    steps = [f"union (m.c)"]
+    n = draw(st.integers(min_value=1, max_value=3))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["where", "sort_take", "summarize", "count", "top"]))
+        if kind == "where":
+            op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
+            lit = draw(
+                st.sampled_from(["3", "7", '"v0"', '"v3"', '"zz"'])
+            )
+            steps.append(f"where x {op} {lit}")
+        elif kind == "sort_take":
+            steps.append("sort by x asc, id asc")
+            steps.append(f"take {draw(st.integers(1, 25))}")
+        elif kind == "summarize":
+            steps.append("summarize n = count() by x")
+            return "m.a | " + " | ".join(steps)  # x becomes a group key
+        elif kind == "top":
+            steps.append(f"top {draw(st.integers(1, 15))} by id asc")
+        else:
+            steps.append("count")
+            return "m.a | " + " | ".join(steps)
+    return "m.a | " + " | ".join(steps)
+
+
+def _het_rows(df) -> list[str]:
+    from pyspark.sql.types import VariantVal
+
+    def unwrap(v):
+        return v.toPython() if isinstance(v, VariantVal) else v
+
+    out = []
+    for r in df.collect():
+        d = {k: unwrap(v) for k, v in r.asDict(recursive=True).items()}
+        d = {
+            k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in d.items()
+            if v is not None
+        }
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=het_pipelines())
+def test_optimize_preserves_heterogeneous_union_results(het_rig, q):
+    plan = parse_kql(q)
+    opt = optimize_steps(plan.steps)
+    base = _het_rows(het_rig.run(plan))
+    rewritten = _het_rows(het_rig.run(P.Plan(opt)))
     assert rewritten == base, f"rewrite changed results for: {q}\nopt={opt}"

@@ -298,3 +298,51 @@ def test_extract_negative_group_errors(strops):
     # string_ops.rs:15-17 bail — a query error, not a per-row crash
     with pytest.raises(Exception, match="non-negative"):
         strops.query(r"mem.rexsrc | project v = extract('(\d+)', -1, s)").collect()
+
+
+@pytest.fixture(scope="module")
+def xclass(m, spark):
+    """Cross-class comparison rows: s is a STRING column (some rows
+    numeric-looking), n is a long column."""
+    m.registry.source("mem").put(
+        "xclass",
+        spark.createDataFrame(
+            [(1, "5", 10), (2, "abc", None), (3, None, 3)],
+            "id long, s string, n long",
+        ),
+    )
+    return m
+
+
+def _ids(xclass, pred):
+    return sorted(
+        r["id"] for r in xclass.query(f"mem.xclass | where {pred}").collect()
+    )
+
+
+def test_cross_class_comparisons_use_total_order(xclass):
+    """A typed column compared against a literal of a DIFFERENT
+    total-order class decides by class rank (value/mod.rs:147: Null <
+    Bool < numbers < Timestamp < Timespan < String < Array < Object) —
+    Spark's coercion would instead CRASH under ANSI on 'abc' > 3, and
+    silently call "5" == 5 true where the reference says String never
+    equals Int."""
+    # string column vs int literal: strings outrank all numbers
+    assert _ids(xclass, "s > 3") == [1, 2]     # non-null strings win
+    assert _ids(xclass, "s == 5") == []        # classes never tie
+    assert _ids(xclass, "s != 5") == [1, 2, 3]
+    assert _ids(xclass, "s < 3") == [3]        # only null sits below
+    assert _ids(xclass, "s <= 3") == [3]
+    assert _ids(xclass, "s >= 3") == [1, 2]
+    # int column vs string literal: mirrored
+    assert _ids(xclass, 'n < "x"') == [1, 2, 3]  # numbers (and null) below strings
+    assert _ids(xclass, 'n > "x"') == []
+    # in: cross-class items can never match and drop from the chain
+    assert _ids(xclass, "s in (5, 10)") == []
+    assert _ids(xclass, 's in (5, "5")') == [1]
+    # between with a cross-class endpoint decomposes per total order
+    assert _ids(xclass, 'n between (1 .. "z")') == [1, 3]  # num <= string
+    assert _ids(xclass, 's between (1 .. 9)') == []        # string > num hi
+    # field-vs-field cross-class: s(string) vs n(long)
+    assert _ids(xclass, "s > n") == [1, 2]  # any non-null s beats n (incl. null n)
+    assert _ids(xclass, "s == n") == []   # never equal (no null==null row)
