@@ -194,6 +194,34 @@ def run_remote(server: str, query: str, partial: bool = False) -> list[dict]:
     return list(stream_remote(server, query, partial))
 
 
+def final_rows(rows: list[dict]) -> list[dict]:
+    """Reduce a partial_stream SSE row list to the displayable FINAL
+    answer (server.py /query protocol): untagged rows are the final
+    batch; if the stream ended without one (cut mid-flight), the
+    newest round that reached its done marker is the best state —
+    metadata stripped either way. Non-partial streams pass through
+    untouched (no row carries ``_miso_metadata``)."""
+    finals = [r for r in rows if "_miso_metadata" not in r]
+    if finals:
+        return finals
+    best: list[dict] = []
+    current: list[dict] = []
+    cur_id = None
+    for r in rows:
+        meta = r.get("_miso_metadata") or {}
+        rid = meta.get("id")
+        if rid != cur_id:
+            cur_id, current = rid, []
+        if meta.get("done"):
+            best = current
+            current = []
+        else:
+            current.append(
+                {k: v for k, v in r.items() if k != "_miso_metadata"}
+            )
+    return best
+
+
 def repl(run_one, lines: Iterable[str], out=print, err=None) -> list[str]:
     """The interactive loop, decoupled from stdin for testability.
 
@@ -296,7 +324,10 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover - thin shell
 
     if args.server:
         def run_one(q: str) -> None:
-            show(run_remote(args.server, q, args.partial))
+            # table/json modes show the final answer; intermediate
+            # partial rounds are a live-view concern (--tui renders
+            # them round-by-round through ResultsWithPreview)
+            show(final_rows(run_remote(args.server, q, args.partial)))
     else:
         from miso_spark.api import MisoSpark
         from miso_spark.session import get_spark

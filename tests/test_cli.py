@@ -119,3 +119,31 @@ def test_page_results_drives_keys_and_stops_on_q():
     assert len(frames) == 3  # initial + j + d; q stops before the last j
     assert pager.selected == 3  # j then half-page (5//2=2)
     assert frames[0] != frames[1]
+
+
+def test_final_rows_reduces_partial_stream():
+    """final_rows: untagged final batch wins; without one the newest
+    DONE round is the best state (metadata stripped); a mid-flight cut
+    (round without its marker) falls back to the last complete round;
+    non-partial row lists pass through untouched."""
+    from miso_spark.cli import final_rows
+
+    r0a = {"k": "a", "n": 1, "_miso_metadata": {"id": 0}}
+    r0_done = {"_miso_metadata": {"id": 0, "done": True}}
+    r1a = {"k": "a", "n": 5, "_miso_metadata": {"id": 1}}
+    r1b = {"k": "b", "n": 2, "_miso_metadata": {"id": 1}}
+    r1_done = {"_miso_metadata": {"id": 1, "done": True}}
+    fin = [{"k": "a", "n": 9}, {"k": "b", "n": 3}]
+
+    # final batch present → exactly the final rows
+    assert final_rows([r0a, r0_done, r1a, r1b, r1_done, *fin]) == fin
+    # stream cut after round 1's marker → round 1, metadata stripped
+    assert final_rows([r0a, r0_done, r1a, r1b, r1_done]) == [
+        {"k": "a", "n": 5},
+        {"k": "b", "n": 2},
+    ]
+    # cut MID-round-1 (no marker) → round 0 is the last complete state
+    assert final_rows([r0a, r0_done, r1a]) == [{"k": "a", "n": 1}]
+    # non-partial results untouched
+    assert final_rows(fin) == fin
+    assert final_rows([]) == []
