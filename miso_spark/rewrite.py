@@ -523,7 +523,21 @@ def project_propagation(steps: list) -> tuple[list, bool]:
                 if new_sum.aggs or new_sum.by:
                     tail.append(new_sum)
                 if post:
-                    tail.append(P.Project(tuple(post)))
+                    # the replacement project must pass the summarize's
+                    # OTHER outputs through — group keys and untouched
+                    # aggregates are part of the result (a post of only
+                    # the rewritten columns silently dropped the by
+                    # keys: property-suite find, r10)
+                    post_names = {pf.name for pf in post}
+                    passthrough = [
+                        P.ProjectField(Field.of(n), n)
+                        for n in (
+                            [a for a, _ in new_sum.aggs]
+                            + [bf.name for bf in new_sum.by]
+                        )
+                        if n not in post_names
+                    ]
+                    tail.append(P.Project(tuple(passthrough + post)))
                 replaced = middle + tail
                 consumed_end = True
             elif with_end:  # terminal Project: inline definitions into it

@@ -884,3 +884,17 @@ def test_summarize_const_to_project_shapes():
 
     field_key = parse_kql("t.c | summarize by a = x").steps
     assert sctp(list(field_key))[1] is False
+
+
+def test_literal_sum_rewrite_keeps_group_keys():
+    # property-suite find (r10): sum(literal) by k rewrites to a
+    # count × literal post-project — which must pass the group keys
+    # (and untouched aggs) through, not drop them
+    out = opt(
+        "t.c | summarize n = count() | extend e1 = 7"
+        " | summarize sx = sum(e1), m = count() by n"
+    )
+    proj = out[-1]
+    assert isinstance(proj, P.Project)
+    assert {pf.name for pf in proj.fields} == {"sx", "m", "n"}
+    assert P.ProjectField(Field.of("n"), "n") in proj.fields

@@ -375,3 +375,52 @@ def test_optimize_preserves_heterogeneous_union_results(het_rig, q):
     base = _het_rows(het_rig.run(plan))
     rewritten = _het_rows(het_rig.run(P.Plan(opt)))
     assert rewritten == base, f"rewrite changed results for: {q}\nopt={opt}"
+
+
+# ---------------------------------------------------------------------------
+# dynamic-ingest arm: the SAME generated pipelines over all-VARIANT
+# tables (per-row dynamic ingest; None values become MISSING keys) —
+# every filter/sort/summarize/join then runs the dynamic total-order
+# path, and the rewrite layer must stay sound under missing-vs-null
+# and cross-type semantics too (the 42-case differential covers the
+# reference's fixed shapes; this covers the generated space)
+
+
+@pytest.fixture(scope="module")
+def dyn_rig(spark):
+    from miso_spark.dynamic import ingest_json_dynamic
+
+    def rows(data, names):
+        return [
+            {k: v for k, v in zip(names, r) if v is not None} for r in data
+        ]
+
+    mem = MemorySource()
+    mem.put(
+        "a",
+        ingest_json_dynamic(
+            spark, rows(A_ROWS, ["id", "x", "y", "s", "g"]),
+            keys=["id", "x", "y", "s", "g"],
+        ),
+    )
+    mem.put(
+        "b",
+        ingest_json_dynamic(
+            spark, rows(B_ROWS, ["id", "x", "t"]), keys=["id", "x", "t"]
+        ),
+    )
+    return Compiler(SourceRegistry(spark).register("m", mem))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=pipelines())
+def test_optimize_preserves_dynamic_ingest_results(dyn_rig, q):
+    plan = parse_kql(q)
+    opt = optimize_steps(plan.steps)
+    base = _het_rows(dyn_rig.run(plan))
+    rewritten = _het_rows(dyn_rig.run(P.Plan(opt)))
+    assert rewritten == base, f"rewrite changed results for: {q}\nopt={opt}"
