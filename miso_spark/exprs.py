@@ -348,7 +348,17 @@ def compile_expr(e: Expr, schema=None) -> Column:
                 for i in items
                 if _static_class(i, schema) in (None, bc)
             ]
-        c = base.isin(*[compile_expr(i, schema) for i in items]) if items else F.lit(False)
+        # PROPER boolean, not SQL-unknown: In is a chain of the
+        # total-order equality, and Value::Null == Int(0) is FALSE —
+        # so a null base must give false (and `not(x in (0))` must
+        # KEEP it, exactly like `not(x == 0)` does). A bare isin would
+        # yield SQL null for a null base, flipping under not().
+        c = (
+            base.isNotNull()
+            & base.isin(*[compile_expr(i, schema) for i in items])
+            if items
+            else F.lit(False)
+        )
         if any(isinstance(i, Lit) and i.value is None for i in e.items):
             c = c | base.isNull()
         return c
@@ -368,33 +378,20 @@ def compile_expr(e: Expr, schema=None) -> Column:
                 "lte", xk, _variant_key(e.high, schema)
             )
             return ~c if e.negated else c
-        # a null endpoint leaves that side unbounded (tests.rs
-        # between_null_endpoints: `x between (null .. 10)` keeps x<=10)
-        x = compile_expr(e.expr, schema)
-        low_null = isinstance(e.low, Lit) and e.low.value is None
-        high_null = isinstance(e.high, Lit) and e.high.value is None
-        # a cross-class endpoint decomposes into the gte/lte pair so
-        # the class-rank forms apply (total order, never a coercion)
-        xc = _static_class(e.expr, schema)
-        cross = xc is not None and any(
-            _static_class(b, schema) not in (None, xc)
-            for b, skip in ((e.low, low_null), (e.high, high_null))
-            if not skip
+        # typed between compiles as the reference parser's exact
+        # desugaring (parser.rs:755-765: between → Gte AND Lte,
+        # !between → the negation, identical under the total order)
+        # through the total-order comparison forms. That makes it a
+        # PROPER boolean — a bare Column.between would be SQL-unknown
+        # for a null base, flipping under !between where the reference
+        # (null < any bound) keeps the row — and it gives null
+        # endpoints the order's own meaning: everything ≥ Null, so a
+        # null low bound is unbounded (tests.rs between_null_endpoints)
+        # and only Null ≤ Null. Cross-class endpoints resolve by class
+        # rank instead of a crashing coercion.
+        c = _compile_binop(BinOp("gte", e.expr, e.low), schema) & _compile_binop(
+            BinOp("lte", e.expr, e.high), schema
         )
-        if low_null and high_null:
-            c = x.isNotNull()
-        elif cross:
-            c = F.lit(True)
-            if not low_null:
-                c = c & _compile_binop(BinOp("gte", e.expr, e.low), schema)
-            if not high_null:
-                c = c & _compile_binop(BinOp("lte", e.expr, e.high), schema)
-        elif low_null:
-            c = x <= compile_expr(e.high, schema)
-        elif high_null:
-            c = x >= compile_expr(e.low, schema)
-        else:
-            c = x.between(compile_expr(e.low, schema), compile_expr(e.high, schema))
         return ~c if e.negated else c
     if isinstance(e, Case):
         # conditions compile in boolean context: a bare dynamic field

@@ -346,3 +346,17 @@ def test_cross_class_comparisons_use_total_order(xclass):
     # field-vs-field cross-class: s(string) vs n(long)
     assert _ids(xclass, "s > n") == [1, 2]  # any non-null s beats n (incl. null n)
     assert _ids(xclass, "s == n") == []   # never equal (no null==null row)
+
+
+def test_in_and_between_are_proper_booleans(m):
+    """property-miner find (r10): `in` is a chain of the total-order
+    equality (Value::Null == Int(0) is FALSE, a proper boolean), so
+    `not(x in (...))` must KEEP a null x exactly like `not(x == ...)`
+    does — a bare Column.isin would yield SQL-unknown and flip under
+    not(). Same for between via the parser-desugar pair."""
+    # mem.vals: v = [10, None, 5]
+    assert {r["id"] for r in rows(m, "mem.vals | where not(v in (10))")} == {2, 3}
+    assert {r["id"] for r in rows(m, "mem.vals | where v in (10, 5)")} == {1, 3}
+    # !between keeps the null base: null < any bound (Lt-OR-Gt form)
+    assert {r["id"] for r in rows(m, "mem.vals | where v !between (4 .. 11)")} == {2}
+    assert {r["id"] for r in rows(m, "mem.vals | where v between (4 .. 11)")} == {1, 3}

@@ -78,11 +78,23 @@ def test_in_operator_with_null_in_list(run):
 
 
 def test_between_null_endpoints(run):
-    # tests.rs between_null_endpoints: null bound = unbounded side
+    # tests.rs between_null_endpoints pins (null .. 10) → x <= 10: the
+    # parser desugars between to Gte AND Lte (parser.rs:755), and
+    # everything is >= Null under the total order, so a null LOW bound
+    # is unbounded. A null HIGH bound is NOT: only Null <= Null, so
+    # (10 .. null) matches nothing non-null — r10 fixed an earlier
+    # "unbounded high" extrapolation the reference never had
     out = run("test.d | where x between (null .. 10)", d=("x int", [(5,), (15,)]))
     assert out == [{"x": 5}]
     out = run("test.d | where x between (10 .. null)", d=("x int", [(5,), (15,)]))
-    assert out == [{"x": 15}]
+    assert out == []
+    # and the proper-boolean form means !between KEEPS a null base
+    # (null < any bound — the reference's desugared Lt-OR-Gt form)
+    out = run(
+        "test.e | where x !between (1 .. 10)",
+        e=("x int", [(5,), (15,), (None,)]),
+    )
+    assert sorted(out, key=str) == [{"x": 15}, {"x": None}]
 
 
 def test_null_ordering_comparisons_total_order(run):
