@@ -151,6 +151,16 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
             from miso_spark import dynamic as dyn
 
             e = dyn.as_number(e)
+        from miso_spark.exprs import _provably_missing
+
+        if _provably_missing(agg.arg, schema):
+            # a provably-missing arg compiles to an UNTYPED null, and
+            # Spark types sum(void) as DOUBLE — which would widen the
+            # merge of a union-split partial (long 40 + this branch's
+            # 0.0 → 40.0) even though the value is untouched. Type it
+            # long: sum stays bigint and unions with either numeric
+            # sibling without changing its type.
+            e = F.lit(None).cast("long")
         c = F.coalesce(F.sum(e), F.lit(0))
     elif k == "avg":
         # avg of no values is 0.0 in the reference (summarize.rs:655)

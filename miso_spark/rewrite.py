@@ -519,6 +519,14 @@ def project_propagation(steps: list) -> tuple[list, bool]:
                     middle.append(new)
             if with_end and isinstance(end, P.SummarizeStep):
                 new_sum, post = _rewrite_summarize(end, renames, literals, exprs)
+                if post and not new_sum.aggs and not new_sum.by:
+                    # every aggregate folded to a constant and there
+                    # are no group keys: dropping the summarize would
+                    # turn a ONE-row global aggregation into a per-row
+                    # project (and an empty input still emits one row
+                    # here — tests.rs summarize_without_by_empty_data).
+                    # Keep the original step.
+                    raise _CannotSubstitute("global summarize")
                 tail = []
                 if new_sum.aggs or new_sum.by:
                     tail.append(new_sum)
@@ -683,26 +691,56 @@ def _null_equiv_value(e: Expr) -> bool:
     return False
 
 
-def _null_equiv_bool(e: Expr) -> bool:
-    """True when filtering on ``e`` keeps the same rows whether a
-    referenced field is MISSING or PRESENT-null (see
-    _null_equiv_value). Inside an AND-tree, the engine's missing
-    result (unknown → row dropped) and the total-order null result
-    coincide exactly when the null result is FALSE — which holds for
-    eq/gt/gte against a non-null literal and for the string ops, but
-    NOT for ne/lt/lte (null is smallest, so null<x / null!=x are
-    TRUE), eq against a null literal (isNull is TRUE), field-vs-field
-    equality (eqNullSafe), or any OR / NOT / CASE position (unknown
-    poisons where false would not)."""
+def _proper_no_poison(e: Expr) -> bool:
+    """Boolean shapes that compile to PROPER booleans with the same
+    value for a missing column and a null one, and never trigger the
+    and/or missing-poisoning wrapper (exprs._may_be_missing is False):
+    exists()/not(exists()) trees and boolean literals. These are safe
+    in ANY boolean position, OR included."""
     if isinstance(e, Lit):
         return isinstance(e.value, bool)
     if isinstance(e, Exists):
         return _null_equiv_value(e.expr)
     if isinstance(e, Not):
-        return isinstance(e.expr, Exists) and _null_equiv_value(e.expr.expr)
+        return _proper_no_poison(e.expr)
+    if isinstance(e, BinOp) and e.op in ("and", "or"):
+        return _proper_no_poison(e.left) and _proper_no_poison(e.right)
+    return False
+
+
+def _safe_in(e: Expr) -> bool:
+    """``x in (non-null literals)`` compiles to a proper FALSE for
+    both a missing and a null base (isNotNull-AND-isin; Value::Null
+    equals no non-null item) — but its missing base still poisons an
+    enclosing OR, so it is AND-position safe only."""
+    return (
+        isinstance(e, In)
+        and _null_equiv_value(e.expr)
+        and all(isinstance(i, Lit) and i.value is not None for i in e.items)
+    )
+
+
+def _null_equiv_bool(e: Expr) -> bool:
+    """True when filtering on ``e`` keeps the same rows whether a
+    referenced field is MISSING or PRESENT-null (see
+    _null_equiv_value). Inside an AND-tree, the engine's missing
+    result (unknown/poisoned → row dropped) and the total-order null
+    result coincide exactly when the null result is FALSE — which
+    holds for eq/gt/gte against a non-null literal, the string ops,
+    and ``in`` over non-null literals, but NOT for ne/lt/lte (null is
+    smallest, so null<x / null!=x are TRUE), eq against a null literal
+    (isNull is TRUE), or field-vs-field equality (eqNullSafe). An OR
+    admits only poison-free proper shapes (exists trees); a NOT only
+    not(exists)."""
+    if _proper_no_poison(e):
+        return True
+    if _safe_in(e):
+        return True
     if isinstance(e, BinOp):
         if e.op == "and":
             return _null_equiv_bool(e.left) and _null_equiv_bool(e.right)
+        if e.op == "or":
+            return _proper_no_poison(e.left) and _proper_no_poison(e.right)
         if e.op in ("eq", "gt", "gte") or e.op in _STR_OPS_SAFE:
             for lit_side, val_side in ((e.right, e.left), (e.left, e.right)):
                 if (
@@ -721,6 +759,11 @@ _STR_OPS_SAFE = {"contains", "startswith", "endswith", "has", "has_cs"}
 def _union_push_safe(step) -> bool:
     """Gate for copying a row-local step past a union run."""
     if isinstance(step, P.Filter):
+        # a whole-filter not(in (...)) is also safe: in compiles to a
+        # PROPER false for a missing base (no enclosing and/or to
+        # poison at top level), so the negation is TRUE both ways
+        if isinstance(step.expr, Not) and _safe_in(step.expr.expr):
+            return True
         return _null_equiv_bool(step.expr)
     if isinstance(step, (P.Project, P.Extend)):
         return all(_null_equiv_value(pf.expr) for pf in step.fields)

@@ -898,3 +898,56 @@ def test_literal_sum_rewrite_keeps_group_keys():
     assert isinstance(proj, P.Project)
     assert {pf.name for pf in proj.fields} == {"sx", "m", "n"}
     assert P.ProjectField(Field.of("n"), "n") in proj.fields
+
+
+def test_union_push_widened_whitelist():
+    # r10 guard widening: `in` over non-null literals (proper FALSE for
+    # missing and null base) pushes in AND position and as a whole
+    # not(in) filter; exists-trees push even under OR
+    for pred in ("x in (1, 2)", "x in (1) and g == 'g0'",
+                 "not(x in (1, 2))", "exists(x) or exists(t)",
+                 "not(exists(x)) or exists(t)"):
+        q = f"m.a | union (m.b) | where {pred}"
+        out = optimize_steps(parse_kql(q).steps)
+        assert isinstance(out[1], P.Filter), (pred, out)
+    # still refused: in with a null item (isNull arm is TRUE for the
+    # null fill), in under OR (missing base poisons the or), cmp
+    # leaves under OR
+    for pred in ("x in (1, null)", "x in (1) or exists(t)",
+                 "x == 1 or exists(t)"):
+        q = f"m.a | union (m.b) | where {pred}"
+        out = optimize_steps(parse_kql(q).steps)
+        assert not isinstance(out[1], P.Filter), (pred, out)
+
+
+def test_union_summarize_split_keeps_sum_type(spark):
+    # property-miner find (r10): the branch partial for sum over a
+    # branch-MISSING column compiled sum(void) → DOUBLE, widening the
+    # merged result (40 → 40.0) though the value was untouched; a
+    # long-typed null keeps the merge's integer type
+    from miso_spark.compiler import Compiler
+    from miso_spark.sources import MemorySource, SourceRegistry
+
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame([(1,), (2,)], "v long"))
+    mem.put("b", spark.createDataFrame([("x",)], "t string"))
+    rig = Compiler(SourceRegistry(spark).register("m", mem))
+    q = "m.a | count | union (m.b) | summarize sx = sum(Count)"
+    df = rig.run(parse_kql(q))
+    opt_df = rig.run(P.Plan(optimize_steps(parse_kql(q).steps)))
+    assert dict(df.dtypes)["sx"] == "bigint"
+    assert dict(opt_df.dtypes)["sx"] == "bigint"
+    assert opt_df.collect()[0]["sx"] == df.collect()[0]["sx"] == 2
+
+
+def test_literal_agg_rewrite_never_drops_global_summarize():
+    # property-miner find (r10): when EVERY aggregate of a GLOBAL
+    # summarize folds to a constant, dropping the step would turn a
+    # one-row aggregation into a per-row project — the substitution
+    # refuses; the grouped variant still folds (group keys keep the
+    # row-per-group shape)
+    out = opt("t.c | extend e1 = 7 | project e1, id | summarize mx = max(e1)")
+    assert any(isinstance(s, P.SummarizeStep) and s.aggs for s in out), out
+    out = opt("t.c | extend e1 = 7 | summarize mx = max(e1) by g")
+    assert kinds(out) == ["Scan", "SummarizeStep", "Project"]
+    assert {pf.name for pf in out[2].fields} == {"g", "mx"}
