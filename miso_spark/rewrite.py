@@ -381,7 +381,16 @@ def _rewrite_summarize(sum_step, renames, literals, exprs):
             lit = literals[f]
             if agg.kind == "dcount":
                 post.append(P.ProjectField(Lit(1), name))
-            elif agg.kind in ("avg", "min", "max"):
+            elif agg.kind == "avg":
+                # avg is ALWAYS double-typed — the folded constant must
+                # be too (avg(7) → 7.0, not int 7), and a non-numeric
+                # literal has no avg to fold
+                if not isinstance(lit.value, (int, float)) or isinstance(
+                    lit.value, bool
+                ):
+                    raise _CannotSubstitute(f)
+                post.append(P.ProjectField(Lit(float(lit.value)), name))
+            elif agg.kind in ("min", "max"):
                 post.append(P.ProjectField(lit, name))
             elif agg.kind == "sum":
                 new_aggs.append((name, P.Agg("count")))

@@ -951,3 +951,14 @@ def test_literal_agg_rewrite_never_drops_global_summarize():
     out = opt("t.c | extend e1 = 7 | summarize mx = max(e1) by g")
     assert kinds(out) == ["Scan", "SummarizeStep", "Project"]
     assert {pf.name for pf in out[2].fields} == {"g", "mx"}
+
+
+def test_literal_avg_rewrite_is_double_typed():
+    # property-miner find (r10): avg is always double — the folded
+    # constant must be 7.0, not int 7 (value-hash visible)
+    out = opt("t.c | extend e1 = 7 | summarize av = avg(e1) by g")
+    proj = out[-1]
+    av = next(pf.expr for pf in proj.fields if pf.name == "av")
+    # python 7.0 == 7, so assert on the TYPE (the Spark literal type
+    # is what the value-hash sees)
+    assert isinstance(av, Lit) and isinstance(av.value, float)
