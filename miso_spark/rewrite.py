@@ -379,6 +379,17 @@ def _rewrite_summarize(sum_step, renames, literals, exprs):
             continue
         if f in literals:
             lit = literals[f]
+            if not sum_step.by and agg.kind in ("dcount", "avg", "min", "max"):
+                # a GLOBAL (by-less) summarize still emits one row over
+                # EMPTY input, where these aggregates take their
+                # empty-input identities (min/max → null, avg → 0.0,
+                # dcount → 0 — summarize.rs:513-663), NOT the literal;
+                # group existence (≥1 row) is only guaranteed with by
+                # keys. sum → count×lit stays exact (0 × lit = 0).
+                # Property-falsified in r10:
+                # `... | extend e1 = 7 | summarize mx = max(e1)` over a
+                # filtered-to-empty input folded mx to 7.
+                raise _CannotSubstitute(f)
             if agg.kind == "dcount":
                 post.append(P.ProjectField(Lit(1), name))
             elif agg.kind == "avg":
@@ -750,7 +761,8 @@ def _null_equiv_bool(e: Expr) -> bool:
             return _null_equiv_bool(e.left) and _null_equiv_bool(e.right)
         if e.op == "or":
             return _proper_no_poison(e.left) and _proper_no_poison(e.right)
-        if e.op in ("eq", "gt", "gte") or e.op in _STR_OPS_SAFE:
+        if e.op == "eq":
+            # eq is symmetric: null == lit is FALSE either way round
             for lit_side, val_side in ((e.right, e.left), (e.left, e.right)):
                 if (
                     isinstance(lit_side, Lit)
@@ -759,6 +771,17 @@ def _null_equiv_bool(e: Expr) -> bool:
                 ):
                     return True
             return False
+        if e.op in ("gt", "gte") or e.op in _STR_OPS_SAFE:
+            # DIRECTIONAL: only value-on-LEFT / literal-on-RIGHT is
+            # safe (`x > 5` → null is smallest → FALSE). The flipped
+            # form `5 > x` is `x < 5`, which is TRUE for a null/missing
+            # x — accepting it pushed a filter past a union that drops
+            # rows the post-union original keeps (r10 advice, high).
+            return (
+                isinstance(e.right, Lit)
+                and e.right.value is not None
+                and _null_equiv_value(e.left)
+            )
     return False
 
 
@@ -768,11 +791,19 @@ _STR_OPS_SAFE = {"contains", "startswith", "endswith", "has", "has_cs"}
 def _union_push_safe(step) -> bool:
     """Gate for copying a row-local step past a union run."""
     if isinstance(step, P.Filter):
-        # a whole-filter not(in (...)) is also safe: in compiles to a
-        # PROPER false for a missing base (no enclosing and/or to
-        # poison at top level), so the negation is TRUE both ways
-        if isinstance(step.expr, Not) and _safe_in(step.expr.expr):
-            return True
+        # NOTE a whole-filter not(in (...)) is NOT safe, though the
+        # typed path alone suggests it (in → proper FALSE for a
+        # missing base, negation TRUE both ways): when the union
+        # output column is VARIANT, a branch-absent base stays MISSING
+        # post-union and the dynamic `in` is UNKNOWN there (not proper
+        # FALSE — interpreter/mod.rs is_in), so the negation DROPS the
+        # row engine-side while the branch-pushed copy (provably
+        # missing → typed lit-null path) KEEPS it. Property-falsified
+        # in r11 (`m.a | union (m.b) | where not(s in ("s1"))` over
+        # dynamic ingest). All remaining whitelisted shapes agree
+        # between the two compilations: their typed-missing result is
+        # proper FALSE and their dynamic-missing result unknown — both
+        # DROP — or they are proper booleans on both paths (exists).
         return _null_equiv_bool(step.expr)
     if isinstance(step, (P.Project, P.Extend)):
         return all(_null_equiv_value(pf.expr) for pf in step.fields)
@@ -1392,14 +1423,34 @@ def propagate_filter_constraints(steps: list) -> tuple[list, bool]:
                 break  # schema changes past the summarize
             if isinstance(t, (P.Extend, P.Rename, P.Project)):
                 if isinstance(t, P.Rename):
-                    # a pure relabel transfers the fact to the new name
-                    for frm, to in t.pairs:
-                        eqs.pop(to, None)
-                        ranges.pop(to, None)
-                        if frm in eqs:
-                            eqs[to] = eqs.pop(frm)
-                        if frm in ranges:
-                            ranges[to] = ranges.pop(frm)
+                    # a pure relabel transfers facts to the new names —
+                    # built in ONE shot, because the step compiles via
+                    # withColumnsRenamed (simultaneous): for pairs
+                    # (a→b, b→c) the fact on `a` lands on `b` only;
+                    # migrating pair-by-pair would chain it onto `c`,
+                    # which holds the ORIGINAL b's values (r10 advice)
+                    srcs = {frm for frm, _ in t.pairs}
+                    tgts = {to for _, to in t.pairs}
+                    eqs = {
+                        **{
+                            k: v
+                            for k, v in eqs.items()
+                            if k not in srcs and k not in tgts
+                        },
+                        **{to: eqs[frm] for frm, to in t.pairs if frm in eqs},
+                    }
+                    ranges = {
+                        **{
+                            k: v
+                            for k, v in ranges.items()
+                            if k not in srcs and k not in tgts
+                        },
+                        **{
+                            to: ranges[frm]
+                            for frm, to in t.pairs
+                            if frm in ranges
+                        },
+                    }
                 elif isinstance(t, P.Extend):
                     for pf in t.fields:
                         eqs.pop(pf.name, None)

@@ -97,7 +97,19 @@ def case_to_or(e: Expr) -> Expr:
     return e
 
 
-def partial_eval(e: Expr) -> Expr:
+def _dedup_key(e: Expr) -> str:
+    """Structural dedup key that keeps Bool and numbers distinct:
+    dataclass equality conflates Lit(True) with Lit(1) (Python's
+    True == 1), but the engine's total order treats Bool and Number as
+    never-equal classes (value/mod.rs class ranks) — deduping them
+    would silently drop integer-1 rows from ``x in (true, 1)``.
+    Dataclass repr spells True/1/1.0 differently at any nesting depth,
+    so it is exactly the class-aware key needed (1 vs 1.0 staying
+    distinct merely skips a dedup — sound)."""
+    return repr(e)
+
+
+def partial_eval(e: Expr, under_not: bool = False) -> Expr:
     """Constant folding (const_folding/partial_evaluator parity):
     literal-only arithmetic/comparisons evaluate, boolean connectives
     short-circuit on literal true/false. Division by a literal zero is
@@ -114,11 +126,19 @@ def partial_eval(e: Expr) -> Expr:
     here feeds wire requests (es_dsl/spl build from this tree), so
     cleaner shapes are cheaper queries: ``x == 1 or x == 2`` ships a
     terms filter, ``not(x > 5)`` ships a plain range, and a
-    contradictory range never reaches the service at all."""
+    contradictory range never reaches the service at all.
+
+    ``under_not``: True when any ANCESTOR is a Not. The In↔eq and
+    OR↔IN rewrites are gated off there: ``in`` compiles to a PROPER
+    false for a missing base where ``==`` compiles to unknown — both
+    drop the row at filter level, but under a negation proper-FALSE
+    flips to keep where unknown still drops, so swapping the forms
+    inside a Not changes which rows survive (r10 advice)."""
     if isinstance(e, BinOp):
-        left, right = partial_eval(e.left), partial_eval(e.right)
+        left = partial_eval(e.left, under_not)
+        right = partial_eval(e.right, under_not)
         if e.op in ("and", "or"):
-            return _fold_bool(e.op, left, right)
+            return _fold_bool(e.op, left, right, under_not)
         if (
             isinstance(left, Lit) and isinstance(right, Lit)
             and isinstance(left.value, (int, float))
@@ -152,7 +172,7 @@ def partial_eval(e: Expr) -> Expr:
                 return left
         return BinOp(e.op, left, right)
     if isinstance(e, Not):
-        inner = partial_eval(e.expr)
+        inner = partial_eval(e.expr, True)
         if isinstance(inner, Lit) and isinstance(inner.value, bool):
             return Lit(not inner.value)
         if isinstance(inner, Not):
@@ -165,24 +185,29 @@ def partial_eval(e: Expr) -> Expr:
             return BinOp(_INVERT[inner.op], inner.left, inner.right)
         return Not(inner)
     if isinstance(e, In):
-        left = partial_eval(e.expr)
+        left = partial_eval(e.expr, under_not)
         items: list[Expr] = []
+        seen: set[str] = set()
         for i in e.items:
-            i = partial_eval(i)
-            if i not in items:  # dedup (partial_evaluator.rs:162-168)
+            i = partial_eval(i, under_not)
+            k = _dedup_key(i)  # dedup (partial_evaluator.rs:162-168)
+            if k not in seen:
+                seen.add(k)
                 items.append(i)
-        if len(items) == 1:
-            return partial_eval(BinOp("eq", left, items[0]))
+        if len(items) == 1 and not under_not:
+            return partial_eval(BinOp("eq", left, items[0]), under_not)
         return In(left, tuple(items))
     if isinstance(e, Between):
         return Between(
-            partial_eval(e.expr), partial_eval(e.low), partial_eval(e.high),
+            partial_eval(e.expr, under_not),
+            partial_eval(e.low, under_not),
+            partial_eval(e.high, under_not),
             e.negated,
         )
     if isinstance(e, Exists):
-        return Exists(partial_eval(e.expr))
+        return Exists(partial_eval(e.expr, under_not))
     if isinstance(e, Case):
-        return _fold_case(e)
+        return _fold_case(e, under_not)
     return e
 
 
@@ -256,7 +281,7 @@ def _collect_eq_values(e: Expr, fld: Field, out: list) -> bool:
     return False
 
 
-def _fold_bool(op: str, l: Expr, r: Expr) -> Expr:
+def _fold_bool(op: str, l: Expr, r: Expr, under_not: bool = False) -> Expr:
     """and/or folding: literal short-circuit, idempotence, absorption,
     range contradiction/subsumption (and), OR-of-equalities → IN (or)
     — partial_evaluator.rs:210-290. All arms are exact under Kleene
@@ -270,12 +295,16 @@ def _fold_bool(op: str, l: Expr, r: Expr) -> Expr:
             if op == "and":
                 return b if a.value else Lit(False)
             return Lit(True) if a.value else b
-    if l == r:
+    # idempotence / absorption compare via the class-aware key too
+    # (dataclass eq conflates Lit(True) with Lit(1) at any depth)
+    if _dedup_key(l) == _dedup_key(r):
         return l
     # absorption: a AND (a OR b) → a; a OR (a AND b) → a
     other = "or" if op == "and" else "and"
     for a, b in ((l, r), (r, l)):
-        if isinstance(b, BinOp) and b.op == other and a in (b.left, b.right):
+        if isinstance(b, BinOp) and b.op == other and _dedup_key(a) in (
+            _dedup_key(b.left), _dedup_key(b.right)
+        ):
             return a
     if op == "and":
         fc_l, fc_r = _field_cmp(l), _field_cmp(r)
@@ -298,14 +327,23 @@ def _fold_bool(op: str, l: Expr, r: Expr) -> Expr:
                 if n1 < n2 or (n1 == n2 and (op1 == "lt" or op2 == "lte")):
                     return l
                 return r
-    else:
+    elif not under_not:
+        # OR-of-equalities → IN changes missing-base semantics under a
+        # negation (see partial_eval docstring) — skipped there
         fl, fr = _eq_or_in_field(l), _eq_or_in_field(r)
         if fl is not None and fl == fr:
             vals: list = []
             if _collect_eq_values(BinOp("or", l, r), fl, vals) and len(vals) >= 2:
                 deduped: list = []
+                seen: set = set()
                 for v in vals:
-                    if v not in deduped:
+                    # class-aware key: True == 1 in Python, but Bool
+                    # and Number are distinct never-equal classes in
+                    # the engine's total order — deduping them would
+                    # drop integer-1 rows (r10 advice)
+                    k = (isinstance(v, bool), v)
+                    if k not in seen:
+                        seen.add(k)
                         deduped.append(v)
                 if len(deduped) == 1:
                     return BinOp("eq", fl, Lit(deduped[0]))
@@ -313,14 +351,23 @@ def _fold_bool(op: str, l: Expr, r: Expr) -> Expr:
     return BinOp(op, l, r)
 
 
-def _fold_case(e: Case) -> Expr:
+def _fold_case(e: Case, under_not: bool = False) -> Expr:
     """CASE folding (partial_evaluator.rs:176-208): literal-true
     predicate returns its branch, literal-false branches drop, no
     branches left returns the default, and a single boolean
-    true/false branch collapses to the predicate (or its negation)."""
+    true/false branch collapses to the predicate (or its negation).
+    The pred collapses are sound under missing fields: the engine's
+    case compile poisons on a missing predicate (exprs.py:396-412),
+    matching the bare predicate's unknown — unlike In vs eq, no
+    proper-vs-poison asymmetry to preserve."""
     branches = []
     for pred, val in e.branches:
-        pred, val = partial_eval(pred), partial_eval(val)
+        # preds evaluate as if under a Not: the false/true collapse
+        # below (and case_to_or's NOT-guards) can land a pred under a
+        # negation AFTER its folds ran, so the In↔eq gate must already
+        # have applied
+        pred = partial_eval(pred, True)
+        val = partial_eval(val, under_not)
         if isinstance(pred, Lit) and pred.value is True:
             if not branches:
                 return val
@@ -330,7 +377,7 @@ def _fold_case(e: Case) -> Expr:
         if isinstance(pred, Lit) and pred.value is False:
             continue
         branches.append((pred, val))
-    default = partial_eval(e.default)
+    default = partial_eval(e.default, under_not)
     if not branches:
         return default
     if len(branches) == 1:

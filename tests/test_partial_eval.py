@@ -235,3 +235,60 @@ def test_reversed_literal_orientation():
     # rules (partial_evaluator.rs:74-96) — the fold must see both
     e = BinOp("and", BinOp("lt", Lit(5), X), BinOp("gt", X, Lit(3)))
     assert partial_eval(e) == BinOp("lt", Lit(5), X)
+
+
+def test_in_dedup_keeps_bool_and_int_distinct():
+    # r10 advice (medium): Python's True == 1 makes Lit(True) ==
+    # Lit(1) via dataclass eq, but Bool and Number are distinct
+    # never-equal classes in the engine's total order — deduping them
+    # dropped integer-1 rows from `x in (true, 1)`
+    e = partial_eval(In(X, (Lit(True), Lit(1))))
+    assert isinstance(e, In) and len(e.items) == 2
+    e = partial_eval(In(X, (Lit(False), Lit(0))))
+    assert isinstance(e, In) and len(e.items) == 2
+    # genuine duplicates still dedup
+    e = partial_eval(In(X, (Lit(1), Lit(1), Lit(2))))
+    assert isinstance(e, In) and len(e.items) == 2
+
+
+def test_or_fold_keeps_bool_and_int_distinct():
+    # same class-awareness in the OR-of-equalities → IN value dedup
+    e = partial_eval(
+        BinOp("or", BinOp("eq", X, Lit(True)), BinOp("eq", X, Lit(1)))
+    )
+    assert isinstance(e, In) and len(e.items) == 2
+    vals = {(isinstance(i.value, bool), i.value) for i in e.items}
+    assert vals == {(True, True), (False, 1)}
+
+
+def test_in_eq_folds_gated_under_not():
+    # r10 advice (medium): `in` compiles to a PROPER false for a
+    # missing base where `==` compiles to unknown — equivalent at
+    # filter level, divergent under a negation (proper-FALSE flips to
+    # keep, unknown still drops). Neither direction of the In↔eq /
+    # OR↔IN rewrites may fire under a Not.
+    e = partial_eval(Not(In(X, (Lit(1),))))
+    assert isinstance(e, Not) and isinstance(e.expr, In)
+    e = partial_eval(
+        Not(BinOp("or", BinOp("eq", X, Lit(1)), BinOp("eq", X, Lit(2))))
+    )
+    assert isinstance(e, Not)
+    assert isinstance(e.expr, BinOp) and e.expr.op == "or"
+    # outside a negation both folds still fire
+    e = partial_eval(In(X, (Lit(1),)))
+    assert isinstance(e, BinOp) and e.op == "eq"
+    e = partial_eval(
+        BinOp("or", BinOp("eq", X, Lit(1)), BinOp("eq", X, Lit(2)))
+    )
+    assert isinstance(e, In) and len(e.items) == 2
+
+
+def test_case_pred_in_fold_gated():
+    # case preds evaluate as if under a Not: the false/true collapse
+    # (case(p, false, true) → not(p)) and case_to_or's NOT-guards land
+    # the pred under a negation after its folds ran — an In→eq fold
+    # there would change missing-base rows
+    e = partial_eval(
+        Case(((In(X, (Lit(1),)), Lit(False)),), Lit(True))
+    )
+    assert isinstance(e, Not) and isinstance(e.expr, In)

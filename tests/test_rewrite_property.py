@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from miso_spark import plan as P
@@ -254,6 +254,32 @@ def pipelines(draw) -> str:
     return "m.a | " + " | ".join(steps) if steps else "m.a"
 
 
+
+# known falsifying examples — replayed deterministically on every run
+# (hypothesis's random search found these once; a fresh checkout has
+# no .hypothesis database, so they are pinned as @example seeds)
+_R10_BYLESS_FOLD = (
+    "m.a | where id between (3 .. 3) | where id between (0 .. 0)"
+    " | extend e1 = 7 | project e1, g"
+    " | summarize mx = max(e1), sx = sum(e1)"
+)
+_R10_GLOBAL_DROP = "m.a | extend e1 = 7 | project e1, id | summarize mx = max(e1)"
+_R11_LIT_LEFT_GT = "m.a | union (m.b) | where 5 > x"
+_R11_NOT_IN_MISSING = 'm.a | union (m.b) | where not(s in ("s1"))'
+_SEEDS = (
+    _R10_BYLESS_FOLD,
+    _R10_GLOBAL_DROP,
+    _R11_LIT_LEFT_GT,
+    _R11_NOT_IN_MISSING,
+)
+
+
+def _seed_examples(fn):
+    for s in _SEEDS:
+        fn = example(q=s)(fn)
+    return fn
+
+
 def _rows(df) -> list[str]:
     out = []
     for r in df.collect():
@@ -272,6 +298,7 @@ def _rows(df) -> list[str]:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(q=pipelines())
+@_seed_examples
 def test_optimize_steps_preserves_results(rig, q):
     plan = parse_kql(q)
     opt = optimize_steps(plan.steps)
@@ -293,6 +320,7 @@ def test_optimize_steps_preserves_results(rig, q):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(q=pipelines())
+@_seed_examples
 def test_optimize_steps_converges(q):
     once = optimize_steps(parse_kql(q).steps)
     twice = optimize_steps(once)
@@ -418,6 +446,7 @@ def dyn_rig(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(q=pipelines())
+@_seed_examples
 def test_optimize_preserves_dynamic_ingest_results(dyn_rig, q):
     plan = parse_kql(q)
     opt = optimize_steps(plan.steps)
