@@ -485,12 +485,18 @@ class Compiler:
                     # dynamic key: both a MISSING value (SQL NULL) and a
                     # present Value::Null drop; grouping runs on the
                     # canonical JSON (variant itself isn't a grouping
-                    # type), re-parsed to variant in the output
-                    df = df.filter(c.isNotNull() & ~F.is_variant_null(c))
+                    # type), re-parsed to variant in the output.
+                    # keep_null_keys (union-split dcount partials):
+                    # MISSING stays a SQL-null group, present
+                    # Value::Null a distinct "null"-JSON group — both
+                    # round-trip through to_json/parse_json below.
+                    if not step.keep_null_keys:
+                        df = df.filter(c.isNotNull() & ~F.is_variant_null(c))
                     by_cols.append(F.to_json(c))
                     variant_keys.append(b.name)
                 else:
-                    df = df.filter(c.isNotNull())
+                    if not step.keep_null_keys:
+                        df = df.filter(c.isNotNull())
                     by_cols.append(c)
             by = [c.alias(b.name) for c, b in zip(by_cols, step.by)]
             if not aggs:

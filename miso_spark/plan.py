@@ -124,6 +124,16 @@ class ByField:
 class SummarizeStep(Step):
     aggs: tuple[tuple[str, Agg], ...]  # (output name, agg)
     by: tuple[ByField, ...] = ()
+    #: ENGINE-INTERNAL (never parsed from a frontend): keep rows whose
+    #: group key is null/missing instead of the reference's pre-group
+    #: drop (summarize.rs:151). Used by the union split of dcount
+    #: (split_summarize_for_union): the dcount arg joins the partial's
+    #: group keys, and its null bucket is a DISTINCT dcount value the
+    #: merge must still see (tests.rs dcount_with_nulls) — the partial
+    #: is never user-visible, so the null-key drop contract doesn't
+    #: apply to it. Wire connectors refuse to absorb these (terms/
+    #: stats-by aggregations drop missing keys service-side).
+    keep_null_keys: bool = False
 
 
 @dataclass(frozen=True)

@@ -418,7 +418,10 @@ def _rewrite_summarize(sum_step, renames, literals, exprs):
             new_aggs.append((name, P.Agg(agg.kind, exprs[f])))
             continue
         new_aggs.append((name, agg))
-    return P.SummarizeStep(tuple(new_aggs), new_by), post
+    return (
+        P.SummarizeStep(tuple(new_aggs), new_by, sum_step.keep_null_keys),
+        post,
+    )
 
 
 def _propagation_hazard(lead, middle, end, renames, literals, exprs) -> bool:
@@ -609,20 +612,29 @@ def split_summarize_for_union(step):
     Project, with the reference's empty-input identity avg(∅) = 0.0
     (summarize.rs:655). ``post`` is None when no avg is present.
 
-    Returns None for splits that would CHANGE RESULTS. The reference
-    also splits dcount by joining its argument to the partial group
-    keys (convert_to_partial) — refused here entirely: the engine
-    drops null group keys (summarize.rs:151 parity) but counts a
-    PRESENT null as a distinct dcount value (tests.rs
-    dcount_with_nulls), so the partial's by-list would silently drop
-    the null bucket (and corrupt sibling aggregates' row sets).
+    Returns None for splits that would CHANGE RESULTS. ``dcount``
+    splits like the reference (convert_to_partial joins the argument
+    to the partial's group keys; the merge re-runs dcount over the
+    key column) — with one soundness divergence: the reference's
+    partial is a plain summarize that DROPS null group keys
+    (summarize.rs:151), silently losing the null bucket its own
+    dcount counts as a distinct value (tests.rs dcount_with_nulls)
+    and the arg-null rows from SIBLING aggregates. Here the partial
+    is an engine-INTERNAL ``keep_null_keys`` summarize (never
+    user-visible, never wire-absorbed — sources/pushdown.py refuses
+    it), so null/missing buckets survive to the merge and both
+    compile paths (typed add-one-null, variant "null"-JSON group)
+    agree with the unsplit plan row-for-row.
     Dotted output/by names are refused too: the merge step must
     reference the partial's FLAT output columns, and a dotted name
     would re-parse as a nested path.
     """
-    if any(a.kind not in ("count", "countif", "sum", "min", "max", "avg")
+    if any(a.kind not in ("count", "countif", "sum", "min", "max", "avg",
+                          "dcount")
            for _, a in step.aggs):
         return None
+    if step.keep_null_keys:
+        return None  # already a union-split partial
     names = [bf.name for bf in step.by] + [n for n, _ in step.aggs]
     if any("." in n or "[" in n for n in names):
         return None
@@ -636,10 +648,51 @@ def split_summarize_for_union(step):
         # insert would clobber)
         return None
     avg_present = any(a.kind == "avg" for _, a in step.aggs)
+    # dcount args join the partial's group keys (convert_to_partial):
+    # a plain-field arg reuses the field name (or an existing by key
+    # with the identical expression); computed args get an internal
+    # flat name. The comparison key is class-aware repr, not dataclass
+    # eq (Lit(True) == Lit(1) in Python).
+    dc_keys: dict[str, str] = {}
+    extra_by: list[P.ByField] = []
+    for name, agg in step.aggs:
+        if agg.kind != "dcount":
+            continue
+        if agg.arg is None:
+            return None
+        key = next(
+            (
+                bf.name
+                for bf in list(step.by) + extra_by
+                if repr(bf.expr) == repr(agg.arg)
+            ),
+            None,
+        )
+        if key is None:
+            f = _plain_name(agg.arg)
+            if f is not None and "." not in f and "[" not in f and f not in taken:
+                key = f
+            else:
+                key = f"{name}__dcarg"
+                if key in taken:
+                    return None
+            taken.add(key)
+            extra_by.append(P.ByField(agg.arg, key))
+        dc_keys[name] = key
     partial_aggs: list[tuple[str, P.Agg]] = []
     merge_aggs: list[tuple[str, P.Agg]] = []
     post: list[P.ProjectField] = []
     for name, agg in step.aggs:
+        if agg.kind == "dcount":
+            # no partial agg: the arg is a partial GROUP KEY; the merge
+            # re-counts distinct key values per original group (null
+            # bucket included — the keep_null_keys partial preserved it)
+            merge_aggs.append(
+                (name, P.Agg("dcount", Field.of(dc_keys[name])))
+            )
+            if avg_present:
+                post.append(P.ProjectField(Field.of(name), name))
+            continue
         if agg.kind == "avg":
             s, n = f"{name}_sum", f"{name}_num"
             partial_aggs.append((s, P.Agg("sum", agg.arg)))
@@ -663,7 +716,11 @@ def split_summarize_for_union(step):
             merge_aggs.append((name, P.Agg(agg.kind, Field.of(name))))
         if avg_present:
             post.append(P.ProjectField(Field.of(name), name))
-    partial = P.SummarizeStep(tuple(partial_aggs), tuple(step.by))
+    partial = P.SummarizeStep(
+        tuple(partial_aggs),
+        tuple(step.by) + tuple(extra_by),
+        keep_null_keys=bool(dc_keys),
+    )
     merge = P.SummarizeStep(
         tuple(merge_aggs),
         tuple(P.ByField(Field.of(bf.name), bf.name) for bf in step.by),
@@ -1418,7 +1475,9 @@ def propagate_filter_constraints(steps: list) -> tuple[list, bool]:
                     ch = ch or ne != bf.expr
                     new_by.append(P.ByField(ne, bf.name))
                 if ch:
-                    out[j] = P.SummarizeStep(t.aggs, tuple(new_by))
+                    out[j] = P.SummarizeStep(
+                        t.aggs, tuple(new_by), t.keep_null_keys
+                    )
                     changed = True
                 break  # schema changes past the summarize
             if isinstance(t, (P.Extend, P.Rename, P.Project)):
@@ -1509,7 +1568,7 @@ def fold_exprs(steps: list) -> tuple[list, bool]:
                 for n, a in s.aggs
             )
             if nb != s.by or na != s.aggs:
-                out[i] = P.SummarizeStep(na, nb)
+                out[i] = P.SummarizeStep(na, nb, s.keep_null_keys)
                 changed = True
     return out, changed
 

@@ -373,6 +373,12 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
             )
             nh = handle.apply_topn(sorts, step.n)
         elif isinstance(step, P.SummarizeStep):
+            if step.keep_null_keys:
+                # engine-internal union-split dcount partial: wire
+                # terms/stats-by aggregations drop null/missing group
+                # keys service-side, losing exactly the bucket this
+                # variant exists to keep — stays engine-side
+                break
             summ = step
             if static:
                 summ = P.SummarizeStep(

@@ -70,13 +70,12 @@ DELEGATED = {
     "remove_redundant_steps_before_count": "EliminateSorts/CollapseProject",
     "remove_redundant_steps_before_summarize": "EliminateSorts/CollapseProject",
     "dont_remove_sorts_before_limit_before_count": "EliminateSorts keeps the limit-guarded sort",
-    "summarize_into_union": (
-        "mixed dcount+count/sum split refused: the reference's partial "
-        "adds the dcount arg to the group keys and (its own summarize "
-        "dropping null keys, summarize.rs:151) loses the arg-null rows "
-        "from SIBLING aggregates — split_summarize_for_union only "
-        "splits result-preserving combinations"
-    ),
+    # summarize_into_union moved to EXACT in r11: the dcount split now
+    # fires with an engine-INTERNAL keep_null_keys partial (the
+    # reference's own partial drops null group keys, summarize.rs:151,
+    # losing the null bucket its dcount counts and the arg-null rows
+    # from sibling aggregates — ours keeps them; the flag is invisible
+    # to _norm's shape comparison and semantically strictly sounder)
     "remove_no_op_filter_where_true": "BooleanSimplification + PruneFilters",
     "where_false_short_circuits": "PruneFilters + PropagateEmptyRelation",
     # const_fold_* cases moved to EXACT in r10: fold_exprs

@@ -1048,3 +1048,101 @@ def test_rename_constraint_transfer_is_simultaneous():
     assert changed2, out2
     by2 = out2[-1].by[0].expr
     assert by2.branches[0][0] == BinOp("eq", Lit(5), Lit(5)), out2
+
+
+def test_dcount_union_split_shape():
+    # r11 (mux_into_union.rs summarize_into_union): dcount splits —
+    # the arg joins the partial's group keys (reusing a by key with
+    # the identical expression, else the field name) and the merge
+    # re-runs dcount over the key column. The partial is the
+    # engine-INTERNAL keep_null_keys variant: unlike the reference's
+    # own partial (drops null keys, summarize.rs:151), it preserves
+    # the null bucket dcount counts as a distinct value and the
+    # arg-null rows of sibling aggregates.
+    out = opt(
+        "m.a | union (m.b) | summarize c = count(), s = sum(y),"
+        " d = dcount(x), dd = dcount(z) by x"
+    )
+    assert kinds(out) == ["Scan", "SummarizeStep", "Union", "SummarizeStep"]
+    partial, merge = out[1], out[3]
+    assert partial.keep_null_keys
+    assert [bf.name for bf in partial.by] == ["x", "z"]
+    assert dict(partial.aggs) == {
+        "c": P.Agg("count"),
+        "s": P.Agg("sum", Field.of("y")),
+    }
+    assert not merge.keep_null_keys
+    assert [bf.name for bf in merge.by] == ["x"]
+    assert dict(merge.aggs) == {
+        "c": P.Agg("sum", Field.of("c")),
+        "s": P.Agg("sum", Field.of("s")),
+        "d": P.Agg("dcount", Field.of("x")),
+        "dd": P.Agg("dcount", Field.of("z")),
+    }
+    # each branch ends with the same partial
+    assert out[2].sub.steps[-1] == partial
+    # a computed arg gets an internal flat key name
+    out2 = opt("m.a | union (m.b) | summarize d = dcount(x + 1) by g")
+    partial2 = out2[1]
+    assert partial2.keep_null_keys
+    assert [bf.name for bf in partial2.by] == ["g", "d__dcarg"]
+    assert dict(out2[3].aggs) == {"d": P.Agg("dcount", Field.of("d__dcarg"))}
+
+
+def test_dcount_union_split_results(spark):
+    # differential: the split must preserve results with a PRESENT
+    # null arg (a distinct dcount value — tests.rs dcount_with_nulls),
+    # a branch-ABSENT arg column, and sibling aggregates, on both the
+    # typed and the per-row dynamic (VARIANT) representation
+    import json
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.dynamic import ingest_json_dynamic
+    from miso_spark.sources import MemorySource, SourceRegistry
+
+    a_rows = [(1, "g1", 10), (2, "g1", None), (3, "g1", 10),
+              (4, "g2", 20), (5, "g2", None), (6, None, 30)]
+    b_rows = [(100, "g1"), (101, "g2"), (102, "g1")]  # no y column
+
+    def rows_of(data, names):
+        return [
+            {k: v for k, v in zip(names, r) if v is not None} for r in data
+        ]
+
+    mem_t = MemorySource()
+    mem_t.put("a", spark.createDataFrame(a_rows, "id long, g string, y long"))
+    mem_t.put("b", spark.createDataFrame(b_rows, "id long, g string"))
+    mem_d = MemorySource()
+    mem_d.put("a", ingest_json_dynamic(
+        spark, rows_of(a_rows, ["id", "g", "y"]), keys=["id", "g", "y"]))
+    mem_d.put("b", ingest_json_dynamic(
+        spark, rows_of(b_rows, ["id", "g"]), keys=["id", "g"]))
+
+    for mem in (mem_t, mem_d):
+        rig = Compiler(SourceRegistry(spark).register("m", mem))
+        for q in (
+            "m.a | union (m.b) | summarize d = dcount(y), n = count() by g",
+            "m.a | union (m.b) | summarize d = dcount(y)",
+            "m.a | union (m.b) | summarize d = dcount(g), s = sum(y)",
+        ):
+            plan = parse_kql(q)
+            o = optimize_steps(plan.steps)
+            assert o != tuple(plan.steps), (q, "split did not fire")
+
+            def rows(df):
+                from pyspark.sql.types import VariantVal
+
+                out = []
+                for r in df.collect():
+                    d = {
+                        k: (v.toPython() if isinstance(v, VariantVal) else v)
+                        for k, v in r.asDict().items()
+                    }
+                    out.append(json.dumps(
+                        {k: v for k, v in d.items() if v is not None},
+                        sort_keys=True, default=str))
+                return sorted(out)
+
+            base = rows(rig.run(plan))
+            split = rows(rig.run(P.Plan(o)))
+            assert split == base, (q, mem is mem_d, base, split)

@@ -69,7 +69,7 @@ def rig(spark):
 # schema-tracked pipeline generator
 
 
-NUM_COLS = {"id", "x", "y", "bx", "bid", "n", "sx", "mx", "av", "ci", "Count"}
+NUM_COLS = {"id", "x", "y", "bx", "bid", "n", "sx", "mx", "av", "ci", "dc", "Count"}
 
 
 @st.composite
@@ -208,7 +208,7 @@ def pipelines(draw) -> str:
             c = draw(st.sampled_from(nums))
             aggs = draw(
                 st.sets(
-                    st.sampled_from(["n", "sx", "mx", "av", "ci"]),
+                    st.sampled_from(["n", "sx", "mx", "av", "ci", "dc"]),
                     min_size=1,
                     max_size=3,
                 )
@@ -223,6 +223,11 @@ def pipelines(draw) -> str:
                     frag.append(f"mx = max({c})")
                 elif a == "av":
                     frag.append(f"av = avg({c})")
+                elif a == "dc":
+                    # r11: dcount now union-splits (keep_null_keys
+                    # partial) — generated here so the differential
+                    # covers the split across typed AND dynamic rigs
+                    frag.append(f"dc = dcount({c})")
                 else:
                     frag.append(f"ci = countif({c} > 3)")
             by = None
@@ -266,11 +271,17 @@ _R10_BYLESS_FOLD = (
 _R10_GLOBAL_DROP = "m.a | extend e1 = 7 | project e1, id | summarize mx = max(e1)"
 _R11_LIT_LEFT_GT = "m.a | union (m.b) | where 5 > x"
 _R11_NOT_IN_MISSING = 'm.a | union (m.b) | where not(s in ("s1"))'
+_R11_DCOUNT_SPLIT = (
+    "m.a | union (m.b) | summarize dc = dcount(y), n = count() by g"
+)
+_R11_DCOUNT_GLOBAL = "m.a | union (m.b) | summarize dc = dcount(x)"
 _SEEDS = (
     _R10_BYLESS_FOLD,
     _R10_GLOBAL_DROP,
     _R11_LIT_LEFT_GT,
     _R11_NOT_IN_MISSING,
+    _R11_DCOUNT_SPLIT,
+    _R11_DCOUNT_GLOBAL,
 )
 
 
