@@ -1,0 +1,386 @@
+"""Whole-query KQL ↔ DuckDB differential fuzzer.
+
+The rewrite-soundness property suites (test_rewrite_property.py)
+compare optimized-vs-unoptimized plans on the SAME engine — a compile
+bug that affects both sides is invisible to them. This suite closes
+that hole: hypothesis generates random pipelines as PAIRED (KQL, SQL)
+programs from one draw, runs the KQL through the full engine
+(parse → optimize → compile → Spark) and the SQL through DuckDB over
+the same rows, and asserts multiset equality. It is the driver's
+oracle model (CORRECTNESS_r*.json) generalized from 50 fixed queries
+to the generated space.
+
+The SQL side encodes the ENGINE's documented semantics explicitly
+(they are deliberate, reference-pinned divergences from ANSI — see
+SURVEY §3), so any mismatch is an engine bug, not a dialect gap:
+
+- total-order comparisons (value/mod.rs:147): null is the smallest
+  value, so ``x != 5`` / ``x < 5`` / ``x <= 5`` are TRUE for null x
+  → SQL ``(x IS NULL OR …)``; eq/gt/gte are FALSE for null → plain.
+- ``!between`` / ``not(in)`` keep null bases (negation of a proper
+  FALSE) → SQL ``(x IS NULL OR NOT …)``.
+- summarize drops null GROUP KEYS pre-grouping (summarize.rs:151)
+  → SQL ``WHERE k IS NOT NULL``; fielded distinct is the same
+  lowering (query_to_workflow.rs:146).
+- sum starts at 0 and avg(∅) = 0.0 (summarize.rs:513,655)
+  → ``coalesce(sum…, 0)`` / ``coalesce(avg…, 0.0)``.
+- dcount counts a present null as a distinct value (tests.rs
+  dcount_with_nulls) → ``count(DISTINCT x) + (any-null ? 1 : 0)``.
+- sort defaults asc / nulls LAST (kql/parser.py:329) → explicit
+  ``NULLS LAST``; ``take`` only generates after a total sort over
+  every live column, so ties are identical rows and the limited
+  multiset is deterministic (same discipline as the rewrite suite).
+- union is by-name with missing columns null-filled → DuckDB
+  ``UNION ALL BY NAME``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from miso_spark.compiler import Compiler
+from miso_spark.kql import parse_kql
+from miso_spark.rewrite import optimize_steps
+from miso_spark import plan as P
+from miso_spark.sources import MemorySource, SourceRegistry
+
+A_ROWS = [
+    (
+        i,
+        None if i % 7 == 3 else (i * 3) % 11,
+        None if i % 5 == 4 else float((i * 2) % 9),
+        None if i % 6 == 5 else f"s{i % 4}",
+        f"g{i % 3}",
+    )
+    for i in range(40)
+]
+B_ROWS = [
+    (
+        1000 + i,
+        None if i % 4 == 2 else (i * 5) % 13,
+        f"t{i % 3}",
+    )
+    for i in range(20)
+]
+
+A_SCHEMA = "id long, x long, y double, s string, g string"
+B_SCHEMA = "id long, x long, t string"
+
+
+@pytest.fixture(scope="module")
+def rig(spark):
+    mem = MemorySource()
+    mem.put("a", spark.createDataFrame(A_ROWS, A_SCHEMA))
+    mem.put("b", spark.createDataFrame(B_ROWS, B_SCHEMA))
+    return Compiler(SourceRegistry(spark).register("m", mem))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a (id BIGINT, x BIGINT, y DOUBLE, s VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO a VALUES (?, ?, ?, ?, ?)", A_ROWS)
+    con.execute("CREATE TABLE b (id BIGINT, x BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?, ?, ?)", B_ROWS)
+    return con
+
+
+# ---------------------------------------------------------------------------
+# paired-program generator: one draw emits the KQL step AND its SQL
+# wrapping simultaneously, tracking the live column set (and numeric
+# classification) exactly like the rewrite suite's generator
+
+
+NUM = "num"
+STR = "str"
+
+
+def _cmp_sql(col: str, op: str, lit) -> str:
+    """Total-order comparison vs a non-null literal (null smallest)."""
+    v = f"'{lit}'" if isinstance(lit, str) else str(lit)
+    if op == "==":
+        return f"({col} = {v})"
+    if op == ">":
+        return f"({col} > {v})"
+    if op == ">=":
+        return f"({col} >= {v})"
+    if op == "!=":
+        return f"({col} IS NULL OR {col} <> {v})"
+    if op == "<":
+        return f"({col} IS NULL OR {col} < {v})"
+    if op == "<=":
+        return f"({col} IS NULL OR {col} <= {v})"
+    raise AssertionError(op)
+
+
+@st.composite
+def programs(draw):
+    cols: dict[str, str] = {
+        "id": NUM, "x": NUM, "y": NUM, "s": STR, "g": STR,
+    }
+    kql = ["m.a"]
+    sql = "SELECT * FROM a"
+    ext_n = 0
+    n_steps = draw(st.integers(min_value=1, max_value=5))
+    for step_i in range(n_steps):
+        choices = ["where", "extend", "sort_take", "union", "summarize",
+                   "count"]
+        if len(cols) > 1:
+            choices.append("project")
+            choices.append("distinct")
+        kind = draw(st.sampled_from(choices))
+
+        if kind == "where":
+            nums = sorted(n for n, t in cols.items() if t == NUM)
+            strs = sorted(n for n, t in cols.items() if t == STR)
+            arms = ["exists"]
+            if nums:
+                arms += ["num", "in", "between", "combo"]
+            if strs:
+                arms.append("str")
+            arm = draw(st.sampled_from(arms))
+            if arm == "num":
+                c = draw(st.sampled_from(nums))
+                op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
+                lit = draw(st.integers(min_value=0, max_value=8))
+                kql.append(f"where {c} {op} {lit}")
+                pred = _cmp_sql(c, op, lit)
+            elif arm == "in":
+                c = draw(st.sampled_from(nums))
+                vals = sorted(
+                    draw(st.sets(st.integers(0, 8), min_size=1, max_size=3))
+                )
+                vs = ", ".join(map(str, vals))
+                if draw(st.booleans()):
+                    kql.append(f"where not({c} in ({vs}))")
+                    pred = f"({c} IS NULL OR {c} NOT IN ({vs}))"
+                else:
+                    kql.append(f"where {c} in ({vs})")
+                    pred = f"({c} IN ({vs}))"
+            elif arm == "between":
+                c = draw(st.sampled_from(nums))
+                lo = draw(st.integers(0, 6))
+                hi = lo + draw(st.integers(0, 5))
+                if draw(st.booleans()):
+                    kql.append(f"where {c} !between ({lo} .. {hi})")
+                    pred = (
+                        f"({c} IS NULL OR NOT ({c} >= {lo} AND {c} <= {hi}))"
+                    )
+                else:
+                    kql.append(f"where {c} between ({lo} .. {hi})")
+                    pred = f"({c} >= {lo} AND {c} <= {hi})"
+            elif arm == "combo":
+                c1, c2 = (draw(st.sampled_from(nums)) for _ in range(2))
+                j = draw(st.sampled_from(["and", "or"]))
+                l1, l2 = (draw(st.integers(0, 8)) for _ in range(2))
+                o1 = draw(st.sampled_from([">", "<", "=="]))
+                o2 = draw(st.sampled_from([">", ">=", "!="]))
+                kql.append(f"where {c1} {o1} {l1} {j} {c2} {o2} {l2}")
+                # the engine's and/or are over PROPER total-order
+                # booleans (no unknowns on typed columns), so plain
+                # SQL AND/OR over the total-order terms is exact
+                pred = (
+                    f"({_cmp_sql(c1, o1, l1)} {j.upper()}"
+                    f" {_cmp_sql(c2, o2, l2)})"
+                )
+            elif arm == "str":
+                c = draw(st.sampled_from(strs))
+                sop = draw(st.sampled_from(["contains", "startswith", "=="]))
+                lit = draw(st.sampled_from(["s1", "t2", "g0", "1"]))
+                kql.append(f'where {c} {sop} "{lit}"')
+                if sop == "contains":
+                    pred = f"contains({c}, '{lit}')"
+                elif sop == "startswith":
+                    pred = f"starts_with({c}, '{lit}')"
+                else:
+                    pred = f"({c} = '{lit}')"
+            else:
+                c = draw(st.sampled_from(sorted(cols)))
+                if draw(st.booleans()):
+                    kql.append(f"where not(exists({c}))")
+                    pred = f"({c} IS NULL)"
+                else:
+                    kql.append(f"where exists({c})")
+                    pred = f"({c} IS NOT NULL)"
+            sql = f"SELECT * FROM ({sql}) w{step_i} WHERE {pred}"
+        elif kind == "extend":
+            nums = sorted(n for n, t in cols.items() if t == NUM)
+            ext_n += 1
+            name = f"e{ext_n}"
+            if nums and draw(st.booleans()):
+                c = draw(st.sampled_from(nums))
+                kql.append(f"extend {name} = {c} + 1")
+                expr = f"{c} + 1"
+            else:
+                kql.append(f"extend {name} = 7")
+                expr = "7"
+            sql = f"SELECT *, {expr} AS {name} FROM ({sql}) x{step_i}"
+            cols[name] = NUM
+        elif kind == "project":
+            keep = sorted(
+                draw(
+                    st.sets(
+                        st.sampled_from(sorted(cols)),
+                        min_size=1,
+                        max_size=len(cols),
+                    )
+                )
+            )
+            kql.append("project " + ", ".join(keep))
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) p{step_i}"
+            cols = {k: cols[k] for k in keep}
+        elif kind == "sort_take":
+            live = sorted(cols)
+            orders = [draw(st.sampled_from(["asc", "desc"])) for _ in live]
+            kql.append(
+                "sort by " + ", ".join(
+                    f"{c} {o}" for c, o in zip(live, orders)
+                )
+            )
+            order_sql = ", ".join(
+                f"{c} {o.upper()} NULLS LAST" for c, o in zip(live, orders)
+            )
+            sql = f"SELECT * FROM ({sql}) o{step_i} ORDER BY {order_sql}"
+            if draw(st.booleans()):
+                n = draw(st.integers(min_value=1, max_value=30))
+                kql.append(f"take {n}")
+                sql = f"{sql} LIMIT {n}"
+        elif kind == "union":
+            bpred_kql, bpred_sql = "", ""
+            if draw(st.booleans()):
+                lit = draw(st.integers(0, 9))
+                bpred_kql = f" | where x >= {lit}"
+                bpred_sql = f" WHERE x >= {lit}"
+            kql.append(f"union (m.b{bpred_kql})")
+            sql = (
+                f"SELECT * FROM (({sql}) UNION ALL BY NAME "
+                f"(SELECT * FROM b{bpred_sql})) u{step_i}"
+            )
+            cols = {**cols, "id": NUM, "x": NUM, "t": STR}
+        elif kind == "summarize":
+            nums = sorted(n for n, t in cols.items() if t == NUM)
+            if not nums:
+                continue
+            c = draw(st.sampled_from(nums))
+            picked = sorted(
+                draw(
+                    st.sets(
+                        st.sampled_from(["n", "sx", "mx", "av", "ci", "dc"]),
+                        min_size=1,
+                        max_size=3,
+                    )
+                )
+            )
+            frags, sels = [], []
+            for a in picked:
+                if a == "n":
+                    frags.append("n = count()")
+                    sels.append("count(*) AS n")
+                elif a == "sx":
+                    frags.append(f"sx = sum({c})")
+                    sels.append(f"coalesce(sum({c}), 0) AS sx")
+                elif a == "mx":
+                    frags.append(f"mx = max({c})")
+                    sels.append(f"max({c}) AS mx")
+                elif a == "av":
+                    frags.append(f"av = avg({c})")
+                    sels.append(f"coalesce(avg({c}), 0.0) AS av")
+                elif a == "dc":
+                    frags.append(f"dc = dcount({c})")
+                    sels.append(
+                        f"(count(DISTINCT {c}) + CASE WHEN"
+                        f" count(*) > count({c}) THEN 1 ELSE 0 END) AS dc"
+                    )
+                else:
+                    frags.append(f"ci = countif({c} > 3)")
+                    sels.append(
+                        f"count(CASE WHEN {c} > 3 THEN 1 END) AS ci"
+                    )
+            by = None
+            by_choices = sorted(set(cols) - {c})
+            if by_choices and draw(st.booleans()):
+                by = draw(st.sampled_from(by_choices))
+            kql.append(
+                "summarize " + ", ".join(frags) + (f" by {by}" if by else "")
+            )
+            if by:
+                sql = (
+                    f"SELECT {by}, {', '.join(sels)} FROM ({sql}) s{step_i}"
+                    f" WHERE {by} IS NOT NULL GROUP BY {by}"
+                )
+            else:
+                sql = f"SELECT {', '.join(sels)} FROM ({sql}) s{step_i}"
+            cols = {a: NUM for a in picked}
+            if by:
+                cols[by] = NUM if by in nums else STR
+        elif kind == "distinct":
+            keep = sorted(
+                draw(
+                    st.sets(
+                        st.sampled_from(sorted(cols)),
+                        min_size=1,
+                        max_size=min(3, len(cols)),
+                    )
+                )
+            )
+            kql.append("distinct " + ", ".join(keep))
+            notnull = " AND ".join(f"{k} IS NOT NULL" for k in keep)
+            sql = (
+                f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) d{step_i}"
+                f" WHERE {notnull}"
+            )
+            cols = {k: cols[k] for k in keep}
+        else:  # count
+            kql.append("count")
+            sql = f'SELECT count(*) AS "Count" FROM ({sql}) c{step_i}'
+            cols = {"Count": NUM}
+    return " | ".join(kql), sql
+
+
+def _norm_rows(pairs) -> list[str]:
+    out = []
+    for row in pairs:
+        d = {}
+        for k, v in row.items():
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == int(v):
+                    # 5.0 and 5 stringify differently; the engine and
+                    # DuckDB may type a column float vs int (e.g. sum
+                    # over an int-coerced double) — compare numerically
+                    v = int(v)
+            out_v = v
+            d[k] = out_v
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+def _spark_rows(df) -> list[str]:
+    return _norm_rows(r.asDict() for r in df.collect())
+
+
+def _duck_rows(con, sql: str) -> list[str]:
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    return _norm_rows(dict(zip(names, row)) for row in res.fetchall())
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prog=programs())
+def test_engine_matches_duckdb(rig, duck, prog):
+    kql, sql = prog
+    plan = parse_kql(kql)
+    # run the OPTIMIZED plan — the full production path for this
+    # source class, so a rewrite bug shows up here too
+    engine = _spark_rows(rig.run(P.Plan(optimize_steps(plan.steps))))
+    oracle = _duck_rows(duck, sql)
+    assert engine == oracle, f"divergence for: {kql}\nsql: {sql}"
