@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality",
     "decontaminate",
     "token_budget_filter",
+    "asof_join",
+    "range_join",
     "corpus_bigram_logprob",
     "dynamic_filter",
     "dynamic_at_rest",
@@ -316,7 +318,16 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
 #: entry — a row-width regression (e.g. banding starting to carry text
 #: instead of hashed longs) should surface as bytes/row here before it
 #: costs wall time at sf1)
-SHUFFLE_PROFILE = {"dedup_minhash_verified", "near_dedup_pipeline"}
+SHUFFLE_PROFILE = {
+    "dedup_minhash_verified",
+    "near_dedup_pipeline",
+    # r11: the other width-sensitive exchanges (r10 verdict #7) — the
+    # tagged-union single shuffle (asof), the bin-bucketed hash join
+    # (range), and the two-pass prefix sum (token budget)
+    "asof_join",
+    "range_join",
+    "token_budget_filter",
+}
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:
@@ -359,6 +370,30 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(bench_dir, "lineitem.parquet"))
     warm.limit(1000).write.format("noop").mode("overwrite").save()
 
+    # load sentinel (r10 verdict #6): a fixed, shuffle-free, CPU-bound
+    # 32-task stage with a KNOWN cost. Its time moves with background
+    # container load and NOT with any plan in this repo, so a BENCH
+    # artifact self-reports whether it was taken on a clean machine:
+    # uniform inflation of the sentinel ≈ uniform inflation of every
+    # entry (environment), a clean sentinel with one drifted entry is
+    # a real plan regression. BASELINE.md records update only when the
+    # sentinel is within tolerance of its record.
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 48_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 7) as s"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = -1.0
+    calib_sec = _calibrate()
+
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     singles: dict[str, float] = {}
@@ -397,6 +432,10 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         singles[name] = round(runs[0], 3)
 
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = -1.0
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_sec",
@@ -408,6 +447,11 @@ def main() -> None:
         "repeat": repeat,
         "sf": sf,
         "shuffle_profile": shuffle_profile,
+        "sentinel": {
+            "calib_sec": calib_sec,
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+        },
     }
 
     # sf1 scaling arm (one decade up from sf0.1; best-of-2 per query —

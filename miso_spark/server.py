@@ -526,6 +526,14 @@ class MisoServer:
                         for name, src in server_self.miso.registry.sources().items()
                         if getattr(src, "bytes_downloaded", 0)
                     }
+                    # wire-savings gauge (r11): hit documents fetched
+                    # driver-side per connector — the number the join
+                    # pushes and used-field narrowing exist to shrink
+                    snap["fetched_docs_total"] = {
+                        name: src.docs_fetched
+                        for name, src in server_self.miso.registry.sources().items()
+                        if getattr(src, "docs_fetched", 0)
+                    }
                     if "format=prometheus" in self.path or "text/plain" in (
                         self.headers.get("Accept") or ""
                     ):

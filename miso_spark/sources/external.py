@@ -118,6 +118,12 @@ class ExternalHttpSource(Source):
         #: counter, labeled by connector); executor-side sliced fetches
         #: aren't counted here — they never cross the driver
         self.bytes_downloaded = 0
+        #: driver-side hit documents materialized from search responses
+        #: (the wire-savings gauge: the join pushes and used-field
+        #: narrowing exist to shrink exactly this number and
+        #: bytes_downloaded — tests assert the delta on the motivating
+        #: shapes; /metrics serves both per connector)
+        self.docs_fetched = 0
         #: per-THREAD pending list (see _pending_persisted): the server
         #: runs concurrent queries against one shared Source instance,
         #: and a process-wide list would let query A adopt — and later
@@ -419,6 +425,7 @@ class QuickwitSource(ExternalHttpSource):
             return df
         payload = self._request_json(path, body)
         docs = [h["_source"] for h in payload["hits"]["hits"]]
+        self.docs_fetched += len(docs)
         scroll_id = payload.get("_scroll_id")
         while docs and scroll_id and (handle.limit is None or len(docs) < handle.limit):
             payload = self._request_json(
@@ -426,6 +433,7 @@ class QuickwitSource(ExternalHttpSource):
                 {"scroll_id": scroll_id, "scroll": f"{self.scroll_timeout_ms}ms"},
             )
             page = [h["_source"] for h in payload["hits"]["hits"]]
+            self.docs_fetched += len(page)
             if not page:
                 break
             docs.extend(page)
@@ -633,6 +641,7 @@ class ElasticsearchSource(ExternalHttpSource):
                 body,
             )
             docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+            self.docs_fetched += len(docs)
             scroll_id = payload.get("_scroll_id")
             while docs and scroll_id and (handle.limit is None or len(docs) < handle.limit):
                 payload = self._post_json(
@@ -640,6 +649,7 @@ class ElasticsearchSource(ExternalHttpSource):
                     {"scroll": f"{self.scroll_timeout_s}s", "scroll_id": scroll_id},
                 )
                 page = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+                self.docs_fetched += len(page)
                 if not page:
                     break
                 docs.extend(page)
@@ -668,6 +678,7 @@ class ElasticsearchSource(ExternalHttpSource):
             body = {"query": query or {"match_all": {}}, "size": size}
             payload = self._post_json(f"/{collection}/_search", body)
         docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
+        self.docs_fetched += len(docs)
         # json-lines through spark.read.json: schema inference matches
         # how the json_dir source types documents
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
@@ -960,6 +971,7 @@ class SplunkSource(ExternalHttpSource):
             page = payload.get("results", [])
             if not page:
                 return docs
+            self.docs_fetched += len(page)
             docs.extend(transform_splunk_row(r) for r in page)
             offset += len(page)
 

@@ -516,3 +516,47 @@ def test_folded_filters_reach_the_wire(spark, rigs):
     q3 = "test.stack | where questionId > 5 and questionId < 3"
     rows3 = _rows(push.run(parse_kql(q3)))
     assert rows3 == [] == _rows(plain.run(parse_kql(q3)))
+
+
+def test_wire_savings_gauge_join_push(spark, rigs):
+    """r10's push_filter_into_join / push_project_into_join exist to
+    cut wire volume; this pins the cut (r10 verdict #5). For
+    ``a | join (b | project ...) on k | where b_field > n`` the right
+    side's wire request must carry the filter, so the pushed run
+    fetches strictly fewer hit documents than the refuse-all run —
+    with identical results."""
+    stub, src = rigs["Quickwit"]
+    push, plain = _compilers(spark, src)
+    q = (
+        "test.stack | join kind=inner"
+        " (test.stack_mirror | project questionId, aid = answerId)"
+        " on questionId | where aid > 5"
+    )
+    d0 = src.docs_fetched
+    push_rows = _rows(push.run(parse_kql(q)))
+    push_docs = src.docs_fetched - d0
+    d0 = src.docs_fetched
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    plain_docs = src.docs_fetched - d0
+    assert push_rows == plain_rows
+    assert push_rows  # non-degenerate: the join matched something
+    assert push_docs < plain_docs, (push_docs, plain_docs)
+
+
+def test_wire_savings_gauge_refused_tail_narrowing(spark, rigs):
+    """The r10 used-field narrowing (refused computed-project tail →
+    _source_includes) must shrink the bytes actually downloaded, not
+    just the request shape (r10 verdict #5): the pushed run downloads
+    fewer response bytes than the refuse-all full-width fetch for the
+    same rows."""
+    stub, src = rigs["Quickwit"]
+    push, plain = _compilers(spark, src)
+    q = "test.stack | project qid2 = questionId * 2, t = type"
+    b0 = src.bytes_downloaded
+    push_rows = _rows(push.run(parse_kql(q)))
+    push_bytes = src.bytes_downloaded - b0
+    b0 = src.bytes_downloaded
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    plain_bytes = src.bytes_downloaded - b0
+    assert push_rows == plain_rows
+    assert push_bytes < plain_bytes, (push_bytes, plain_bytes)

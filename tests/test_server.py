@@ -507,8 +507,11 @@ def test_downloaded_bytes_metric_labeled_by_connector(spark):
         list(_post(srv, "/query", {"query": "qw.logs | take 1"}))
         m = json.load(_get(srv, "/metrics"))
         assert m["downloaded_bytes_total"].get("qw", 0) > 0
+        # r11 wire-savings gauge: hit docs fetched, same labeling
+        assert m["fetched_docs_total"].get("qw", 0) > 0
         text = _get(srv, "/metrics?format=prometheus").read().decode()
         assert 'miso_downloaded_bytes_total{connector="qw"}' in text
+        assert 'miso_fetched_docs_total{connector="qw"}' in text
     finally:
         srv.shutdown()
         stub.shutdown()
