@@ -435,7 +435,14 @@ q(
 )
 
 q(
-    "casts_op",
+    "casts_op",  # casts + (r11) cross-class TYPED comparisons in one
+    # row: the r10 total-order semantics (exprs.py _cross_class_cmp,
+    # value/mod.rs:147 class ranks Bool < numbers < String) get a
+    # driver-oracle cell via CASE-encoded DuckDB equivalents —
+    # string-vs-int is TRUE/FALSE by class rank (never a coercion
+    # crash), null is the smallest value, bool ranks below numbers.
+    # s1 is null on ~5/7 of rows (extract yields null on no match),
+    # so both branches of each comparison are exercised.
     kql="""
     t.lineitem
     | project l_orderkey, l_linenumber,
@@ -443,13 +450,30 @@ q(
               q_str = tostring(l_linenumber),
               big = tobool(iff(l_quantity > 25, 1, 0)),
               price_long = tolong(l_extendedprice)
+    | extend s1 = extract('^([12].*)', 1, q_str)
+    | extend cc_sgt = s1 > 5, cc_slt = s1 < 5, cc_seq = s1 == 5,
+             cc_blt = big < 5, cc_bgt = big > 5
+    | project l_orderkey, l_linenumber, q_int, q_str, big, price_long,
+              cc_sgt, cc_slt, cc_seq, cc_blt, cc_bgt
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(TRUNC(l_quantity) AS BIGINT) AS q_int,
            CAST(l_linenumber AS VARCHAR) AS q_str,
            CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS BOOLEAN) AS big,
-           CAST(TRUNC(l_extendedprice) AS BIGINT) AS price_long
+           CAST(TRUNC(l_extendedprice) AS BIGINT) AS price_long,
+           -- cross-class by total-order class rank: String > Number
+           -- when present, Null smallest, Bool < Number, eq never
+           -- crosses classes
+           (NULLIF(regexp_extract(CAST(l_linenumber AS VARCHAR),
+                                  '^([12].*)', 1), '') IS NOT NULL)
+               AS cc_sgt,
+           (NULLIF(regexp_extract(CAST(l_linenumber AS VARCHAR),
+                                  '^([12].*)', 1), '') IS NULL)
+               AS cc_slt,
+           FALSE AS cc_seq,
+           TRUE AS cc_blt,
+           FALSE AS cc_bgt
     FROM lineitem
     """,
 )
