@@ -382,7 +382,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            spark.range(0, 48_000_000, 1, 32).selectExpr(
+            # ~0.5 s of pure whole-stage-codegen arithmetic: long
+            # enough that stage-launch variance (~±50 ms) is noise,
+            # short enough to cost nothing against the bench
+            spark.range(0, 256_000_000, 1, 32).selectExpr(
                 "sum(id * 3 + 7) as s"
             ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
