@@ -395,6 +395,8 @@ def main() -> None:
         load_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_start = -1.0
+    _calibrate()  # discarded: C2-compile the calibration codegen so
+    # the start reading measures the same warm path as the end one
     calib_sec = _calibrate()
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
@@ -439,6 +441,12 @@ def main() -> None:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = -1.0
+    # second calibration AFTER the headline set: host-level contention
+    # can arrive mid-run (observed in r11 — every entry uniformly
+    # +40% while the start sentinel read clean), so a single
+    # point-in-time reading under-reports; a run is clean only when
+    # BOTH readings are within tolerance
+    calib_sec_end = _calibrate()
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_sec",
@@ -452,6 +460,7 @@ def main() -> None:
         "shuffle_profile": shuffle_profile,
         "sentinel": {
             "calib_sec": calib_sec,
+            "calib_sec_end": calib_sec_end,
             "loadavg_start": load_start,
             "loadavg_end": load_end,
         },
