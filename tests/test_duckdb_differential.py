@@ -32,6 +32,9 @@ SURVEY §3), so any mismatch is an engine bug, not a dialect gap:
   multiset is deterministic (same discipline as the rewrite suite).
 - union is by-name with missing columns null-filled → DuckDB
   ``UNION ALL BY NAME``.
+- join keys are NULL-SAFE equal by default (the reference's hash join
+  hashes Value::Null like any value — tests.rs join_with_null_keys)
+  → DuckDB ``IS NOT DISTINCT FROM``.
 """
 
 from __future__ import annotations
@@ -129,10 +132,14 @@ def programs(draw):
     n_steps = draw(st.integers(min_value=1, max_value=5))
     for step_i in range(n_steps):
         choices = ["where", "extend", "sort_take", "union", "summarize",
-                   "count"]
+                   "count", "rename"]
         if len(cols) > 1:
             choices.append("project")
             choices.append("distinct")
+        if not {"bid", "bx", "t"} & set(cols) and any(
+            t == NUM for t in cols.values()
+        ):
+            choices.append("join")
         kind = draw(st.sampled_from(choices))
 
         if kind == "where":
@@ -212,15 +219,51 @@ def programs(draw):
             nums = sorted(n for n, t in cols.items() if t == NUM)
             ext_n += 1
             name = f"e{ext_n}"
-            if nums and draw(st.booleans()):
+            arm = draw(st.sampled_from(["plus", "lit", "iff"] if nums
+                                       else ["lit"]))
+            if arm == "plus":
                 c = draw(st.sampled_from(nums))
                 kql.append(f"extend {name} = {c} + 1")
                 expr = f"{c} + 1"
+            elif arm == "iff":
+                # iff over a total-order comparison: a null operand is
+                # proper FALSE (smallest value), same rows as SQL's
+                # unknown-takes-ELSE for gt; literal branches
+                c = draw(st.sampled_from(nums))
+                lit = draw(st.integers(0, 8))
+                kql.append(f"extend {name} = iff({c} > {lit}, 1, 0)")
+                expr = f"CASE WHEN {c} > {lit} THEN 1 ELSE 0 END"
             else:
                 kql.append(f"extend {name} = 7")
                 expr = "7"
             sql = f"SELECT *, {expr} AS {name} FROM ({sql}) x{step_i}"
             cols[name] = NUM
+        elif kind == "rename":
+            src_col = draw(st.sampled_from(sorted(cols)))
+            ext_n += 1
+            name = f"r{ext_n}"
+            kql.append(f"project-rename {name} = {src_col}")
+            others = [c for c in sorted(cols) if c != src_col]
+            sel = ", ".join([f"{src_col} AS {name}"] + others)
+            sql = f"SELECT {sel} FROM ({sql}) r{step_i}"
+            cols[name] = cols.pop(src_col)
+        elif kind == "join":
+            k = draw(st.sampled_from(["inner", "left"]))
+            nums = sorted(n for n, t in cols.items() if t == NUM)
+            on_left = draw(st.sampled_from(nums))
+            kql.append(
+                f"join kind={k} (m.b | project-rename bid = id, bx = x)"
+                f" on $left.{on_left} == $right.bx"
+            )
+            jk = "JOIN" if k == "inner" else "LEFT JOIN"
+            # engine join keys are NULL-SAFE equal (null matches null)
+            sql = (
+                f"SELECT * FROM ({sql}) jl{step_i} {jk} "
+                f"(SELECT id AS bid, x AS bx, t FROM b) jr{step_i}"
+                f" ON jl{step_i}.{on_left} IS NOT DISTINCT FROM"
+                f" jr{step_i}.bx"
+            )
+            cols = {**cols, "bid": NUM, "bx": NUM, "t": STR}
         elif kind == "project":
             keep = sorted(
                 draw(

@@ -336,17 +336,21 @@ def test_distinct_after_union_splits_as_by_only():
     assert out[1].aggs == () and out[3].aggs == ()
 
 
-def test_dcount_never_splits():
-    # the reference splits dcount by joining its arg to the partial
-    # group keys (convert_to_partial) — but the engine counts a
-    # PRESENT null as a distinct dcount value (tests.rs
-    # dcount_with_nulls) while the partial by-list would DROP the
-    # null bucket (summarize.rs:151 null-group-key parity): the split
-    # undercounts by one and loses all-null groups. Refused.
-    out = opt("t.a | union (t.b) | summarize d = dcount(x) by k")
-    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
-    out = opt("t.a | union (t.b) | summarize n = count(), d = dcount(x) by k")
-    assert kinds(out) == ["Scan", "Union", "SummarizeStep"]
+def test_dcount_splits_with_null_keeping_partial():
+    # r11 (supersedes the r10 blanket refusal): dcount DOES split —
+    # the arg joins the partial's group keys — but only because the
+    # partial is the engine-internal keep_null_keys variant; a
+    # null-dropping partial (the reference's own) would lose the null
+    # bucket dcount counts (tests.rs dcount_with_nulls) and the
+    # arg-null rows of sibling aggregates. See
+    # test_dcount_union_split_shape for the full shape contract.
+    for q in ("t.a | union (t.b) | summarize d = dcount(x) by k",
+              "t.a | union (t.b) | summarize n = count(), d = dcount(x) by k"):
+        out = opt(q)
+        assert kinds(out) == [
+            "Scan", "SummarizeStep", "Union", "SummarizeStep",
+        ], (q, out)
+        assert out[1].keep_null_keys and not out[3].keep_null_keys
 
 
 def test_dotted_by_name_not_split():
