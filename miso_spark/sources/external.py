@@ -1084,6 +1084,13 @@ class SplunkSource(ExternalHttpSource):
         for c in handle.stats_timestamp_fields():
             if c in df.columns:
                 df = df.withColumn(c, F.to_timestamp(c))
+        # dc() null-bucket correction (spl.py apply_summarize): add the
+        # conflated missing/null bucket back and drop the companions
+        for n, a, v in handle.dcount_corrections():
+            if n in df.columns and a in df.columns and v in df.columns:
+                df = df.withColumn(
+                    n, F.col(n) + (F.col(a) > F.col(v)).cast("double")
+                ).drop(a, v)
         return df
 
     @staticmethod
@@ -1115,6 +1122,18 @@ class SplunkSource(ExternalHttpSource):
                     out[k] = datetime.fromisoformat(v.replace(" ", "T")).isoformat()
                 except ValueError:
                     pass
+        # dc() null-bucket correction, mirroring search()'s DataFrame
+        # path for rows delivered straight to SSE
+        for n, a, v in handle.dcount_corrections():
+            if n in out and a in out and v in out:
+                try:
+                    out[n] = float(out[n]) + (
+                        1.0 if float(out[a]) > float(out[v]) else 0.0
+                    )
+                except (TypeError, ValueError):
+                    pass
+                out.pop(a, None)
+                out.pop(v, None)
         return out
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:

@@ -60,6 +60,11 @@ class PushHandle:
     group_by: tuple = ()
     count_fields: tuple = ()
     agg_timestamp_fields: frozenset = frozenset()
+    #: dcount outputs needing the null-bucket correction at decode
+    #: (cardinality skips docs whose field is missing/null; the
+    #: engine's typed dcount counts that conflated bucket as ONE
+    #: distinct value — a companion value_count detects it)
+    dcount_fields: tuple = ()
     limit: int | None = None
     count: bool = False
     collections: tuple = ()  # extra union indexes
@@ -155,7 +160,9 @@ class PushHandle:
 
         count_fields: list[str] = []
         agg_ts_fields: set[str] = set()
+        dcount_fields: list[str] = []
         inner_aggs: dict = {}
+        out_names = {n for n, _ in step.aggs} | {bf.name for bf in step.by}
         for name, agg in step.aggs:
             if agg.kind == "count":
                 # always available as the bucket's doc_count
@@ -165,8 +172,22 @@ class PushHandle:
                 op = _AGG_OPS[agg.kind]
                 agg_field = _plain_field(agg.arg)
             elif agg.kind == "dcount":
+                # cardinality SKIPS docs whose field is missing or
+                # null, but the engine-side fallback (json-inferred
+                # typed rows conflate both into SQL null) counts that
+                # bucket as ONE distinct value — absorbing bare
+                # cardinality made pushdown-on disagree with
+                # pushdown-off (found r11). Ship a companion
+                # value_count; decode adds 1 when doc_count exceeds it
+                # (some doc in the group lacked the field).
                 op = "cardinality"
                 agg_field = _plain_field(agg.arg)
+                if agg_field is None or f"{name}__vc" in out_names:
+                    return None
+                inner_aggs[f"{name}__vc"] = {
+                    "value_count": {"field": agg_field}
+                }
+                dcount_fields.append(name)
             elif agg.kind == "countif" and isinstance(agg.arg, Exists):
                 # countif(exists(f)) → value_count (quickwit.rs:1402)
                 op = "value_count"
@@ -228,6 +249,7 @@ class PushHandle:
             group_by=tuple(bf.name for bf in step.by),
             count_fields=tuple(count_fields),
             agg_timestamp_fields=frozenset(agg_ts_fields),
+            dcount_fields=tuple(dcount_fields),
             source_includes=(),
         )
 
@@ -525,6 +547,13 @@ def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
                 continue
             if "value" in value_wrap:
                 row[name] = value_wrap["value"]
+        for name in handle.dcount_fields:
+            # null-bucket correction (see apply_summarize): any doc in
+            # the group without a countable field value is the
+            # engine's conflated null bucket — one extra distinct
+            vc = row.pop(f"{name}__vc", None)
+            if vc is not None and name in row and doc_count > vc:
+                row[name] = row[name] + 1
         rows.append(row)
 
     def walk(buckets_wrap: dict, depth: int, keys: list) -> None:

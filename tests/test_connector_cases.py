@@ -560,3 +560,55 @@ def test_wire_savings_gauge_refused_tail_narrowing(spark, rigs):
     plain_bytes = src.bytes_downloaded - b0
     assert push_rows == plain_rows
     assert push_bytes < plain_bytes, (push_bytes, plain_bytes)
+
+
+def test_dcount_union_split_stays_engine_side_on_wire_paths(spark, rigs):
+    """r11 dcount union split: the keep_null_keys partial must NEVER
+    absorb into a wire aggregation (terms/stats-by drop missing group
+    keys service-side — exactly the bucket the variant exists to
+    keep). On the negotiation path can_absorb therefore refuses the
+    split: the post-union summarize either stays engine-side whole or
+    — as here — the union run merges into ONE multi-index search and
+    apply_summarize absorbs the whole aggregation (the reference's
+    own shape); in neither case does a keep-null partial reach a
+    handle, and results equal the no-pushdown run."""
+    stub, src = rigs["Quickwit"]
+    push, plain = _compilers(spark, src)
+    q = (
+        "test.stack | union (test.stack_mirror)"
+        " | summarize d = dcount(acceptedAnswerId), n = count() by type"
+    )
+    plan = parse_kql(q)
+    handle, residual = negotiate_to_fixpoint(
+        plan, src.handle(plan.steps[0].collection), src
+    )
+    assert not any(
+        isinstance(s, P.SummarizeStep) and s.keep_null_keys
+        for s in residual.steps
+    ), residual.steps
+    # the multi-index merge + wire aggregation absorbed everything
+    assert [type(s).__name__ for s in residual.steps] == ["Scan"], residual.steps
+    push_rows = _rows(push.run(plan))
+    assert push_rows == _rows(plain.run(parse_kql(q)))
+    assert push_rows  # non-degenerate
+
+
+@pytest.mark.parametrize("connector", ("Elastic", "Quickwit", "Splunk"))
+def test_dcount_missing_field_pushdown_equals_engine(spark, rigs, connector):
+    """r11: wire distinct-counts (cardinality / dc) SKIP docs whose
+    field is missing, while the engine-side fallback — typed json
+    inference conflates missing with null — counts that bucket as one
+    distinct value. The absorbed form now ships a null-bucket
+    companion (value_count / count-pair) and the decode adds it back,
+    so pushdown-on == pushdown-off on a PARTIALLY-MISSING field
+    (acceptedAnswerId exists only on question docs)."""
+    stub, src = rigs[connector]
+    push, plain = _compilers(spark, src)
+    q = "test.stack | summarize d = dcount(acceptedAnswerId), n = count() by type"
+    push_rows = _rows(push.run(parse_kql(q)))
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    assert push_rows == plain_rows, (connector, push_rows, plain_rows)
+    by_type = {json.loads(r)["type"]: json.loads(r) for r in push_rows}
+    # answer docs never carry acceptedAnswerId → the conflated bucket
+    # is exactly one distinct value
+    assert by_type["answer"]["d"] == 1, by_type

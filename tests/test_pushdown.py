@@ -85,7 +85,13 @@ def test_summarize_emission_matches_reference_shape():
     assert h.count_fields == ("n",)
     body = h.build_search_body()
     assert body["size"] == 0
-    # nested summarize_0 → summarize_1 → metric aggs, quickwit.rs:1438
+    # nested summarize_0 → summarize_1 → metric aggs, quickwit.rs:1438.
+    # DELIBERATE divergence from the reference's emission (r11): each
+    # dcount ships a companion value_count — cardinality skips docs
+    # whose field is missing/null, which the engine-side fallback
+    # counts as one distinct value; decode adds 1 when doc_count
+    # exceeds the companion, keeping pushdown-on == pushdown-off
+    # (the reference's own wire and engine disagree on this bucket).
     assert body["aggs"] == {
         "summarize_0": {
             "terms": {"field": "event_type", "size": MAX_NUM_GROUPS},
@@ -95,12 +101,14 @@ def test_summarize_emission_matches_reference_shape():
                     "aggs": {
                         "peak": {"max": {"field": "value"}},
                         "users": {"cardinality": {"field": "user_id"}},
+                        "users__vc": {"value_count": {"field": "user_id"}},
                         "seen": {"value_count": {"field": "props"}},
                     },
                 }
             },
         }
     }
+    assert h.dcount_fields == ("users",)
 
 
 def test_summarize_numeric_bin_is_histogram():
