@@ -395,6 +395,19 @@ class Parser:
                     name = f"{base}{c}"
                 named[name] = agg
             out.append((name, agg))
+        # an aggregation sharing a BY key's output name is a query
+        # error (deliberate divergence, found by the r11 DuckDB
+        # fuzzer: the reference's BTreeMap output silently clobbers
+        # one of the two — summarize.rs output insert — while a
+        # duplicate column here surfaced as an obscure Spark
+        # COLUMN_ALREADY_EXISTS failure; a positioned ParseError is
+        # strictly better than either)
+        clash = set(named) & {bf.name for bf in by}
+        if clash:
+            raise ParseError(
+                "summarize output name used by both an aggregation and"
+                f" a by key: {', '.join(sorted(clash))}"
+            )
         return P.SummarizeStep(tuple(out), tuple(by))
 
     def _agg(self) -> P.Agg:

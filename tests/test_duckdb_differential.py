@@ -345,7 +345,9 @@ def programs(draw):
                         f"count(CASE WHEN {c} > 3 THEN 1 END) AS ci"
                     )
             by = None
-            by_choices = sorted(set(cols) - {c})
+            # a by key sharing an agg output name is a ParseError
+            # (parser.py duplicate-output validation, r11)
+            by_choices = sorted(set(cols) - {c} - set(picked))
             if by_choices and draw(st.booleans()):
                 by = draw(st.sampled_from(by_choices))
             kql.append(

@@ -307,3 +307,22 @@ def test_string_plus_concat(spark):
     e = steps("t.x | extend label = 'id-' + f1")[1].fields[0].expr
     assert e == BinOp("add", Lit("id-"), Field.of("f1"))
     assert "concat" in str(compile_expr(e)).lower()
+
+
+def test_summarize_agg_by_name_collision_is_parse_error():
+    # r11 (DuckDB-fuzzer find): an aggregation sharing a by key's
+    # output name clobbers silently in the reference (BTreeMap output
+    # insert) and crashed Spark-side with COLUMN_ALREADY_EXISTS here —
+    # a positioned query error beats both
+    import pytest
+
+    from miso_spark.kql import parse_kql
+    from miso_spark.kql.parser import ParseError
+
+    with pytest.raises(ParseError, match="av"):
+        parse_kql("t.c | summarize av = avg(x), n = count() by av")
+    # same-named agg and by EXPRESSION alias collide too
+    with pytest.raises(ParseError, match="k"):
+        parse_kql("t.c | summarize k = count() by k = bin(x, 10)")
+    # distinct names stay fine
+    parse_kql("t.c | summarize av = avg(x) by g")

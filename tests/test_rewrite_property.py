@@ -231,7 +231,9 @@ def pipelines(draw) -> str:
                 else:
                     frag.append(f"ci = countif({c} > 3)")
             by = None
-            by_choices = sorted(cols - {c})
+            # a by key sharing an agg output name is a ParseError
+            # (parser.py duplicate-output validation, r11)
+            by_choices = sorted(cols - {c} - set(aggs))
             if by_choices and draw(st.booleans()):
                 by = draw(st.sampled_from(by_choices))
             steps.append(
