@@ -277,6 +277,10 @@ _R11_DCOUNT_SPLIT = (
     "m.a | union (m.b) | summarize dc = dcount(y), n = count() by g"
 )
 _R11_DCOUNT_GLOBAL = "m.a | union (m.b) | summarize dc = dcount(x)"
+_R11_DCOUNT_AVG_MIX = (
+    "m.a | union (m.b) | summarize av = avg(x), dc = dcount(y),"
+    " n = count() by g"
+)
 _SEEDS = (
     _R10_BYLESS_FOLD,
     _R10_GLOBAL_DROP,
@@ -284,6 +288,7 @@ _SEEDS = (
     _R11_NOT_IN_MISSING,
     _R11_DCOUNT_SPLIT,
     _R11_DCOUNT_GLOBAL,
+    _R11_DCOUNT_AVG_MIX,
 )
 
 
