@@ -106,14 +106,19 @@ def compile_filter(
             fl = _field_lit(e.left, e.right)
             if fl is None:
                 return None
-            # Note: an ES range never matches null/missing fields,
-            # while the engine's total-order `< / <=` keeps present
-            # nulls — the REFERENCE ships the same plain range
-            # (quickwit.rs/elasticsearch.rs apply_filter) and so
-            # carries the same absorbed-vs-residual asymmetry; we
-            # mirror it for wire parity rather than wrapping in a
-            # should/must_not-exists clause the reference never sends.
-            return {"range": {fl[0]: {_RANGE_OPS[e.op]: _fmt(fl[1])}}}
+            rng = {"range": {fl[0]: {_RANGE_OPS[e.op]: _fmt(fl[1])}}}
+            if e.op in ("lt", "lte"):
+                # DELIBERATE divergence from the reference's emission
+                # (r11 pushdown-fuzzer find, supersedes the r10 mirror
+                # decision): an ES range never matches docs whose
+                # field is missing/null, but the engine's total-order
+                # `< / <=` KEEPS them (null is the smallest value), so
+                # the bare range dropped rows the refused run returns.
+                # OR in a must_not-exists arm — the same
+                # engine-over-emission precedent as the dcount
+                # value_count companion.
+                return _or_missing(rng, fl[0], minimum_should_match)
+            return rng
         if e.op == "startswith":
             fl = _field_lit(e.left, e.right)
             if fl is None:
@@ -165,11 +170,15 @@ def compile_filter(
         name = f[0][0]
         lo, hi = _fmt(f[0][1]), _fmt(f[1][1])
         if e.negated:
+            # !between keeps a null/missing base engine-side (the
+            # negation of a proper FALSE) — same missing-docs arm as
+            # lt/lte above (r11)
             out = {
                 "bool": {
                     "should": [
                         {"range": {name: {"lt": lo}}},
                         {"range": {name: {"gt": hi}}},
+                        {"bool": {"must_not": {"exists": {"field": name}}}},
                     ]
                 }
             }
@@ -185,3 +194,19 @@ def compile_filter(
             }
         }
     return None
+
+
+def _or_missing(query: dict, field: str, minimum_should_match: bool) -> dict:
+    """``query OR field-is-missing`` — the wire form of the engine's
+    total-order null/missing-keeping comparisons (lt/lte/!between)."""
+    out: dict = {
+        "bool": {
+            "should": [
+                query,
+                {"bool": {"must_not": {"exists": {"field": field}}}},
+            ]
+        }
+    }
+    if minimum_should_match:
+        out["bool"]["minimum_should_match"] = 1
+    return out

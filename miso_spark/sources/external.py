@@ -1091,6 +1091,14 @@ class SplunkSource(ExternalHttpSource):
                 df = df.withColumn(
                     n, F.col(n) + (F.col(a) > F.col(v)).cast("double")
                 ).drop(a, v)
+        # sum/avg empty-input identities (spl.py agg_zero_fill): Splunk
+        # omits the field for value-less groups; the engine emits 0/0.0
+        # (a column omitted from EVERY row doesn't even infer — add it)
+        for n, fill in handle.agg_zero_fill():
+            if n in df.columns:
+                df = df.withColumn(n, F.coalesce(F.col(n), F.lit(fill)))
+            else:
+                df = df.withColumn(n, F.lit(fill))
         return df
 
     @staticmethod
@@ -1134,6 +1142,10 @@ class SplunkSource(ExternalHttpSource):
                     pass
                 out.pop(a, None)
                 out.pop(v, None)
+        # sum/avg empty-input identities, mirroring search()
+        for n, fill in handle.agg_zero_fill():
+            if out.get(n) is None:
+                out[n] = fill
         return out
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:

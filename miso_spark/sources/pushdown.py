@@ -65,6 +65,11 @@ class PushHandle:
     #: engine's typed dcount counts that conflated bucket as ONE
     #: distinct value — a companion value_count detects it)
     dcount_fields: tuple = ()
+    #: sum/avg outputs whose EMPTY-input identity the decode must
+    #: restore (summarize.rs:513,655: sum of no values is 0, avg is
+    #: 0.0 — wire metrics come back null/omitted there)
+    sum_zero_fields: tuple = ()
+    avg_zero_fields: tuple = ()
     limit: int | None = None
     count: bool = False
     collections: tuple = ()  # extra union indexes
@@ -161,6 +166,8 @@ class PushHandle:
         count_fields: list[str] = []
         agg_ts_fields: set[str] = set()
         dcount_fields: list[str] = []
+        sum_zero: list[str] = []
+        avg_zero: list[str] = []
         inner_aggs: dict = {}
         out_names = {n for n, _ in step.aggs} | {bf.name for bf in step.by}
         for name, agg in step.aggs:
@@ -171,6 +178,10 @@ class PushHandle:
             if agg.kind in _AGG_OPS:
                 op = _AGG_OPS[agg.kind]
                 agg_field = _plain_field(agg.arg)
+                if agg.kind == "sum":
+                    sum_zero.append(name)
+                elif agg.kind == "avg":
+                    avg_zero.append(name)
             elif agg.kind == "dcount":
                 # cardinality SKIPS docs whose field is missing or
                 # null, but the engine-side fallback (json-inferred
@@ -250,6 +261,8 @@ class PushHandle:
             count_fields=tuple(count_fields),
             agg_timestamp_fields=frozenset(agg_ts_fields),
             dcount_fields=tuple(dcount_fields),
+            sum_zero_fields=tuple(sum_zero),
+            avg_zero_fields=tuple(avg_zero),
             source_includes=(),
         )
 
@@ -537,8 +550,13 @@ def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
     group_by = list(handle.group_by)
 
     def leaf(bucket: dict, doc_count: int, keys: list) -> None:
-        if doc_count == 0:
-            return  # quickwit fills date_histogram gaps — drop them
+        if doc_count == 0 and group_by:
+            # quickwit fills date_histogram gaps — drop them. A GLOBAL
+            # (no group-by) aggregation is different: the engine emits
+            # its one row even over zero input (tests.rs
+            # summarize_without_by_empty_data), so the decode must too
+            # (r11 pushdown-fuzzer find)
+            return
         row = dict(zip(group_by, keys))
         for name in handle.count_fields:
             row[name] = doc_count
@@ -554,6 +572,15 @@ def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
             vc = row.pop(f"{name}__vc", None)
             if vc is not None and name in row and doc_count > vc:
                 row[name] = row[name] + 1
+        # empty-input identities (summarize.rs:513,655): a group whose
+        # agg field has NO present values comes back null from the
+        # wire where the engine emits sum → 0 / avg → 0.0
+        for name in handle.sum_zero_fields:
+            if row.get(name) is None:
+                row[name] = 0
+        for name in handle.avg_zero_fields:
+            if row.get(name) is None:
+                row[name] = 0.0
         rows.append(row)
 
     def walk(buckets_wrap: dict, depth: int, keys: list) -> None:

@@ -172,11 +172,24 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
             fl = _field_lit(e.left, e.right)
             if fl is None:
                 return None
-            return SplFilter(search=f"{fl[0]}!={_val_search(fl[1])}")
+            # Splunk's `f!=v` (like its range forms below) does NOT
+            # match events missing the field, but the engine's
+            # total-order ne/lt/lte KEEP them (null is the smallest
+            # value — r11 pushdown-fuzzer find). `OR NOT f=*` adds the
+            # absent-field events back; same engine-over-emission
+            # precedent as the dc() companions.
+            return SplFilter(
+                search=f"({fl[0]}!={_val_search(fl[1])} OR NOT {fl[0]}=*)"
+            )
         if e.op in _CMP:
             fl = _field_lit(e.left, e.right)
             if fl is None:
                 return None
+            if e.op in ("lt", "lte"):
+                return SplFilter(
+                    search=f"({fl[0]}{_CMP[e.op]}{_val(fl[1])}"
+                    f" OR NOT {fl[0]}=*)"
+                )
             return SplFilter(search=f"{fl[0]}{_CMP[e.op]}{_val(fl[1])}")
         if e.op == "startswith":
             fl = _field_lit(e.left, e.right)
@@ -239,7 +252,9 @@ def compile_filter_spl(e: Expr) -> SplFilter | None:
             return None
         f, lo, hi = fl[0], _val(fl[1]), _val(fh[1])
         if e.negated:
-            return SplFilter(search=f"({f}<{lo} OR {f}>{hi})")
+            # !between keeps a null/missing base (negation of a proper
+            # FALSE) — absent-field events ride the NOT f=* arm (r11)
+            return SplFilter(search=f"({f}<{lo} OR {f}>{hi} OR NOT {f}=*)")
         return SplFilter(search=f"({f}>={lo} AND {f}<={hi})")
     return None
 
@@ -510,6 +525,25 @@ class SplunkHandle:
         from dataclasses import replace
 
         return replace(self, indexes=self.indexes + (collection,))
+
+    def agg_zero_fill(self) -> tuple:
+        """(name, fill) pairs for absorbed sum/avg outputs: Splunk
+        omits the field when a group has no present values, where the
+        engine's empty-input identities are sum → 0 / avg → 0.0
+        (summarize.rs:513,655) — the decode fills them back."""
+        out = []
+        for op in self.pipeline:
+            if op[0] != "stats":
+                continue
+            for p in op[1].split(", "):
+                if " as " not in p:
+                    continue
+                n = p.rsplit(" as ", 1)[1]
+                if p.startswith("sum("):
+                    out.append((n, 0.0))
+                elif p.startswith("avg("):
+                    out.append((n, 0.0))
+        return tuple(out)
 
     def dcount_corrections(self) -> tuple:
         """(name, all_field, vc_field) triplets for absorbed dc()

@@ -266,7 +266,9 @@ def run_aggs(aggs_def: dict, docs: list[dict], flavor: str, ts_fields: set) -> d
             ]
             nums = [n for n in nums if n is not None]
             if not nums:
-                out[name] = {"value": None}
+                # real ES/Quickwit: sum over no values is 0.0;
+                # min/max/avg come back null
+                out[name] = {"value": 0.0 if op == "sum" else None}
             else:
                 if op == "min":
                     r = min(nums)

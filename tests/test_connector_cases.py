@@ -502,12 +502,17 @@ def test_folded_filters_reach_the_wire(spark, rigs):
     assert rows == _rows(plain.run(parse_kql(q)))
     assert len(rows) == 3  # questionId 4 twice, 6 once
 
-    # not(x > n) → single lte range, no must_not wrapper
+    # not(x > n) → an lte range: the comparison INVERSION folded (no
+    # must_not around a gt range). The lte itself rides in the
+    # total-order OR-missing shape (should [range, must_not exists] —
+    # r11, null/missing bases survive <=), so assert the absence of a
+    # must_not'd RANGE specifically
     q2 = "test.stack | where not(questionId > 9)"
     before = len(stub.core.search_requests)
     rows2 = _rows(push.run(parse_kql(q2)))
     reqs2 = json.dumps([b for _, b in stub.core.search_requests[before:]])
-    assert '"lte"' in reqs2 and "must_not" not in reqs2, reqs2
+    assert '"lte"' in reqs2 and '"gt"' not in reqs2, reqs2
+    assert '"must_not": {"range"' not in reqs2, reqs2
     assert rows2 == _rows(plain.run(parse_kql(q2)))
     assert len(rows2) == 4  # questionIds 4, 4, 6, 9
 

@@ -25,8 +25,21 @@ def test_ne_is_must_not_term():
 
 
 def test_range_ops():
-    for op, key in [(">", "gt"), (">=", "gte"), ("<", "lt"), ("<=", "lte")]:
+    for op, key in [(">", "gt"), (">=", "gte")]:
         assert filt(f"val {op} 100") == {"range": {"val": {key: "100"}}}
+    # lt/lte keep null/missing bases engine-side (total order: null is
+    # smallest) — the wire form ORs in a must_not-exists arm (r11,
+    # deliberate divergence from the reference's bare-range emission)
+    for op, key in [("<", "lt"), ("<=", "lte")]:
+        assert filt(f"val {op} 100") == {
+            "bool": {
+                "should": [
+                    {"range": {"val": {key: "100"}}},
+                    {"bool": {"must_not": {"exists": {"field": "val"}}}},
+                ],
+                "minimum_should_match": 1,
+            }
+        }
 
 
 def test_and_or_not_shapes():

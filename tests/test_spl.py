@@ -15,9 +15,13 @@ def filt(cond: str):
 def test_search_terms():
     assert filt("status == 'active'") == SplFilter(search='status=CASE("active")')
     assert filt("count == 42") == SplFilter(search="count=42")
-    assert filt("status != 'err'") == SplFilter(search='status!=CASE("err")')
+    # ne/lt/lte keep events missing the field engine-side (total
+    # order: null smallest) — the SPL form ORs in NOT f=* (r11)
+    assert filt("status != 'err'") == SplFilter(
+        search='(status!=CASE("err") OR NOT status=*)'
+    )
     assert filt("val > 100") == SplFilter(search="val>100")
-    assert filt("val <= 1.5") == SplFilter(search="val<=1.5")
+    assert filt("val <= 1.5") == SplFilter(search="(val<=1.5 OR NOT val=*)")
     assert filt("path startswith '/api/'") == SplFilter(search="path=/api/*")
     assert filt("code in (1, 2)") == SplFilter(search="(code=1 OR code=2)")
 
