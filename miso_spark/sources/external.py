@@ -54,10 +54,14 @@ def _quickwit_agg_timestamps(df: DataFrame, handle) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import NumericType
 
-    ts = handle.timestamp_field
     numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
-    if ts is not None and ts in set(handle.group_by) & numeric:
-        df = df.withColumn(ts, F.timestamp_millis(F.col(ts).cast("long")))
+    # group keys are matched by the by-EXPRESSION's field, not the
+    # output name: `by k = bin(@time, 1d)` comes back as epoch-millis
+    # bucket keys under `k` (handle.group_ts_keys, set at absorb time
+    # — r11 pushdown-fuzzer find: the old name-equality check missed
+    # every renamed timestamp key)
+    for name in handle.group_ts_keys & numeric:
+        df = df.withColumn(name, F.timestamp_millis(F.col(name).cast("long")))
     for name in handle.agg_timestamp_fields:
         if name in numeric:
             if handle.flavor == "elasticsearch":
@@ -67,6 +71,30 @@ def _quickwit_agg_timestamps(df: DataFrame, handle) -> DataFrame:
                     name, F.timestamp_micros((F.col(name) / 1000).cast("long"))
                 )
     return df
+
+
+def _string_timestamp_col(name: str):
+    """splunk/mod.rs:1040 value_to_datetime for a STRING column:
+    RFC3339 parses as-is; a NUMERIC string parses as an f64 epoch with
+    magnitude dispatch (time_utils.rs parse_timestamp_float — Splunk's
+    `_time` arrives as "1217548601.0"; plain to_timestamp crashes on
+    it in ANSI mode — r11 pushdown-fuzzer find)."""
+    from pyspark.sql import functions as F
+
+    num = F.col(f"`{name}`").try_cast("double")
+    mag = F.abs(num)
+    as_epoch = (
+        F.when(mag <= F.lit(8589934591.0), F.timestamp_seconds(num))
+        .when(
+            mag <= F.lit(8589934591e3),
+            F.timestamp_micros((num * 1000).cast("long")),
+        )
+        .when(mag <= F.lit(8589934591e6), F.timestamp_micros(num.cast("long")))
+        .otherwise(F.timestamp_micros((num / 1000).cast("long")))
+    )
+    return F.when(num.isNotNull(), as_epoch).otherwise(
+        F.to_timestamp(F.col(f"`{name}`"))
+    )
 
 
 def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
@@ -82,7 +110,7 @@ def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
         return df
     dt = df.schema[ts].dataType
     if isinstance(dt, StringType):
-        return df.withColumn(ts, F.to_timestamp(ts))
+        return df.withColumn(ts, _string_timestamp_col(ts))
     if isinstance(dt, NumericType):
         # time_utils.rs:3 magnitude thresholds (MAX_TIMESTAMP_SECONDS
         # = 8589934591 and its 1e3/1e6 multiples). Dispatch on the
@@ -1075,6 +1103,11 @@ class SplunkSource(ExternalHttpSource):
 
         handle = handle if handle is not None else SplunkHandle()
         df = self.run_job(spark, handle.build_spl(collection))
+        # transform_log parity (splunk/mod.rs:1028): every hit row's
+        # `_time` surfaces typed — it arrives as a decimal epoch
+        # string like "1217548601.0" (r11 fuzz find: engine-side
+        # bin(@time, 1d) crashed on the raw string)
+        df = _timestamp_typed(df, "_time")
         numeric = set(handle.stats_numeric_fields())
         if handle.has_count():
             numeric.add(COUNT_FIELD_NAME)
@@ -1083,7 +1116,9 @@ class SplunkSource(ExternalHttpSource):
                 df = df.withColumn(c, F.col(c).cast("double"))
         for c in handle.stats_timestamp_fields():
             if c in df.columns:
-                df = df.withColumn(c, F.to_timestamp(c))
+                # min/max over _time come back as epoch strings —
+                # same RFC3339-else-f64-epoch parse as hit rows
+                df = df.withColumn(c, _string_timestamp_col(c))
         # dc() null-bucket correction (spl.py apply_summarize): add the
         # conflated missing/null bucket back and drop the companions
         for n, a, v in handle.dcount_corrections():
@@ -1129,7 +1164,20 @@ class SplunkSource(ExternalHttpSource):
                 try:
                     out[k] = datetime.fromisoformat(v.replace(" ", "T")).isoformat()
                 except ValueError:
-                    pass
+                    # decimal epoch string ("1217540572.0") — same
+                    # f64-epoch fallback as _string_timestamp_col
+                    try:
+                        from datetime import timezone
+
+                        epoch = float(v)
+                        for div in (1.0, 1e3, 1e6):
+                            if abs(epoch / div) <= 8589934591.0:
+                                out[k] = datetime.fromtimestamp(
+                                    epoch / div, tz=timezone.utc
+                                ).replace(tzinfo=None).isoformat()
+                                break
+                    except (ValueError, OverflowError):
+                        pass
         # dc() null-bucket correction, mirroring search()'s DataFrame
         # path for rows delivered straight to SSE
         for n, a, v in handle.dcount_corrections():

@@ -60,6 +60,12 @@ class PushHandle:
     group_by: tuple = ()
     count_fields: tuple = ()
     agg_timestamp_fields: frozenset = frozenset()
+    #: group-key OUTPUT names whose bucket keys are epoch millis
+    #: needing datetime restore at decode (a terms bucket on the
+    #: timestamp field, or any date_histogram — quickwit.rs:905
+    #: group_by_value_to_datetime keyed by the by-EXPRESSION's field,
+    #: not the output name: `by k = bin(@time, 1d)` must convert `k`)
+    group_ts_keys: frozenset = frozenset()
     #: dcount outputs needing the null-bucket correction at decode
     #: (cardinality skips docs whose field is missing/null; the
     #: engine's typed dcount counts that conflated bucket as ONE
@@ -77,6 +83,15 @@ class PushHandle:
 
     # ---- apply_* hooks (return None = engine keeps the step) ---------
 
+    @property
+    def _aggregated(self) -> bool:
+        """An aggregation stage (summarize or count) is already
+        absorbed: the handle's output rows are no longer documents, so
+        every further absorption except apply_limit (decode-side group
+        truncation, quickwit.rs:1101-1106) and apply_union (identical-
+        handle multi-index merge) must stay engine-side."""
+        return self.aggs is not None or self.count
+
     def apply_filter(self, expr: Expr):
         # quickwit.rs:1268: cannot filter over raw / top-n / group-by.
         # Deliberately stricter than the reference: also refuse over an
@@ -86,7 +101,7 @@ class PushHandle:
         if (
             self.raw_query is not None
             or self.sorts is not None
-            or self.group_by
+            or self._aggregated
             or self.limit is not None
         ):
             return None
@@ -99,8 +114,8 @@ class PushHandle:
 
     def apply_project(self, fields: tuple[P.ProjectField, ...]):
         # quickwit.rs:1277: only identity projections (from == to) of
-        # plain fields narrow _source_includes; raw/count/group-by out
-        if self.raw_query is not None or self.count or self.group_by:
+        # plain fields narrow _source_includes; raw/aggregated out
+        if self.raw_query is not None or self._aggregated:
             return None
         includes = []
         for pf in fields:
@@ -138,28 +153,40 @@ class PushHandle:
             return replace(
                 self, limit=n if self.limit is None else min(self.limit, n)
             )
-        # quickwit.rs:1313: no top-n over raw / top-n / group-by
-        if self.raw_query is not None or self.sorts is not None or self.group_by:
+        # quickwit.rs:1313: no top-n over raw / top-n / aggregated
+        if (
+            self.raw_query is not None
+            or self.sorts is not None
+            or self._aggregated
+        ):
             return None
         if self.limit is not None and self.limit < n:
             n = self.limit
         return replace(self, sorts=sort_json, limit=n)
 
     def apply_count(self):
-        # quickwit.rs:1354: count over group-by would count rows, not
-        # groups — engine-side. Clears source_includes (outputs change).
-        if self.raw_query is not None or self.group_by:
+        # quickwit.rs:1354: count over an absorbed aggregation would
+        # count raw documents, not the aggregate's output rows —
+        # engine-side. Clears source_includes (outputs change).
+        if self.raw_query is not None or self._aggregated:
             return None
         return replace(self, count=True, source_includes=())
 
     def apply_summarize(self, step: P.SummarizeStep):
         # quickwit.rs:1365: the service aggregates before sort/limit
-        # regardless of pipeline order, so refuse after any of those
+        # regardless of pipeline order, so refuse after any of those.
+        # Also refuse when an aggregation is ALREADY absorbed — the
+        # service runs one aggregation stage over raw documents, it
+        # cannot compose a second on the first's output (the reference
+        # only guards the grouped case, group_by non-empty; a by-less
+        # absorbed count would be silently OVERWRITTEN by the union
+        # split's merge summarize — fuzz-found r11, n=0 instead of 20
+        # for `a | union (b) | summarize n = count()`)
         if (
             self.raw_query is not None
             or self.limit is not None
             or self.sorts is not None
-            or self.group_by
+            or self._aggregated
         ):
             return None
 
@@ -221,12 +248,15 @@ class PushHandle:
         # nested bucket chain summarize_0 → summarize_1 → ... → metrics
         aggs: dict = {}
         current = aggs
+        group_ts_keys: set[str] = set()
         for i, bf in enumerate(step.by):
             name = f"{AGGREGATION_RESULTS_NAME}_{i}"
             if isinstance(bf.expr, Field):
                 f = _plain_field(bf.expr)
                 if f is None:
                     return None
+                if f == self.timestamp_field:
+                    group_ts_keys.add(bf.name)
                 bucket = {"terms": {"field": f, "size": MAX_NUM_GROUPS}}
             elif isinstance(bf.expr, Bin):
                 f = _plain_field(bf.expr.expr)
@@ -235,7 +265,9 @@ class PushHandle:
                 size = bf.expr.size
                 if isinstance(size, Duration):
                     # timespan → date_histogram (ms, elasticsearch.rs
-                    # fixed_interval format)
+                    # fixed_interval format); bucket keys come back as
+                    # epoch millis whatever the output name
+                    group_ts_keys.add(bf.name)
                     bucket = {
                         "date_histogram": {
                             "field": f,
@@ -260,13 +292,16 @@ class PushHandle:
             group_by=tuple(bf.name for bf in step.by),
             count_fields=tuple(count_fields),
             agg_timestamp_fields=frozenset(agg_ts_fields),
+            group_ts_keys=frozenset(group_ts_keys),
             dcount_fields=tuple(dcount_fields),
             sum_zero_fields=tuple(sum_zero),
             avg_zero_fields=tuple(avg_zero),
             source_includes=(),
         )
 
-    def apply_union(self, other: "PushHandle", collection: str):
+    def apply_union(
+        self, other: "PushHandle", scan_collection: str, collection: str
+    ):
         # quickwit.rs:1513: multi-index search only for the exact same
         # query on indexes sharing the timestamp field
         if self.raw_query is not None:
@@ -276,7 +311,20 @@ class PushHandle:
         if other.timestamp_field != self.timestamp_field:
             return None
         # a nested union (scan a | union(scan b | union(scan c)))
-        # carries c in other.collections — keep every absorbed index
+        # carries c in other.collections — keep every absorbed index.
+        # Refuse a DUPLICATE index: the engine's union-all duplicates
+        # its rows, but a multi-index search returns each document once
+        # (the reference dedups too — quickwit.rs:1170 — silently
+        # dropping the copies; deliberate divergence: the union stays
+        # engine-side and the rows stay doubled. Fuzz-found r11.)
+        merged = (
+            (scan_collection,)
+            + self.collections
+            + other.collections
+            + (collection,)
+        )
+        if len(set(merged)) != len(merged):
+            return None
         return replace(
             self,
             collections=self.collections + other.collections + (collection,),
@@ -458,12 +506,25 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
                     sub, source.handle(sub.steps[0].collection), source
                 )
                 if len(sub_residual.steps) == 1:
-                    nh = handle.apply_union(sub_handle, sub.steps[0].collection)
+                    nh = handle.apply_union(
+                        sub_handle,
+                        steps[0].collection,
+                        sub.steps[0].collection,
+                    )
         else:
             break
         if nh is None:
             break
         handle = nh
+        if isinstance(step, (P.SummarizeStep, P.CountStep)):
+            # an absorbed aggregation re-surfaces VISIBLE names (the
+            # stats renames / output names ride along wire-side), so
+            # later absorbed steps must NOT re-map through the scan's
+            # static_fields: `... by @time | summarize ... by @time`
+            # was re-mapped to a second `by _time` over a stream whose
+            # column is already `@time` — zero rows (r11 fuzz find,
+            # Splunk stats composition)
+            static = {}
         i += 1
     return handle, P.Plan((steps[0],) + tuple(steps[i:]))
 

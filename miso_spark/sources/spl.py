@@ -519,12 +519,25 @@ class SplunkHandle:
             h = h._push("rex", src, pat)
         return h
 
-    def apply_union(self, other: "SplunkHandle", collection: str):
+    def apply_union(
+        self, other: "SplunkHandle", scan_collection: str, collection: str
+    ):
         if other.pipeline != self.pipeline:
             return None
         from dataclasses import replace
 
-        return replace(self, indexes=self.indexes + (collection,))
+        # the index clause is an OR-filter (each event returned once),
+        # so a duplicate index can't express the engine union-all's
+        # doubled rows — refuse and leave the union engine-side
+        # (fuzz-found r11; same guard as PushHandle.apply_union)
+        merged = (
+            (scan_collection,) + self.indexes + other.indexes + (collection,)
+        )
+        if len(set(merged)) != len(merged):
+            return None
+        return replace(
+            self, indexes=self.indexes + other.indexes + (collection,)
+        )
 
     def agg_zero_fill(self) -> tuple:
         """(name, fill) pairs for absorbed sum/avg outputs: Splunk
@@ -568,17 +581,42 @@ class SplunkHandle:
     def _can_use_tstats(self) -> bool:
         return len(self.pipeline) == 1 and self.pipeline[0][0] == "count"
 
-    def stats_numeric_fields(self) -> frozenset:
+    def _stats_types(self) -> tuple[frozenset, frozenset]:
+        """(timestamp, numeric) typing of the FINAL result columns,
+        threaded through the whole pipeline: each stats op's by-keys
+        INHERIT their upstream type and its agg outputs take the op's
+        own sets; renames remap. Seeded with `_time` so a `by _time`
+        group key stays a timestamp across composed stats (the
+        reference reads only timestamp AGG fields, mod.rs:1265,
+        leaving its by-key a raw epoch string where its own
+        engine-side run yields datetimes — deliberate divergence,
+        r11 fuzz find)."""
+        ts_known: set = {SPLUNK_TIME_FIELD}
+        num_known: set = set()
         for op in self.pipeline:
             if op[0] == "stats":
-                return op[4]
-        return frozenset()
+                by = set(op[2])
+                ts_known = (ts_known & by) | set(op[3])
+                num_known = (num_known & by) | set(op[4])
+            elif op[0] == "rename":
+                for frm, to in op[1]:
+                    if frm in ts_known:
+                        ts_known.discard(frm)
+                        ts_known.add(to)
+                    if frm in num_known:
+                        num_known.discard(frm)
+                        num_known.add(to)
+        return frozenset(ts_known), frozenset(num_known)
+
+    def stats_numeric_fields(self) -> frozenset:
+        return self._stats_types()[1]
 
     def stats_timestamp_fields(self) -> frozenset:
-        for op in self.pipeline:
-            if op[0] == "stats":
-                return op[3]
-        return frozenset()
+        if not any(op[0] == "stats" for op in self.pipeline):
+            # hit rows: `_time` typing is the scan decode's job
+            # (transform_log parity), not the stats replay's
+            return frozenset()
+        return self._stats_types()[0]
 
     def has_count(self) -> bool:
         return any(op[0] == "count" for op in self.pipeline)

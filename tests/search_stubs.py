@@ -220,7 +220,13 @@ def run_aggs(aggs_def: dict, docs: list[dict], flavor: str, ts_fields: set) -> d
         if "terms" in spec or "histogram" in spec or "date_histogram" in spec:
             if "terms" in spec:
                 field = spec["terms"]["field"]
-                key_of = lambda v: v  # noqa: E731
+                if field in ts_fields:
+                    # real services key a terms bucket on a date field
+                    # by EPOCH MILLIS (key_as_string carries the text;
+                    # the reference reads only `key`, quickwit.rs:905)
+                    key_of = lambda v: ts_epoch(v) * 1000  # noqa: E731
+                else:
+                    key_of = lambda v: v  # noqa: E731
             elif "histogram" in spec:
                 field = spec["histogram"]["field"]
                 interval = spec["histogram"]["interval"]

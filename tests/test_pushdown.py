@@ -187,15 +187,21 @@ def test_union_requires_identical_query_and_timestamp_field():
     flt = _filter_expr("c.t | where a == 1")
     h1 = PushHandle(timestamp_field="ts").apply_filter(flt)
     h2 = PushHandle(timestamp_field="ts").apply_filter(flt)
-    merged = h1.apply_union(h2, "other")
+    merged = h1.apply_union(h2, "t", "other")
     assert merged.collections == ("other",)
     assert merged.indexes("t") == "other,t"  # sorted + deduped
     # different query → engine-side (quickwit.rs:1520)
-    assert h1.apply_union(PushHandle(timestamp_field="ts"), "other") is None
+    assert h1.apply_union(
+        PushHandle(timestamp_field="ts"), "t", "other"
+    ) is None
     # different timestamp field → engine-side (quickwit.rs:1536)
     assert h1.apply_union(
-        PushHandle(timestamp_field="when").apply_filter(flt), "other"
+        PushHandle(timestamp_field="when").apply_filter(flt), "t", "other"
     ) is None
+    # duplicate index → engine-side (the union-all doubles its rows;
+    # a multi-index search returns each document once — fuzz-found r11)
+    assert h1.apply_union(h2, "t", "t") is None
+    assert merged.apply_union(h2, "t", "other") is None
 
 
 def test_decode_aggregations_nested_buckets():
@@ -788,6 +794,14 @@ def test_quickwit_agg_timestamp_conversion(spark):
     step = _summarize_step("c.t | summarize first = min(ts), n = count() by ts")
     h = PushHandle(timestamp_field="ts").apply_summarize(step)
     assert h.agg_timestamp_fields == frozenset({"first"})
+    assert h.group_ts_keys == frozenset({"ts"})
+    # a RENAMED timestamp key converts by the by-expression's field,
+    # not the output name (r11 fuzz find: `k = bin(@time, 1d)` came
+    # back as raw epoch millis)
+    renamed = PushHandle(timestamp_field="ts").apply_summarize(
+        _summarize_step("c.t | summarize n = count() by k = bin(ts, 1h)")
+    )
+    assert renamed.group_ts_keys == frozenset({"k"})
     df = spark.createDataFrame(
         [(1700000000000, 1700000000123456789, 4)], "ts long, first long, n long"
     )
@@ -1196,11 +1210,11 @@ def test_union_merges_nested_collections():
     flt = _filter_expr("c.t | where a == 1")
     inner = PushHandle(timestamp_field="ts").apply_filter(flt)
     inner = inner.apply_union(
-        PushHandle(timestamp_field="ts").apply_filter(flt), "c"
+        PushHandle(timestamp_field="ts").apply_filter(flt), "b", "c"
     )
     assert inner.collections == ("c",)
     outer = PushHandle(timestamp_field="ts").apply_filter(flt)
-    merged = outer.apply_union(inner, "b")
+    merged = outer.apply_union(inner, "a", "b")
     assert merged is not None
     assert set(merged.collections) == {"b", "c"}
     assert merged.indexes("a") == "a,b,c"

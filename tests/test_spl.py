@@ -181,14 +181,49 @@ def test_extend_renders_rex():
     assert h.build_spl("idx") == 'search (index="idx") | rex field=msg "err-(?<code>\\d+)"'
 
 
+def test_stats_numeric_by_key_typing_erasure():
+    """DOCUMENTED divergence (SURVEY §3, r11): Splunk's stats wire has
+    no type channel for group keys, so a numeric-field by-key stays a
+    digit string after decode — the reference has the same erasure
+    (numeric_agg_fields covers agg outputs only, mod.rs:1265), and
+    value-scanning can't recover the type without mis-typing genuine
+    digit-string fields. Pinned: the by-key is in NEITHER typing set,
+    while agg outputs and the _time-derived key are typed."""
+    h = _handle().apply_summarize(
+        _steps("c.t | summarize n = count(), mn = min(_time) by k = qid")[1]
+    )
+    assert "k" not in h.stats_numeric_fields()
+    assert "k" not in h.stats_timestamp_fields()
+    assert "n" in h.stats_numeric_fields()
+    assert "mn" in h.stats_timestamp_fields()
+
+
+def test_stats_types_thread_through_composed_stats():
+    """_stats_types (r11): a `by _time` key stays a timestamp across
+    the stats+rename chain, and a SECOND stats' outputs replace the
+    first's typing (only surviving by-keys inherit)."""
+    h = _handle().apply_summarize(
+        _steps("c.t | summarize n = count() by t = _time")[1]
+    )
+    assert h.stats_timestamp_fields() == frozenset({"t"})
+    assert h.stats_numeric_fields() == frozenset({"n"})
+    h2 = h.apply_summarize(_steps("c.t | summarize m = max(n) by t")[1])
+    assert h2.stats_timestamp_fields() == frozenset({"t"})
+    assert h2.stats_numeric_fields() == frozenset({"m"})
+
+
 def test_union_same_pipeline_only():
     flt = _steps("c.t | where a == 1")[1].expr
     h1 = _handle().apply_filter(flt)
     h2 = _handle().apply_filter(flt)
-    merged = h1.apply_union(h2, "other")
+    merged = h1.apply_union(h2, "myindex", "other")
     spl = merged.build_spl("myindex")
     assert 'index="myindex"' in spl and 'index="other"' in spl and " OR " in spl
-    assert h1.apply_union(_handle(), "other") is None
+    assert h1.apply_union(_handle(), "myindex", "other") is None
+    # duplicate index → engine-side: the OR index clause returns each
+    # event once, but the engine union-all doubles them (fuzz-found r11)
+    assert h1.apply_union(h2, "myindex", "myindex") is None
+    assert merged.apply_union(h2, "myindex", "other") is None
 
 
 def test_named_capture_conversion_edges():
