@@ -197,13 +197,22 @@ def programs(draw):
                 )
             elif arm == "str":
                 c = draw(st.sampled_from(strs))
-                sop = draw(st.sampled_from(["contains", "startswith", "=="]))
+                sop = draw(
+                    st.sampled_from(
+                        ["contains", "startswith", "endswith", "==", "!="]
+                    )
+                )
                 lit = draw(st.sampled_from(["s1", "t2", "g0", "1"]))
                 kql.append(f'where {c} {sop} "{lit}"')
                 if sop == "contains":
                     pred = f"contains({c}, '{lit}')"
                 elif sop == "startswith":
                     pred = f"starts_with({c}, '{lit}')"
+                elif sop == "endswith":
+                    pred = f"ends_with({c}, '{lit}')"
+                elif sop == "!=":
+                    # total order: null != lit is TRUE (null smallest)
+                    pred = f"({c} IS NULL OR {c} <> '{lit}')"
                 else:
                     pred = f"({c} = '{lit}')"
             else:
@@ -219,8 +228,13 @@ def programs(draw):
             nums = sorted(n for n, t in cols.items() if t == NUM)
             ext_n += 1
             name = f"e{ext_n}"
-            arm = draw(st.sampled_from(["plus", "lit", "iff"] if nums
-                                       else ["lit"]))
+            arm = draw(
+                st.sampled_from(
+                    ["plus", "lit", "iff", "iff_str", "case"] if nums
+                    else ["lit"]
+                )
+            )
+            new_type = NUM
             if arm == "plus":
                 c = draw(st.sampled_from(nums))
                 kql.append(f"extend {name} = {c} + 1")
@@ -233,11 +247,30 @@ def programs(draw):
                 lit = draw(st.integers(0, 8))
                 kql.append(f"extend {name} = iff({c} > {lit}, 1, 0)")
                 expr = f"CASE WHEN {c} > {lit} THEN 1 ELSE 0 END"
+            elif arm == "iff_str":
+                c = draw(st.sampled_from(nums))
+                lit = draw(st.integers(0, 8))
+                kql.append(
+                    f'extend {name} = iff({c} >= {lit}, "hi", "lo")'
+                )
+                expr = f"CASE WHEN {c} >= {lit} THEN 'hi' ELSE 'lo' END"
+                new_type = STR
+            elif arm == "case":
+                c = draw(st.sampled_from(nums))
+                l1 = draw(st.integers(0, 4))
+                l2 = l1 + draw(st.integers(1, 4))
+                kql.append(
+                    f"extend {name} = case({c} > {l2}, 2, {c} > {l1}, 1, 0)"
+                )
+                expr = (
+                    f"CASE WHEN {c} > {l2} THEN 2"
+                    f" WHEN {c} > {l1} THEN 1 ELSE 0 END"
+                )
             else:
                 kql.append(f"extend {name} = 7")
                 expr = "7"
             sql = f"SELECT *, {expr} AS {name} FROM ({sql}) x{step_i}"
-            cols[name] = NUM
+            cols[name] = new_type
         elif kind == "rename":
             src_col = draw(st.sampled_from(sorted(cols)))
             ext_n += 1
@@ -280,19 +313,27 @@ def programs(draw):
         elif kind == "sort_take":
             live = sorted(cols)
             orders = [draw(st.sampled_from(["asc", "desc"])) for _ in live]
-            kql.append(
-                "sort by " + ", ".join(
-                    f"{c} {o}" for c, o in zip(live, orders)
-                )
-            )
+            sort_frag = ", ".join(f"{c} {o}" for c, o in zip(live, orders))
             order_sql = ", ".join(
                 f"{c} {o.upper()} NULLS LAST" for c, o in zip(live, orders)
             )
-            sql = f"SELECT * FROM ({sql}) o{step_i} ORDER BY {order_sql}"
             if draw(st.booleans()):
+                # `top N by <full sort list>` — deterministic for the
+                # same reason take-after-full-sort is: ties are
+                # identical rows
                 n = draw(st.integers(min_value=1, max_value=30))
-                kql.append(f"take {n}")
-                sql = f"{sql} LIMIT {n}"
+                kql.append(f"top {n} by {sort_frag}")
+                sql = (
+                    f"SELECT * FROM ({sql}) o{step_i}"
+                    f" ORDER BY {order_sql} LIMIT {n}"
+                )
+            else:
+                kql.append(f"sort by {sort_frag}")
+                sql = f"SELECT * FROM ({sql}) o{step_i} ORDER BY {order_sql}"
+                if draw(st.booleans()):
+                    n = draw(st.integers(min_value=1, max_value=30))
+                    kql.append(f"take {n}")
+                    sql = f"{sql} LIMIT {n}"
         elif kind == "union":
             bpred_kql, bpred_sql = "", ""
             if draw(st.booleans()):
@@ -345,9 +386,32 @@ def programs(draw):
                         f"count(CASE WHEN {c} > 3 THEN 1 END) AS ci"
                     )
             by = None
+            by_is_bin = False
             # a by key sharing an agg output name is a ParseError
             # (parser.py duplicate-output validation, r11)
             by_choices = sorted(set(cols) - {c} - set(picked))
+            bin_choices = sorted(set(nums) - {c} - set(picked))
+            if (
+                bin_choices
+                and "b" not in picked
+                and draw(st.integers(0, 3)) == 0
+            ):
+                # numeric bin group key: bin(null) is missing → the
+                # engine drops the group pre-grouping, same as a plain
+                # null key (summarize.rs:151)
+                bc = draw(st.sampled_from(bin_choices))
+                width = draw(st.sampled_from([2, 3, 5]))
+                by, by_is_bin = f"b = bin({bc}, {width})", True
+                by_sql = f"floor({bc} / {width}) * {width}"
+                kql.append("summarize " + ", ".join(frags) + f" by {by}")
+                sql = (
+                    f"SELECT {by_sql} AS b, {', '.join(sels)}"
+                    f" FROM ({sql}) s{step_i}"
+                    f" WHERE {bc} IS NOT NULL GROUP BY {by_sql}"
+                )
+                cols = {a: NUM for a in picked}
+                cols["b"] = NUM
+                continue
             if by_choices and draw(st.booleans()):
                 by = draw(st.sampled_from(by_choices))
             kql.append(
