@@ -502,6 +502,13 @@ def main() -> None:
             "base_queries": base_timings,
             "queries": sf1_timings,
             "scaling_exponent": exponents,
+            # the sf1 arm runs AFTER the headline sentinel's end
+            # reading, so contention arriving during it was invisible
+            # (r11: a clean-sentinel run still carried a 1.5×-inflated
+            # minhash sf1 time — isolated re-measure read 14.0s where
+            # the in-run arm said 19.3s). A third reading makes the
+            # arm's own window self-reporting.
+            "calib_sec_sf1": _calibrate(),
         }
 
     print(json.dumps(result))

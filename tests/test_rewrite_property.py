@@ -234,6 +234,20 @@ def pipelines(draw) -> str:
             # a by key sharing an agg output name is a ParseError
             # (parser.py duplicate-output validation, r11)
             by_choices = sorted(cols - {c} - set(aggs))
+            bin_choices = sorted((cols & NUM_COLS) - {c} - set(aggs))
+            if bin_choices and draw(st.integers(0, 3)) == 0:
+                # numeric bin() group key — drives the rewrite layer's
+                # by-EXPRESSION handling (filter-fact substitution,
+                # union splits) through a computed key
+                bc = draw(st.sampled_from(bin_choices))
+                steps.append(
+                    "summarize " + ", ".join(frag)
+                    + f" by b = bin({bc}, {draw(st.sampled_from([2, 3, 5]))})"
+                )
+                cols = set(aggs) | {"b"}
+                NUM_COLS.add("b")
+                id_unique = False
+                continue
             if by_choices and draw(st.booleans()):
                 by = draw(st.sampled_from(by_choices))
             steps.append(
