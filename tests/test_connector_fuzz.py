@@ -49,15 +49,42 @@ STR_FIELDS = ["user", "type", "title"]
 def pipelines(draw) -> str:
     steps: list[str] = []
     terminal = False
+    expanded = False  # mv-expand duplicates @time → take would be
+    # tie-nondeterministic afterwards
+    joined = False
     for _ in range(draw(st.integers(min_value=1, max_value=4))):
         if terminal:
             break
+        # join is ~3-5× the cost of any other step (dynamic-filter key
+        # collection + a second negotiated fetch, per connector, twice)
+        # — keep it rare so the 25-example budget stays minutes
         kind = draw(
             st.sampled_from(
-                ["where", "where", "project", "sort", "union",
-                 "summarize", "count"]
+                ["where", "where", "project", "sort", "sort", "union",
+                 "summarize", "summarize", "count", "join",
+                 "mv_expand", "mv_expand"]
             )
         )
+        if kind == "join" and (joined or draw(st.integers(0, 2)) != 0):
+            kind = "where"
+        if kind == "join":
+            # exercises the join-feeding scan fetches and the
+            # dynamic-filter pushdown of observed join keys; the
+            # rename-project right side is connector-REFUSED, so the
+            # engine fetches and projects the residual
+            k = draw(st.sampled_from(["inner", "left"]))
+            steps.append(
+                f"join kind={k} (test.stack_mirror"
+                " | project mqid = questionId, mty = type)"
+                " on $left.questionId == $right.mqid"
+            )
+            joined = True
+            expanded = True  # joins duplicate @time across matches
+            continue
+        if kind == "mv_expand":
+            steps.append("mv-expand tags")
+            expanded = True
+            continue
         if kind == "where":
             arm = draw(st.sampled_from(["num", "str", "exists", "in"]))
             if arm == "num":
@@ -110,7 +137,10 @@ def pipelines(draw) -> str:
             # name, so absorbed and refused runs legitimately differ
             order = draw(st.sampled_from(["asc", "desc"]))
             steps.append(f"sort by @time {order}")
-            if draw(st.booleans()):
+            if not expanded and draw(st.booleans()):
+                # @time is unique across the corpus, so the limited
+                # multiset is deterministic — UNLESS an expand/join
+                # duplicated timestamps
                 steps.append(f"take {draw(st.integers(1, 15))}")
                 terminal = True
         elif kind == "union":
