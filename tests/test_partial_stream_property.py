@@ -1,0 +1,90 @@
+"""Property-based partial-stream soundness.
+
+The fixed-shape partial_stream tests (test_server.py, test_streaming)
+pin the reference's partial_stream_* corpus; this arm generalizes the
+core invariant — the FINAL partial round equals the batch answer for
+the same data — to hypothesis-generated pipelines over the same
+generator the rewrite-soundness suites use (test_rewrite_property).
+Plans the classifier does not support (no aggregate/top/limit tail)
+are skipped per-example; supported ones run a real availableNow file
+stream through ``run_partial_stream`` and diff the final emit against
+``Compiler.run`` on identical parquet data.
+
+Parity anchor: miso-workflow/src/partial_stream.rs (the final round is
+the exact query answer, tests.rs partial_stream_* family).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+
+from miso_spark import plan as P
+from miso_spark.compiler import Compiler
+from miso_spark.kql import parse_kql
+from miso_spark.sources import ParquetDirSource, SourceRegistry
+from miso_spark.streaming.partial import (
+    plan_supports_partial_stream,
+    run_partial_stream,
+)
+
+from test_rewrite_property import A_ROWS, B_ROWS, pipelines  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def rig(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("pstream")
+    a = spark.createDataFrame(
+        A_ROWS, "id long, x long, y double, s string, g string"
+    )
+    b = spark.createDataFrame(B_ROWS, "id long, x long, t string")
+    # multiple files per collection → multiple stream triggers, so the
+    # final state genuinely accumulates across rounds
+    a.repartition(3).write.parquet(str(base / "a.parquet"))
+    b.repartition(2).write.parquet(str(base / "b.parquet"))
+    src = ParquetDirSource(str(base))
+    return Compiler(SourceRegistry(spark).register("m", src))
+
+
+def _canon(json_rows) -> list[str]:
+    out = []
+    for r in json_rows:
+        d = json.loads(r) if isinstance(r, str) else r
+        d = {
+            k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in d.items()
+            if v is not None
+        }
+        out.append(json.dumps(d, sort_keys=True, default=str))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(q=pipelines())
+# seed the three classifier modes: complete-mode aggregate, top/limit
+# tail, and a multi-union head feeding an aggregate
+@example(q="m.a | summarize n = count(), sx = sum(x) by g")
+@example(q="m.a | sort by g asc, id asc, s asc, x asc, y asc | take 7")
+@example(q="m.a | union (m.b) | summarize n = count() by x")
+def test_partial_final_round_equals_batch(rig, q):
+    plan = parse_kql(q)
+    if not plan_supports_partial_stream(plan, rig.registry):
+        return
+    batch = _canon(rig.run(plan).toJSON().collect())
+    finals: list[list[str]] = []
+
+    def emit(round_id, rows, is_final):
+        if is_final:
+            finals.append(list(rows))
+
+    run_partial_stream(rig, plan, emit, debounce_s=0.0)
+    assert finals, f"no final round emitted for: {q}"
+    got = _canon(finals[-1])
+    assert got == batch, f"partial final != batch for: {q}"
