@@ -176,6 +176,23 @@ def run_partial_stream(
 
     if mode == "agg":
         for step in tail_steps:
+            if isinstance(step, P.SummarizeStep) and not step.aggs:
+                # the batch compile of an agg-less summarize (the
+                # `distinct` lowering) is select+distinct — streaming
+                # DEDUP, which complete mode rejects. Compile it as a
+                # true streaming aggregation instead: group on the
+                # keys with a throwaway count, then drop it. Same
+                # rows (the grouped path applies the identical
+                # null-key drop). r11 partial-stream property find.
+                helper = "__miso_partial_one"
+                while any(bf.name == helper for bf in step.by):
+                    helper += "_"
+                step = P.SummarizeStep(
+                    ((helper, P.Agg("count")),), step.by,
+                    keep_null_keys=step.keep_null_keys,
+                )
+                sdf = compiler._apply(step, sdf, {}).drop(helper)
+                continue
             sdf = compiler._apply(step, sdf, {})
 
         def on_batch(batch_df, batch_id: int) -> None:

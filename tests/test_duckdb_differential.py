@@ -493,3 +493,67 @@ def test_engine_matches_duckdb(rig, duck, prog):
     engine = _spark_rows(rig.run(P.Plan(optimize_steps(plan.steps))))
     oracle = _duck_rows(duck, sql)
     assert engine == oracle, f"divergence for: {kql}\nsql: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# dynamic-ingest arm: the SAME paired programs over all-VARIANT tables
+# vs the SAME DuckDB oracle. The dynamic path's other gates are
+# self-differentials (optimized-vs-unoptimized, typed-vs-dynamic);
+# this is its first EXTERNAL oracle over a generated space. Sound
+# because the ingest drops None values (a null column value becomes a
+# MISSING key), and for every generated construct the documented
+# missing-vs-null divergences collapse: total-order comparisons,
+# exists(), summarize null-key drops, and null-safe join keys all
+# treat a missing key exactly as SQL NULL.
+
+
+@pytest.fixture(scope="module")
+def dyn_rig(spark):
+    from miso_spark.dynamic import ingest_json_dynamic
+
+    def rows(data, names):
+        return [
+            {k: v for k, v in zip(names, r) if v is not None} for r in data
+        ]
+
+    mem = MemorySource()
+    mem.put(
+        "a",
+        ingest_json_dynamic(
+            spark, rows(A_ROWS, ["id", "x", "y", "s", "g"]),
+            keys=["id", "x", "y", "s", "g"],
+        ),
+    )
+    mem.put(
+        "b",
+        ingest_json_dynamic(
+            spark, rows(B_ROWS, ["id", "x", "t"]), keys=["id", "x", "t"]
+        ),
+    )
+    return Compiler(SourceRegistry(spark).register("m", mem))
+
+
+def _dyn_rows(df) -> list[str]:
+    from pyspark.sql.types import VariantVal
+
+    def unwrap(v):
+        return v.toPython() if isinstance(v, VariantVal) else v
+
+    return _norm_rows(
+        {k: unwrap(v) for k, v in r.asDict(recursive=True).items()}
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prog=programs())
+def test_dynamic_engine_matches_duckdb(dyn_rig, duck, prog):
+    kql, sql = prog
+    plan = parse_kql(kql)
+    engine = _dyn_rows(dyn_rig.run(P.Plan(optimize_steps(plan.steps))))
+    oracle = _duck_rows(duck, sql)
+    assert engine == oracle, f"dynamic divergence for: {kql}\nsql: {sql}"

@@ -73,6 +73,12 @@ def _canon(json_rows) -> list[str]:
 @example(q="m.a | summarize n = count(), sx = sum(x) by g")
 @example(q="m.a | sort by g asc, id asc, s asc, x asc, y asc | take 7")
 @example(q="m.a | union (m.b) | summarize n = count() by x")
+# r11 property find: the `distinct` lowering (agg-less summarize)
+# compiled to streaming DEDUP, which complete mode rejects — the
+# partial tail now compiles it as a grouped count with the helper
+# column dropped (partial.py)
+@example(q="m.a | distinct id")
+@example(q="m.a | distinct g, id, s")
 def test_partial_final_round_equals_batch(rig, q):
     plan = parse_kql(q)
     if not plan_supports_partial_stream(plan, rig.registry):
