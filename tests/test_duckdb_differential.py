@@ -121,13 +121,26 @@ def _cmp_sql(col: str, op: str, lit) -> str:
     raise AssertionError(op)
 
 
+_DYN_CMP = {"==": "=", ">": ">", ">=": ">=", "!=": "<>", "<": "<", "<=": "<="}
+
+
+def _cmp_sql_dyn(col: str, op: str, lit) -> str:
+    """DYNAMIC-dialect comparison: a missing operand poisons the whole
+    predicate (expr_eval.rs eval_to_bool! → row dropped), and the
+    ingest maps null column values to MISSING keys — so every
+    comparison is the PLAIN SQL form, whose NULL-unknown also drops."""
+    v = f"'{lit}'" if isinstance(lit, str) else str(lit)
+    return f"({col} {_DYN_CMP[op]} {v})"
+
+
 @st.composite
 def programs(draw):
     cols: dict[str, str] = {
         "id": NUM, "x": NUM, "y": NUM, "s": STR, "g": STR,
     }
     kql = ["m.a"]
-    sql = "SELECT * FROM a"
+    sql = "SELECT * FROM a"  # typed dialect
+    sqd = "SELECT * FROM a"  # dynamic dialect (missing-key semantics)
     ext_n = 0
     n_steps = draw(st.integers(min_value=1, max_value=5))
     for step_i in range(n_steps):
@@ -157,6 +170,7 @@ def programs(draw):
                 lit = draw(st.integers(min_value=0, max_value=8))
                 kql.append(f"where {c} {op} {lit}")
                 pred = _cmp_sql(c, op, lit)
+                pred_d = _cmp_sql_dyn(c, op, lit)
             elif arm == "in":
                 c = draw(st.sampled_from(nums))
                 vals = sorted(
@@ -166,9 +180,10 @@ def programs(draw):
                 if draw(st.booleans()):
                     kql.append(f"where not({c} in ({vs}))")
                     pred = f"({c} IS NULL OR {c} NOT IN ({vs}))"
+                    pred_d = f"({c} NOT IN ({vs}))"
                 else:
                     kql.append(f"where {c} in ({vs})")
-                    pred = f"({c} IN ({vs}))"
+                    pred = pred_d = f"({c} IN ({vs}))"
             elif arm == "between":
                 c = draw(st.sampled_from(nums))
                 lo = draw(st.integers(0, 6))
@@ -178,9 +193,10 @@ def programs(draw):
                     pred = (
                         f"({c} IS NULL OR NOT ({c} >= {lo} AND {c} <= {hi}))"
                     )
+                    pred_d = f"(NOT ({c} >= {lo} AND {c} <= {hi}))"
                 else:
                     kql.append(f"where {c} between ({lo} .. {hi})")
-                    pred = f"({c} >= {lo} AND {c} <= {hi})"
+                    pred = pred_d = f"({c} >= {lo} AND {c} <= {hi})"
             elif arm == "combo":
                 c1, c2 = (draw(st.sampled_from(nums)) for _ in range(2))
                 j = draw(st.sampled_from(["and", "or"]))
@@ -195,6 +211,15 @@ def programs(draw):
                     f"({_cmp_sql(c1, o1, l1)} {j.upper()}"
                     f" {_cmp_sql(c2, o2, l2)})"
                 )
+                # dynamic: eval_to_bool! poisons LEFT-first — `missing
+                # OR true` is MISSING (dropped) where SQL keeps it, so
+                # OR needs the left-presence guard; AND's drop lattice
+                # already matches three-valued SQL in filter position
+                d1, d2 = _cmp_sql_dyn(c1, o1, l1), _cmp_sql_dyn(c2, o2, l2)
+                if j == "or":
+                    pred_d = f"({c1} IS NOT NULL AND ({d1} OR {d2}))"
+                else:
+                    pred_d = f"({d1} AND {d2})"
             elif arm == "str":
                 c = draw(st.sampled_from(strs))
                 sop = draw(
@@ -205,25 +230,27 @@ def programs(draw):
                 lit = draw(st.sampled_from(["s1", "t2", "g0", "1"]))
                 kql.append(f'where {c} {sop} "{lit}"')
                 if sop == "contains":
-                    pred = f"contains({c}, '{lit}')"
+                    pred = pred_d = f"contains({c}, '{lit}')"
                 elif sop == "startswith":
-                    pred = f"starts_with({c}, '{lit}')"
+                    pred = pred_d = f"starts_with({c}, '{lit}')"
                 elif sop == "endswith":
-                    pred = f"ends_with({c}, '{lit}')"
+                    pred = pred_d = f"ends_with({c}, '{lit}')"
                 elif sop == "!=":
                     # total order: null != lit is TRUE (null smallest)
                     pred = f"({c} IS NULL OR {c} <> '{lit}')"
+                    pred_d = f"({c} <> '{lit}')"
                 else:
-                    pred = f"({c} = '{lit}')"
+                    pred = pred_d = f"({c} = '{lit}')"
             else:
                 c = draw(st.sampled_from(sorted(cols)))
                 if draw(st.booleans()):
                     kql.append(f"where not(exists({c}))")
-                    pred = f"({c} IS NULL)"
+                    pred = pred_d = f"({c} IS NULL)"
                 else:
                     kql.append(f"where exists({c})")
-                    pred = f"({c} IS NOT NULL)"
+                    pred = pred_d = f"({c} IS NOT NULL)"
             sql = f"SELECT * FROM ({sql}) w{step_i} WHERE {pred}"
+            sqd = f"SELECT * FROM ({sqd}) w{step_i} WHERE {pred_d}"
         elif kind == "extend":
             nums = sorted(n for n, t in cols.items() if t == NUM)
             ext_n += 1
@@ -270,6 +297,7 @@ def programs(draw):
                 kql.append(f"extend {name} = 7")
                 expr = "7"
             sql = f"SELECT *, {expr} AS {name} FROM ({sql}) x{step_i}"
+            sqd = f"SELECT *, {expr} AS {name} FROM ({sqd}) x{step_i}"
             cols[name] = new_type
         elif kind == "rename":
             src_col = draw(st.sampled_from(sorted(cols)))
@@ -279,6 +307,7 @@ def programs(draw):
             others = [c for c in sorted(cols) if c != src_col]
             sel = ", ".join([f"{src_col} AS {name}"] + others)
             sql = f"SELECT {sel} FROM ({sql}) r{step_i}"
+            sqd = f"SELECT {sel} FROM ({sqd}) r{step_i}"
             cols[name] = cols.pop(src_col)
         elif kind == "join":
             k = draw(st.sampled_from(["inner", "left"]))
@@ -296,6 +325,15 @@ def programs(draw):
                 f" ON jl{step_i}.{on_left} IS NOT DISTINCT FROM"
                 f" jr{step_i}.bx"
             )
+            # dynamic: a MISSING key has no hash bucket — it never
+            # matches (the typed path's null-CONFLATED ingest makes
+            # null-safe equality observable; dynamic ingest has no
+            # present-nulls here, so missing ≡ SQL NULL ≡ plain `=`)
+            sqd = (
+                f"SELECT * FROM ({sqd}) jl{step_i} {jk} "
+                f"(SELECT id AS bid, x AS bx, t FROM b) jr{step_i}"
+                f" ON jl{step_i}.{on_left} = jr{step_i}.bx"
+            )
             cols = {**cols, "bid": NUM, "bx": NUM, "t": STR}
         elif kind == "project":
             keep = sorted(
@@ -309,6 +347,7 @@ def programs(draw):
             )
             kql.append("project " + ", ".join(keep))
             sql = f"SELECT {', '.join(keep)} FROM ({sql}) p{step_i}"
+            sqd = f"SELECT {', '.join(keep)} FROM ({sqd}) p{step_i}"
             cols = {k: cols[k] for k in keep}
         elif kind == "sort_take":
             live = sorted(cols)
@@ -327,13 +366,19 @@ def programs(draw):
                     f"SELECT * FROM ({sql}) o{step_i}"
                     f" ORDER BY {order_sql} LIMIT {n}"
                 )
+                sqd = (
+                    f"SELECT * FROM ({sqd}) o{step_i}"
+                    f" ORDER BY {order_sql} LIMIT {n}"
+                )
             else:
                 kql.append(f"sort by {sort_frag}")
                 sql = f"SELECT * FROM ({sql}) o{step_i} ORDER BY {order_sql}"
+                sqd = f"SELECT * FROM ({sqd}) o{step_i} ORDER BY {order_sql}"
                 if draw(st.booleans()):
                     n = draw(st.integers(min_value=1, max_value=30))
                     kql.append(f"take {n}")
                     sql = f"{sql} LIMIT {n}"
+                    sqd = f"{sqd} LIMIT {n}"
         elif kind == "union":
             bpred_kql, bpred_sql = "", ""
             if draw(st.booleans()):
@@ -343,6 +388,10 @@ def programs(draw):
             kql.append(f"union (m.b{bpred_kql})")
             sql = (
                 f"SELECT * FROM (({sql}) UNION ALL BY NAME "
+                f"(SELECT * FROM b{bpred_sql})) u{step_i}"
+            )
+            sqd = (
+                f"SELECT * FROM (({sqd}) UNION ALL BY NAME "
                 f"(SELECT * FROM b{bpred_sql})) u{step_i}"
             )
             cols = {**cols, "id": NUM, "x": NUM, "t": STR}
@@ -360,7 +409,7 @@ def programs(draw):
                     )
                 )
             )
-            frags, sels = [], []
+            frags, sels, sels_d = [], [], []
             for a in picked:
                 if a == "n":
                     frags.append("n = count()")
@@ -380,11 +429,18 @@ def programs(draw):
                         f"(count(DISTINCT {c}) + CASE WHEN"
                         f" count(*) > count({c}) THEN 1 ELSE 0 END) AS dc"
                     )
+                    # dynamic: a MISSING arg contributes no bucket (the
+                    # typed path's +1 corrects its null-CONFLATED
+                    # ingest; dynamic ingest keeps missing missing) —
+                    # probed: dcount over {1,1,2,missing,missing} = 2
+                    sels_d.append(f"count(DISTINCT {c}) AS dc")
+                    continue
                 else:
                     frags.append(f"ci = countif({c} > 3)")
                     sels.append(
                         f"count(CASE WHEN {c} > 3 THEN 1 END) AS ci"
                     )
+                sels_d.append(sels[-1])
             by = None
             by_is_bin = False
             # a by key sharing an agg output name is a ParseError
@@ -409,6 +465,11 @@ def programs(draw):
                     f" FROM ({sql}) s{step_i}"
                     f" WHERE {bc} IS NOT NULL GROUP BY {by_sql}"
                 )
+                sqd = (
+                    f"SELECT {by_sql} AS b, {', '.join(sels_d)}"
+                    f" FROM ({sqd}) s{step_i}"
+                    f" WHERE {bc} IS NOT NULL GROUP BY {by_sql}"
+                )
                 cols = {a: NUM for a in picked}
                 cols["b"] = NUM
                 continue
@@ -422,8 +483,13 @@ def programs(draw):
                     f"SELECT {by}, {', '.join(sels)} FROM ({sql}) s{step_i}"
                     f" WHERE {by} IS NOT NULL GROUP BY {by}"
                 )
+                sqd = (
+                    f"SELECT {by}, {', '.join(sels_d)} FROM ({sqd}) s{step_i}"
+                    f" WHERE {by} IS NOT NULL GROUP BY {by}"
+                )
             else:
                 sql = f"SELECT {', '.join(sels)} FROM ({sql}) s{step_i}"
+                sqd = f"SELECT {', '.join(sels_d)} FROM ({sqd}) s{step_i}"
             cols = {a: NUM for a in picked}
             if by:
                 cols[by] = NUM if by in nums else STR
@@ -443,12 +509,17 @@ def programs(draw):
                 f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) d{step_i}"
                 f" WHERE {notnull}"
             )
+            sqd = (
+                f"SELECT DISTINCT {', '.join(keep)} FROM ({sqd}) d{step_i}"
+                f" WHERE {notnull}"
+            )
             cols = {k: cols[k] for k in keep}
         else:  # count
             kql.append("count")
             sql = f'SELECT count(*) AS "Count" FROM ({sql}) c{step_i}'
+            sqd = f'SELECT count(*) AS "Count" FROM ({sqd}) c{step_i}'
             cols = {"Count": NUM}
-    return " | ".join(kql), sql
+    return " | ".join(kql), sql, sqd
 
 
 def _norm_rows(pairs) -> list[str]:
@@ -486,7 +557,7 @@ def _duck_rows(con, sql: str) -> list[str]:
 )
 @given(prog=programs())
 def test_engine_matches_duckdb(rig, duck, prog):
-    kql, sql = prog
+    kql, sql, _ = prog
     plan = parse_kql(kql)
     # run the OPTIMIZED plan — the full production path for this
     # source class, so a rewrite bug shows up here too
@@ -534,10 +605,17 @@ def dyn_rig(spark):
 
 
 def _dyn_rows(df) -> list[str]:
+    from decimal import Decimal
+
     from pyspark.sql.types import VariantVal
 
     def unwrap(v):
-        return v.toPython() if isinstance(v, VariantVal) else v
+        if isinstance(v, VariantVal):
+            v = v.toPython()
+        if isinstance(v, Decimal):
+            # VariantVal.toPython surfaces JSON floats as Decimal
+            v = float(v)
+        return v
 
     return _norm_rows(
         {k: unwrap(v) for k, v in r.asDict(recursive=True).items()}
@@ -552,8 +630,16 @@ def _dyn_rows(df) -> list[str]:
 )
 @given(prog=programs())
 def test_dynamic_engine_matches_duckdb(dyn_rig, duck, prog):
-    kql, sql = prog
+    kql, _, sqd = prog
+    if "iff(" in kql or "case(" in kql:
+        # the one construct with no SQL encoding at all: dynamic
+        # iff/case POISON on a missing condition operand (the
+        # reference's eval_to_bool! — the result is MISSING, not the
+        # else branch), and SQL CASE has no way to yield
+        # "drop this key from the row". The typed arm covers iff/case
+        # vs DuckDB; the reference-parity suite pins the poisoning.
+        return
     plan = parse_kql(kql)
     engine = _dyn_rows(dyn_rig.run(P.Plan(optimize_steps(plan.steps))))
-    oracle = _duck_rows(duck, sql)
-    assert engine == oracle, f"dynamic divergence for: {kql}\nsql: {sql}"
+    oracle = _duck_rows(duck, sqd)
+    assert engine == oracle, f"dynamic divergence for: {kql}\nsql: {sqd}"

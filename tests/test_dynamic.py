@@ -644,6 +644,25 @@ def test_dynamic_join_keys(spark):
         for s in m.query("dyn.l | join (dyn.r) on k").toJSON().collect()
     )
     assert got == [("a", "x"), ("b", "z"), ("c", "y")]
+    # DELIBERATE divergence (SURVEY §3): a LEFT/OUTER join KEEPS a
+    # left row whose key is MISSING (unmatched, right side null) —
+    # the reference's collect loop `continue`s past it (join.rs:183),
+    # silently DELETING the row from a left join, a shape its own
+    # suite never tests (join_outer_with_nulls uses present-nulls).
+    # Left-join semantics say preserved rows survive; correct results
+    # beat bug-parity.
+    left = sorted(
+        (json.loads(s).get("lv"), json.loads(s).get("rv"))
+        for s in m.query("dyn.l | join kind=left (dyn.r) on k")
+        .toJSON().collect()
+    )
+    assert left == [("a", "x"), ("b", "z"), ("c", "y"), ("d", None)]
+    outer = sorted(
+        (json.loads(s).get("lv"), json.loads(s).get("rv"))
+        for s in m.query("dyn.l | join kind=outer (dyn.r) on k")
+        .toJSON().collect()
+    )
+    assert outer == [("a", "x"), ("b", "z"), ("c", "y"), ("d", None)]
 
 
 def test_dynamic_expand_mixed_arrays(spark):
