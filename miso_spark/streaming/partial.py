@@ -69,6 +69,17 @@ def _classify(plan: P.Plan, registry) -> Optional[tuple[str, int]]:
                 return None
         i += 1
     if i < len(steps) and isinstance(steps[i], (P.SummarizeStep, P.CountStep)):
+        if isinstance(steps[i], P.SummarizeStep) and any(
+            a.kind == "dcount" for _, a in steps[i].aggs
+        ):
+            # exact dcount can't stream directly (Spark refuses
+            # distinct aggregations on streams) — it runs via the
+            # union-split partial model instead (run_partial_stream),
+            # so it's supported exactly when the split is
+            from miso_spark.rewrite import split_summarize_for_union
+
+            if split_summarize_for_union(steps[i]) is None:
+                return None
         if all(isinstance(s, _ROW_LOCAL) for s in steps[i + 1 :]):
             return ("agg", i)
         return None
@@ -175,6 +186,34 @@ def run_partial_stream(
     held: list[DataFrame] = []
 
     if mode == "agg":
+        # exact dcount can't stream (Spark refuses distinct aggs on
+        # streams): stream the reference's PARTIAL model instead —
+        # the dcount arg joins the group keys of a null-keeping
+        # partial (split_summarize_for_union, summarize.rs
+        # convert_to_partial), and each batch FINISHES engine-side
+        # (merge + post) before emitting, so every round (and the
+        # final) is the exact user-visible answer.
+        finish_steps: list = []
+        if (
+            tail_steps
+            and isinstance(tail_steps[0], P.SummarizeStep)
+            and any(a.kind == "dcount" for _, a in tail_steps[0].aggs)
+        ):
+            from miso_spark.rewrite import split_summarize_for_union
+
+            split = split_summarize_for_union(tail_steps[0])
+            if split is None:  # _classify gates this; belt-and-braces
+                raise ValueError("plan does not support partial streaming")
+            partial, merge, post = split
+            finish_steps = [merge] + ([post] if post is not None else [])
+            finish_steps += list(tail_steps[1:])
+            tail_steps = (partial,)
+
+        def _finish(df: DataFrame) -> DataFrame:
+            for s in finish_steps:
+                df = compiler._apply(s, df, {})
+            return df
+
         for step in tail_steps:
             if isinstance(step, P.SummarizeStep) and not step.aggs:
                 # the batch compile of an agg-less summarize (the
@@ -201,6 +240,7 @@ def run_partial_stream(
             # fails — and it keeps the full state executor-side, where
             # it belongs. Only ≤ max_rows_per_round rows ever reach the
             # driver.
+            batch_df = _finish(batch_df)  # no-op without a dcount split
             batch_df.persist()
             ok = False
             try:

@@ -79,6 +79,12 @@ def _canon(json_rows) -> list[str]:
 # column dropped (partial.py)
 @example(q="m.a | distinct id")
 @example(q="m.a | distinct g, id, s")
+# r11: exact dcount can't stream directly (Spark refuses distinct
+# aggs on streams) — the partial tail streams the union-split's
+# null-keeping PARTIAL and finishes (merge + post) per batch
+@example(q="m.a | summarize dc = dcount(x) by g")
+@example(q="m.a | summarize dc = dcount(x), n = count(), av = avg(y)")
+@example(q="m.a | union (m.b) | summarize dc = dcount(x), av = avg(x) by g")
 def test_partial_final_round_equals_batch(rig, q):
     plan = parse_kql(q)
     if not plan_supports_partial_stream(plan, rig.registry):
