@@ -159,6 +159,50 @@ def test_partial_stream_progressive_aggregates(server, spark, tmp_path):
             assert r["n"] <= final_by_status[r["o_orderstatus"]]
 
 
+def test_partial_stream_dcount_over_sse(server, spark, tmp_path):
+    """r11: exact dcount partial-streams via the split model (Spark
+    refuses distinct aggs on streams — the SSE path crashed before).
+    Final frame must equal the batch dcount."""
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src.repartition(3).write.parquet(str(tmp_path / "orders3.parquet"))
+    _post(server, "/connectors/pdc", {"type": "parquet_dir", "path": str(tmp_path)})
+
+    resp = _post(
+        server,
+        "/query",
+        {
+            "query": (
+                "pdc.orders3 | summarize dc = dcount(o_custkey),"
+                " n = count() by o_orderstatus"
+            ),
+            "partial_stream": {"debounce": 0},
+        },
+    )
+    final_rows, done = [], False
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("event: done"):
+            done = True
+        elif line.startswith("data: ") and not done:
+            obj = json.loads(line[6:])
+            if obj.get("_miso_metadata") is None:
+                final_rows.append(obj)
+    assert done
+    from pyspark.sql import functions as F
+
+    expected = {
+        (r["o_orderstatus"], r["dc"], r["n"])
+        for r in src.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("dc"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    got = {(r["o_orderstatus"], r["dc"], r["n"]) for r in final_rows}
+    assert got == expected
+
+
 def test_connector_management_and_errors(server):
     _post(server, "/connectors/extra", {"type": "parquet_dir", "path": SF_DIR})
     assert "extra" in json.load(_get(server, "/connectors"))
