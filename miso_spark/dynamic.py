@@ -127,7 +127,10 @@ def ingest_json_dynamic(
 
 
 def read_json_dynamic_stream(
-    spark: SparkSession, path: str, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Structured-Streaming dynamic ingest: a text file-stream over a
     directory of JSON-lines files, each top-level key a VARIANT column
@@ -137,7 +140,10 @@ def read_json_dynamic_stream(
     lines drop, like the batch ingest."""
     if not keys:
         raise ValueError("streaming dynamic ingest requires explicit keys")
-    return _dynamic_columns(spark.readStream.text(path), "value", keys)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _dynamic_columns(reader.text(path), "value", keys)
 
 
 def read_json_dynamic(

@@ -240,6 +240,26 @@ class JsonDynamicDirSource(Source):
             spark, os.path.join(self.directory, f"{collection}.jsonl"), keys
         )
 
+    def stream_table(
+        self, spark: SparkSession, collection: str, max_files_per_trigger: int = 1
+    ) -> DataFrame:
+        """Incremental dynamic ingest — makes VARIANT collections
+        partial-streamable (r11). Streams need the key set up front:
+        configured keys when given, else a one-time discovery pass
+        over the files already on disk (bounded by distinct key
+        count, same aggregation the batch path runs)."""
+        from miso_spark.dynamic import read_json_dynamic, read_json_dynamic_stream
+
+        keys = self.keys
+        if isinstance(keys, dict):
+            keys = keys.get(collection)
+        path = os.path.join(self.directory, f"{collection}.jsonl")
+        if not keys:
+            keys = read_json_dynamic(spark, path).columns
+        return read_json_dynamic_stream(
+            spark, path, list(keys), max_files_per_trigger
+        )
+
 
 class DynamicParquetDirSource(Source):
     """Directory of ``<collection>.parquet`` files whose columns are

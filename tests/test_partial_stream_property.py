@@ -86,6 +86,10 @@ def _canon(json_rows) -> list[str]:
 @example(q="m.a | summarize dc = dcount(x), n = count(), av = avg(y)")
 @example(q="m.a | union (m.b) | summarize dc = dcount(x), av = avg(x) by g")
 def test_partial_final_round_equals_batch(rig, q):
+    _assert_partial_equals_batch(rig, q)
+
+
+def _assert_partial_equals_batch(rig, q):
     plan = parse_kql(q)
     if not plan_supports_partial_stream(plan, rig.registry):
         return
@@ -100,3 +104,28 @@ def test_partial_final_round_equals_batch(rig, q):
     assert finals, f"no final round emitted for: {q}"
     got = _canon(finals[-1])
     assert got == batch, f"partial final != batch for: {q}"
+
+
+def test_partial_stream_over_dynamic_collection(spark, tmp_path):
+    """r11: JsonDynamicDirSource.stream_table makes VARIANT
+    collections partial-streamable — dcount over a dynamic column
+    streams via the split partial (canonical-value grouping on the
+    stream), distinct via the grouped-count shim; finals == batch."""
+    rows = [{"k": i % 3, "v": i} if i % 5 else {"v": i} for i in range(60)]
+    coll = tmp_path / "ev.jsonl"
+    coll.mkdir()
+    for part in range(3):
+        with open(coll / f"p{part}.jsonl", "w") as f:
+            for r in rows[part * 20:(part + 1) * 20]:
+                f.write(json.dumps(r) + "\n")
+    from miso_spark.sources import JsonDynamicDirSource
+
+    rig = Compiler(
+        SourceRegistry(spark).register("d", JsonDynamicDirSource(str(tmp_path)))
+    )
+    for q in (
+        "d.ev | summarize dc = dcount(v), n = count() by k",
+        "d.ev | distinct k",
+        "d.ev | where v > 10 | summarize n = count()",
+    ):
+        _assert_partial_equals_batch(rig, q)
