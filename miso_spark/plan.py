@@ -155,6 +155,16 @@ def distinct_to_summarize(fields) -> SummarizeStep:
 @dataclass(frozen=True)
 class Union(Step):
     sub: "Plan"
+    #: ENGINE-INTERNAL (never parsed from a frontend): the kinds of
+    #: result-shaping steps ("limit"/"topn"/"summarize"/"count") the
+    #: OPTIMIZER copied into this union's branches, leaving a merge
+    #: copy engine-side after the union run (push_steps_into_union).
+    #: Connector negotiation may only merge a result-shaped handle
+    #: into one multi-index search when the shaping is covered here —
+    #: a USER-written per-branch aggregate/limit has no engine-side
+    #: merge, so one merged request would collapse the union-all's
+    #: per-branch rows (r11 review find).
+    pushed: frozenset = frozenset()
 
 
 @dataclass(frozen=True)

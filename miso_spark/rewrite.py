@@ -975,8 +975,22 @@ def push_steps_into_union(steps: list, can_absorb=None) -> tuple[list, bool]:
             continue
         if can_absorb is not None and not can_absorb(branch_step):
             continue
+        # record WHAT was pushed: negotiation may only merge a
+        # result-shaped handle across a union covered by these marks
+        # (the merge copy in tail_steps re-aggregates engine-side)
+        if summarizing:
+            mark = frozenset({"summarize"})
+        elif counting:
+            mark = frozenset({"count"})
+        elif isinstance(step, P.Top):
+            mark = frozenset({"topn", "limit"})
+        elif isinstance(step, P.Limit):
+            mark = frozenset({"limit"})
+        else:
+            mark = frozenset()
         new_unions = [
-            P.Union(P.Plan(tuple(u.sub.steps) + (branch_step,)))
+            P.Union(P.Plan(tuple(u.sub.steps) + (branch_step,)),
+                    pushed=u.pushed | mark)
             for u in steps[i:j]
         ]
         return (

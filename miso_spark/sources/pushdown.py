@@ -83,6 +83,27 @@ class PushHandle:
 
     # ---- apply_* hooks (return None = engine keeps the step) ---------
 
+    def union_shaping(self) -> frozenset:
+        """Result-shaping absorbed into this handle ("summarize" /
+        "count" / "topn" / "limit"). A union may merge two such
+        handles into ONE multi-index search only when every kind here
+        was optimizer-pushed past that union (Union.pushed) — i.e. an
+        engine-side merge copy re-aggregates/re-caps the combined
+        stream. User-written per-branch shaping has no merge copy:
+        one merged request collapses the union-all's per-branch rows
+        (r11 review find: `a | summarize n=count() | union (b |
+        summarize n=count())` returned 1 row instead of 2)."""
+        needs = set()
+        if self.aggs is not None:
+            needs.add("summarize")
+        if self.count:
+            needs.add("count")
+        if self.sorts is not None:
+            needs.add("topn")
+        if self.limit is not None:
+            needs.add("limit")
+        return frozenset(needs)
+
     @property
     def _aggregated(self) -> bool:
         """An aggregation stage (summarize or count) is already
@@ -496,6 +517,19 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
             # multi-index search
             nh = None
             sub = step.sub
+            shaping = (
+                handle.union_shaping()
+                if hasattr(handle, "union_shaping")
+                else frozenset()
+            )
+            if shaping and not shaping <= step.pushed:
+                # the handle's absorbed aggregation/cap was USER-
+                # written per-branch (no engine-side merge copy past
+                # this union) — one merged multi-index request would
+                # collapse the union-all's per-branch result rows.
+                # Engine keeps the union; each branch still absorbs
+                # its own shaping in its own request.
+                break
             if (
                 sub.steps
                 and isinstance(sub.steps[0], P.Scan)

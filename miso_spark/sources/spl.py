@@ -519,6 +519,19 @@ class SplunkHandle:
             h = h._push("rex", src, pat)
         return h
 
+    def union_shaping(self) -> frozenset:
+        """See PushHandle.union_shaping — SPL pipeline ops that shape
+        the result set (vs per-event search/where/rex/fields)."""
+        kinds = {
+            "stats": "summarize",
+            "count": "count",
+            "sort": "topn",
+            "head": "limit",
+        }
+        return frozenset(
+            kinds[op[0]] for op in self.pipeline if op[0] in kinds
+        )
+
     def apply_union(
         self, other: "SplunkHandle", scan_collection: str, collection: str
     ):

@@ -144,7 +144,29 @@ def pipelines(draw) -> str:
                 steps.append(f"take {draw(st.integers(1, 15))}")
                 terminal = True
         elif kind == "union":
-            steps.append("union (test.stack_mirror)")
+            # occasionally a RESULT-SHAPED branch (user-written
+            # per-branch aggregate/cap): no engine-side merge copy
+            # exists, so negotiation must keep the union engine-side
+            # (r11 review find — one merged multi-index request
+            # collapsed the union-all's per-branch rows)
+            arm = draw(st.integers(0, 5))
+            if arm == 0:
+                steps.append(
+                    "union (test.stack_mirror | summarize n = count())"
+                )
+                steps.insert(len(steps) - 1, "summarize n = count()")
+                terminal = True
+            elif arm == 1:
+                # deterministic branch cap: top-n by unique @time (a
+                # bare branch `take` is an arbitrary subset — the two
+                # arms could legally pick different rows)
+                n = draw(st.integers(1, 8))
+                steps.append(
+                    "union (test.stack_mirror"
+                    f" | sort by @time asc | take {n})"
+                )
+            else:
+                steps.append("union (test.stack_mirror)")
         elif kind == "summarize":
             c = draw(st.sampled_from(NUM_FIELDS))
             aggs = sorted(
