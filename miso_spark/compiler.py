@@ -68,6 +68,37 @@ def _union_type_conflict(lt, rt) -> bool:
     return True
 
 
+def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
+    """Union-by-name with the engine's heterogeneous-column rules: a
+    name that is VARIANT on one side and typed on the other lifts the
+    typed side into a variant (the reference's union over dynamic
+    collections is trivially heterogeneous; unionByName would
+    otherwise fail on the type conflict), and typed∪typed with
+    irreconcilable types (the reference's union is untyped per-row —
+    e.g. stack's rfc3339 @time unioned with hdfs's epoch @time,
+    test_cases.rs union_different_timestamp_field) lifts BOTH sides so
+    each row keeps its own value instead of a lossy (or crashing,
+    under ANSI) coercion. Shared by the batch Union compile and the
+    partial-stream head (streaming/partial.py — r11 review find: the
+    stream's bare unionByName crashed on VARIANT∪typed plans the
+    batch path accepts)."""
+    from miso_spark.dynamic import wrap_variant
+
+    for name in set(df.columns) & set(other.columns):
+        lt = df.schema[name].dataType
+        rt = other.schema[name].dataType
+        lv = FieldPath._is_variant(lt)
+        rv = FieldPath._is_variant(rt)
+        if lv and not rv:
+            other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+        elif rv and not lv:
+            df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+        elif not lv and not rv and _union_type_conflict(lt, rt):
+            df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+            other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+    return df.unionByName(other, allowMissingColumns=True)
+
+
 def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
     cols = []
     for s in sorts:
@@ -524,37 +555,7 @@ class Compiler:
             return self._distinct_variant_safe(df)
         if isinstance(step, P.Union):
             other = self._run(step.sub, env)
-            # harmonize dynamic columns: a name that is VARIANT on one
-            # side and typed on the other lifts the typed side into a
-            # variant (the reference's union over dynamic collections
-            # is trivially heterogeneous; unionByName would otherwise
-            # fail on the type conflict)
-            from miso_spark.dynamic import wrap_variant
-
-            for name in set(df.columns) & set(other.columns):
-                lt = df.schema[name].dataType
-                rt = other.schema[name].dataType
-                lv = FieldPath._is_variant(lt)
-                rv = FieldPath._is_variant(rt)
-                if lv and not rv:
-                    other = other.withColumn(
-                        name, wrap_variant(F.col(f"`{name}`"))
-                    )
-                elif rv and not lv:
-                    df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
-                elif not lv and not rv and _union_type_conflict(lt, rt):
-                    # typed∪typed with irreconcilable types (the
-                    # reference's union is untyped per-row — e.g.
-                    # stack's rfc3339 @time unioned with hdfs's epoch
-                    # @time, test_cases.rs union_different_timestamp_
-                    # field): lift BOTH sides to variant so each row
-                    # keeps its own value instead of a lossy (or
-                    # crashing, under ANSI) coercion
-                    df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
-                    other = other.withColumn(
-                        name, wrap_variant(F.col(f"`{name}`"))
-                    )
-            return df.unionByName(other, allowMissingColumns=True)
+            return union_harmonized(df, other)
         if isinstance(step, P.JoinStep):
             return self._join(df, step, env)
         if isinstance(step, P.CountStep):

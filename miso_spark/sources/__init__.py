@@ -256,6 +256,12 @@ class JsonDynamicDirSource(Source):
         path = os.path.join(self.directory, f"{collection}.jsonl")
         if not keys:
             keys = read_json_dynamic(spark, path).columns
+        if not keys:
+            # empty/keyless collection: the batch path returns a
+            # zero-column frame; a stream needs ≥1 column, so derive a
+            # placeholder that is MISSING on every row — queries see
+            # no fields (same as batch) and row counts agree
+            keys = ["__miso_no_keys__"]
         return read_json_dynamic_stream(
             spark, path, list(keys), max_files_per_trigger
         )

@@ -1151,6 +1151,12 @@ class SplunkSource(ExternalHttpSource):
         if handle.has_count():
             numeric.add(COUNT_FIELD_NAME)
         timestamps = set(handle.stats_timestamp_fields())
+        if not any(op[0] == "stats" for op in handle.pipeline):
+            # hit rows: `_time` surfaces typed on the DataFrame path
+            # (search() applies _timestamp_typed) — the SSE preview
+            # must match (r11 review find: same query, two different
+            # _time representations depending on the streaming flag)
+            timestamps.add("_time")
         out = dict(row)
         for k, v in row.items():
             if not isinstance(v, str):
@@ -1170,7 +1176,9 @@ class SplunkSource(ExternalHttpSource):
                         from datetime import timezone
 
                         epoch = float(v)
-                        for div in (1.0, 1e3, 1e6):
+                        # magnitude dispatch incl. the nanos fallback,
+                        # mirroring _string_timestamp_col's .otherwise
+                        for div in (1.0, 1e3, 1e6, 1e9):
                             if abs(epoch / div) <= 8589934591.0:
                                 out[k] = datetime.fromtimestamp(
                                     epoch / div, tz=timezone.utc

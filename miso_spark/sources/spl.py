@@ -553,23 +553,31 @@ class SplunkHandle:
         )
 
     def agg_zero_fill(self) -> tuple:
-        """(name, fill) pairs for absorbed sum/avg outputs: Splunk
-        omits the field when a group has no present values, where the
-        engine's empty-input identities are sum → 0 / avg → 0.0
-        (summarize.rs:513,655) — the decode fills them back."""
-        out = []
+        """(name, fill) pairs for absorbed sum/avg outputs SURVIVING
+        to the final result: Splunk omits the field when a group has
+        no present values, where the engine's empty-input identities
+        are sum → 0 / avg → 0.0 (summarize.rs:513,655) — the decode
+        fills them back. Threaded through the pipeline like
+        _stats_types (r11 review find: a composed second stats
+        consumed the first's sum output, but the fill re-ADDED it as
+        a constant column the engine result doesn't have)."""
+        fills: dict[str, float] = {}
         for op in self.pipeline:
-            if op[0] != "stats":
-                continue
-            for p in op[1].split(", "):
-                if " as " not in p:
-                    continue
-                n = p.rsplit(" as ", 1)[1]
-                if p.startswith("sum("):
-                    out.append((n, 0.0))
-                elif p.startswith("avg("):
-                    out.append((n, 0.0))
-        return tuple(out)
+            if op[0] == "stats":
+                by = set(op[2])
+                # earlier fills survive only as group keys of this op
+                fills = {n: f for n, f in fills.items() if n in by}
+                for p in op[1].split(", "):
+                    if " as " not in p:
+                        continue
+                    n = p.rsplit(" as ", 1)[1]
+                    if p.startswith("sum(") or p.startswith("avg("):
+                        fills[n] = 0.0
+            elif op[0] == "rename":
+                for frm, to in op[1]:
+                    if frm in fills:
+                        fills[to] = fills.pop(frm)
+        return tuple(sorted(fills.items()))
 
     def dcount_corrections(self) -> tuple:
         """(name, all_field, vc_field) triplets for absorbed dc()

@@ -108,6 +108,8 @@ def _stream_scan(compiler, scan: P.Scan, max_files_per_trigger: int) -> DataFram
 
 
 def _compile_head(compiler, steps, max_files_per_trigger: int) -> DataFrame:
+    from miso_spark.compiler import union_harmonized
+
     sdf = _stream_scan(compiler, steps[0], max_files_per_trigger)
     for step in steps[1:]:
         if isinstance(step, P.Union):
@@ -115,7 +117,10 @@ def _compile_head(compiler, steps, max_files_per_trigger: int) -> DataFrame:
             other = _stream_scan(compiler, sub[0], max_files_per_trigger)
             for s in sub[1:]:
                 other = compiler._apply(s, other, {})
-            sdf = sdf.unionByName(other, allowMissingColumns=True)
+            # same variant/type harmonization as the batch Union
+            # compile — a bare unionByName crashed on VARIANT∪typed
+            # heads, newly reachable since dynamic collections stream
+            sdf = union_harmonized(sdf, other)
         else:
             sdf = compiler._apply(step, sdf, {})
     return sdf
