@@ -35,6 +35,10 @@ SURVEY §3), so any mismatch is an engine bug, not a dialect gap:
 - join keys are NULL-SAFE equal by default (the reference's hash join
   hashes Value::Null like any value — tests.rs join_with_null_keys)
   → DuckDB ``IS NOT DISTINCT FROM``.
+- mv-expand (expand.rs): non-empty arrays expand one row per element,
+  empty arrays DROP the row, null/missing collections pass through
+  → DuckDB lateral ``UNNEST`` (drops null AND empty) unioned with an
+  ``IS NULL`` passthrough arm.
 """
 
 from __future__ import annotations
@@ -59,6 +63,14 @@ A_ROWS = [
         None if i % 5 == 4 else float((i * 2) % 9),
         None if i % 6 == 5 else f"s{i % 4}",
         f"g{i % 3}",
+        # expandable collection for the mv-expand arm: null array
+        # (passthrough), empty array (row dropped), 1-3 elements.
+        # Elements are NEVER null — a null ELEMENT becomes a PRESENT
+        # null post-expand on the dynamic path (the write-back
+        # re-inserts it as JSON null), where dcount's null bucket has
+        # no per-program SQL encoding; null-element semantics are
+        # pinned by the unit tests (test_api.py zip tests) instead.
+        None if i % 5 == 2 else [(i + j * 7) % 9 for j in range(i % 4)],
     )
     for i in range(40)
 ]
@@ -71,7 +83,7 @@ B_ROWS = [
     for i in range(20)
 ]
 
-A_SCHEMA = "id long, x long, y double, s string, g string"
+A_SCHEMA = "id long, x long, y double, s string, g string, arr array<bigint>"
 B_SCHEMA = "id long, x long, t string"
 
 
@@ -86,8 +98,11 @@ def rig(spark):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute("CREATE TABLE a (id BIGINT, x BIGINT, y DOUBLE, s VARCHAR, g VARCHAR)")
-    con.executemany("INSERT INTO a VALUES (?, ?, ?, ?, ?)", A_ROWS)
+    con.execute(
+        "CREATE TABLE a (id BIGINT, x BIGINT, y DOUBLE, s VARCHAR,"
+        " g VARCHAR, arr BIGINT[])"
+    )
+    con.executemany("INSERT INTO a VALUES (?, ?, ?, ?, ?, ?)", A_ROWS)
     con.execute("CREATE TABLE b (id BIGINT, x BIGINT, t VARCHAR)")
     con.executemany("INSERT INTO b VALUES (?, ?, ?)", B_ROWS)
     return con
@@ -142,6 +157,15 @@ def programs(draw):
     sql = "SELECT * FROM a"  # typed dialect
     sqd = "SELECT * FROM a"  # dynamic dialect (missing-key semantics)
     ext_n = 0
+    # `arr` rides along HIDDEN (not in cols, so no other arm touches
+    # it) until the mv-expand arm turns it into a live NUM column.
+    # SELECT *-shaped wrappers (where/extend/sort_take/join/union)
+    # carry it on both sides; list-shaped wrappers (project/distinct/
+    # summarize/count) drop it on both sides → state "gone". While
+    # hidden, take/top stay deterministic because an id-unique column
+    # is always live (only the arr-killing arms can drop id), so
+    # full-sort ties are identical source rows with identical arr.
+    arr_live = True
     n_steps = draw(st.integers(min_value=1, max_value=5))
     for step_i in range(n_steps):
         choices = ["where", "extend", "sort_take", "union", "summarize",
@@ -153,6 +177,8 @@ def programs(draw):
             t == NUM for t in cols.values()
         ):
             choices.append("join")
+        if arr_live:
+            choices.append("mv_expand")
         kind = draw(st.sampled_from(choices))
 
         if kind == "where":
@@ -299,12 +325,42 @@ def programs(draw):
             sql = f"SELECT *, {expr} AS {name} FROM ({sql}) x{step_i}"
             sqd = f"SELECT *, {expr} AS {name} FROM ({sqd}) x{step_i}"
             cols[name] = new_type
+        elif kind == "mv_expand":
+            # reference expand.rs semantics: non-empty arrays expand
+            # one row per element, EMPTY arrays drop the row,
+            # null/missing collections pass the row through unchanged
+            # (typed: arr stays null; dynamic: the key stays missing —
+            # both read back as None). The UNNEST arm encodes the
+            # first two, the IS NULL arm the passthrough.
+            vis = ", ".join(sorted(cols))
+            kql.append("mv-expand arr")
+            sql = (
+                f"(SELECT {vis}, u.el AS arr FROM ({sql}) t{step_i},"
+                f" UNNEST(t{step_i}.arr) AS u(el))"
+                f" UNION ALL BY NAME "
+                f"(SELECT {vis}, CAST(NULL AS BIGINT) AS arr"
+                f" FROM ({sql}) n{step_i} WHERE n{step_i}.arr IS NULL)"
+            )
+            sqd = (
+                f"(SELECT {vis}, u.el AS arr FROM ({sqd}) t{step_i},"
+                f" UNNEST(t{step_i}.arr) AS u(el))"
+                f" UNION ALL BY NAME "
+                f"(SELECT {vis}, CAST(NULL AS BIGINT) AS arr"
+                f" FROM ({sqd}) n{step_i} WHERE n{step_i}.arr IS NULL)"
+            )
+            cols["arr"] = NUM
+            arr_live = False
         elif kind == "rename":
             src_col = draw(st.sampled_from(sorted(cols)))
             ext_n += 1
             name = f"r{ext_n}"
             kql.append(f"project-rename {name} = {src_col}")
-            others = [c for c in sorted(cols) if c != src_col]
+            others = [c for c in sorted(cols) if c != src_col] + (
+                # the hidden arr survives an engine project-rename
+                # (it renames in place, keeping every other column) —
+                # keep the SQL side aligned
+                ["arr"] if arr_live else []
+            )
             sel = ", ".join([f"{src_col} AS {name}"] + others)
             sql = f"SELECT {sel} FROM ({sql}) r{step_i}"
             sqd = f"SELECT {sel} FROM ({sqd}) r{step_i}"
@@ -336,6 +392,7 @@ def programs(draw):
             )
             cols = {**cols, "bid": NUM, "bx": NUM, "t": STR}
         elif kind == "project":
+            arr_live = False  # explicit select list drops it (both sides)
             keep = sorted(
                 draw(
                     st.sets(
@@ -399,6 +456,7 @@ def programs(draw):
             nums = sorted(n for n, t in cols.items() if t == NUM)
             if not nums:
                 continue
+            arr_live = False  # aggregation drops it (both sides)
             c = draw(st.sampled_from(nums))
             picked = sorted(
                 draw(
@@ -494,6 +552,7 @@ def programs(draw):
             if by:
                 cols[by] = NUM if by in nums else STR
         elif kind == "distinct":
+            arr_live = False  # explicit select list drops it (both sides)
             keep = sorted(
                 draw(
                     st.sets(
@@ -515,6 +574,7 @@ def programs(draw):
             )
             cols = {k: cols[k] for k in keep}
         else:  # count
+            arr_live = False
             kql.append("count")
             sql = f'SELECT count(*) AS "Count" FROM ({sql}) c{step_i}'
             sqd = f'SELECT count(*) AS "Count" FROM ({sqd}) c{step_i}'
@@ -548,6 +608,30 @@ def _duck_rows(con, sql: str) -> list[str]:
     res = con.execute(sql)
     names = [d[0] for d in res.description]
     return _norm_rows(dict(zip(names, row)) for row in res.fetchall())
+
+
+def test_mv_expand_composition_matches_duckdb(rig, duck):
+    """Deterministic pin of the mv-expand arm's encoding (hypothesis
+    may or may not draw it in a given run): expand → total-order
+    filter on the elements → grouped aggregation, vs the UNNEST +
+    IS NULL-passthrough SQL. Covers all three row fates (elements,
+    empty-drop, null-passthrough kept by `arr != 99`, null smallest →
+    TRUE)."""
+    kql = (
+        "m.a | mv-expand arr | where arr != 99"
+        " | summarize n = count(), sx = sum(arr) by g"
+    )
+    sql = (
+        "SELECT g, count(*) AS n, coalesce(sum(arr), 0) AS sx FROM ("
+        "  (SELECT g, u.el AS arr FROM a t, UNNEST(t.arr) AS u(el))"
+        "  UNION ALL BY NAME "
+        "  (SELECT g, CAST(NULL AS BIGINT) AS arr FROM a WHERE arr IS NULL)"
+        ") e WHERE (arr IS NULL OR arr <> 99)"
+        " AND g IS NOT NULL GROUP BY g"
+    )
+    plan = parse_kql(kql)
+    engine = _spark_rows(rig.run(P.Plan(optimize_steps(plan.steps))))
+    assert engine == _duck_rows(duck, sql)
 
 
 @settings(
@@ -591,8 +675,8 @@ def dyn_rig(spark):
     mem.put(
         "a",
         ingest_json_dynamic(
-            spark, rows(A_ROWS, ["id", "x", "y", "s", "g"]),
-            keys=["id", "x", "y", "s", "g"],
+            spark, rows(A_ROWS, ["id", "x", "y", "s", "g", "arr"]),
+            keys=["id", "x", "y", "s", "g", "arr"],
         ),
     )
     mem.put(
