@@ -461,7 +461,9 @@ def programs(draw):
             picked = sorted(
                 draw(
                     st.sets(
-                        st.sampled_from(["n", "sx", "mx", "av", "ci", "dc"]),
+                        st.sampled_from(
+                            ["n", "sx", "mx", "mn", "av", "ci", "dc"]
+                        ),
                         min_size=1,
                         max_size=3,
                     )
@@ -478,6 +480,16 @@ def programs(draw):
                 elif a == "mx":
                     frags.append(f"mx = max({c})")
                     sels.append(f"max({c}) AS mx")
+                elif a == "mn":
+                    # MISSING args skip the accumulator and min/max of
+                    # no values is null (summarize.rs:627,661) — the
+                    # typed ingest null-CONFLATES, so F.min's skip-null
+                    # is exactly the missing semantics = plain SQL min.
+                    # (A PRESENT null would accumulate as the smallest
+                    # value — not generable here: the dynamic ingest
+                    # drops Nones and arr elements are never null.)
+                    frags.append(f"mn = min({c})")
+                    sels.append(f"min({c}) AS mn")
                 elif a == "av":
                     frags.append(f"av = avg({c})")
                     sels.append(f"coalesce(avg({c}), 0.0) AS av")
@@ -531,26 +543,39 @@ def programs(draw):
                 cols = {a: NUM for a in picked}
                 cols["b"] = NUM
                 continue
+            bys: list[str] = []
             if by_choices and draw(st.booleans()):
-                by = draw(st.sampled_from(by_choices))
+                # 1-2 group keys: a row drops when ANY key is null
+                # (summarize.rs:151 returns None per-component)
+                bys = sorted(
+                    draw(
+                        st.sets(
+                            st.sampled_from(by_choices),
+                            min_size=1,
+                            max_size=min(2, len(by_choices)),
+                        )
+                    )
+                )
+            by = ", ".join(bys)
             kql.append(
                 "summarize " + ", ".join(frags) + (f" by {by}" if by else "")
             )
-            if by:
+            if bys:
+                notnull = " AND ".join(f"{k} IS NOT NULL" for k in bys)
                 sql = (
                     f"SELECT {by}, {', '.join(sels)} FROM ({sql}) s{step_i}"
-                    f" WHERE {by} IS NOT NULL GROUP BY {by}"
+                    f" WHERE {notnull} GROUP BY {by}"
                 )
                 sqd = (
                     f"SELECT {by}, {', '.join(sels_d)} FROM ({sqd}) s{step_i}"
-                    f" WHERE {by} IS NOT NULL GROUP BY {by}"
+                    f" WHERE {notnull} GROUP BY {by}"
                 )
             else:
                 sql = f"SELECT {', '.join(sels)} FROM ({sql}) s{step_i}"
                 sqd = f"SELECT {', '.join(sels_d)} FROM ({sqd}) s{step_i}"
             cols = {a: NUM for a in picked}
-            if by:
-                cols[by] = NUM if by in nums else STR
+            for k in bys:
+                cols[k] = NUM if k in nums else STR
         elif kind == "distinct":
             arr_live = False  # explicit select list drops it (both sides)
             keep = sorted(
