@@ -43,6 +43,7 @@ SURVEY §3), so any mismatch is an engine bug, not a dialect gap:
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 
 import duckdb
@@ -92,6 +93,7 @@ def rig(spark):
     mem = MemorySource()
     mem.put("a", spark.createDataFrame(A_ROWS, A_SCHEMA))
     mem.put("b", spark.createDataFrame(B_ROWS, B_SCHEMA))
+    mem.put("d", spark.createDataFrame(D_ROWS, D_SCHEMA))
     return Compiler(SourceRegistry(spark).register("m", mem))
 
 
@@ -105,6 +107,10 @@ def duck():
     con.executemany("INSERT INTO a VALUES (?, ?, ?, ?, ?, ?)", A_ROWS)
     con.execute("CREATE TABLE b (id BIGINT, x BIGINT, t VARCHAR)")
     con.executemany("INSERT INTO b VALUES (?, ?, ?)", B_ROWS)
+    con.execute(
+        "CREATE TABLE d (id BIGINT, ts TIMESTAMP, v BIGINT, h VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?)", D_ROWS)
     return con
 
 
@@ -633,6 +639,126 @@ def _duck_rows(con, sql: str) -> list[str]:
     res = con.execute(sql)
     names = [d[0] for d in res.description]
     return _norm_rows(dict(zip(names, row)) for row in res.fetchall())
+
+
+# ---------------------------------------------------------------------------
+# datetime arm: total-order timestamp comparisons, timespan arithmetic,
+# bin() group keys, and max() over timestamps vs DuckDB TIMESTAMP
+# equivalents (epoch-floor for bin, INTERVAL for spans). Typed only:
+# JSON dynamic ingest has no datetime type (the reference's dynamic
+# path carries datetimes via @time static-field mapping, pinned in the
+# connector suites).
+
+D_ROWS = [
+    (
+        i,
+        None
+        if i % 6 == 1
+        else _dt.datetime(2024, 1, 1)
+        + _dt.timedelta(minutes=(37 * i) % (60 * 72)),
+        (i * 3) % 7,
+        f"h{i % 3}",
+    )
+    for i in range(48)
+]
+D_SCHEMA = "id long, ts timestamp, v long, h string"
+
+DT = "dt"
+
+_SPANS = {"1h": ("INTERVAL 60 MINUTE", 3600), "30m": ("INTERVAL 30 MINUTE", 1800), "1d": ("INTERVAL 24 HOUR", 86400)}
+_BINS = {"1h": 3600, "12h": 43200, "1d": 86400}
+_DT_LITS = [
+    "2024-01-01 02:00:00",
+    "2024-01-01 12:30:00",
+    "2024-01-02 00:00:00",
+    "2024-01-03 07:00:00",
+]
+
+
+@st.composite
+def dt_programs(draw):
+    cols = {"id": NUM, "ts": DT, "v": NUM, "h": STR}
+    kql = ["m.d"]
+    sql = "SELECT * FROM d"
+    # 0-2 timestamp filters (total-order, same null lattice as NUM)
+    for i in range(draw(st.integers(0, 2))):
+        op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
+        lit = draw(st.sampled_from(_DT_LITS))
+        kql.append(f"where ts {op} datetime({lit})")
+        tlit = f"TIMESTAMP '{lit}'"
+        if op in (">", ">=", "=="):
+            pred = f"(ts {'=' if op == '==' else op} {tlit})"
+        else:
+            neg = {"<": "<", "<=": "<=", "!=": "<>"}[op]
+            pred = f"(ts IS NULL OR ts {neg} {tlit})"
+        sql = f"SELECT * FROM ({sql}) w{i} WHERE {pred}"
+    # optional timespan arithmetic (nanosecond-epoch integer math
+    # engine-side — exprs.py:142; null ts propagates)
+    if draw(st.booleans()):
+        span = draw(st.sampled_from(sorted(_SPANS)))
+        sign = draw(st.sampled_from(["+", "-"]))
+        kql.append(f"extend e1 = ts {sign} {span}")
+        sql = f"SELECT *, ts {sign} {_SPANS[span][0]} AS e1 FROM ({sql}) x0"
+        cols["e1"] = DT
+    # optional bin-keyed aggregation over a timestamp
+    if draw(st.booleans()):
+        tc = draw(st.sampled_from(sorted(n for n, t in cols.items() if t == DT)))
+        width = draw(st.sampled_from(sorted(_BINS)))
+        w = _BINS[width]
+        aggs = sorted(
+            draw(st.sets(st.sampled_from(["n", "mx", "sv"]), min_size=1))
+        )
+        frags, sels = [], []
+        for a in aggs:
+            if a == "n":
+                frags.append("n = count()")
+                sels.append("count(*) AS n")
+            elif a == "mx":
+                frags.append(f"mx = max({tc})")
+                sels.append(f"max({tc}) AS mx")
+            else:
+                frags.append("sv = sum(v)")
+                sels.append("coalesce(sum(v), 0) AS sv")
+        kql.append(
+            "summarize " + ", ".join(frags) + f" by b = bin({tc}, {width})"
+        )
+        sql = (
+            f"SELECT CAST(to_timestamp(floor(epoch({tc}) / {w}) * {w})"
+            f" AS TIMESTAMP) AS b, {', '.join(sels)} FROM ({sql}) s0"
+            f" WHERE {tc} IS NOT NULL GROUP BY b"
+        )
+        cols = {a: (DT if a == "mx" else NUM) for a in aggs}
+        cols["b"] = DT
+    # optional deterministic top slice (full sort, id-or-bin unique)
+    if draw(st.booleans()):
+        live = sorted(cols)
+        orders = [draw(st.sampled_from(["asc", "desc"])) for _ in live]
+        kql.append(
+            "sort by " + ", ".join(f"{c} {o}" for c, o in zip(live, orders))
+        )
+        order = ", ".join(
+            f"{c} {o.upper()} NULLS LAST" for c, o in zip(live, orders)
+        )
+        sql = f"SELECT * FROM ({sql}) o0 ORDER BY {order}"
+        if draw(st.booleans()):
+            n = draw(st.integers(1, 30))
+            kql.append(f"take {n}")
+            sql += f" LIMIT {n}"
+    return " | ".join(kql), sql
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prog=dt_programs())
+def test_datetime_engine_matches_duckdb(rig, duck, prog):
+    kql, sql = prog
+    plan = parse_kql(kql)
+    engine = _spark_rows(rig.run(P.Plan(optimize_steps(plan.steps))))
+    oracle = _duck_rows(duck, sql)
+    assert engine == oracle, f"datetime divergence for: {kql}\nsql: {sql}"
 
 
 def test_mv_expand_composition_matches_duckdb(rig, duck):
