@@ -289,7 +289,8 @@ def programs(draw):
             name = f"e{ext_n}"
             arm = draw(
                 st.sampled_from(
-                    ["plus", "lit", "iff", "iff_str", "case"] if nums
+                    ["plus", "lit", "iff", "iff_str", "case", "shadow"]
+                    if nums
                     else ["lit"]
                 )
             )
@@ -325,6 +326,24 @@ def programs(draw):
                     f"CASE WHEN {c} > {l2} THEN 2"
                     f" WHEN {c} > {l1} THEN 1 ELSE 0 END"
                 )
+            elif arm == "shadow":
+                # simultaneous input-row binding (expand r10 fix,
+                # compiler.py withColumns): BOTH assignments read the
+                # ORIGINAL row — the second sees the pre-assignment
+                # value of c, exactly SQL's scope rules where select
+                # items can't reference each other's aliases
+                c = draw(st.sampled_from(nums))
+                kql.append(f"extend {c} = {c} + 1, {name} = {c} * 2")
+                sql = (
+                    f"SELECT * REPLACE ({c} + 1 AS {c}), {c} * 2 AS {name}"
+                    f" FROM ({sql}) x{step_i}"
+                )
+                sqd = (
+                    f"SELECT * REPLACE ({c} + 1 AS {c}), {c} * 2 AS {name}"
+                    f" FROM ({sqd}) x{step_i}"
+                )
+                cols[name] = NUM
+                continue
             else:
                 kql.append(f"extend {name} = 7")
                 expr = "7"
