@@ -127,5 +127,10 @@ def test_partial_stream_over_dynamic_collection(spark, tmp_path):
         "d.ev | summarize dc = dcount(v), n = count() by k",
         "d.ev | distinct k",
         "d.ev | where v > 10 | summarize n = count()",
+        # append-mode tail over VARIANT columns: the bounded
+        # accumulator re-creates a DataFrame from collected rows
+        # holding VariantVals each round (probed in r12 — pinned so
+        # the round-trip can't silently regress)
+        "d.ev | sort by v asc, k asc | take 5",
     ):
         _assert_partial_equals_batch(rig, q)
