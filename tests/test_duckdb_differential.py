@@ -285,15 +285,15 @@ def programs(draw):
             sqd = f"SELECT * FROM ({sqd}) w{step_i} WHERE {pred_d}"
         elif kind == "extend":
             nums = sorted(n for n, t in cols.items() if t == NUM)
+            strs = sorted(n for n, t in cols.items() if t == STR)
             ext_n += 1
             name = f"e{ext_n}"
-            arm = draw(
-                st.sampled_from(
-                    ["plus", "lit", "iff", "iff_str", "case", "shadow"]
-                    if nums
-                    else ["lit"]
-                )
-            )
+            arms = ["lit"]
+            if nums:
+                arms += ["plus", "iff", "iff_str", "case", "shadow"]
+            if strs:
+                arms.append("concat")
+            arm = draw(st.sampled_from(arms))
             new_type = NUM
             if arm == "plus":
                 c = draw(st.sampled_from(nums))
@@ -344,6 +344,14 @@ def programs(draw):
                 )
                 cols[name] = NUM
                 continue
+            elif arm == "concat":
+                # miso's Plus CONCATENATES when both sides are strings
+                # (interpreter/mod.rs:234); null/missing propagates —
+                # SQL || is null-propagating too
+                c = draw(st.sampled_from(strs))
+                kql.append(f'extend {name} = {c} + "_z"')
+                expr = f"({c} || '_z')"
+                new_type = STR
             else:
                 kql.append(f"extend {name} = 7")
                 expr = "7"
