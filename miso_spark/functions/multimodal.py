@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with decode/feature-extraction as Arrow-batched Pandas UDFs.
 
-The container has no image/audio libraries, so the actual byte→pixels
-decode is STUBBED: real formats raise NotImplementedError with a clear
-message, while the ``fake`` format decodes deterministically so the
-Spark-side plumbing (schema, mapInPandas batching, partitioning) is
-fully exercised and tested. Swapping ``_decode_payload`` for a real
-PIL/ffmpeg call is the only change needed on a real cluster.
+Decode support is tiered by what pure numpy can do:
+
+- **ppm** (binary P6) and **bmp** (uncompressed 24-bit BI_RGB) decode
+  FOR REAL — header parse + numpy reshape, both formats are public
+  fixed-layout specs — returning H×W×3 uint8 RGB arrays, and
+  ``resize_pixels`` runs a real nearest-neighbor resample over them.
+- compressed formats (png/jpeg/wav/mp4…) need a codec library (PIL/
+  ffmpeg) that this container doesn't have: they raise
+  NotImplementedError with a clear message. Swapping those arms of
+  ``_decode_payload`` for a PIL call is the only change needed on a
+  real cluster.
+- the ``fake`` format decodes deterministically (payload bytes as the
+  sample array) so plumbing tests don't depend on any codec.
 """
 
 from __future__ import annotations
@@ -71,16 +78,145 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → binary PPM (P6). Inverse of the ppm decode."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_ppm expects an H×W×3 array")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → uncompressed 24-bit BI_RGB BMP (bottom-up,
+    BGR, rows padded to 4 bytes) — the layout ``_decode_bmp`` reads."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects an H×W×3 array")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + (data_off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def synthesize_images(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic REAL image rows (alternating ppm/bmp payloads of
+    gradient patterns) in the canonical media schema — every payload
+    decodes through the pure-numpy arms."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i * 5) % 41, 6 + (i * 7) % 29
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), i * 11 % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        fmt = "ppm" if i % 2 == 0 else "bmp"
+        payload = encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+        rows.append((i, "image", fmt, bytearray(payload), (w, h, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): magic, then whitespace/comment-separated
+    width/height/maxval tokens, one whitespace byte, then w*h*3 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP: little-endian headers (pixel
+    offset at byte 10, width/height at 18/22, bpp at 28, compression
+    at 30), rows padded to 4 bytes, stored BGR and (for positive
+    height) bottom-up — returned as H×W×3 RGB top-down."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def _i32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], "little", signed=True)
+
+    data_off = _i32(10)
+    w, h = _i32(18), _i32(22)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = _i32(30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP decode supports uncompressed 24-bit only (got bpp={bpp},"
+            f" compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR → RGB
+
+
 def _decode_payload(fmt: str, payload: bytes) -> np.ndarray:
-    """Byte→sample decode. Real codecs are unavailable in this
-    environment; only the deterministic ``fake`` format decodes."""
+    """Byte→sample decode. ppm/bmp decode for real (pure numpy);
+    compressed codecs are unavailable in this environment."""
     if fmt == "fake":
         return np.frombuffer(payload, dtype=np.uint8)
+    if fmt == "ppm":
+        return _decode_ppm(bytes(payload))
+    if fmt == "bmp":
+        return _decode_bmp(bytes(payload))
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image/audio codec library "
         "(PIL/ffmpeg) not present in this environment; plug it into "
         "_decode_payload on a real cluster"
     )
+
+
+def _resample_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample of an H×W×3 array to th×tw×3."""
+    h, w = img.shape[:2]
+    iy = (np.arange(th) * h) // th
+    ix = (np.arange(tw) * w) // tw
+    return img[iy][:, ix]
 
 
 def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
@@ -98,8 +234,9 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(a) for a in arrs],
-                    "mean_byte": [float(a.mean()) if len(a) else 0.0 for a in arrs],
+                    # decoded SAMPLE count (pixels×channels for images)
+                    "n_bytes": [int(a.size) for a in arrs],
+                    "mean_byte": [float(a.mean()) if a.size else 0.0 for a in arrs],
                     "feature_hash": [
                         hashlib.md5(a.tobytes()).hexdigest() for a in arrs
                     ],
@@ -122,6 +259,48 @@ def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
             ).alias("frame_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),  # re-encoded PPM
+    ]
+)
+
+
+def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL pixel resample for decodable image formats (ppm/bmp):
+    decode → aspect-preserving nearest-neighbor downscale to
+    ``max_side`` → re-encode as PPM. Arrow-batched mapInPandas, one
+    Python worker per partition — the same executor-parallel shape a
+    PIL-backed resize would use on a real cluster; only the
+    per-payload decode arm differs. Rows whose format has no pure-
+    numpy decoder are dropped (filtered BEFORE the Python stage so
+    undecodable payloads never cross Arrow)."""
+
+    decodable = df.filter(F.col("format").isin("ppm", "bmp"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                img = _decode_payload(fmt, bytes(payload))
+                h, w = img.shape[:2]
+                scale = min(max_side / w, max_side / h, 1.0)
+                tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                resized = _resample_nearest(img, tw, th)
+                out["media_id"].append(mid)
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["payload"].append(encode_ppm(resized))
+            yield pd.DataFrame(out)
+
+    return decodable.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def resize_meta(df: DataFrame, max_side: int = 32) -> DataFrame:

@@ -197,6 +197,77 @@ def test_multimodal_real_decode_raises(spark):
         _decode_payload("png", b"\x89PNG...")
 
 
+def test_multimodal_ppm_bmp_roundtrip():
+    """ppm/bmp decode for REAL (pure numpy, public fixed layouts):
+    encode → decode is the identity, including BMP's bottom-up BGR
+    row-padded storage and PPM comment headers."""
+    import numpy as np
+
+    from miso_spark.functions.multimodal import (
+        _decode_payload,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (5, 3), (8, 8), (13, 2)]:  # odd widths hit padding
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (_decode_payload("ppm", encode_ppm(img)) == img).all()
+        assert (_decode_payload("bmp", encode_bmp(img)) == img).all()
+    # PPM with a comment line in the header
+    img = rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    commented = b"P6\n# made by a test\n3 2\n255\n" + img.tobytes()
+    assert (_decode_payload("ppm", commented) == img).all()
+    # non-BI_RGB / non-24bpp BMPs stay stubbed
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(encode_bmp(img))
+        bad[28:30] = (32).to_bytes(2, "little")
+        _decode_payload("bmp", bytes(bad))
+
+
+def test_multimodal_real_images_features_and_resize(spark):
+    """End-to-end over REAL payloads: synthesize_images emits gradient
+    ppm/bmp bytes; extract_features decodes them (sample count =
+    w*h*3) and resize_pixels downscales aspect-preserving with a
+    verifiable nearest-neighbor corner."""
+    import numpy as np
+
+    from miso_spark.functions.multimodal import (
+        _decode_payload,
+        extract_features,
+        resize_pixels,
+        synthesize_images,
+    )
+
+    media = synthesize_images(spark, n=12)
+    metas = {r["media_id"]: r["meta"] for r in media.collect()}
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        w, h = metas[mid]["width"], metas[mid]["height"]
+        assert r["n_bytes"] == w * h * 3
+
+    resized = {r["media_id"]: r for r in resize_pixels(media, max_side=10).collect()}
+    assert len(resized) == 12
+    for mid, r in resized.items():
+        w, h = metas[mid]["width"], metas[mid]["height"]
+        assert max(r["width"], r["height"]) <= 10
+        assert r["width"] >= 1 and r["height"] >= 1
+        # aspect preserved within 1px of the exact scale
+        scale = min(10 / w, 10 / h, 1.0)
+        assert abs(r["width"] - w * scale) <= 1
+        assert abs(r["height"] - h * scale) <= 1
+        out = _decode_payload("ppm", bytes(r["payload"]))
+        assert out.shape == (r["height"], r["width"], 3)
+        # nearest-neighbor keeps the (0,0) corner pixel exactly
+        src_fmt = "ppm" if mid % 2 == 0 else "bmp"
+        src = _decode_payload(src_fmt, bytes(
+            {m["media_id"]: m for m in media.collect()}[mid]["payload"]
+        ))
+        assert (out[0, 0] == src[0, 0]).all()
+
+
 def test_partial_stream_applies_static_fields(spark, tmp_path):
     """ADVICE r2: run_partial_stream must apply collection static_fields
     renames like the batch path (SourceRegistry.table) — a @time query
