@@ -195,15 +195,72 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1]  # BGR → RGB
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(frames,) or (frames, channels) int16 PCM → RIFF/WAVE bytes —
+    the layout ``_decode_wav`` reads."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    frames, channels = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt_chunk = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE with 16-bit integer PCM (format tag 1): walk the
+    even-padded chunk list for fmt/data, return (frames, channels)
+    int16. Compressed or float WAVs stay stubbed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV decode supports 16-bit integer PCM only (got format"
+            f" tag={tag}, bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels)
+
+
 def _decode_payload(fmt: str, payload: bytes) -> np.ndarray:
-    """Byte→sample decode. ppm/bmp decode for real (pure numpy);
-    compressed codecs are unavailable in this environment."""
+    """Byte→sample decode. ppm/bmp images and PCM wav audio decode for
+    real (pure numpy — public fixed layouts); compressed codecs are
+    unavailable in this environment."""
     if fmt == "fake":
         return np.frombuffer(payload, dtype=np.uint8)
     if fmt == "ppm":
         return _decode_ppm(bytes(payload))
     if fmt == "bmp":
         return _decode_bmp(bytes(payload))
+    if fmt == "wav":
+        return _decode_wav(bytes(payload))
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image/audio codec library "
         "(PIL/ffmpeg) not present in this environment; plug it into "

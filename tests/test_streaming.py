@@ -225,6 +225,43 @@ def test_multimodal_ppm_bmp_roundtrip():
         _decode_payload("bmp", bytes(bad))
 
 
+def test_multimodal_wav_pcm_roundtrip(spark):
+    """RIFF/WAVE 16-bit PCM decodes for real: encode → decode is the
+    identity for mono and stereo (word-aligned chunk walk), features
+    flow through the Arrow batcher, non-PCM tags stay stubbed."""
+    import numpy as np
+
+    from miso_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_payload,
+        encode_wav,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(3)
+    mono = rng.randint(-32768, 32767, size=257, dtype=np.int16)
+    stereo = rng.randint(-32768, 32767, size=(100, 2), dtype=np.int16)
+    assert (_decode_payload("wav", encode_wav(mono)) == mono[:, None]).all()
+    assert (_decode_payload("wav", encode_wav(stereo)) == stereo).all()
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", "wav", bytearray(encode_wav(mono)), (None, None, 16)),
+            (1, "audio", "wav", bytearray(encode_wav(stereo)), (None, None, 6)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 257 and feats[1]["n_bytes"] == 200
+
+    import pytest as _pt
+
+    bad = bytearray(encode_wav(mono))
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float tag
+    with _pt.raises(NotImplementedError):
+        _decode_payload("wav", bytes(bad))
+
+
 def test_multimodal_real_images_features_and_resize(spark):
     """End-to-end over REAL payloads: synthesize_images emits gradient
     ppm/bmp bytes; extract_features decodes them (sample count =
