@@ -262,6 +262,50 @@ def test_multimodal_wav_pcm_roundtrip(spark):
         _decode_payload("wav", bytes(bad))
 
 
+def test_multimodal_y4m_video_frames(spark):
+    """YUV4MPEG2 decodes for real: C444 round-trips within BT.601
+    rounding (exact for gray), C420 upsamples chroma, and
+    extract_frames samples every Nth frame to PPM through Arrow."""
+    import numpy as np
+
+    from miso_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_payload,
+        _decode_ppm,
+        encode_y4m,
+        extract_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(4, 6, 8, 3), dtype=np.uint8)
+    dec = _decode_payload("y4m", encode_y4m(frames))
+    assert dec.shape == (4, 6, 8, 3)
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 3
+    gray = np.full((2, 4, 4, 3), 77, dtype=np.uint8)
+    assert (_decode_payload("y4m", encode_y4m(gray)) == gray).all()
+
+    # hand-built C420: one uniform frame — chroma upsampling is exact
+    w, h = 4, 2
+    y, u, v = 128, 110, 150
+    payload = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\nFRAME\n"
+        + bytes([y]) * (w * h) + bytes([u]) * 2 + bytes([v]) * 2
+    )
+    one = _decode_payload("y4m", payload)
+    assert one.shape == (1, 2, 4, 3)
+    assert (one[0] == one[0, 0, 0]).all()  # uniform output frame
+
+    media = spark.createDataFrame(
+        [(0, "video", "y4m", bytearray(encode_y4m(frames)), (8, 6, 160))],
+        MEDIA_SCHEMA,
+    )
+    out = {r["frame_idx"]: r for r in extract_frames(media, every_n=2).collect()}
+    assert sorted(out) == [0, 2]
+    f0 = _decode_ppm(bytes(out[0]["payload"]))
+    assert f0.shape == (6, 8, 3)
+    assert np.abs(f0.astype(int) - frames[0].astype(int)).max() <= 3
+
+
 def test_multimodal_real_images_features_and_resize(spark):
     """End-to-end over REAL payloads: synthesize_images emits gradient
     ppm/bmp bytes; extract_features decodes them (sample count =
