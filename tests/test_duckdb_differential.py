@@ -399,14 +399,19 @@ def programs(draw):
             sqd = f"SELECT {sel} FROM ({sqd}) r{step_i}"
             cols[name] = cols.pop(src_col)
         elif kind == "join":
-            k = draw(st.sampled_from(["inner", "left"]))
+            k = draw(st.sampled_from(["inner", "left", "right", "outer"]))
             nums = sorted(n for n, t in cols.items() if t == NUM)
             on_left = draw(st.sampled_from(nums))
             kql.append(
                 f"join kind={k} (m.b | project-rename bid = id, bx = x)"
                 f" on $left.{on_left} == $right.bx"
             )
-            jk = "JOIN" if k == "inner" else "LEFT JOIN"
+            jk = {
+                "inner": "JOIN",
+                "left": "LEFT JOIN",
+                "right": "RIGHT JOIN",
+                "outer": "FULL JOIN",  # reference `outer` = full outer
+            }[k]
             # engine join keys are NULL-SAFE equal (null matches null)
             sql = (
                 f"SELECT * FROM ({sql}) jl{step_i} {jk} "
