@@ -204,18 +204,33 @@ def programs(draw):
                 pred = _cmp_sql(c, op, lit)
                 pred_d = _cmp_sql_dyn(c, op, lit)
             elif arm == "in":
-                c = draw(st.sampled_from(nums))
-                vals = sorted(
-                    draw(st.sets(st.integers(0, 8), min_size=1, max_size=3))
-                )
-                vs = ", ".join(map(str, vals))
-                if draw(st.booleans()):
-                    kql.append(f"where not({c} in ({vs}))")
-                    pred = f"({c} IS NULL OR {c} NOT IN ({vs}))"
-                    pred_d = f"({c} NOT IN ({vs}))"
+                strs_in = sorted(n for n, t in cols.items() if t == STR)
+                if strs_in and draw(st.booleans()):
+                    c = draw(st.sampled_from(strs_in))
+                    vals = sorted(
+                        draw(
+                            st.sets(
+                                st.sampled_from(["s1", "s2", "t0", "g1"]),
+                                min_size=1,
+                                max_size=3,
+                            )
+                        )
+                    )
+                    vs_kql = ", ".join(f'"{v}"' for v in vals)
+                    vs_sql = ", ".join(f"'{v}'" for v in vals)
                 else:
-                    kql.append(f"where {c} in ({vs})")
-                    pred = pred_d = f"({c} IN ({vs}))"
+                    c = draw(st.sampled_from(nums))
+                    vals = sorted(
+                        draw(st.sets(st.integers(0, 8), min_size=1, max_size=3))
+                    )
+                    vs_kql = vs_sql = ", ".join(map(str, vals))
+                if draw(st.booleans()):
+                    kql.append(f"where not({c} in ({vs_kql}))")
+                    pred = f"({c} IS NULL OR {c} NOT IN ({vs_sql}))"
+                    pred_d = f"({c} NOT IN ({vs_sql}))"
+                else:
+                    kql.append(f"where {c} in ({vs_kql})")
+                    pred = pred_d = f"({c} IN ({vs_sql}))"
             elif arm == "between":
                 c = draw(st.sampled_from(nums))
                 lo = draw(st.integers(0, 6))
