@@ -54,6 +54,7 @@ HEADLINE = [
     "dynamic_at_rest",
     "skew_join_aqe",
     "skew_join_salted",
+    "multimodal_decode",
 ]
 
 
@@ -169,12 +170,38 @@ def _b_skew_join(salted: bool):
 
 #: bench entries that are not driver-catalog queries (no SQL oracle
 #: needed here — correctness lives in pytest; this measures the plan)
+def _b_multimodal_decode(spark, sf_dir):
+    """The repo's one Pandas-UDF hot path (r12): real ppm/bmp decode +
+    nearest-neighbor resize over Arrow batches. Synthesized images are
+    cached as parquet (bench_cache) so the timed region is scan →
+    Arrow → numpy decode/resample → PPM re-encode → noop, i.e. pure
+    Python-stage throughput — a regression here means the Arrow batch
+    path or the decoders got slower, nothing else in the repo uses
+    row-at-a-time Python."""
+    from miso_spark.functions.multimodal import (
+        resize_pixels,
+        synthesize_images,
+    )
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        "multimodal_images.parquet",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        synthesize_images(spark, n=2000).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+    media = spark.read.parquet(out)
+    return resize_pixels(media, max_side=16)
+
+
 EXTRA_BENCH = {
     "token_budget_filter": _b_token_budget_filter,
     "dynamic_filter": _b_dynamic_filter,
     "dynamic_at_rest": _b_dynamic_at_rest,
     "skew_join_aqe": _b_skew_join(salted=False),
     "skew_join_salted": _b_skew_join(salted=True),
+    "multimodal_decode": _b_multimodal_decode,
 }
 
 
