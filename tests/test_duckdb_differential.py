@@ -305,7 +305,7 @@ def programs(draw):
             name = f"e{ext_n}"
             arms = ["lit"]
             if nums:
-                arms += ["plus", "iff", "iff_str", "case", "shadow"]
+                arms += ["plus", "iff", "iff_str", "case", "shadow", "toint"]
             if strs:
                 arms.append("concat")
             arm = draw(st.sampled_from(arms))
@@ -359,6 +359,14 @@ def programs(draw):
                 )
                 cols[name] = NUM
                 continue
+            elif arm == "toint":
+                # toint truncates toward zero (Val::cast `as i64`;
+                # Spark double→long cast agrees) where DuckDB's CAST
+                # ROUNDS — encode the oracle as CAST(TRUNC(c)); null
+                # propagates on both
+                c = draw(st.sampled_from(nums))
+                kql.append(f"extend {name} = toint({c})")
+                expr = f"CAST(TRUNC({c}) AS BIGINT)"
             elif arm == "concat":
                 # miso's Plus CONCATENATES when both sides are strings
                 # (interpreter/mod.rs:234); null/missing propagates —
