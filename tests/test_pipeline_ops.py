@@ -493,9 +493,9 @@ def test_asof_join_hot_key_salted(spark):
     assert out.count() == n
 
 
-def test_minhash_materialize_shingles_same_pairs(spark):
-    """materialize_shingles is a pure execution knob (the 100 TB
-    shuffle-reuse path): identical verified pairs either way."""
+def test_minhash_materialize_signatures_same_pairs(spark):
+    """materialize_signatures is a pure execution knob (the signature-
+    table checkpoint): identical verified pairs either way."""
     from miso_spark.functions.dedup import minhash_lsh_pairs
 
     rows = [
@@ -512,7 +512,7 @@ def test_minhash_materialize_shingles_same_pairs(spark):
             for r in minhash_lsh_pairs(df, threshold=0.3, **kw).collect()
         }
 
-    assert pairs(materialize_shingles=True) == pairs() != set()
+    assert pairs(materialize_signatures=False) == pairs() != set()
 
 
 def test_connected_components_star_matches_label_propagation(spark):
