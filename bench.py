@@ -171,13 +171,14 @@ def _b_skew_join(salted: bool):
 #: bench entries that are not driver-catalog queries (no SQL oracle
 #: needed here — correctness lives in pytest; this measures the plan)
 def _b_multimodal_decode(spark, sf_dir):
-    """The repo's one Pandas-UDF hot path (r12): real ppm/bmp decode +
-    nearest-neighbor resize over Arrow batches. Synthesized images are
-    cached as parquet (bench_cache) so the timed region is scan →
-    Arrow → numpy decode/resample → PPM re-encode → noop, i.e. pure
-    Python-stage throughput — a regression here means the Arrow batch
-    path or the decoders got slower, nothing else in the repo uses
-    row-at-a-time Python."""
+    """The repo's one Pandas-UDF hot path (r12): real ppm/bmp/png
+    decode + nearest-neighbor resize over Arrow batches. Synthesized
+    images are cached as parquet (bench_cache) so the timed region is
+    scan → Arrow → numpy decode (incl. zlib inflate + unfilter for
+    png) / resample → PPM re-encode → noop, i.e. pure Python-stage
+    throughput — a regression here means the Arrow batch path or the
+    decoders got slower, nothing else in the repo uses row-at-a-time
+    Python."""
     from miso_spark.functions.multimodal import (
         resize_pixels,
         synthesize_images,
@@ -185,7 +186,8 @@ def _b_multimodal_decode(spark, sf_dir):
 
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
-        "multimodal_images.parquet",
+        # v2: the synthesized mix gained png payloads (r12)
+        "multimodal_images_v2.parquet",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         synthesize_images(spark, n=2000).repartition(8).write.mode(
@@ -357,23 +359,29 @@ SHUFFLE_PROFILE = {
 }
 
 
-def _shuffle_totals(spark) -> tuple[int, int]:
-    """Cumulative (shuffle write bytes, records) across all completed
-    stages, from the JVM AppStatusStore (works with spark.ui.enabled
-    false — it backs the REST API). Deltas around a query's runs give
-    the query's shuffle volume; bytes/records is the mean shuffled
-    row width, repeat-count invariant."""
+def _shuffle_totals(spark) -> tuple[int, int, int, int]:
+    """Cumulative (shuffle write bytes, records, memory-spill bytes,
+    disk-spill bytes) across all completed stages, from the JVM
+    AppStatusStore (works with spark.ui.enabled false — it backs the
+    REST API). Deltas around a query's runs give the query's shuffle
+    volume; bytes/records is the mean shuffled row width,
+    repeat-count invariant. Spill deltas are the early warning the
+    r11 verdict asked for: a nonzero spill at sf1 means per-task
+    working sets outgrew execution memory — fix partitioning before
+    it costs wall time at the next scale decade."""
     store = spark.sparkContext._jsc.sc().statusStore()
     empty = spark.sparkContext._jvm.java.util.ArrayList()
     defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
     stages = store.stageList(empty, *defaults)
-    tot_b = tot_r = 0
+    tot_b = tot_r = tot_ms = tot_ds = 0
     it = stages.iterator()
     while it.hasNext():
         s = it.next()
         tot_b += s.shuffleWriteBytes()
         tot_r += s.shuffleWriteRecords()
-    return tot_b, tot_r
+        tot_ms += s.memoryBytesSpilled()
+        tot_ds += s.diskBytesSpilled()
+    return tot_b, tot_r, tot_ms, tot_ds
 
 
 def main() -> None:
@@ -440,7 +448,7 @@ def main() -> None:
             continue
         profiled = name in SHUFFLE_PROFILE
         if profiled:
-            b0, r0 = _shuffle_totals(spark)
+            b0, r0, ms0, ds0 = _shuffle_totals(spark)
         runs: list[float] = []
         for _ in range(repeat):
             df = build(name, bench_dir)
@@ -450,12 +458,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         if profiled:
-            b1, r1 = _shuffle_totals(spark)
+            b1, r1, ms1, ds1 = _shuffle_totals(spark)
             db, dr = b1 - b0, r1 - r0
             shuffle_profile[name] = {
                 "shuffle_bytes": db // repeat,
                 "shuffle_records": dr // repeat,
                 "bytes_per_row": round(db / dr, 2) if dr else 0.0,
+                "mem_spill": (ms1 - ms0) // repeat,
+                "disk_spill": (ds1 - ds0) // repeat,
             }
         # report BOTH: best-of-N (plan cost, scheduler noise removed —
         # the BASELINE.md regression gate) and the first run (what a
@@ -475,13 +485,12 @@ def main() -> None:
     # BOTH readings are within tolerance
     calib_sec_end = _calibrate()
     total = round(sum(timings.values()), 3)
+    # key order is deliberate: the driver records only the TAIL of
+    # stdout, and the r10/r11 artifacts lost the best-of-N gate block
+    # to truncation — so the gate-critical keys (metric/value/queries)
+    # serialize LAST and survive any prefix cut (VERDICT r11 #2)
     result = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "value_single": round(sum(singles.values()), 3),
-        "queries_single": singles,
         "repeat": repeat,
         "sf": sf,
         "shuffle_profile": shuffle_profile,
@@ -491,6 +500,8 @@ def main() -> None:
             "loadavg_start": load_start,
             "loadavg_end": load_end,
         },
+        "value_single": round(sum(singles.values()), 3),
+        "queries_single": singles,
     }
 
     # sf1 scaling arm (one decade up from sf0.1; best-of-2 per query —
@@ -502,6 +513,9 @@ def main() -> None:
         sf1_dir = ensure_sf1_dir(spark, bench_dir)
         sf1_timings: dict[str, float] = {}
         exponents: dict[str, float] = {}
+        sf1_profile: dict[str, dict[str, float]] = {}
+        sf1_calibs: dict[str, float] = {}
+
         def timed(name: str, sf_dir: str, reps: int = 2) -> float:
             best = float("inf")
             for _ in range(reps):
@@ -519,7 +533,24 @@ def main() -> None:
             if base_t is None:  # not in the sf0.1 headline set
                 base_t = timed(name, bench_dir)
             base_timings[name] = base_t
+            b0, r0, ms0, ds0 = _shuffle_totals(spark)
             sf1_timings[name] = timed(name, sf1_dir)
+            b1, r1, ms1, ds1 = _shuffle_totals(spark)
+            db, dr = (b1 - b0) // 2, (r1 - r0) // 2
+            # width + spill AT SCALE (VERDICT r11 #6): the sf0.1-only
+            # gauge can't see a working set outgrowing task memory
+            sf1_profile[name] = {
+                "shuffle_bytes": db,
+                "shuffle_records": dr,
+                "bytes_per_row": round(db / dr, 2) if dr else 0.0,
+                "mem_spill": (ms1 - ms0) // 2,
+                "disk_spill": (ds1 - ds0) // 2,
+            }
+            # per-entry sentinel (VERDICT r11 #1): one post-arm reading
+            # demonstrably missed mid-arm contention — a drifted entry
+            # with a clean neighboring calib is a real regression, an
+            # entry whose own calib drifted was environment
+            sf1_calibs[name] = _calibrate()
             # time ratio across one decade of data: 1.0 = linear
             exponents[name] = round(
                 math.log10(max(sf1_timings[name], 1e-3) / max(base_t, 1e-3)), 3
@@ -528,15 +559,16 @@ def main() -> None:
             "copies": SF1_COPIES,
             "base_queries": base_timings,
             "queries": sf1_timings,
-            "scaling_exponent": exponents,
-            # the sf1 arm runs AFTER the headline sentinel's end
-            # reading, so contention arriving during it was invisible
-            # (r11: a clean-sentinel run still carried a 1.5×-inflated
-            # minhash sf1 time — isolated re-measure read 14.0s where
-            # the in-run arm said 19.3s). A third reading makes the
-            # arm's own window self-reporting.
+            "shuffle_profile": sf1_profile,
+            "calib_per_entry": sf1_calibs,
             "calib_sec_sf1": _calibrate(),
+            "scaling_exponent": exponents,
         }
+
+    # gate-critical keys LAST (see the result-dict comment above)
+    result["metric"] = "headline_queries_total_sec"
+    result["value"] = total
+    result["queries"] = timings
 
     print(json.dumps(result))
 

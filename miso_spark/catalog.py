@@ -831,7 +831,7 @@ def _b_multimodal_features(spark, sf_dir):
         F.lit("fake").alias("format"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_features(media).select("media_id", "n_bytes", "feature_hash")
+    return extract_features(media).select("media_id", "n_samples", "feature_hash")
 
 
 q(
@@ -839,7 +839,7 @@ q(
     builder=_b_multimodal_features,
     oracle="""
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) AS n_samples,
            md5(text) AS feature_hash
     FROM documents
     """,

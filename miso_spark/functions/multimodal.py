@@ -3,12 +3,14 @@ metadata, with decode/feature-extraction as Arrow-batched Pandas UDFs.
 
 Decode support is tiered by what pure numpy can do:
 
-- **ppm** (binary P6) and **bmp** (uncompressed 24-bit BI_RGB) decode
-  FOR REAL — header parse + numpy reshape, both formats are public
-  fixed-layout specs — returning H×W×3 uint8 RGB arrays, and
+- **ppm** (binary P6), **bmp** (uncompressed 24-bit BI_RGB), and
+  **png** (8-bit grey/RGB/RGBA, non-interlaced — stdlib zlib inflate
+  + numpy unfilter) decode FOR REAL, returning H×W×3 uint8 RGB, and
   ``resize_pixels`` runs a real nearest-neighbor resample over them.
-- compressed formats (png/jpeg/wav/mp4…) need a codec library (PIL/
-  ffmpeg) that this container doesn't have: they raise
+  **wav** (16-bit PCM and 32-bit IEEE float) and **y4m** (C444/C420)
+  decode for real too.
+- entropy-coded formats (jpeg/mp4/16-bit-or-interlaced png…) need a
+  codec library (PIL/ffmpeg) this container doesn't have: they raise
   NotImplementedError with a clear message. Swapping those arms of
   ``_decode_payload`` for a PIL call is the only change needed on a
   real cluster.
@@ -59,7 +61,10 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
-        StructField("n_bytes", LongType()),
+        # decoded SAMPLE count: pixels×channels for images,
+        # frames×channels for audio/video (equals payload byte length
+        # only for the 'fake' format, whose samples ARE the bytes)
+        StructField("n_samples", LongType()),
         StructField("mean_byte", DoubleType()),
         StructField("feature_hash", StringType()),
     ]
@@ -118,9 +123,10 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def synthesize_images(spark: SparkSession, n: int = 24) -> DataFrame:
-    """Deterministic REAL image rows (alternating ppm/bmp payloads of
+    """Deterministic REAL image rows (cycling ppm/bmp/png payloads of
     gradient patterns) in the canonical media schema — every payload
     decodes through the pure-numpy arms."""
+    encoders = [("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png)]
     rows = []
     for i in range(n):
         w, h = 8 + (i * 5) % 41, 6 + (i * 7) % 29
@@ -133,9 +139,8 @@ def synthesize_images(spark: SparkSession, n: int = 24) -> DataFrame:
             ],
             axis=2,
         )
-        fmt = "ppm" if i % 2 == 0 else "bmp"
-        payload = encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
-        rows.append((i, "image", fmt, bytearray(payload), (w, h, None)))
+        fmt, enc = encoders[i % 3]
+        rows.append((i, "image", fmt, bytearray(enc(img)), (w, h, None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -175,8 +180,20 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     def _i32(off: int) -> int:
         return int.from_bytes(payload[off : off + 4], "little", signed=True)
 
+    dib_size = _i32(14)
+    if dib_size < 40:
+        # BITMAPCOREHEADER (12-byte) lays out dims/bpp at different
+        # offsets — reading them as BITMAPINFOHEADER would misparse
+        raise NotImplementedError(
+            f"BMP DIB header size {dib_size} unsupported (BITMAPINFOHEADER"
+            " (>=40 bytes) only)"
+        )
     data_off = _i32(10)
     w, h = _i32(18), _i32(22)
+    if w <= 0 or h == 0 or data_off <= 0 or data_off > len(payload):
+        raise ValueError(
+            f"BMP header invalid (width={w}, height={h}, data offset={data_off})"
+        )
     bpp = int.from_bytes(payload[28:30], "little")
     compression = _i32(30)
     if bpp != 24 or compression != 0:
@@ -195,24 +212,155 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1]  # BGR → RGB
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → PNG (8-bit truecolor, filter 0 scanlines, one
+    zlib IDAT) — a layout ``_decode_png`` reads. stdlib zlib only."""
+    import struct
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects an H×W×3 array")
+    h, w = img.shape[:2]
+    px = np.ascontiguousarray(img, dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        c = typ + body
+        return (
+            len(body).to_bytes(4, "big")
+            + c
+            + (zlib.crc32(c) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+#: bytes per pixel for the supported 8-bit PNG color types
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth) over ``h`` scanlines of ``1 + stride`` bytes each.
+    Filters 0–2 reconstruct vectorized; 3/4 depend on the in-scanline
+    left neighbor, so they fall back to a per-byte loop on just the
+    scanlines that use them (encoders emitting all-filter-0 — ours
+    included — never hit the loop)."""
+    lines = raw.reshape(h, 1 + stride)
+    ftypes, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = int(ftypes[r])
+        cur = data[r]
+        prior = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[r] = cur
+        elif f == 1:  # Sub: cumulative sum per byte lane, mod 256
+            lanes = cur.reshape(-1, bpp)
+            out[r] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[r] = cur + prior
+        elif f in (3, 4):  # Average / Paeth: left-dependent, per byte
+            line = out[r]
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if f == 3:
+                    line[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(out[r - 1][x - bpp]) if (r and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {f} invalid (0-4)")
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → H×W×3 uint8 RGB, pure stdlib-zlib + numpy: signature +
+    chunk walk (CRC-checked), IDAT concatenation, zlib inflate,
+    per-scanline unfilter, then channel normalization (greyscale
+    replicates to RGB, alpha is dropped). 8-bit depth, color types
+    0/2/4/6, non-interlaced — the full baseline a codec-less container
+    can honour; 16-bit/palette/interlaced raise clearly."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG decode supports 8-bit color types {sorted(_PNG_CHANNELS)},"
+            f" non-interlaced only (got depth={depth}, color_type={color_type},"
+            f" interlace={interlace})"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data is {raw.size} bytes, expected {h * (1 + stride)}"
+        )
+    px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:  # grey + alpha → replicate grey, drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGBA → drop alpha
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """(frames,) or (frames, channels) int16 PCM → RIFF/WAVE bytes —
-    the layout ``_decode_wav`` reads."""
-    s = np.asarray(samples, dtype="<i2")
+    """(frames,) or (frames, channels) PCM → RIFF/WAVE bytes — the
+    layouts ``_decode_wav`` reads. Float32 input writes an IEEE-float
+    WAV (format tag 3, 32-bit); everything else encodes as int16 PCM
+    (format tag 1)."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.float32:
+        s, tag, width = arr.astype("<f4"), 3, 4
+    else:
+        s, tag, width = arr.astype("<i2"), 1, 2
     if s.ndim == 1:
         s = s[:, None]
     frames, channels = s.shape
     data = s.tobytes()
-    byte_rate = sample_rate * channels * 2
+    byte_rate = sample_rate * channels * width
     fmt_chunk = (
         b"fmt "
         + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")  # PCM
+        + tag.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
-        + (channels * 2).to_bytes(2, "little")
-        + (16).to_bytes(2, "little")
+        + (channels * width).to_bytes(2, "little")
+        + (8 * width).to_bytes(2, "little")
     )
     data_chunk = b"data" + len(data).to_bytes(4, "little") + data
     body = b"WAVE" + fmt_chunk + data_chunk
@@ -220,9 +368,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
-    """RIFF/WAVE with 16-bit integer PCM (format tag 1): walk the
-    even-padded chunk list for fmt/data, return (frames, channels)
-    int16. Compressed or float WAVs stay stubbed."""
+    """RIFF/WAVE: walk the even-padded chunk list for fmt/data. 16-bit
+    integer PCM (format tag 1) returns (frames, channels) int16;
+    32-bit IEEE float (format tag 3) returns (frames, channels)
+    float32. Compressed WAVs stay stubbed."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -240,13 +389,14 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     tag = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if tag != 1 or bits != 16:
-        raise NotImplementedError(
-            f"WAV decode supports 16-bit integer PCM only (got format"
-            f" tag={tag}, bits={bits})"
-        )
-    samples = np.frombuffer(data, dtype="<i2")
-    return samples.reshape(-1, channels)
+    if tag == 1 and bits == 16:
+        return np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    if tag == 3 and bits == 32:
+        return np.frombuffer(data, dtype="<f4").reshape(-1, channels)
+    raise NotImplementedError(
+        f"WAV decode supports 16-bit integer PCM and 32-bit IEEE float"
+        f" only (got format tag={tag}, bits={bits})"
+    )
 
 
 def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
@@ -290,6 +440,11 @@ def _decode_y4m(payload: bytes) -> np.ndarray:
     if colorspace.startswith(b"C444"):
         subsampled = False
     elif colorspace.startswith(b"C420"):
+        if w % 2 or h % 2:
+            raise ValueError(
+                f"C420 requires even dimensions (got W={w} H={h}): the"
+                " half-resolution chroma planes cannot tile an odd frame"
+            )
         subsampled = True
     else:
         raise NotImplementedError(
@@ -359,6 +514,8 @@ def _decode_payload(fmt: str, payload: bytes) -> np.ndarray:
         return _decode_ppm(bytes(payload))
     if fmt == "bmp":
         return _decode_bmp(bytes(payload))
+    if fmt == "png":
+        return _decode_png(bytes(payload))
     if fmt == "wav":
         return _decode_wav(bytes(payload))
     if fmt == "y4m":
@@ -393,8 +550,7 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    # decoded SAMPLE count (pixels×channels for images)
-                    "n_bytes": [int(a.size) for a in arrs],
+                    "n_samples": [int(a.size) for a in arrs],
                     "mean_byte": [float(a.mean()) if a.size else 0.0 for a in arrs],
                     "feature_hash": [
                         hashlib.md5(a.tobytes()).hexdigest() for a in arrs
@@ -440,7 +596,7 @@ def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
     numpy decoder are dropped (filtered BEFORE the Python stage so
     undecodable payloads never cross Arrow)."""
 
-    decodable = df.filter(F.col("format").isin("ppm", "bmp"))
+    decodable = df.filter(F.col("format").isin("ppm", "bmp", "png"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -450,8 +606,14 @@ def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
             ):
                 img = _decode_payload(fmt, bytes(payload))
                 h, w = img.shape[:2]
-                scale = min(max_side / w, max_side / h, 1.0)
-                tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                # integer math so the long side lands on max_side
+                # exactly (float-truncation gave max_side-1 for many
+                # inputs); never upscale
+                if max(w, h) > max_side:
+                    tw = max(w * max_side // max(w, h), 1)
+                    th = max(h * max_side // max(w, h), 1)
+                else:
+                    tw, th = w, h
                 resized = _resample_nearest(img, tw, th)
                 out["media_id"].append(mid)
                 out["width"].append(tw)
@@ -464,14 +626,23 @@ def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
 
 def resize_meta(df: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize planning as metadata arithmetic (aspect-preserving target
-    dims); the pixel resample itself is part of the stubbed decode."""
+    dims, never upscaling) — the same integer formula
+    ``side * max_side div max(w, h)`` as ``resize_pixels``, so the long
+    side lands on ``max_side`` exactly."""
     w, h = F.col("meta.width"), F.col("meta.height")
-    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    long_side = F.greatest(w, h)
+
+    def target(side):
+        scaled = F.greatest((side * max_side).cast("long") / long_side, F.lit(1))
+        return (
+            F.when(long_side > max_side, F.floor(scaled)).otherwise(side).cast("int")
+        )
+
     return df.select(
         "media_id",
         "kind",
         w.alias("width"),
         h.alias("height"),
-        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("target_width"),
-        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("target_height"),
+        target(w).alias("target_width"),
+        target(h).alias("target_height"),
     )

@@ -16,7 +16,9 @@ from hypothesis import strategies as st
 
 from miso_spark.functions.multimodal import (
     _decode_payload,
+    _png_unfilter,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     encode_y4m,
@@ -35,11 +37,13 @@ def _img(w: int, h: int, seed: int) -> np.ndarray:
     h=st.integers(1, 33),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_ppm_bmp_roundtrip_any_shape(w, h, seed):
+def test_ppm_bmp_png_roundtrip_any_shape(w, h, seed):
     img = _img(w, h, seed)
     assert (_decode_payload("ppm", encode_ppm(img)) == img).all()
     # w % 4 ∈ {0,1,2,3} all hit distinct BMP padding widths
     assert (_decode_payload("bmp", encode_bmp(img)) == img).all()
+    # png exercises the zlib inflate + chunk/CRC walk + unfilter path
+    assert (_decode_payload("png", encode_png(img)) == img).all()
 
 
 @settings(max_examples=120, deadline=None)
@@ -53,6 +57,88 @@ def test_wav_roundtrip_any_shape(frames, channels, seed):
         -32768, 32767, size=(frames, channels), dtype=np.int16
     )
     assert (_decode_payload("wav", encode_wav(s)) == s).all()
+    # float32 input routes through the IEEE-float arm (format tag 3)
+    f = np.random.RandomState(seed).uniform(-1, 1, size=(frames, channels)).astype(
+        np.float32
+    )
+    dec = _decode_payload("wav", encode_wav(f))
+    assert dec.dtype == np.float32 and (dec == f).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_all_filters_and_color_types_decode(w, h, channels, filters, seed):
+    """Hand-build a PNG whose scanlines use ARBITRARY filter types
+    (our encoder only emits 0) and any supported color type, apply the
+    spec's forward filters, and require the decoder to reconstruct the
+    original samples — pins the Sub/Up/Average/Paeth unfilter arms and
+    the grey/alpha channel normalization."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w * channels), dtype=np.uint8)
+    raw = bytearray()
+    prior = np.zeros(w * channels, dtype=np.uint8)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        raw.append(f)
+        line, enc = px[r], np.zeros(w * channels, dtype=np.uint8)
+        for x in range(w * channels):
+            a = int(line[x - channels]) if x >= channels else 0
+            b = int(prior[x])
+            c = int(prior[x - channels]) if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw.extend(enc.tobytes())
+        prior = line
+
+    def chunk(typ, body):
+        cc = typ + body
+        return len(body).to_bytes(4, "big") + cc + (
+            zlib.crc32(cc) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dec = _decode_payload("png", payload)
+    full = px.reshape(h, w, channels)
+    if channels >= 3:  # RGB / RGBA → first three channels
+        assert (dec == full[..., :3]).all()
+    else:  # grey / grey+alpha → grey replicated
+        assert (dec == np.repeat(full[..., :1], 3, axis=2)).all()
+
+
+def test_png_unfilter_rejects_bad_filter_type():
+    raw = np.array([7, 1, 2, 3], dtype=np.uint8)  # filter byte 7: invalid
+    try:
+        _png_unfilter(raw, 1, 3, 3)
+    except ValueError as e:
+        assert "filter" in str(e)
+    else:
+        raise AssertionError("filter type 7 must raise")
 
 
 @settings(max_examples=60, deadline=None)

@@ -175,7 +175,7 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
-    assert by_id[0]["n_bytes"] > 0
+    assert by_id[0]["n_samples"] > 0
     # determinism: same payload → same feature hash across runs
     feats2 = {r["media_id"]: r["feature_hash"] for r in extract_features(media).collect()}
     assert {k: v["feature_hash"] for k, v in by_id.items()} == feats2
@@ -193,8 +193,12 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_real_decode_raises(spark):
     from miso_spark.functions.multimodal import _decode_payload
 
+    # entropy-coded formats with no pure-numpy decoder stay stubbed
     with pytest.raises(NotImplementedError):
-        _decode_payload("png", b"\x89PNG...")
+        _decode_payload("jpeg", b"\xff\xd8\xff\xe0...")
+    # png decodes for real now — a bad signature is a clear ValueError
+    with pytest.raises(ValueError, match="signature"):
+        _decode_payload("png", b"\x89PNGnope")
 
 
 def test_multimodal_ppm_bmp_roundtrip():
@@ -252,7 +256,7 @@ def test_multimodal_wav_pcm_roundtrip(spark):
         MEDIA_SCHEMA,
     )
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert feats[0]["n_bytes"] == 257 and feats[1]["n_bytes"] == 200
+    assert feats[0]["n_samples"] == 257 and feats[1]["n_samples"] == 200
 
     import pytest as _pt
 
@@ -327,7 +331,7 @@ def test_multimodal_real_images_features_and_resize(spark):
     assert len(feats) == 12
     for mid, r in feats.items():
         w, h = metas[mid]["width"], metas[mid]["height"]
-        assert r["n_bytes"] == w * h * 3
+        assert r["n_samples"] == w * h * 3
 
     resized = {r["media_id"]: r for r in resize_pixels(media, max_side=10).collect()}
     assert len(resized) == 12
@@ -342,7 +346,7 @@ def test_multimodal_real_images_features_and_resize(spark):
         out = _decode_payload("ppm", bytes(r["payload"]))
         assert out.shape == (r["height"], r["width"], 3)
         # nearest-neighbor keeps the (0,0) corner pixel exactly
-        src_fmt = "ppm" if mid % 2 == 0 else "bmp"
+        src_fmt = ["ppm", "bmp", "png"][mid % 3]
         src = _decode_payload(src_fmt, bytes(
             {m["media_id"]: m for m in media.collect()}[mid]["payload"]
         ))
