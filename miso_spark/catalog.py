@@ -506,15 +506,32 @@ q(
 
 q(
     "mv_expand",
+    # two arms (VERDICT r11 #7): kind=array over a real array, UNIONED
+    # with kind=bag (default) over an OBJECT — the struct branch emits
+    # one row per PRESENT key as a single-key object (expand.rs), which
+    # the extend discriminates via exists() and re-encodes as a string
+    # so the union stays one relational shape for the oracle
     kql="""
     t.documents.raw('SELECT doc_id, split(text, " ") AS words FROM documents')
     | mv-expand kind=array words
     | summarize n = count() by words
+    | union (
+        t.documents.raw('SELECT doc_id, named_struct("lang", lang, "src", source) AS obj FROM documents')
+        | mv-expand obj
+        | extend words = iff(exists(obj.lang), "lang:" + obj.lang, "src:" + obj.src)
+        | summarize n = count() by words
+      )
     """,
     oracle="""
     SELECT w AS words, COUNT(*) AS n FROM (
       SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ) GROUP BY w
+    UNION ALL
+    SELECT words, COUNT(*) AS n FROM (
+      SELECT 'lang:' || lang AS words FROM documents WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT 'src:' || source FROM documents WHERE source IS NOT NULL
+    ) GROUP BY words
     """,
 )
 

@@ -911,13 +911,22 @@ def _base_events(index_expr: str, earliest, latest,
 
 class SplunkStub(_StubServer):
     """Job-protocol stub: POST jobs evaluates the SPL eagerly; polls
-    report DONE immediately; results page with offset/count."""
+    report DONE immediately; results page with offset/count.
+
+    ``preview_polls=N`` makes each job report RUNNING for its first N
+    status polls, during which ``/results_preview`` serves a GROWING
+    PREFIX of the final rows (poll k of N → the first k/(N+1) share) —
+    the accumulate-then-finalize behavior a live Splunk shows to the
+    preview-streaming path (query_runner.rs poll_with_previews)."""
 
     def __init__(self, indexes: dict[str, list[dict]],
-                 ts_fields: dict[str, str] | None = None):
+                 ts_fields: dict[str, str] | None = None,
+                 preview_polls: int = 0):
         self.indexes = indexes
         self.ts_fields = ts_fields or {}
+        self.preview_polls = preview_polls
         self.jobs: dict[str, list[dict]] = {}
+        self.polls: dict[str, int] = {}
         self.spls: list[str] = []
         self._ids = itertools.count(1)
         super().__init__(_make_handler(self._route))
@@ -932,16 +941,20 @@ class SplunkStub(_StubServer):
             self.spls.append(spl)
             sid = f"job{next(self._ids)}"
             self.jobs[sid] = run_spl(spl, self.indexes, self.ts_fields)
+            self.polls[sid] = 0
             return {"sid": sid}
         m = re.fullmatch(r"/services/search/jobs/([^/]+)", path)
         if m:
-            rows = self.jobs[m.group(1)]
+            sid = m.group(1)
+            rows = self.jobs[sid]
+            self.polls[sid] += 1
+            done = self.polls[sid] > self.preview_polls
             return {
                 "entry": [
                     {
                         "content": {
-                            "isDone": True,
-                            "dispatchState": "DONE",
+                            "isDone": done,
+                            "dispatchState": "DONE" if done else "RUNNING",
                             "resultCount": len(rows),
                         }
                     }
@@ -949,7 +962,12 @@ class SplunkStub(_StubServer):
             }
         m = re.fullmatch(r"/services/search/jobs/([^/]+)/results(_preview)?", path)
         if m:
-            rows = self.jobs[m.group(1)]
+            sid = m.group(1)
+            rows = self.jobs[sid]
+            if m.group(2) and self.preview_polls:
+                # growing prefix while RUNNING
+                k = min(self.polls.get(sid, 0), self.preview_polls)
+                rows = rows[: len(rows) * k // (self.preview_polls + 1)]
             offset = int(params.get("offset", 0))
             count = int(params.get("count", 100))
             return {"results": rows[offset : offset + count]}

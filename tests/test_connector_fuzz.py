@@ -264,3 +264,95 @@ def _stringify_key(rows: list[str]) -> list[str]:
             d["k"] = str(v)
         out.append(json.dumps(d, sort_keys=True))
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# preview-streaming arm (VERDICT r11 #5): the Splunk partial path —
+# generated FULLY-ABSORBED aggregation pipelines run through the real
+# preview protocol (RUNNING polls serving a growing results_preview
+# prefix, then DONE/results) and the FINAL round must equal the batch
+# engine run of the same plan. ES/Quickwit have no preview protocol in
+# the reference (enable_partial_stream / query_runner.rs
+# poll_with_previews is Splunk-only); their partial story is the
+# engine-side run_partial_stream over stream-capable sources, fuzzed in
+# test_partial_stream_property.py.
+
+
+@pytest.fixture(scope="module")
+def preview_rig(spark):
+    from miso_spark.sources.external import SplunkSource
+
+    from search_stubs import SplunkStub
+
+    docs = corpus.load_resources()
+    ts = corpus.TIMESTAMP_FIELDS
+    stub = SplunkStub(docs, ts, preview_polls=2)
+    src = SplunkSource(stub.url)
+    src.static_fields = {idx: {"@time": "_time"} for idx in ts}
+    yield stub, src
+    stub.shutdown()
+
+
+def _preview_final_equals_batch(spark, preview_rig, q):
+    import json as _json
+
+    from miso_spark.sources.pushdown import negotiate
+
+    from test_connector_cases import _norm_val
+
+    stub, src = preview_rig
+    plan = parse_kql(q)
+    scan = plan.steps[0]
+    handle, residual = negotiate(plan, src.handle(scan.collection), src)
+    if len(residual.steps) != 1:
+        return  # engine-side residual → the preview path doesn't apply
+    if not any(op[0] == "stats" for op in handle.pipeline):
+        return  # hit-row previews ship schema-on-read strings by
+        # contract (SURVEY §3); the agg shapes are the typed surface
+    push, _ = _compilers(spark, src)
+    batch = _rows(push.run(parse_kql(q)))
+    partials, finals = [], []
+    for kind, rid, rows in src.run_job_with_previews(
+        handle.build_spl(scan.collection), preview_interval_s=0.0
+    ):
+        coerced = [src.coerce_stats_row(r, handle) for r in rows]
+        (finals if kind == "final" else partials).append((rid, coerced))
+    assert len(finals) == 1, f"expected exactly one final round for: {q}"
+    got = sorted(
+        _json.dumps(
+            {k: _norm_val(v) for k, v in r.items() if v is not None},
+            sort_keys=True,
+            default=str,
+        )
+        for r in finals[0][1]
+    )
+    assert got == batch, f"preview final != batch for: {q}"
+    # growing-prefix previews: each partial round is a subset of the
+    # final multiset (the stub serves prefixes of the finished rows)
+    final_set = set(got)
+    for rid, rows in partials:
+        for r in rows:
+            s = _json.dumps(
+                {k: _norm_val(v) for k, v in r.items() if v is not None},
+                sort_keys=True,
+                default=str,
+            )
+            assert s in final_set, f"partial round {rid} row not in final: {q}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=pipelines())
+# seed the shapes the preview path exists for: absorbed stats with and
+# without group keys, dcount, countif, and a timestamp-binned key
+@example(q="test.stack | where questionId > 5"
+           " | summarize n = count(), sx = sum(answerId) by k = type")
+@example(q="test.stack | summarize dc = dcount(acceptedAnswerId)")
+@example(q="test.stack | summarize n = count() by k = bin(@time, 1d)")
+@example(q="test.stack | summarize av = avg(questionId),"
+           " ci = countif(exists(title)) by k = user")
+def test_splunk_preview_final_equals_batch(spark, preview_rig, q):
+    _preview_final_equals_batch(spark, preview_rig, q)

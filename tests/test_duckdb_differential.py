@@ -35,6 +35,12 @@ SURVEY §3), so any mismatch is an engine bug, not a dialect gap:
 - join keys are NULL-SAFE equal by default (the reference's hash join
   hashes Value::Null like any value — tests.rs join_with_null_keys)
   → DuckDB ``IS NOT DISTINCT FROM``.
+- has/has_cs are word-boundary phrase matches compiled to an explicit
+  boundary regex (string_ops.rs) → the SAME pattern via
+  ``regexp_matches``; toint truncates toward zero → ``CAST(TRUNC(…))``;
+  tostring is pinned over integral values (float formatting is not
+  contractual across engines); tobool is the numeric→boolean cast.
+- ``let name = <prefix>; name | <rest>`` is pure naming → same SQL.
 - mv-expand (expand.rs): non-empty arrays expand one row per element,
   empty arrays DROP the row, null/missing collections pass through
   → DuckDB lateral ``UNNEST`` (drops null AND empty) unioned with an
@@ -122,6 +128,8 @@ def duck():
 
 NUM = "num"
 STR = "str"
+BOOL = "bool"  # produced by tobool; joins only type-agnostic arms
+# (exists / sort / project / distinct / rename / group keys)
 
 
 def _cmp_sql(col: str, op: str, lit) -> str:
@@ -271,7 +279,8 @@ def programs(draw):
                 c = draw(st.sampled_from(strs))
                 sop = draw(
                     st.sampled_from(
-                        ["contains", "startswith", "endswith", "==", "!="]
+                        ["contains", "startswith", "endswith", "==", "!=",
+                         "has", "has_cs"]
                     )
                 )
                 lit = draw(st.sampled_from(["s1", "t2", "g0", "1"]))
@@ -282,6 +291,14 @@ def programs(draw):
                     pred = pred_d = f"starts_with({c}, '{lit}')"
                 elif sop == "endswith":
                     pred = pred_d = f"ends_with({c}, '{lit}')"
+                elif sop in ("has", "has_cs"):
+                    # word-boundary phrase match (string_ops.rs): the
+                    # engine compiles the exact regex below (has is
+                    # case-insensitive, has_cs sensitive) — DuckDB's
+                    # RE2-style regexp_matches accepts the same pattern
+                    pre = "(?i)" if sop == "has" else ""
+                    pat = f"{pre}(^|[^A-Za-z0-9]){lit}([^A-Za-z0-9]|$)"
+                    pred = pred_d = f"regexp_matches({c}, '{pat}')"
                 elif sop == "!=":
                     # total order: null != lit is TRUE (null smallest)
                     pred = f"({c} IS NULL OR {c} <> '{lit}')"
@@ -305,7 +322,8 @@ def programs(draw):
             name = f"e{ext_n}"
             arms = ["lit"]
             if nums:
-                arms += ["plus", "iff", "iff_str", "case", "shadow", "toint"]
+                arms += ["plus", "iff", "iff_str", "case", "shadow",
+                         "toint", "tostring", "tobool"]
             if strs:
                 arms.append("concat")
             arm = draw(st.sampled_from(arms))
@@ -367,6 +385,24 @@ def programs(draw):
                 c = draw(st.sampled_from(nums))
                 kql.append(f"extend {name} = toint({c})")
                 expr = f"CAST(TRUNC({c}) AS BIGINT)"
+            elif arm == "tostring":
+                # tostring over an integral value: digit rendering is
+                # engine-independent (a bare double would instead pin
+                # shortest-float formatting, which the two engines
+                # don't contractually share) — chain through toint so
+                # the cast-compile path is exercised with an exact
+                # oracle; null propagates on both
+                c = draw(st.sampled_from(nums))
+                kql.append(f"extend {name} = tostring(toint({c}))")
+                expr = f"CAST(CAST(TRUNC({c}) AS BIGINT) AS VARCHAR)"
+                new_type = STR
+            elif arm == "tobool":
+                # typed tobool = Spark numeric→boolean cast (0 false,
+                # else true, null propagates) — DuckDB CAST agrees
+                c = draw(st.sampled_from(nums))
+                kql.append(f"extend {name} = tobool({c})")
+                expr = f"CAST({c} AS BOOLEAN)"
+                new_type = BOOL
             elif arm == "concat":
                 # miso's Plus CONCATENATES when both sides are strings
                 # (interpreter/mod.rs:234); null/missing propagates —
@@ -665,7 +701,19 @@ def programs(draw):
             sql = f'SELECT count(*) AS "Count" FROM ({sql}) c{step_i}'
             sqd = f'SELECT count(*) AS "Count" FROM ({sqd}) c{step_i}'
             cols = {"Count": NUM}
-    return " | ".join(kql), sql, sqd
+    kql_text = " | ".join(kql)
+    # `let` wrapper (1 in 4): bind an arbitrary prefix of the pipeline
+    # to a name and continue from the reference — pure naming, so the
+    # SQL oracles are unchanged; exercises parse + subquery compile of
+    # let over the whole generated space
+    if draw(st.integers(0, 3)) == 0:
+        split = draw(st.integers(0, len(kql) - 1))
+        head, tail = kql[: split + 1], kql[split + 1 :]
+        kql_text = (
+            f"let q = {' | '.join(head)}; "
+            + " | ".join(["q"] + tail)
+        )
+    return kql_text, sql, sqd
 
 
 def _norm_rows(pairs) -> list[str]:
