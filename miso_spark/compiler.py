@@ -96,6 +96,25 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
         elif not lv and not rv and _union_type_conflict(lt, rt):
             df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
             other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+    # one-sided columns against a DYNAMIC-model branch (any VARIANT
+    # column ⇒ the frame follows missing-vs-null semantics): the
+    # reference's union leaves the key MISSING on rows that lack it,
+    # so a TYPED one-sided column must lift to variant — its
+    # unionByName null-fill is then a NULL variant (missing: predicates
+    # poison, dcount skips) instead of a typed present-null the total
+    # order would KEEP (r12 differential find: `count | union (m.b) |
+    # where Count < 0` kept every b row). Fully-typed unions keep the
+    # documented present-null conflation.
+    l_dyn = any(FieldPath._is_variant(f.dataType) for f in df.schema.fields)
+    r_dyn = any(FieldPath._is_variant(f.dataType) for f in other.schema.fields)
+    if r_dyn:
+        for name in set(df.columns) - set(other.columns):
+            if not FieldPath._is_variant(df.schema[name].dataType):
+                df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+    if l_dyn:
+        for name in set(other.columns) - set(df.columns):
+            if not FieldPath._is_variant(other.schema[name].dataType):
+                other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
     return df.unionByName(other, allowMissingColumns=True)
 
 
@@ -132,6 +151,22 @@ def _sort_cols(sorts: tuple[P.Sort, ...], schema=None) -> list[Column]:
     return cols
 
 
+def _tag_missing_as_null(expr: Column, f, schema) -> Column:
+    """Tag a materialized missing-as-null expression (cast/bin over a
+    dynamic input — see exprs._missing_as_null) with column metadata so
+    later steps, which only see the schema, keep the reference's
+    missing semantics for its NULLs (r12 differential find:
+    `extend e1 = tostring(toint(x)) | where not(e1 in (...))` treated
+    e1's missing as a present null once it became a plain column)."""
+    from miso_spark.exprs import MISSING_AS_NULL_MD, _missing_as_null
+
+    if _missing_as_null(f.expr, schema):
+        return expr.alias(
+            f.name.split(".")[0], metadata={MISSING_AS_NULL_MD: True}
+        )
+    return expr
+
+
 def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
     from miso_spark.exprs import _variant_typed
 
@@ -159,9 +194,18 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
             # conflation needed on this path.
             c = F.count_distinct(F.to_json(e))
         else:
-            c = F.count_distinct(e) + F.coalesce(
-                F.max(F.when(e.isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
-            )
+            from miso_spark.exprs import _missing_as_null
+
+            if _missing_as_null(agg.arg, schema):
+                # NULL here encodes a MISSING dynamic value (cast over
+                # a variant input — present nulls cast to 0/""/false),
+                # and missing args skip the accumulator (summarize.rs):
+                # no null bucket
+                c = F.count_distinct(e)
+            else:
+                c = F.count_distinct(e) + F.coalesce(
+                    F.max(F.when(e.isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+                )
     elif k == "dcount_approx":
         # 100 TB path: HLL sketch instead of exact two-phase distinct
         assert agg.arg is not None
@@ -826,7 +870,7 @@ class Compiler:
         for f in fields:
             expr = compile_expr(f.expr, df.schema)
             if "." not in f.name:
-                cols[f.name] = expr
+                cols[f.name] = _tag_missing_as_null(expr, f, df.schema)
                 continue
             top, *rest = f.name.split(".")
             if top in cols:
@@ -863,7 +907,7 @@ class Compiler:
             # withColumns() below resolves every one against `df`
             expr = compile_expr(f.expr, df.schema)
             if "." not in f.name:
-                out_cols[f.name] = expr
+                out_cols[f.name] = _tag_missing_as_null(expr, f, df.schema)
                 continue
             top, *rest = f.name.split(".")
             if top in out_cols:

@@ -237,6 +237,45 @@ def _variant_key(e: Expr, schema) -> Column:
     return dyn.sort_key(dyn.wrap_variant(compile_expr(e, schema)))
 
 
+#: column-metadata key marking a TYPED column whose NULL encodes a
+#: MISSING dynamic value (set by the compiler when an extend/project
+#: materializes a missing-as-null expression into a named column, so
+#: the semantics survive into later steps that only see the schema)
+MISSING_AS_NULL_MD = "miso.missing_as_null"
+
+
+def _missing_as_null(e: Expr, schema) -> bool:
+    """True when ``e`` is a TYPED expression whose NULL output encodes
+    a MISSING dynamic value: casts/bins/extracts whose input is
+    variant-typed (dynamic casts return typed columns — long/string/
+    boolean — and a missing input surfaces as NULL there), arithmetic
+    over such results, and schema columns an earlier extend/project
+    materialized from one (MISSING_AS_NULL_MD metadata). Predicates
+    must treat that null as the reference's missing (eval! poisoning →
+    unknown → row dropped), NOT as the present-null smallest value of
+    the total order; dcount must skip it instead of counting a null
+    bucket. Present nulls can't hide here: Val::cast maps a present
+    Null to 0/"null"/false, so on these expressions NULL ⇔ missing
+    exactly."""
+    if isinstance(e, Field):
+        if schema is None or len(e.path.segments) != 1:
+            return False
+        name, idxs = e.path.segments[0]
+        if idxs:
+            return False
+        try:
+            return bool(schema[name].metadata.get(MISSING_AS_NULL_MD, False))
+        except Exception:
+            return False
+    if isinstance(e, (Bin, Cast)):
+        return _variant_typed(e.expr, schema) or _missing_as_null(e.expr, schema)
+    if isinstance(e, Extract):
+        return _variant_typed(e.source, schema) or _missing_as_null(e.source, schema)
+    if isinstance(e, BinOp) and e.op in _ARITH_OPS:
+        return _missing_as_null(e.left, schema) or _missing_as_null(e.right, schema)
+    return False
+
+
 def _compile_bool(e: Expr, schema) -> Column:
     """Boolean-context compilation (``not``/``and``/``or`` operands):
     a dynamic value converts through Value::to_bool with missing →
@@ -361,6 +400,11 @@ def compile_expr(e: Expr, schema=None) -> Column:
         )
         if any(isinstance(i, Lit) and i.value is None for i in e.items):
             c = c | base.isNull()
+        if _missing_as_null(e.expr, schema):
+            # a missing base poisons the whole In (eval! evaluates the
+            # base first) — unknown, so the row drops and not(in)
+            # drops it too, never the proper-FALSE present-null form
+            c = F.when(base.isNotNull(), c)
         return c
     if isinstance(e, Between):
         if (
@@ -554,7 +598,7 @@ def _cross_class_cmp(op: str, l: Column, r: Column, cl: int, cr: int) -> Column:
     raise ValueError(op)
 
 
-def _compile_binop(e: BinOp, schema=None) -> Column:
+def _compile_binop(e: BinOp, schema=None, _guard_missing: bool = True) -> Column:
     op = e.op
     # a MISSING operand makes every reference comparison/string-op
     # evaluate to None → the row is filtered, and not()/projection see
@@ -565,6 +609,24 @@ def _compile_binop(e: BinOp, schema=None) -> Column:
         _provably_missing(e.left, schema) or _provably_missing(e.right, schema)
     ):
         return F.lit(None).cast("boolean")
+    # missing-as-null operands (casts/bins over dynamic values — see
+    # _missing_as_null): their typed NULL encodes a MISSING value, so
+    # the comparison must evaluate to unknown (row dropped, not()
+    # poisoned) when that operand is null — NOT the total-order
+    # present-null forms below. Found by the r12 differential's
+    # let+cast composition: `extend e1 = tostring(toint(x)) | where
+    # not(e1 in (...))` kept missing-x rows where the reference's
+    # eval_to_bool! drops them.
+    if _guard_missing and op in (_CMP_OPS | _STR_OPS):
+        guards = [
+            x for x in (e.left, e.right) if _missing_as_null(x, schema)
+        ]
+        if guards:
+            cond = None
+            for x in guards:
+                c = compile_expr(x, schema).isNotNull()
+                cond = c if cond is None else (cond & c)
+            return F.when(cond, _compile_binop(e, schema, _guard_missing=False))
     lv = _variant_typed(e.left, schema)
     rv = _variant_typed(e.right, schema)
     if lv or rv:

@@ -54,7 +54,7 @@ import json
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from miso_spark.compiler import Compiler
@@ -967,6 +967,37 @@ def _dyn_rows(df) -> list[str]:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(prog=programs())
+# r12 fuzz find (the let+cast composition): `tostring(toint(x))` over a
+# MISSING x produced a typed NULL that the downstream not(in) treated
+# as a PRESENT null (total order: kept) where the reference's eval!
+# poisoning drops the row. Casts/bins over dynamic inputs now carry
+# missing-as-null semantics into predicates (exprs._missing_as_null).
+@example(
+    prog=(
+        'let q = m.a; q | where exists(g) | extend e1 = tostring(toint(x))'
+        ' | join kind=inner (m.b | project-rename bid = id, bx = x)'
+        ' on $left.id == $right.bx | where not(e1 in ("s1"))',
+        "",  # typed SQL unused by this arm
+        "SELECT * FROM (SELECT * FROM (SELECT *, CAST(CAST(TRUNC(x) AS"
+        " BIGINT) AS VARCHAR) AS e1 FROM (SELECT * FROM (SELECT * FROM a)"
+        " w0 WHERE (g IS NOT NULL)) x1) jl2 JOIN (SELECT id AS bid, x AS"
+        " bx, t FROM b) jr2 ON jl2.id = jr2.bx) w3 WHERE (e1 NOT IN"
+        " ('s1'))",
+    )
+)
+# second r12 fuzz find: union null-fill of a one-sided TYPED column
+# (count's Count) against a dynamic branch read as a PRESENT null —
+# `Count < 0` kept every b row where the reference's missing key
+# poisons. union_harmonized now lifts such columns to variant.
+@example(
+    prog=(
+        "let q = m.a; q | count | union (m.b) | where Count < 0",
+        "",
+        'SELECT * FROM (SELECT * FROM ((SELECT count(*) AS "Count" FROM'
+        " (SELECT * FROM a) c0) UNION ALL BY NAME (SELECT * FROM b)) u1)"
+        " w2 WHERE (Count < 0)",
+    )
+)
 def test_dynamic_engine_matches_duckdb(dyn_rig, duck, prog):
     kql, _, sqd = prog
     if "iff(" in kql or "case(" in kql:

@@ -762,3 +762,39 @@ def test_dynamic_parquet_round_trip_operator_suite(spark, tmp_path_factory):
         assert a == b, (tail, a, b)
         # every query must exercise at least one row to mean anything
     assert sorted(m.query("pq.c | where not(exists(x))").toJSON().collect()) == ['{"tag":"a"}']
+
+
+def test_dynamic_cast_missing_poisons_predicates(spark):
+    """r12 differential find: a cast over a MISSING dynamic value
+    evaluates as missing, and every predicate over it poisons
+    (expr_eval.rs eval! → eval_to_bool! drops the row) — including the
+    forms that KEEP a present null under the total order (!=, <=,
+    not-in, !between, == null). The cast's typed NULL must not be
+    mistaken for a present null: present nulls can't reach these
+    outputs (Val::cast maps Null to 0/"null"/false)."""
+    m = _dyn_engine(spark, [
+        {"i": 1, "x": 5},
+        {"i": 2},            # x missing → every toint-predicate drops it
+        {"i": 3, "x": None}, # PRESENT null → toint = 0: total order applies
+    ])
+
+    def ids(q):
+        return sorted(
+            int(str(json.loads(s)["i"])) for s in m.query(q).toJSON().collect()
+        )
+
+    assert ids("dyn.c | extend v = toint(x) | where not(v in (5))") == [3]
+    assert ids("dyn.c | extend v = toint(x) | where v != 5") == [3]
+    assert ids("dyn.c | extend v = toint(x) | where v <= 5") == [1, 3]
+    assert ids("dyn.c | extend v = toint(x) | where v !between (6 .. 9)") == [1, 3]
+    assert ids("dyn.c | extend v = toint(x) | where v == null") == []
+    assert ids('dyn.c | extend s = tostring(toint(x)) | where not(s in ("5"))') == [3]
+    # exists() stays a definite boolean: missing → false, so
+    # not(exists) keeps exactly the missing row
+    assert ids("dyn.c | extend v = toint(x) | where not(exists(v))") == [2]
+    # dcount over the cast: missing contributes NO bucket (summarize.rs
+    # skips missing accumulator args); 5 and 0 are the two values
+    got = json.loads(
+        m.query("dyn.c | summarize dc = dcount(toint(x))").toJSON().collect()[0]
+    )
+    assert got["dc"] == 2

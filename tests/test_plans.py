@@ -316,3 +316,34 @@ def test_dynamic_parquet_scan_pushdown(spark, tmp_path_factory):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert out.count() == 7  # 4,5,...,9 numbers plus the string row
+
+
+def test_minhash_verify_is_intersect_not_probe_join(spark):
+    """Plan-pins the r12 minhash verify fix (VERDICT r11 #1): the
+    exact-Jaccard stage must be two id-keyed joins against the
+    checkpointed set table + a LOCAL array_intersect — NOT a re-join
+    of candidates against the exploded shingle inverted index (whose
+    per-probe cost grows with relation size and measured ~33x CPU
+    across one data decade). Also pins the aggregate split: the
+    collect_list set-table agg (ObjectHashAggregate) must not carry
+    the 16 min-signature expressions (their codegen HashAggregate
+    measured 2.7x cheaper standing alone)."""
+    from miso_spark.functions.dedup import minhash_lsh_pairs
+    from miso_spark.sources import ParquetDirSource
+
+    spark.catalog.clearCache()
+    docs = ParquetDirSource(SF_DIR).table(spark, "documents")
+    df = minhash_lsh_pairs(docs, num_hashes=16, bands=16, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan, plan
+    # the old probe join equi-joined the shingle-hash columns; the new
+    # plan joins on doc ids only — no join condition may mention the
+    # shingle-hash column
+    import re
+
+    for cond in re.findall(r"(?:Join|HashedRelation).*?\[(.*?)\]", plan):
+        assert "shh" not in cond and " ha" not in cond, plan
+    # aggregate split: no single aggregate carries BOTH collect_list
+    # and a min(xxhash64(...)) column
+    for agg in re.findall(r"ObjectHashAggregate.*", plan):
+        assert "min(xxhash64" not in agg, agg
