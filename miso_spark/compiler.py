@@ -1160,6 +1160,33 @@ class Compiler:
             right = right.withColumnsRenamed(renames)
             right_on = renames.get(right_on, right_on)
 
+        # left/right/outer joins null-fill the non-preserved side's
+        # columns; when the PRESERVED side is a dynamic-model frame
+        # (carries VARIANT columns), the reference emits its unmatched
+        # rows with those keys MISSING — so typed columns of a
+        # fillable side lift to variant, making the fill a null
+        # variant (missing: predicates poison, dcount skips) instead
+        # of a present null the total order would KEEP (r12
+        # differential find, the join sibling of the union null-fill
+        # fix). Join KEYS stay unlifted — their matching semantics
+        # (null-safe vs canonical-JSON) are decided below, and lifting
+        # one would change which rows match.
+        def _lift_filled(df: DataFrame, key: str) -> DataFrame:
+            from miso_spark.dynamic import wrap_variant as _wrap
+
+            for c in df.columns:
+                if c != key and not FieldPath._is_variant(df.schema[c].dataType):
+                    df = df.withColumn(c, _wrap(F.col(f"`{c}`")))
+            return df
+
+        def _is_dyn(df: DataFrame) -> bool:
+            return any(FieldPath._is_variant(f.dataType) for f in df.schema.fields)
+
+        if step.how in ("left", "outer") and _is_dyn(left):
+            right = _lift_filled(right, right_on)
+        if step.how in ("right", "outer") and _is_dyn(right):
+            left = _lift_filled(left, step.left_on)
+
         if step.partitions > 1:
             # hint.partitions=N (join.rs:720: N-way partitioned hash
             # join): shuffle both sides into N hash partitions on the

@@ -187,7 +187,7 @@ def programs(draw):
         if len(cols) > 1:
             choices.append("project")
             choices.append("distinct")
-        if not {"bid", "bx", "t"} & set(cols) and any(
+        if not {"bid", "bx", "bn", "t"} & set(cols) and any(
             t == NUM for t in cols.values()
         ):
             choices.append("join")
@@ -461,16 +461,41 @@ def programs(draw):
             k = draw(st.sampled_from(["inner", "left", "right", "outer"]))
             nums = sorted(n for n, t in cols.items() if t == NUM)
             on_left = draw(st.sampled_from(nums))
-            kql.append(
-                f"join kind={k} (m.b | project-rename bid = id, bx = x)"
-                f" on $left.{on_left} == $right.bx"
-            )
             jk = {
                 "inner": "JOIN",
                 "left": "LEFT JOIN",
                 "right": "RIGHT JOIN",
                 "outer": "FULL JOIN",  # reference `outer` = full outer
             }[k]
+            if draw(st.integers(0, 3)) == 0:
+                # AGGREGATED right side: its engine-computed bn column
+                # is TYPED, so preserved-but-unmatched rows exercise
+                # the join null-fill missing semantics (r12 find: the
+                # fill read as a present null on the dynamic path —
+                # the lift in Compiler._join keeps it MISSING there)
+                kql.append(
+                    f"join kind={k} (m.b | summarize bn = count() by bx = x)"
+                    f" on $left.{on_left} == $right.bx"
+                )
+                sub = (
+                    "(SELECT x AS bx, count(*) AS bn FROM b"
+                    " WHERE x IS NOT NULL GROUP BY x)"
+                )
+                sql = (
+                    f"SELECT * FROM ({sql}) jl{step_i} {jk} {sub} jr{step_i}"
+                    f" ON jl{step_i}.{on_left} IS NOT DISTINCT FROM"
+                    f" jr{step_i}.bx"
+                )
+                sqd = (
+                    f"SELECT * FROM ({sqd}) jl{step_i} {jk} {sub} jr{step_i}"
+                    f" ON jl{step_i}.{on_left} = jr{step_i}.bx"
+                )
+                cols = {**cols, "bx": NUM, "bn": NUM}
+                continue
+            kql.append(
+                f"join kind={k} (m.b | project-rename bid = id, bx = x)"
+                f" on $left.{on_left} == $right.bx"
+            )
             # engine join keys are NULL-SAFE equal (null matches null)
             sql = (
                 f"SELECT * FROM ({sql}) jl{step_i} {jk} "
