@@ -278,6 +278,18 @@ SF1_HEADLINE = [
     "token_budget_filter",
     "skew_join_aqe",
     "skew_join_salted",
+    # r12 widening: the remaining scale-sensitive operator families —
+    # the one-shuffle exact dedup, the zero-shuffle text path, the
+    # tagged-union single-shuffle as-of join, the bin-bucketed range
+    # join, brute-force ANN over 10× embeddings, the vocab-bounded
+    # bigram agg, and the per-row dynamic-typing filter
+    "dedup_exact",
+    "text_quality",
+    "asof_join",
+    "range_join",
+    "ann_bruteforce",
+    "corpus_bigram_logprob",
+    "dynamic_filter",
 ]
 SF1_COPIES = 10
 
@@ -297,7 +309,7 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1_cache")
     marker = os.path.join(out, "_DONE")
-    stamp = (f"v2-multifile copies={SF1_COPIES} "
+    stamp = (f"v3-embeddings copies={SF1_COPIES} "
              f"parts={sorted(MULTIFILE_PARTS.items())}")
     if _cache_is_current(marker, stamp):
         return out
@@ -337,6 +349,17 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
     scale("events", lambda df: df.select("*", copies)
           .withColumn("user_id", F.col("user_id") + F.col("__i") * KEY_SHIFT)
           .drop("__i"))
+    # embeddings: shifted ids; vectors perturbed per copy in ONE
+    # coordinate (deterministic, label-preserving) so copies are not
+    # exact duplicates of each other — ANN top-k structure scales like
+    # a real 10× corpus instead of every query hitting 9 ties
+    scale("embeddings", lambda df: df.select("*", copies)
+          .withColumn("vec_id", F.col("vec_id") + F.col("__i") * KEY_SHIFT)
+          .withColumn("embedding", F.transform(
+              F.col("embedding"),
+              lambda v, i: v + F.when(i == 0, F.col("__i") * 1e-4).otherwise(0.0)))
+          .drop("__i"))
+    passthrough("part")
     with open(marker, "w") as f:
         f.write(stamp)
     return out
