@@ -573,7 +573,20 @@ class Compiler:
                     if not step.keep_null_keys:
                         df = df.filter(c.isNotNull())
                     by_cols.append(c)
-            by = [c.alias(b.name) for c, b in zip(by_cols, step.by)]
+            from miso_spark.exprs import MISSING_AS_NULL_MD, _missing_as_null
+
+            by = [
+                # missing-as-null keys (cast/bin over dynamic inputs)
+                # keep their semantics on the OUTPUT column: a
+                # keep_null_keys union-split partial preserves the null
+                # group for sibling aggregates, and the merge's dcount
+                # over this key must SKIP it (the unsplit plan does)
+                # rather than re-counting it as a present-null bucket
+                c.alias(b.name, metadata={MISSING_AS_NULL_MD: True})
+                if _missing_as_null(b.expr, df.schema)
+                else c.alias(b.name)
+                for c, b in zip(by_cols, step.by)
+            ]
             if not aggs:
                 # reference grammar admits zero aggregations
                 # (miso-kql/src/parser.rs:1033): `summarize by x, y` is

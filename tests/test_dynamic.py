@@ -798,3 +798,28 @@ def test_dynamic_cast_missing_poisons_predicates(spark):
         m.query("dyn.c | summarize dc = dcount(toint(x))").toJSON().collect()[0]
     )
     assert got["dc"] == 2
+
+
+def test_dynamic_dcount_cast_arg_split_equals_unsplit(spark):
+    """The union-split dcount partial (keep_null_keys) groups by the
+    dcount arg and the merge re-runs dcount over the KEY COLUMN — for
+    a cast arg (missing-as-null), the key's metadata tag must carry
+    the missing semantics so the merge SKIPS the preserved null group
+    exactly like the unsplit plan (r12: the unsplit plan stopped
+    counting missing as a bucket). Values: 1, 2, 0 (present null casts
+    to 0), missing ×2 skipped → dc = 3 on both plans."""
+    from miso_spark import dynamic as dyn
+    from miso_spark import plan as P
+    from miso_spark.compiler import Compiler
+    from miso_spark.kql import parse_kql
+    from miso_spark.rewrite import optimize_steps
+    from miso_spark.sources import MemorySource, SourceRegistry
+
+    mem = MemorySource()
+    mem.put("a", dyn.ingest_json_dynamic(spark, [{"x": 1}, {"x": 2}, {}, {"x": None}]))
+    mem.put("b", dyn.ingest_json_dynamic(spark, [{"x": 1}, {}]))
+    rig = Compiler(SourceRegistry(spark).register("m", mem))
+    plan = parse_kql("m.a | union (m.b) | summarize dc = dcount(toint(x)), n = count()")
+    unopt = [r.asDict() for r in rig.run(P.Plan(plan.steps)).collect()]
+    opt = [r.asDict() for r in rig.run(P.Plan(optimize_steps(plan.steps))).collect()]
+    assert unopt == opt == [{"dc": 3, "n": 6}]
