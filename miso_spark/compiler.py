@@ -84,6 +84,15 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
     batch path accepts)."""
     from miso_spark.dynamic import wrap_variant
 
+    # dynamic-model test BEFORE any in-call conflict lift: a purely
+    # typed union whose only variant-ness comes from the string∪array
+    # lift below must NOT trigger the one-sided missing-semantics lift
+    # (r12 fuzz find on the Elastic arm: an absorbed take-1 branch's
+    # inferred schema lacked a column, and the misfired lift turned the
+    # other side's bigint into a variant)
+    l_dyn = any(FieldPath._is_variant(f.dataType) for f in df.schema.fields)
+    r_dyn = any(FieldPath._is_variant(f.dataType) for f in other.schema.fields)
+
     for name in set(df.columns) & set(other.columns):
         lt = df.schema[name].dataType
         rt = other.schema[name].dataType
@@ -97,16 +106,14 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
             df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
             other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
     # one-sided columns against a DYNAMIC-model branch (any VARIANT
-    # column ⇒ the frame follows missing-vs-null semantics): the
-    # reference's union leaves the key MISSING on rows that lack it,
-    # so a TYPED one-sided column must lift to variant — its
+    # column on INPUT ⇒ the frame follows missing-vs-null semantics):
+    # the reference's union leaves the key MISSING on rows that lack
+    # it, so a TYPED one-sided column must lift to variant — its
     # unionByName null-fill is then a NULL variant (missing: predicates
     # poison, dcount skips) instead of a typed present-null the total
     # order would KEEP (r12 differential find: `count | union (m.b) |
     # where Count < 0` kept every b row). Fully-typed unions keep the
     # documented present-null conflation.
-    l_dyn = any(FieldPath._is_variant(f.dataType) for f in df.schema.fields)
-    r_dyn = any(FieldPath._is_variant(f.dataType) for f in other.schema.fields)
     if r_dyn:
         for name in set(df.columns) - set(other.columns):
             if not FieldPath._is_variant(df.schema[name].dataType):

@@ -229,6 +229,14 @@ def pipelines(draw) -> str:
 # output NAME against the timestamp field instead of the by-expression
 # (group_ts_keys now records timestamp-keyed outputs at absorb time)
 @example(q="test.stack | summarize n = count() by k = bin(@time, 1d)")
+# r12 fuzz find: an absorbed take-1 branch's inferred schema lacked
+# answerId; the union's string∪array conflict lift on tags made the
+# frames LOOK dynamic-model and the (then-new) one-sided
+# missing-semantics lift misfired, turning the main branch's bigint
+# into a variant. union_harmonized now tests dynamic-model on the
+# INPUT frames, before its own conflict lifts.
+@example(q="test.stack | mv-expand tags | sort by @time asc"
+           " | union (test.stack_mirror | sort by @time asc | take 1)")
 @pytest.mark.parametrize("connector", ("Quickwit", "Elastic", "Splunk"))
 def test_pushdown_matches_no_pushdown(spark, rigs, connector, q):
     stub, src = rigs[connector]
