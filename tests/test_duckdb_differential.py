@@ -325,7 +325,7 @@ def programs(draw):
                 arms += ["plus", "iff", "iff_str", "case", "shadow",
                          "toint", "tostring", "tobool"]
             if strs:
-                arms.append("concat")
+                arms += ["concat", "extract"]
             arm = draw(st.sampled_from(arms))
             new_type = NUM
             if arm == "plus":
@@ -410,6 +410,25 @@ def programs(draw):
                 c = draw(st.sampled_from(strs))
                 kql.append(f'extend {name} = {c} + "_z"')
                 expr = f"({c} || '_z')"
+                new_type = STR
+            elif arm == "extract":
+                # extract yields NULL on no-match (string_ops.rs:14),
+                # where DuckDB's regexp_extract yields '' — encode the
+                # oracle with an explicit match guard; null input →
+                # null on both. Patterns chosen so hit AND miss rows
+                # both occur over the s/t/g corpus strings.
+                c = draw(st.sampled_from(strs))
+                pat, grp = draw(
+                    st.sampled_from(
+                        [("([st])([0-9])", 1), ("([st])([0-9])", 2),
+                         ("g([0-9])", 1), ("([a-z]+)([0-9]+)", 2)]
+                    )
+                )
+                kql.append(f'extend {name} = extract("{pat}", {grp}, {c})')
+                expr = (
+                    f"CASE WHEN regexp_matches({c}, '{pat}') THEN"
+                    f" regexp_extract({c}, '{pat}', {grp}) ELSE NULL END"
+                )
                 new_type = STR
             else:
                 kql.append(f"extend {name} = 7")
