@@ -127,6 +127,11 @@ def test_partial_stream_over_dynamic_collection(spark, tmp_path):
         "d.ev | summarize dc = dcount(v), n = count() by k",
         "d.ev | distinct k",
         "d.ev | where v > 10 | summarize n = count()",
+        # r12: dcount over a CAST arg (missing-as-null) — the streamed
+        # split's merge must skip the preserved null group like batch
+        # (the group-key metadata tag carries the semantics through
+        # the partial)
+        "d.ev | extend v2 = toint(v) | summarize dc = dcount(v2), n = count() by k",
         # append-mode tail over VARIANT columns: the bounded
         # accumulator re-creates a DataFrame from collected rows
         # holding VariantVals each round (probed in r12 — pinned so
