@@ -792,6 +792,10 @@ def test_dynamic_cast_missing_poisons_predicates(spark):
     # exists() stays a definite boolean: missing → false, so
     # not(exists) keeps exactly the missing row
     assert ids("dyn.c | extend v = toint(x) | where not(exists(v))") == [2]
+    # the metadata tag survives rename and project — the predicate
+    # still poisons on the missing row after either reshaping
+    assert ids("dyn.c | extend v = toint(x) | project-rename w = v | where w != 5") == [3]
+    assert ids("dyn.c | extend v = toint(x) | project i, v | where v != 5") == [3]
     # dcount over the cast: missing contributes NO bucket (summarize.rs
     # skips missing accumulator args); 5 and 0 are the two values
     got = json.loads(
