@@ -236,6 +236,14 @@ def minhash_lsh_pairs(
     does). Disable only where checkpointing is unavailable — plans
     stay correct, the collect agg just recomputes per consumer.
     """
+    if num_hashes % bands != 0 or bands < 1:
+        # silent truncation would band on fewer hashes than requested
+        # (16 hashes / 5 bands would quietly use 15) — recall math is
+        # (1 - (1 - s^r)^b) with r = num_hashes/bands, so the caller
+        # needs the exact factorization they asked for
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
 
     # stage 1: distinct hashed shingle rows — fully codegen (explode +

@@ -1355,3 +1355,15 @@ def test_mix_by_token_budget_per_group(spark):
         df.repartition(17), budgets, order_col="quality", ascending=False
     )
     assert sorted((r["source"], r["doc_id"]) for r in again.collect()) == got
+
+
+def test_minhash_rejects_non_dividing_bands(spark):
+    """bands must factor num_hashes exactly — silent truncation would
+    band on fewer hashes than requested and skew the recall curve."""
+    import pytest as _pytest
+
+    from miso_spark.functions.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, num_hashes=16, bands=5)
