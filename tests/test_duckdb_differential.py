@@ -550,9 +550,18 @@ def programs(draw):
         elif kind == "sort_take":
             live = sorted(cols)
             orders = [draw(st.sampled_from(["asc", "desc"])) for _ in live]
-            sort_frag = ", ".join(f"{c} {o}" for c, o in zip(live, orders))
+            # per-key nulls placement (parser.py:330 default last;
+            # explicit `nulls first|last` both sides)
+            nulls = [
+                draw(st.sampled_from(["", " nulls first", " nulls last"]))
+                for _ in live
+            ]
+            sort_frag = ", ".join(
+                f"{c} {o}{n}" for c, o, n in zip(live, orders, nulls)
+            )
             order_sql = ", ".join(
-                f"{c} {o.upper()} NULLS LAST" for c, o in zip(live, orders)
+                f"{c} {o.upper()} NULLS {'FIRST' if n == ' nulls first' else 'LAST'}"
+                for c, o, n in zip(live, orders, nulls)
             )
             if draw(st.booleans()):
                 # `top N by <full sort list>` — deterministic for the
