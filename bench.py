@@ -55,6 +55,7 @@ HEADLINE = [
     "skew_join_aqe",
     "skew_join_salted",
     "multimodal_decode",
+    "dedup_embedding_lsh",
 ]
 
 
@@ -197,6 +198,24 @@ def _b_multimodal_decode(spark, sf_dir):
     return resize_pixels(media, max_side=16)
 
 
+def _b_dedup_embedding_lsh(spark, sf_dir):
+    """Bench-only entry (r12): the embedding near-dup SCALE path —
+    random-hyperplane LSH blocking (plane count derived from the row
+    count, the 100 TB sizing rule) + within-bucket cosine. The label-
+    blocked variant is the driver-oracled `dedup_embedding`; this one
+    measures the plan that replaces it when no blocking key exists,
+    and its sf1 exponent verifies the bucket structure keeps pair
+    volume near-linear as N grows (planes_for_rows adds planes with
+    log N, splitting buckets as the corpus grows)."""
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+    from miso_spark.sources import ParquetDirSource
+
+    emb = ParquetDirSource(sf_dir).table(spark, "embeddings")
+    return embedding_dedup_pairs(
+        emb, block_col="lsh", threshold=0.97, dim=64
+    )
+
+
 EXTRA_BENCH = {
     "token_budget_filter": _b_token_budget_filter,
     "dynamic_filter": _b_dynamic_filter,
@@ -204,6 +223,7 @@ EXTRA_BENCH = {
     "skew_join_aqe": _b_skew_join(salted=False),
     "skew_join_salted": _b_skew_join(salted=True),
     "multimodal_decode": _b_multimodal_decode,
+    "dedup_embedding_lsh": _b_dedup_embedding_lsh,
 }
 
 
@@ -290,6 +310,7 @@ SF1_HEADLINE = [
     "ann_bruteforce",
     "corpus_bigram_logprob",
     "dynamic_filter",
+    "dedup_embedding_lsh",
 ]
 SF1_COPIES = 10
 
@@ -309,7 +330,7 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1_cache")
     marker = os.path.join(out, "_DONE")
-    stamp = (f"v3-embeddings copies={SF1_COPIES} "
+    stamp = (f"v4-embeddings-signflip copies={SF1_COPIES} "
              f"parts={sorted(MULTIFILE_PARTS.items())}")
     if _cache_is_current(marker, stamp):
         return out
@@ -349,15 +370,21 @@ def ensure_sf1_dir(spark, base_dir: str) -> str:
     scale("events", lambda df: df.select("*", copies)
           .withColumn("user_id", F.col("user_id") + F.col("__i") * KEY_SHIFT)
           .drop("__i"))
-    # embeddings: shifted ids; vectors perturbed per copy in ONE
-    # coordinate (deterministic, label-preserving) so copies are not
-    # exact duplicates of each other — ANN top-k structure scales like
-    # a real 10× corpus instead of every query hitting 9 ties
+    # embeddings: shifted ids; each copy's vectors get a deterministic
+    # per-copy SIGN-FLIP pattern (flip coordinate ix when
+    # xxhash64(copy, ix) is odd). Flipping the same coordinates of
+    # every vector in a copy preserves all WITHIN-copy norms and
+    # pairwise cosines exactly — the per-copy near-dup/ANN structure
+    # is the sf0.1 one — while cross-copy cosines decorrelate to ~0,
+    # so a 10× corpus has 10× the structure instead of every vector
+    # gaining 9 near-twins (a pathological flood, not scale)
     scale("embeddings", lambda df: df.select("*", copies)
           .withColumn("vec_id", F.col("vec_id") + F.col("__i") * KEY_SHIFT)
           .withColumn("embedding", F.transform(
               F.col("embedding"),
-              lambda v, i: v + F.when(i == 0, F.col("__i") * 1e-4).otherwise(0.0)))
+              lambda v, ix: F.when(
+                  F.xxhash64(F.col("__i"), ix) % 2 == 0, v
+              ).otherwise(-v)))
           .drop("__i"))
     passthrough("part")
     with open(marker, "w") as f:
