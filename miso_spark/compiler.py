@@ -68,6 +68,28 @@ def _union_type_conflict(lt, rt) -> bool:
     return True
 
 
+def _lift_to_variant(df: DataFrame, name: str) -> DataFrame:
+    """Lift a typed column into the dynamic model PRESERVING its null
+    semantics (ADVICE r12→13): under the repo's typed-column convention
+    a plain NULL is a PRESENT null (the total-order smallest — rows
+    survive comparisons, dcount counts a null bucket), so it must
+    encode as a present VOID variant; only a MISSING_AS_NULL_MD-tagged
+    column's NULL already means missing and stays SQL NULL. Without the
+    coalesce, every union/join lift would silently flip matched-row
+    nulls from present-null to missing semantics."""
+    from miso_spark.dynamic import variant_lit, wrap_variant
+    from miso_spark.exprs import MISSING_AS_NULL_MD
+
+    w = wrap_variant(F.col(f"`{name}`"))
+    try:
+        tagged = bool(df.schema[name].metadata.get(MISSING_AS_NULL_MD, False))
+    except Exception:
+        tagged = False
+    if not tagged:
+        w = F.coalesce(w, variant_lit(None))
+    return df.withColumn(name, w)
+
+
 def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
     """Union-by-name with the engine's heterogeneous-column rules: a
     name that is VARIANT on one side and typed on the other lifts the
@@ -82,8 +104,6 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
     partial-stream head (streaming/partial.py — r11 review find: the
     stream's bare unionByName crashed on VARIANT∪typed plans the
     batch path accepts)."""
-    from miso_spark.dynamic import wrap_variant
-
     # dynamic-model test BEFORE any in-call conflict lift: a purely
     # typed union whose only variant-ness comes from the string∪array
     # lift below must NOT trigger the one-sided missing-semantics lift
@@ -99,12 +119,12 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
         lv = FieldPath._is_variant(lt)
         rv = FieldPath._is_variant(rt)
         if lv and not rv:
-            other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+            other = _lift_to_variant(other, name)
         elif rv and not lv:
-            df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+            df = _lift_to_variant(df, name)
         elif not lv and not rv and _union_type_conflict(lt, rt):
-            df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
-            other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+            df = _lift_to_variant(df, name)
+            other = _lift_to_variant(other, name)
     # one-sided columns against a DYNAMIC-model branch (any VARIANT
     # column on INPUT ⇒ the frame follows missing-vs-null semantics):
     # the reference's union leaves the key MISSING on rows that lack
@@ -117,11 +137,11 @@ def union_harmonized(df: DataFrame, other: DataFrame) -> DataFrame:
     if r_dyn:
         for name in set(df.columns) - set(other.columns):
             if not FieldPath._is_variant(df.schema[name].dataType):
-                df = df.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+                df = _lift_to_variant(df, name)
     if l_dyn:
         for name in set(other.columns) - set(df.columns):
             if not FieldPath._is_variant(other.schema[name].dataType):
-                other = other.withColumn(name, wrap_variant(F.col(f"`{name}`")))
+                other = _lift_to_variant(other, name)
     return df.unionByName(other, allowMissingColumns=True)
 
 
@@ -1192,19 +1212,27 @@ class Compiler:
         # (null-safe vs canonical-JSON) are decided below, and lifting
         # one would change which rows match.
         def _lift_filled(df: DataFrame, key: str) -> DataFrame:
-            from miso_spark.dynamic import wrap_variant as _wrap
-
+            # _lift_to_variant keeps MATCHED-row typed NULLs as present
+            # VOID variants; only the join's own null-fill (post-join
+            # SQL NULL) reads as missing
             for c in df.columns:
                 if c != key and not FieldPath._is_variant(df.schema[c].dataType):
-                    df = df.withColumn(c, _wrap(F.col(f"`{c}`")))
+                    df = _lift_to_variant(df, c)
             return df
 
         def _is_dyn(df: DataFrame) -> bool:
             return any(FieldPath._is_variant(f.dataType) for f in df.schema.fields)
 
-        if step.how in ("left", "outer") and _is_dyn(left):
+        # snapshot BOTH sides' dynamic-model state BEFORE either lift —
+        # the first lift adds variant columns to the fillable side, so
+        # testing after it would misread a fully-typed side as dynamic
+        # and lift the other side too (full outer, dynamic left + typed
+        # right: ADVICE r12→13; union_harmonized snapshots for the same
+        # reason)
+        l_dyn_join, r_dyn_join = _is_dyn(left), _is_dyn(right)
+        if step.how in ("left", "outer") and l_dyn_join:
             right = _lift_filled(right, right_on)
-        if step.how in ("right", "outer") and _is_dyn(right):
+        if step.how in ("right", "outer") and r_dyn_join:
             left = _lift_filled(left, step.left_on)
 
         if step.partitions > 1:
@@ -1275,9 +1303,19 @@ class Compiler:
                 and nullable(right, right_on),
             )
             joined = left.join(right, on=cond, how=how)
-            # merge the key pair into one column like a USING join
+            # merge the key pair into one column like a USING join;
+            # mixed variant/typed key pairs coalesce in variant space
+            # (a typed key's genuine NULL can't reach here — null-safe
+            # matching already paired it — so plain wrap_variant is
+            # fine for the key merge)
+            lk, rk = left[step.left_on], right[right_on]
+            if lkey_variant != rkey_variant:
+                from miso_spark import dynamic as dyn
+
+                lk = lk if lkey_variant else dyn.wrap_variant(lk)
+                rk = rk if rkey_variant else dyn.wrap_variant(rk)
             return joined.select(
-                F.coalesce(left[step.left_on], right[right_on]).alias(step.left_on),
+                F.coalesce(lk, rk).alias(step.left_on),
                 *[left[c] for c in left.columns if c != step.left_on],
                 *[right[c] for c in right.columns if c != right_on],
             )

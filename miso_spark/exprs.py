@@ -189,7 +189,12 @@ def _is_string_typed(e: Expr, schema) -> bool:
             e.default, schema
         )
     if isinstance(e, Extract):
-        return True
+        # over a dynamic-model source the result is a VARIANT
+        # (present-null no-match vs missing source), not a string
+        return not (
+            _variant_typed(e.source, schema)
+            or _missing_as_null(e.source, schema)
+        )
     return False
 
 
@@ -215,6 +220,13 @@ def _variant_typed(e: Expr, schema) -> bool:
         # output type — dynamic.varithmetic), so consumers of the
         # result must route through dynamic semantics too
         return _variant_typed(e.left, schema) or _variant_typed(e.right, schema)
+    if isinstance(e, Extract):
+        # extract over a dynamic-model source compiles to a VARIANT:
+        # SQL NULL = missing source (interpreter/mod.rs:406-409), VOID
+        # variant = present Value::Null on no-match (string_ops.rs:30-32)
+        return _variant_typed(e.source, schema) or _missing_as_null(
+            e.source, schema
+        )
     return False
 
 
@@ -258,7 +270,16 @@ def _missing_as_null(e: Expr, schema) -> bool:
     Null to 0/"null"/false, so on these expressions NULL ⇔ missing
     exactly."""
     if isinstance(e, Field):
-        if schema is None or len(e.path.segments) != 1:
+        if schema is None:
+            return False
+        if e.path.is_missing_in(schema):
+            # a field provably absent from the schema is missing on
+            # EVERY row — its compiled NULL literal trivially encodes
+            # missing, so downstream consumers (union/join variant
+            # lifts, summarize key tags, In/dcount guards) must not
+            # read it as a present null
+            return True
+        if len(e.path.segments) != 1:
             return False
         name, idxs = e.path.segments[0]
         if idxs:
@@ -269,8 +290,13 @@ def _missing_as_null(e: Expr, schema) -> bool:
             return False
     if isinstance(e, (Bin, Cast)):
         return _variant_typed(e.expr, schema) or _missing_as_null(e.expr, schema)
-    if isinstance(e, Extract):
-        return _variant_typed(e.source, schema) or _missing_as_null(e.source, schema)
+    # NO Extract arm: NULL ⇔ missing holds for Cast/Bin (Val::cast maps
+    # a present Null to 0/"null"/false so a NULL result pins a missing
+    # input) but NOT for Extract — a no-match over a present string is
+    # a present Value::Null (string_ops.rs:30-32). Extract over a
+    # dynamic source therefore compiles to a VARIANT that keeps the
+    # distinction (see compile_expr / _variant_typed) instead of a
+    # typed string whose NULL would conflate the two.
     if isinstance(e, BinOp) and e.op in _ARITH_OPS:
         return _missing_as_null(e.left, schema) or _missing_as_null(e.right, schema)
     return False
@@ -455,7 +481,34 @@ def compile_expr(e: Expr, schema=None) -> Column:
         assert col is not None, "case requires at least one branch"
         return col.otherwise(compile_expr(e.default, schema))
     if isinstance(e, Extract):
+        # Over a DYNAMIC-model source the result is a VARIANT so both
+        # reference outcomes survive: a missing source propagates as
+        # SQL NULL (Val::not_exist, interpreter/mod.rs:406-409), while
+        # a no-match on a PRESENT string is a present Value::Null
+        # (string_ops.rs:30-32 returns Ok(Some(Value::Null))) —
+        # encoded as a VOID variant so comparisons/In/dcount see the
+        # total-order smallest value, not a poisoning missing.
+        dyn_src = _variant_typed(e.source, schema)
+        man_src = not dyn_src and _missing_as_null(e.source, schema)
         src = compile_expr(e.source, schema)
+        if dyn_src:
+            from miso_spark import dynamic as dyn
+
+            # non-string present values evaluate as missing (the
+            # reference bails the query, interpreter/mod.rs:421-423;
+            # see dynamic.as_string)
+            src = dyn.as_string(src)
+
+        def _dyn_wrap(res: Column) -> Column:
+            if not (dyn_src or man_src):
+                return res
+            from miso_spark import dynamic as dyn
+
+            return F.when(
+                src.isNotNull(),
+                F.coalesce(dyn.wrap_variant(res), dyn.variant_lit(None)),
+            )
+
         # regexp_extract yields '' on no-match; miso yields null (string_ops.rs:14)
         if isinstance(e.pattern, Lit) and isinstance(e.group, Lit):
             pat_s, grp_i = str(e.pattern.value), int(e.group.value)
@@ -475,7 +528,7 @@ def compile_expr(e: Expr, schema=None) -> Column:
             except re.error:
                 n_groups = None
             if n_groups is not None and grp_i > n_groups:
-                return F.lit(None).cast("string")
+                return _dyn_wrap(F.lit(None).cast("string"))
             extracted = F.regexp_extract(src, pat_s, grp_i)
             matched = src.rlike(pat_s)
         else:
@@ -486,7 +539,7 @@ def compile_expr(e: Expr, schema=None) -> Column:
             grp = compile_expr(e.group, schema).cast("int")
             extracted = F.call_function("regexp_extract", src, pat, grp)
             matched = F.call_function("regexp_like", src, pat)
-        return F.when(matched, extracted)
+        return _dyn_wrap(F.when(matched, extracted))
     if isinstance(e, Bin):
         return _compile_bin(e, schema)
     if isinstance(e, Cast):

@@ -352,18 +352,26 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     frames, channels = s.shape
     data = s.tobytes()
     byte_rate = sample_rate * channels * width
-    fmt_chunk = (
-        b"fmt "
-        + (16).to_bytes(4, "little")
-        + tag.to_bytes(2, "little")
+    # WAVE_FORMAT_IEEE_FLOAT (tag 3) requires an 18-byte fmt chunk
+    # (cbSize=0) plus a fact chunk with the frame count; plain PCM
+    # (tag 1) keeps the classic 16-byte fmt and no fact chunk.
+    fmt_body = (
+        tag.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
         + (channels * width).to_bytes(2, "little")
         + (8 * width).to_bytes(2, "little")
     )
+    fact_chunk = b""
+    if tag == 3:
+        fmt_body += (0).to_bytes(2, "little")  # cbSize = 0
+        fact_chunk = (
+            b"fact" + (4).to_bytes(4, "little") + int(frames).to_bytes(4, "little")
+        )
+    fmt_chunk = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
     data_chunk = b"data" + len(data).to_bytes(4, "little") + data
-    body = b"WAVE" + fmt_chunk + data_chunk
+    body = b"WAVE" + fmt_chunk + fact_chunk + data_chunk
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 

@@ -827,3 +827,165 @@ def test_dynamic_dcount_cast_arg_split_equals_unsplit(spark):
     unopt = [r.asDict() for r in rig.run(P.Plan(plan.steps)).collect()]
     opt = [r.asDict() for r in rig.run(P.Plan(optimize_steps(plan.steps))).collect()]
     assert unopt == opt == [{"dc": 3, "n": 6}]
+
+
+def test_extract_over_dynamic_no_match_vs_missing(spark):
+    """extract over a dynamic source keeps the reference's two NULL
+    worlds apart (ADVICE r12→13): a no-match on a PRESENT string is a
+    present Value::Null (string_ops.rs:30-32 returns
+    Ok(Some(Value::Null))) — comparisons see the total-order smallest,
+    so `not(f == "7")` KEEPS the row — while a missing source
+    propagates missing (interpreter/mod.rs:406-409 Val::not_exist),
+    poisoning the predicate and DROPPING the row."""
+    m = _dyn_engine(
+        spark,
+        [
+            {"id": 1, "s": "code: 7"},  # match → "7" → dropped by not(==)
+            {"id": 2, "s": "no digits"},  # no-match → present Null → KEPT
+            {"id": 3},  # s missing → f missing → DROPPED
+            {"id": 4, "s": "code: 9"},  # match → "9" → kept
+        ],
+    )
+    q = (
+        'dyn.c | extend f = extract("code: (\\\\d+)", 1, s)'
+        ' | where not(f == "7") | project id'
+    )
+    got = sorted(json.loads(x)["id"] for x in m.query(q).toJSON().collect())
+    assert got == [2, 4]
+    # f == null is a present-null test (tests.rs filter_eq_null): only
+    # the no-match row matches; the missing row does not
+    q2 = (
+        'dyn.c | extend f = extract("code: (\\\\d+)", 1, s)'
+        " | where f == null | project id"
+    )
+    got2 = [json.loads(x)["id"] for x in m.query(q2).toJSON().collect()]
+    assert got2 == [2]
+
+
+def test_extract_over_dynamic_in_and_cast(spark):
+    """Composed consumers of the variant extract result: `in` with a
+    null literal matches the no-match present Null (In is a chain of
+    the reference's null-aware equality) but a missing base poisons the
+    whole In; tostring renders the present Null as "null"
+    (Val::cast, interpreter/mod.rs:350-404) while a missing source
+    stays missing."""
+    m = _dyn_engine(
+        spark,
+        [
+            {"id": 1, "s": "code: 7"},
+            {"id": 2, "s": "no digits"},
+            {"id": 3},
+        ],
+    )
+    q = (
+        'dyn.c | extend f = extract("code: (\\\\d+)", 1, s)'
+        ' | where f in ("7", null) | project id'
+    )
+    got = sorted(json.loads(x)["id"] for x in m.query(q).toJSON().collect())
+    assert got == [1, 2]
+    q2 = (
+        'dyn.c | extend g = tostring(extract("code: (\\\\d+)", 1, s))'
+        " | project id, g"
+    )
+    rows = {
+        json.loads(x)["id"]: json.loads(x).get("g")
+        for x in m.query(q2).toJSON().collect()
+    }
+    assert rows[1] == "7"
+    assert rows[2] == "null"  # present Null renders as "null"
+    assert 3 not in rows or rows[3] is None  # missing stays missing
+
+
+def test_join_lift_preserves_matched_present_nulls(spark):
+    """The fillable-side variant lift on dynamic-model joins must not
+    flip MATCHED rows' genuine typed NULLs into missing (ADVICE
+    r12→13): pre-join typed NULLs encode as present VOID variants, so
+    `rv == null` still matches them and `not(rv == "x")` keeps them,
+    while UNMATCHED rows' join null-fill stays SQL NULL (missing) and
+    poisons predicates."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("l", dyn.ingest_json_dynamic(spark, [
+        {"k": 1, "lv": "a"}, {"k": 2, "lv": "b"}, {"k": 3, "lv": "c"},
+    ]))
+    # typed right side: k=1 carries a genuine NULL rv (present null),
+    # k=2 carries "x", k=3 has no row (unmatched → missing fill)
+    mem.put("r", spark.createDataFrame([(1, None), (2, "x")], "k long, rv string"))
+    m.registry.register("j", mem)
+    # matched present-null row keeps `rv == null`; the unmatched row's
+    # fill is missing and does NOT match the null literal
+    got = sorted(
+        json.loads(s)["lv"]
+        for s in m.query("j.l | join kind=left (j.r) on k | where rv == null")
+        .toJSON().collect()
+    )
+    assert got == ["a"]
+    # not(rv == "x"): present-null a kept (Null == "x" is false),
+    # matched x dropped, missing fill c poisoned → dropped
+    got2 = sorted(
+        json.loads(s)["lv"]
+        for s in m.query('j.l | join kind=left (j.r) on k | where not(rv == "x")')
+        .toJSON().collect()
+    )
+    assert got2 == ["a"]
+
+
+def test_outer_join_typed_side_not_lifted_by_first_lift(spark):
+    """Full outer join with a DYNAMIC left and a fully-TYPED right:
+    only the right (fillable against dynamic-left) lifts; the left's
+    dynamic test must be snapshotted BEFORE the right lift so the
+    typed right doesn't misread as dynamic and lift the left too
+    (ADVICE r12→13). Observable: the typed right's own columns keep
+    present-null total-order semantics on its preserved unmatched
+    rows ONLY via variant missing-fill of LEFT columns — i.e. right's
+    unmatched row survives `not(lv == "a")` poisoning check."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("l", dyn.ingest_json_dynamic(spark, [{"k": 1, "lv": "a"}]))
+    mem.put("r", spark.createDataFrame([(1, "x"), (9, "y")], "k long, rv string"))
+    m.registry.register("j", mem)
+    df = m.query("j.l | join kind=outer (j.r) on k")
+    # the left frame was dynamic on input; right-unmatched rows fill
+    # lv as MISSING → poisons not(lv == "a")
+    got = sorted(
+        json.loads(s).get("rv")
+        for s in m.query('j.l | join kind=outer (j.r) on k | where not(lv == "a")')
+        .toJSON().collect()
+    )
+    assert got == []  # "x" row: lv == "a" → dropped; "y" row: missing → poisoned
+    assert df.count() == 2
+
+
+def test_union_one_sided_lift_keeps_bearing_side_present_nulls(spark):
+    """The one-sided union lift against a dynamic branch encodes the
+    column-BEARING side's genuine typed NULLs as present VOID variants
+    (kept by `not(s == "x")`, matched by `s == null`), while rows from
+    the column-LACKING branch fill as MISSING (poisoning)."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("typed", spark.createDataFrame(
+        [(1, "x"), (2, None)], "id long, s string"))
+    mem.put("dyn", dyn.ingest_json_dynamic(spark, [{"id": 3}]))
+    m.registry.register("u", mem)
+    got = sorted(
+        json.loads(r)["id"]
+        for r in m.query('u.typed | union (u.dyn) | where not(s == "x")')
+        .toJSON().collect()
+    )
+    # id=2's present null survives; id=3's missing fill poisons
+    assert got == [2]
+    got2 = sorted(
+        json.loads(r)["id"]
+        for r in m.query("u.typed | union (u.dyn) | where s == null")
+        .toJSON().collect()
+    )
+    assert got2 == [2]

@@ -158,3 +158,21 @@ def test_y4m_c444_roundtrip_within_bt601_rounding(n, w, h, seed):
     # gray input has centered chroma → exact round-trip
     gray = np.repeat(fr[..., :1], 3, axis=3)
     assert (_decode_payload("y4m", encode_y4m(gray)) == gray).all()
+
+
+def test_float_wav_spec_structure():
+    """WAVE_FORMAT_IEEE_FLOAT payloads carry the spec-required 18-byte
+    fmt chunk (cbSize=0) and a fact chunk with the frame count
+    (external decoders reject tag-3 files without them); PCM keeps the
+    classic 16-byte fmt and no fact chunk."""
+    f = np.zeros((7, 2), dtype=np.float32)
+    b = encode_wav(f, sample_rate=8000)
+    assert b[12:16] == b"fmt "
+    assert int.from_bytes(b[16:20], "little") == 18
+    assert int.from_bytes(b[20:22], "little") == 3  # format tag
+    assert int.from_bytes(b[36:38], "little") == 0  # cbSize
+    assert b[38:42] == b"fact"
+    assert int.from_bytes(b[46:50], "little") == 7  # frame count
+    p = encode_wav(np.zeros((7, 2), dtype=np.int16))
+    assert int.from_bytes(p[16:20], "little") == 16
+    assert b"fact" not in p[:44]
