@@ -892,7 +892,7 @@ def test_splunk_previews_round_trip_live_wire():
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         src = SplunkSource(f"http://127.0.0.1:{srv.server_port}")
-        rounds = list(src.run_job_with_previews("search index=x"))
+        rounds = list(src.run_job_with_previews("search index=x", preview_interval_s=0.05))
         assert state["creates"][0]["status_buckets"] == ["300"]
         kinds = [(k, rid, len(rows)) for k, rid, rows in rounds]
         assert kinds == [("partial", 0, 1), ("partial", 1, 2), ("final", 2, 3)]

@@ -375,7 +375,12 @@ def test_splunk_preview_partial_stream_over_sse(spark):
     threading.Thread(target=stub.serve_forever, daemon=True).start()
     srv = MisoServer(spark, port=0)
     srv.add_connector(
-        "sp", {"type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}"}
+        "sp", {
+            "type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}",
+            # previews are opt-in per connector config, like the
+            # reference's SplunkConfig.enable_partial_stream
+            "enable_partial_stream": True, "preview_interval": "50ms",
+        }
     )
     srv.start_background()
     try:
