@@ -622,6 +622,42 @@ def main() -> None:
 
     print(json.dumps(result))
 
+    # FINAL compact line (VERDICT r12 #5): the driver records only the
+    # last 2000 chars of stdout, and the verbose line above never fits
+    # — r12's artifact kept the gate block but lost sf1 raw seconds,
+    # sentinels, and singles to the prefix cut, and its last-line parse
+    # failed. This second line carries the gate-critical subset,
+    # rounded, and a size guard drops the least-critical blocks first
+    # so the LAST stdout line always parses as one complete document.
+    def _r(d: dict, nd: int = 2) -> dict:
+        return {k: round(v, nd) for k, v in d.items()}
+
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "calib": [
+            round(calib_sec, 3),
+            round(calib_sec_end, 3),
+            round(result.get("sf1", {}).get("calib_sec_sf1", -1.0), 3),
+        ],
+        "queries": _r(timings),
+    }
+    if "sf1" in result:
+        compact["sf1_sec"] = _r(result["sf1"]["queries"])
+        compact["sf1_exp"] = _r(result["sf1"]["scaling_exponent"])
+        compact["sf1_spill"] = sum(
+            p["mem_spill"] + p["disk_spill"]
+            for p in result["sf1"]["shuffle_profile"].values()
+        )
+    for drop in ("sf1_sec", "queries"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        compact.pop(drop, None)
+        compact["dropped"] = compact.get("dropped", []) + [drop]
+    print(json.dumps(compact))
+
 
 if __name__ == "__main__":
     main()

@@ -241,7 +241,7 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
-#: bytes per pixel for the supported 8-bit PNG color types
+#: samples (channels) per pixel for the non-palette PNG color types
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -288,15 +288,18 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """PNG → H×W×3 uint8 RGB, pure stdlib-zlib + numpy: signature +
     chunk walk (CRC-checked), IDAT concatenation, zlib inflate,
     per-scanline unfilter, then channel normalization (greyscale
-    replicates to RGB, alpha is dropped). 8-bit depth, color types
-    0/2/4/6, non-interlaced — the full baseline a codec-less container
-    can honour; 16-bit/palette/interlaced raise clearly."""
+    replicates to RGB, alpha is dropped). Covers 8- and 16-bit color
+    types 0/2/4/6 (16-bit downshifts the big-endian high byte, spec
+    §7.1 sample order) and palette images (color type 3, PLTE lookup)
+    at depths 1/2/4/8 (spec §7.2 MSB-first bit packing) — the full
+    non-interlaced baseline a codec-less container can honour;
+    interlaced (Adam7) still raises clearly."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -306,6 +309,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length must be a multiple of 3")
+            plte = body
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -314,20 +321,49 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or comp or filt or interlace:
+    paletted = color_type == 3
+    supported = (
+        (color_type in _PNG_CHANNELS and depth in (8, 16))
+        or (paletted and depth in (1, 2, 4, 8))
+    )
+    if not supported or comp or filt or interlace:
         raise NotImplementedError(
-            f"PNG decode supports 8-bit color types {sorted(_PNG_CHANNELS)},"
-            f" non-interlaced only (got depth={depth}, color_type={color_type},"
-            f" interlace={interlace})"
+            f"PNG decode supports 8/16-bit color types"
+            f" {sorted(_PNG_CHANNELS)} and 1/2/4/8-bit palette (type 3),"
+            f" non-interlaced only (got depth={depth},"
+            f" color_type={color_type}, interlace={interlace})"
         )
-    bpp = _PNG_CHANNELS[color_type]
-    stride = w * bpp
+    if paletted:
+        # filters operate on BYTES with bpp=1 for sub-byte depths
+        # (spec §9: "bpp is rounded up to one")
+        bpp, stride = 1, (w * depth + 7) // 8
+    else:
+        bpp = _PNG_CHANNELS[color_type] * (depth // 8)
+        stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if raw.size != h * (1 + stride):
         raise ValueError(
             f"PNG pixel data is {raw.size} bytes, expected {h * (1 + stride)}"
         )
-    px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+    px = _png_unfilter(raw, h, stride, bpp)
+    if paletted:
+        if plte is None:
+            raise ValueError("paletted PNG missing its PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if depth == 8:
+            idx = px[:, :w]
+        else:
+            bits = np.unpackbits(px, axis=1)[:, : w * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if depth == 16:
+        # big-endian 16-bit samples; the 8-bit view is the high byte
+        px = px.reshape(h, w, _PNG_CHANNELS[color_type], 2)[..., 0]
+    else:
+        px = px.reshape(h, w, _PNG_CHANNELS[color_type])
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:

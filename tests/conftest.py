@@ -26,3 +26,38 @@ def compiler(registry):
     from miso_spark.compiler import Compiler
 
     return Compiler(registry)
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog(request):
+    """Hard per-test hang guard. r11 and r12 each had one property-soak
+    run hang for 30-55 minutes and get killed externally WITHOUT a
+    stack (never reproduced under observation). pytest.ini's
+    faulthandler_timeout=900 soft-dumps stacks but keeps running (and
+    owns faulthandler's single global timer, so this can't use
+    dump_traceback_later too); this timer THREAD dumps every thread's
+    stack AND exits the process at 20 minutes per test — ~4x the
+    slowest legitimate test — so the next occurrence pins its test
+    name and stack instead of earning another unexplained-precedent
+    note."""
+    import faulthandler
+    import os
+    import sys
+    import threading
+
+    name = request.node.nodeid
+
+    def _abort():
+        sys.stderr.write(
+            f"\n=== hang watchdog: {name} exceeded 1200s — dumping all "
+            "thread stacks and aborting the run ===\n"
+        )
+        faulthandler.dump_traceback(file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(42)
+
+    t = threading.Timer(1200.0, _abort)
+    t.daemon = True
+    t.start()
+    yield
+    t.cancel()

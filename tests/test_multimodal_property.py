@@ -176,3 +176,153 @@ def test_float_wav_spec_structure():
     p = encode_wav(np.zeros((7, 2), dtype=np.int16))
     assert int.from_bytes(p[16:20], "little") == 16
     assert b"fact" not in p[:44]
+
+
+def _png_forward_filter(rows: np.ndarray, filters, bpp: int) -> bytearray:
+    """Apply the spec's forward scanline filters (§9) over raw BYTE
+    rows of shape (h, stride) — shared by the 16-bit and palette
+    arms below (filters always operate on bytes, with bpp rounded up
+    to one for sub-byte depths)."""
+    h, stride = rows.shape
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        raw.append(f)
+        line, enc = rows[r], np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prior[x])
+            c = int(prior[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw.extend(enc.tobytes())
+        prior = line
+    return raw
+
+
+def _png_payload(w, h, depth, color_type, raw: bytearray, plte: bytes | None = None):
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        cc = typ + body
+        return len(body).to_bytes(4, "big") + cc + (
+            zlib.crc32(cc) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_16bit_decode(w, h, channels, filters, seed):
+    """16-bit PNGs (all four non-palette color types, arbitrary
+    filters) decode to the big-endian HIGH byte of each sample — the
+    spec's 16→8 downshift (§7.1 sample order)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.RandomState(seed)
+    px16 = rng.randint(0, 65536, size=(h, w * channels), dtype=np.uint16)
+    rows = np.frombuffer(
+        px16.astype(">u2").tobytes(), dtype=np.uint8
+    ).reshape(h, w * channels * 2)
+    raw = _png_forward_filter(rows, filters, bpp=channels * 2)
+    dec = _decode_payload("png", _png_payload(w, h, 16, color_type, raw))
+    hi = (px16 >> 8).astype(np.uint8).reshape(h, w, channels)
+    if channels >= 3:
+        assert (dec == hi[..., :3]).all()
+    else:
+        assert (dec == np.repeat(hi[..., :1], 3, axis=2)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 12),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_palette_decode(w, h, depth, filters, seed):
+    """Paletted PNGs (color type 3) at depths 1/2/4/8 decode through
+    the PLTE lookup, including the spec's MSB-first sub-byte packing
+    (§7.2) and byte-level filtering with bpp=1 (§9)."""
+    rng = np.random.RandomState(seed)
+    n_pal = 2 ** depth
+    pal = rng.randint(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_pal, size=(h, w), dtype=np.uint8)
+    stride = (w * depth + 7) // 8
+    if depth == 8:
+        rows = idx
+    else:
+        per_px_bits = np.unpackbits(
+            idx[..., None], axis=2, count=8
+        )[..., 8 - depth:]  # low `depth` bits of each index, MSB first
+        bitrows = per_px_bits.reshape(h, w * depth)
+        pad = stride * 8 - w * depth
+        if pad:
+            bitrows = np.concatenate(
+                [bitrows, np.zeros((h, pad), dtype=np.uint8)], axis=1
+            )
+        rows = np.packbits(bitrows, axis=1)
+    raw = _png_forward_filter(rows.astype(np.uint8), filters, bpp=1)
+    dec = _decode_payload(
+        "png", _png_payload(w, h, depth, 3, raw, plte=pal.tobytes())
+    )
+    assert (dec == pal[idx]).all()
+
+
+def test_png_palette_errors():
+    import pytest
+
+    # missing PLTE
+    rows = np.zeros((2, 2), dtype=np.uint8)
+    raw = _png_forward_filter(rows, [0], bpp=1)
+    with pytest.raises(ValueError, match="missing its PLTE"):
+        _decode_payload("png", _png_payload(2, 2, 8, 3, raw))
+    # index past the palette
+    rows = np.full((1, 1), 9, dtype=np.uint8)
+    raw = _png_forward_filter(rows, [0], bpp=1)
+    pal = np.zeros((4, 3), dtype=np.uint8).tobytes()
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _decode_payload("png", _png_payload(1, 1, 8, 3, raw, plte=pal))
+    # interlaced stays a clear stub
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        cc = typ + body
+        return len(body).to_bytes(4, "big") + cc + (
+            zlib.crc32(cc) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="non-interlaced"):
+        _decode_payload("png", interlaced)

@@ -462,7 +462,10 @@ def test_splunk_preview_rows_replay_stats_typing(spark):
     threading.Thread(target=stub.serve_forever, daemon=True).start()
     srv = MisoServer(spark, port=0)
     srv.add_connector(
-        "sp", {"type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}"}
+        "sp", {
+            "type": "splunk", "url": f"http://127.0.0.1:{stub.server_port}",
+            "enable_partial_stream": True, "preview_interval": "50ms",
+        }
     )
     srv.start_background()
     try:
