@@ -241,6 +241,52 @@ MULTIFILE_PARTS = {
 }
 
 
+def ann_recall_queries(spark, sf_dir: str, n: int = 4):
+    """Deterministic query rows for the ANN recall gauge: the first
+    ``n`` vectors (by vec_id) of a sparse id slice — fixed across runs
+    so the recorded recall is comparable round over round."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = (
+        emb.filter(F.col("vec_id") % 997 == 1)
+        .orderBy("vec_id")
+        .limit(n)
+        .collect()
+    )
+    return emb, rows
+
+
+def _ann_recall_sf1(spark, sf_dir: str) -> dict[str, float]:
+    """recall@10 vs exact brute force at the sf1 corpus size, for the
+    lsh arm at its derived plane count (default single probe AND a
+    16-bucket multi-probe budget) and the ivf arm at its defaults."""
+    from miso_spark.functions.similarity import (
+        bruteforce_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb, rows = ann_recall_queries(spark, sf_dir)
+    emb = emb.persist()
+    try:
+        sums = {"lsh_default": 0.0, "lsh_probes16": 0.0, "ivf_default": 0.0}
+        for qr in rows:
+            qv = [float(x) for x in qr["embedding"]]
+            truth = {r["id"] for r in bruteforce_topk(emb, qv, 10).collect()}
+            arms = {
+                "lsh_default": lsh_topk(emb, qv, 10, num_planes=None),
+                "lsh_probes16": lsh_topk(emb, qv, 10, num_planes=None, probes=16),
+                "ivf_default": ivf_topk(emb, qv, 10),
+            }
+            for name, df in arms.items():
+                got = {r["id"] for r in df.collect()}
+                sums[name] += len(got & truth) / 10.0
+        return {k: round(v / max(1, len(rows)), 3) for k, v in sums.items()}
+    finally:
+        emb.unpersist()
+
+
 def _cache_is_current(marker: str, stamp: str) -> bool:
     """A cache built under a different layout must rebuild, or the
     bench silently measures a stale artifact (e.g. a pre-r7 .sf1_cache
@@ -613,6 +659,15 @@ def main() -> None:
             "calib_per_entry": sf1_calibs,
             "calib_sec_sf1": _calibrate(),
             "scaling_exponent": exponents,
+            # ANN recall@10 at sf1 (VERDICT r12 #3): planes_for_rows(N)
+            # changes bucket geometry with N, so recall is re-measured
+            # at THIS corpus size against exact brute force. The
+            # sign-flip corpus's true top-10 sit at cosine ~0.4-0.5
+            # (θ≈63°, per-plane collision ~0.65) — hyperplane LSH needs
+            # a large probe budget here by construction, while IVF
+            # rides the corpus's actual cluster structure; BASELINE.md
+            # documents the envelope and the floors.
+            "ann_recall": _ann_recall_sf1(spark, sf1_dir),
         }
 
     # gate-critical keys LAST (see the result-dict comment above)
@@ -645,6 +700,7 @@ def main() -> None:
         "queries": _r(timings),
     }
     if "sf1" in result:
+        compact["ann_recall"] = result["sf1"]["ann_recall"]
         compact["sf1_sec"] = _r(result["sf1"]["queries"])
         compact["sf1_exp"] = _r(result["sf1"]["scaling_exponent"])
         compact["sf1_spill"] = sum(

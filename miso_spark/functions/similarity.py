@@ -174,6 +174,17 @@ def lsh_topk(
     count (``planes_for_rows``); ``probes > 1`` enables multi-probe —
     also scanning the buckets reached by flipping the query's
     weakest-margin planes, recovering the recall that more planes cost.
+
+    Recall envelope (measured at the sf1 bench corpus, recorded in
+    BASELINE.md and gated by test_scale_utils): hyperplane-LSH recall
+    is governed by the NEIGHBORS' similarity, not the index — per-plane
+    collision is ``1 - θ/π``, so a corpus whose true top-k sit at
+    cosine ~0.4-0.5 (θ≈63°, collision ~0.65/plane) needs a probe
+    budget near ``1 + P + C(P,2)`` buckets for useful recall, while a
+    corpus with tight neighbors (cosine ≥0.9) prunes hard at one
+    probe. For weak-similarity corpora prefer ``ivf_topk`` — IVF rides
+    the data's actual cluster structure and held ~0.68 recall@10 at
+    sf1 where single-probe LSH held ~0.13.
     """
     from itertools import combinations
 
