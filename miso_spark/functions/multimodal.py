@@ -284,16 +284,60 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_samples(
+    rows: np.ndarray, w: int, depth: int, color_type: int, plte: bytes | None
+) -> np.ndarray:
+    """Unfiltered scanline BYTES (h, stride) → (h, w, 3) uint8 RGB:
+    palette lookup (MSB-first sub-byte unpack, spec §7.2), 16-bit
+    high-byte downshift (§7.1 big-endian sample order), grey/alpha
+    channel normalization. Shared by the sequential and Adam7 paths —
+    each interlace pass is its own little image of this exact shape."""
+    h = rows.shape[0]
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing its PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if depth == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if depth == 16:
+        px = rows.reshape(h, w, _PNG_CHANNELS[color_type], 2)[..., 0]
+    else:
+        px = rows.reshape(h, w, _PNG_CHANNELS[color_type])
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:  # grey + alpha → replicate grey, drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGBA → drop alpha
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2 starting_row/
+#: starting_col/row_increment/col_increment)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG → H×W×3 uint8 RGB, pure stdlib-zlib + numpy: signature +
     chunk walk (CRC-checked), IDAT concatenation, zlib inflate,
     per-scanline unfilter, then channel normalization (greyscale
     replicates to RGB, alpha is dropped). Covers 8- and 16-bit color
     types 0/2/4/6 (16-bit downshifts the big-endian high byte, spec
-    §7.1 sample order) and palette images (color type 3, PLTE lookup)
-    at depths 1/2/4/8 (spec §7.2 MSB-first bit packing) — the full
-    non-interlaced baseline a codec-less container can honour;
-    interlaced (Adam7) still raises clearly."""
+    §7.1 sample order), palette images (color type 3, PLTE lookup)
+    at depths 1/2/4/8 (spec §7.2 MSB-first bit packing), and Adam7
+    interlacing (§8.2: seven independently-filtered reduced images
+    scattered onto the pass grid) — the full baseline a codec-less
+    container can honour from the public spec."""
     import struct
     import zlib
 
@@ -326,51 +370,54 @@ def _decode_png(payload: bytes) -> np.ndarray:
         (color_type in _PNG_CHANNELS and depth in (8, 16))
         or (paletted and depth in (1, 2, 4, 8))
     )
-    if not supported or comp or filt or interlace:
+    if not supported or comp or filt or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG decode supports 8/16-bit color types"
-            f" {sorted(_PNG_CHANNELS)} and 1/2/4/8-bit palette (type 3),"
-            f" non-interlaced only (got depth={depth},"
-            f" color_type={color_type}, interlace={interlace})"
+            f" {sorted(_PNG_CHANNELS)} and 1/2/4/8-bit palette (type 3)"
+            f" (got depth={depth}, color_type={color_type},"
+            f" interlace={interlace})"
         )
-    if paletted:
-        # filters operate on BYTES with bpp=1 for sub-byte depths
-        # (spec §9: "bpp is rounded up to one")
-        bpp, stride = 1, (w * depth + 7) // 8
-    else:
-        bpp = _PNG_CHANNELS[color_type] * (depth // 8)
-        stride = w * bpp
+
+    # filters operate on BYTES; bpp rounds up to one for sub-byte
+    # depths (spec §9)
+    def line_geom(width: int) -> tuple[int, int]:
+        if paletted:
+            return 1, (width * depth + 7) // 8
+        b = _PNG_CHANNELS[color_type] * (depth // 8)
+        return b, width * b
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + stride):
+    if not interlace:
+        bpp, stride = line_geom(w)
+        if raw.size != h * (1 + stride):
+            raise ValueError(
+                f"PNG pixel data is {raw.size} bytes, expected {h * (1 + stride)}"
+            )
+        rows = _png_unfilter(raw, h, stride, bpp)
+        return _png_samples(rows, w, depth, color_type, plte)
+    # Adam7: seven reduced images, each filtered INDEPENDENTLY (the
+    # unfilter's prior row is the pass's own previous scanline),
+    # scattered onto the (x0 + i*dx, y0 + j*dy) grid; empty passes
+    # contribute zero bytes (spec §8.2)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        bpp, stride = line_geom(wp)
+        end = pos + hp * (1 + stride)
+        if end > raw.size:
+            raise ValueError("PNG interlaced pixel data truncated")
+        rows = _png_unfilter(raw[pos:end], hp, stride, bpp)
+        out[y0::dy, x0::dx] = _png_samples(rows, wp, depth, color_type, plte)
+        pos = end
+    if pos != raw.size:
         raise ValueError(
-            f"PNG pixel data is {raw.size} bytes, expected {h * (1 + stride)}"
+            f"PNG interlaced pixel data is {raw.size} bytes, expected {pos}"
         )
-    px = _png_unfilter(raw, h, stride, bpp)
-    if paletted:
-        if plte is None:
-            raise ValueError("paletted PNG missing its PLTE chunk")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if depth == 8:
-            idx = px[:, :w]
-        else:
-            bits = np.unpackbits(px, axis=1)[:, : w * depth]
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
-            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
-        if int(idx.max(initial=0)) >= len(pal):
-            raise ValueError("PNG palette index out of range")
-        return pal[idx]
-    if depth == 16:
-        # big-endian 16-bit samples; the 8-bit view is the high byte
-        px = px.reshape(h, w, _PNG_CHANNELS[color_type], 2)[..., 0]
-    else:
-        px = px.reshape(h, w, _PNG_CHANNELS[color_type])
-    if color_type == 0:
-        return np.repeat(px, 3, axis=2)
-    if color_type == 2:
-        return px
-    if color_type == 4:  # grey + alpha → replicate grey, drop alpha
-        return np.repeat(px[..., :1], 3, axis=2)
-    return px[..., :3]  # RGBA → drop alpha
+    return out
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

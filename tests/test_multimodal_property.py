@@ -308,7 +308,7 @@ def test_png_palette_errors():
     pal = np.zeros((4, 3), dtype=np.uint8).tobytes()
     with pytest.raises(ValueError, match="palette index out of range"):
         _decode_payload("png", _png_payload(1, 1, 8, 3, raw, plte=pal))
-    # interlaced stays a clear stub
+    # truncated interlaced pixel data is a loud error, not garbage
     import struct
     import zlib
 
@@ -318,11 +318,123 @@ def test_png_palette_errors():
             zlib.crc32(cc) & 0xFFFFFFFF
         ).to_bytes(4, "big")
 
-    interlaced = (
+    truncated = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="non-interlaced"):
-        _decode_payload("png", interlaced)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_payload("png", truncated)
+
+
+def _adam7_payload(px: np.ndarray, depth: int, color_type: int, filters,
+                   plte: bytes | None = None, idx: np.ndarray | None = None):
+    """Build an interlaced PNG: slice the image into the seven Adam7
+    reduced images, forward-filter each independently, concatenate."""
+    from miso_spark.functions.multimodal import _ADAM7
+
+    if color_type == 3:
+        h, w = idx.shape
+    else:
+        h, w, channels = px.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        if color_type == 3:
+            sub = idx[y0::dy, x0::dx]
+            stride = (wp * depth + 7) // 8
+            if depth == 8:
+                rows = sub
+            else:
+                bits = np.unpackbits(
+                    sub[..., None].astype(np.uint8), axis=2, count=8
+                )[..., 8 - depth:].reshape(hp, wp * depth)
+                pad = stride * 8 - wp * depth
+                if pad:
+                    bits = np.concatenate(
+                        [bits, np.zeros((hp, pad), dtype=np.uint8)], axis=1
+                    )
+                rows = np.packbits(bits, axis=1)
+            bpp = 1
+        else:
+            sub = px[y0::dy, x0::dx]  # (hp, wp, channels)
+            if depth == 16:
+                rows = np.frombuffer(
+                    sub.astype(">u2").tobytes(), dtype=np.uint8
+                ).reshape(hp, wp * channels * 2)
+                bpp = channels * 2
+            else:
+                rows = sub.reshape(hp, wp * channels)
+                bpp = channels
+        raw += _png_forward_filter(rows.astype(np.uint8), filters, bpp=bpp)
+    return raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_interlaced_decode(w, h, channels, depth, filters, seed):
+    """Adam7 PNGs decode identically to their sequential twins: seven
+    independently-filtered reduced images scattered on the pass grid
+    (spec §8.2), any color type, 8- or 16-bit, arbitrary filters."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.RandomState(seed)
+    if depth == 16:
+        px = rng.randint(0, 65536, size=(h, w, channels), dtype=np.uint16)
+        expect = (px >> 8).astype(np.uint8)
+    else:
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        expect = px
+    raw = _adam7_payload(px if depth == 8 else px, depth, color_type, filters)
+    payload = _png_payload_interlaced(w, h, depth, color_type, raw)
+    dec = _decode_payload("png", payload)
+    if channels >= 3:
+        assert (dec == expect[..., :3]).all()
+    else:
+        assert (dec == np.repeat(expect[..., :1], 3, axis=2)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_palette_decode(w, h, depth, filters, seed):
+    rng = np.random.RandomState(seed)
+    n_pal = 2 ** depth
+    pal = rng.randint(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_pal, size=(h, w), dtype=np.uint8)
+    raw = _adam7_payload(None, depth, 3, filters, idx=idx)
+    payload = _png_payload_interlaced(w, h, depth, 3, raw, plte=pal.tobytes())
+    assert (_decode_payload("png", payload) == pal[idx]).all()
+
+
+def _png_payload_interlaced(w, h, depth, color_type, raw, plte=None):
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        cc = typ + body
+        return len(body).to_bytes(4, "big") + cc + (
+            zlib.crc32(cc) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
