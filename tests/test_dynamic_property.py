@@ -334,3 +334,60 @@ def test_sort_matches_model_total_order(spark, collected_pairs):
         for v in sorted(vals, key=functools.cmp_to_key(model_cmp))
     ]
     assert [_canon(g) for g in got] == expect
+
+
+def model_extract(v, pattern: str, grp: int):
+    """extract over a dynamic value (r13): missing source → missing
+    (interpreter/mod.rs:406-409); present NON-string → missing (the
+    reference bails the query — dynamic.as_string's documented
+    vectorized convention); no-match on a present string → PRESENT
+    null (string_ops.rs:30-32); match → the group string."""
+    import re
+
+    if v is MISSING or not isinstance(v, str):
+        return MISSING
+    m = re.search(pattern, v)
+    if m is None:
+        return None
+    return m.group(grp)
+
+
+def test_extract_over_dynamic_matches_reference_model(spark, collected_pairs):
+    """extract over randomized dynamic values, compiled through the
+    production path (a VARIANT result: SQL NULL = missing, VOID =
+    present null), vs the model — including the predicate composition
+    `not(f == <s>)` where present-null KEEPS the row and missing
+    poisons it."""
+    from miso_spark.exprs import (
+        BinOp, Extract, Field, Lit, Not, compile_expr,
+    )
+
+    pat, grp = "([0-9]+)", 1
+    df = _rows_df(spark, collected_pairs)
+    f = Extract(Lit(pat), Lit(grp), Field.of("a"))
+    fc = compile_expr(f, df.schema)
+    pred = compile_expr(Not(BinOp("eq", f, Lit("7"))), df.schema)
+    out = {
+        int(str(r["i"])): r
+        for r in df.select(
+            F.try_variant_get("i", "$", "int").alias("i"),
+            fc.isNull().alias("missing"),
+            F.when(fc.isNotNull(), F.is_variant_null(fc)).alias("vnull"),
+            F.try_variant_get(fc, "$", "string").alias("s"),
+            pred.alias("keep"),
+        ).collect()
+    }
+    for i, (a, _) in enumerate(collected_pairs):
+        want = model_extract(a, pat, grp)
+        r = out[i]
+        if want is MISSING:
+            assert r["missing"], f"extract({a!r}) should be missing"
+            # missing poisons not(f == "7") → SQL null (row dropped)
+            assert r["keep"] is None, f"not(extract({a!r}) == '7')"
+        elif want is None:
+            assert r["vnull"] is True, f"extract({a!r}) should be present null"
+            # present Null != "7" under the total order → row KEPT
+            assert r["keep"] is True, f"not(extract({a!r}) == '7')"
+        else:
+            assert r["s"] == want, f"extract({a!r})"
+            assert r["keep"] is (want != "7")
