@@ -63,6 +63,7 @@ def _duration_s(cfg: dict, key: str) -> float | None:
 def _make_quickwit(cfg: dict) -> QuickwitSource:
     return QuickwitSource(
         cfg["url"],
+        timeout_s=cfg.get("timeout_s", 2.0),
         timestamp_fields=cfg.get("timestamp_fields"),
         stats_fields=cfg.get("stats_fields"),
         slices=cfg.get("slices", 1),
@@ -77,6 +78,7 @@ def _make_elasticsearch(cfg: dict) -> ElasticsearchSource:
 
     return ElasticsearchSource(
         cfg["url"],
+        timeout_s=cfg.get("timeout_s", 2.0),
         timestamp_fields=cfg.get("timestamp_fields"),
         stats_fields=cfg.get("stats_fields"),
         slices=cfg.get("slices", 1),
@@ -92,6 +94,7 @@ def _make_splunk(cfg: dict) -> SplunkSource:
 
     return SplunkSource(
         cfg["url"],
+        timeout_s=cfg.get("timeout_s", 2.0),
         token=cfg.get("token"),
         stats_fields=cfg.get("stats_fields"),
         slices=cfg.get("slices", 1),

@@ -326,3 +326,13 @@ def test_accept_invalid_certs_builds_insecure_context(monkeypatch):
     with pytest.raises(Exception):
         plain._connect()
     assert "context" not in captured
+
+
+def test_timeout_s_config_key_applies(spark):
+    from miso_spark.server import MisoServer
+
+    srv = MisoServer(spark, port=0)
+    srv.add_connector("sp", {"type": "splunk", "url": "http://x", "timeout_s": 9.5})
+    assert srv.miso.registry.source("sp").timeout_s == 9.5
+    srv.add_connector("qw", {"type": "quickwit", "url": "http://x", "timeout_s": 4})
+    assert srv.miso.registry.source("qw").timeout_s == 4
