@@ -481,14 +481,26 @@ q(
 q(
     "exists_op",  # exists() gate + extract() projection in one row
     # (absorbed the former extract_op entry to keep the 50-slot driver
-    # window: both operators stay driver-oracle-checked here)
+    # window: both operators stay driver-oracle-checked here).
+    # r13: the `g` column drives extract over a DYNAMIC (variant)
+    # source through the driver oracle — its three-way outcome keeps
+    # the reference's null worlds apart (interpreter/mod.rs:406-409,
+    # string_ops.rs:30-32): a MISSING source (every 7th event_id)
+    # stays missing (NULL out), a no-match on a present string is a
+    # PRESENT Value::Null that tostring renders "null" (Val::cast),
+    # and a match renders the captured group.
     kql="""
-    t.events
+    t.events.raw('SELECT event_id, props, try_variant_get(parse_json(to_json(named_struct("v", CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END))), "$.v", "variant") AS s FROM events')
     | where exists(props) and not(exists(props) and false)
-    | project event_id, k = toint(extract('"k": (\\d+)', 1, props))
+    | extend f = extract("(pur.+)", 1, s)
+    | project event_id, k = toint(extract('"k": (\\d+)', 1, props)),
+              g = tostring(f)
     """,
     oracle="""
-    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_type LIKE 'pur%' THEN regexp_extract(event_type, '(pur.+)', 1)
+                ELSE 'null' END AS g
     FROM events WHERE props IS NOT NULL
     """,
 )
