@@ -989,3 +989,36 @@ def test_union_one_sided_lift_keeps_bearing_side_present_nulls(spark):
         .toJSON().collect()
     )
     assert got2 == [2]
+
+
+def test_extract_over_dynamic_summarize_and_sort(spark):
+    """Composed consumers of the variant extract result beyond
+    predicates: dcount counts the no-match PRESENT nulls as one
+    distinct value and skips missing (tests.rs dcount_with_nulls);
+    summarize-by drops BOTH null worlds pre-grouping
+    (summarize.rs:151); sort places present-null and missing together
+    under the nulls directive (sort.rs arrow nulls)."""
+    m = _dyn_engine(
+        spark,
+        [
+            {"id": 1, "s": "code: 7"},
+            {"id": 2, "s": "no digits"},  # present null
+            {"id": 3},  # missing
+            {"id": 4, "s": "code: 9"},
+            {"id": 5, "s": "words"},  # present null
+        ],
+    )
+    q = 'd.c | extend f = extract("code: (\\\\d+)", 1, s)'.replace("d.c", "dyn.c")
+    row = m.query(q + " | summarize dc = dcount(f), n = count()").collect()[0]
+    assert (row["dc"], row["n"]) == (3, 5)  # "7", "9", one null bucket
+    groups = sorted(
+        (str(r["f"]), r["n"])
+        for r in m.query(q + " | summarize n = count() by f").collect()
+    )
+    assert groups == [('"7"', 1), ('"9"', 1)]
+    ids = [
+        json.loads(x)["id"]
+        for x in m.query(q + " | sort by f asc nulls first | project id")
+        .toJSON().collect()
+    ]
+    assert ids[3:] == [1, 4] and sorted(ids[:3]) == [2, 3, 5]
