@@ -1022,3 +1022,31 @@ def test_extract_over_dynamic_summarize_and_sort(spark):
         .toJSON().collect()
     ]
     assert ids[3:] == [1, 4] and sorted(ids[:3]) == [2, 3, 5]
+
+
+def test_extract_over_dynamic_as_join_key(spark):
+    """The variant extract result as a JOIN key: a captured group
+    matches its value, a no-match PRESENT null matches the other
+    side's present null (the reference's hash join hashes Value::Null
+    like any value — tests.rs join_with_null_keys), and a missing
+    source matches nothing."""
+    from miso_spark.api import MisoSpark
+    from miso_spark.sources import MemorySource
+
+    m = MisoSpark(spark)
+    mem = MemorySource()
+    mem.put("l", dyn.ingest_json_dynamic(spark, [
+        {"id": 1, "s": "k: a"}, {"id": 2, "s": "nope"}, {"id": 3},
+    ]))
+    mem.put("r", dyn.ingest_json_dynamic(spark, [
+        {"f": "a", "rv": 10}, {"f": None, "rv": 20},
+    ]))
+    m.registry.register("dj", mem)
+    out = sorted(
+        (json.loads(x)["id"], json.loads(x).get("rv"))
+        for x in m.query(
+            'dj.l | extend f = extract("k: (.+)", 1, s)'
+            " | join kind=inner (dj.r) on f | project id, rv"
+        ).toJSON().collect()
+    )
+    assert out == [(1, 10), (2, 20)]
