@@ -573,9 +573,23 @@ class Compiler:
             # reference's topn.rs heap, distributed)
             return df.orderBy(*_sort_cols(step.sorts, df.schema)).limit(step.n)
         if isinstance(step, P.SummarizeStep):
+            from miso_spark.exprs import MISSING_AS_NULL_MD as _MD
             from miso_spark.exprs import _variant_typed
 
-            aggs = [_agg_col(name, agg, df.schema) for name, agg in step.aggs]
+            aggs = [
+                # a union-split PARTIAL's min/max output is the
+                # reference's MinMax STATE: its NULL means "no value
+                # arrived" (summarize.rs:493 Option<Value> None), so it
+                # must read as MISSING downstream — the union lift
+                # keeps it SQL-null and the merge skips it, like the
+                # reference's state merge (r13 soak find)
+                _agg_col(name, agg, df.schema).alias(
+                    name, metadata={_MD: True}
+                )
+                if step.partial and agg.kind in ("min", "max")
+                else _agg_col(name, agg, df.schema)
+                for name, agg in step.aggs
+            ]
             by_cols, variant_keys = [], []
             for b in step.by:
                 c = compile_expr(b.expr, df.schema)

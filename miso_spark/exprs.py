@@ -190,12 +190,27 @@ def _is_string_typed(e: Expr, schema) -> bool:
         )
     if isinstance(e, Extract):
         # over a dynamic-model source the result is a VARIANT
-        # (present-null no-match vs missing source), not a string
-        return not (
-            _variant_typed(e.source, schema)
-            or _missing_as_null(e.source, schema)
-        )
+        # (present-null no-match vs missing source), not a string;
+        # a provably-ABSENT source stays a typed NULL (always missing
+        # — no no-match ambiguity, and a variant here would flip a
+        # purely typed union branch into the dynamic model, r13 soak
+        # find #2)
+        return not _extract_dynamic_src(e, schema)
     return False
+
+
+def _extract_dynamic_src(e: "Extract", schema) -> bool:
+    """True when an Extract's source is dynamic-model (variant-typed,
+    or a missing-as-null TYPED expression that can still be present on
+    some rows) — the cases where the result must be a VARIANT to keep
+    no-match (present null) apart from missing. A provably-absent
+    source is excluded: every row is missing, so a typed NULL carries
+    the exact semantics without infecting typed pipelines."""
+    if _provably_missing(e.source, schema):
+        return False
+    return _variant_typed(e.source, schema) or _missing_as_null(
+        e.source, schema
+    )
 
 
 def _variant_typed(e: Expr, schema) -> bool:
@@ -223,10 +238,10 @@ def _variant_typed(e: Expr, schema) -> bool:
     if isinstance(e, Extract):
         # extract over a dynamic-model source compiles to a VARIANT:
         # SQL NULL = missing source (interpreter/mod.rs:406-409), VOID
-        # variant = present Value::Null on no-match (string_ops.rs:30-32)
-        return _variant_typed(e.source, schema) or _missing_as_null(
-            e.source, schema
-        )
+        # variant = present Value::Null on no-match (string_ops.rs:30-32).
+        # A provably-absent source stays a typed NULL (see
+        # _extract_dynamic_src).
+        return _extract_dynamic_src(e, schema)
     return False
 
 
@@ -290,13 +305,18 @@ def _missing_as_null(e: Expr, schema) -> bool:
             return False
     if isinstance(e, (Bin, Cast)):
         return _variant_typed(e.expr, schema) or _missing_as_null(e.expr, schema)
-    # NO Extract arm: NULL ⇔ missing holds for Cast/Bin (Val::cast maps
-    # a present Null to 0/"null"/false so a NULL result pins a missing
-    # input) but NOT for Extract — a no-match over a present string is
-    # a present Value::Null (string_ops.rs:30-32). Extract over a
-    # dynamic source therefore compiles to a VARIANT that keeps the
-    # distinction (see compile_expr / _variant_typed) instead of a
-    # typed string whose NULL would conflate the two.
+    # NO general Extract arm: NULL ⇔ missing holds for Cast/Bin
+    # (Val::cast maps a present Null to 0/"null"/false so a NULL
+    # result pins a missing input) but NOT for Extract — a no-match
+    # over a present string is a present Value::Null
+    # (string_ops.rs:30-32). Extract over a dynamic source therefore
+    # compiles to a VARIANT that keeps the distinction (see
+    # compile_expr / _variant_typed). The ONE Extract case where
+    # NULL ⇔ missing does hold: a provably-absent source — every row
+    # is missing, no no-match can occur, and the result stays a typed
+    # NULL so purely typed pipelines don't sprout variants.
+    if isinstance(e, Extract):
+        return _provably_missing(e.source, schema)
     if isinstance(e, BinOp) and e.op in _ARITH_OPS:
         return _missing_as_null(e.left, schema) or _missing_as_null(e.right, schema)
     return False
@@ -488,6 +508,12 @@ def compile_expr(e: Expr, schema=None) -> Column:
         # (string_ops.rs:30-32 returns Ok(Some(Value::Null))) —
         # encoded as a VOID variant so comparisons/In/dcount see the
         # total-order smallest value, not a poisoning missing.
+        if _provably_missing(e.source, schema):
+            # absent source: every row's extract is MISSING — a typed
+            # NULL (tagged via _missing_as_null's Extract arm) keeps
+            # typed pipelines typed (r13 soak find #2: a variant here
+            # flipped a pushed-into-union count branch dynamic-model)
+            return F.lit(None).cast("string")
         dyn_src = _variant_typed(e.source, schema)
         man_src = not dyn_src and _missing_as_null(e.source, schema)
         src = compile_expr(e.source, schema)

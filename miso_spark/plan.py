@@ -134,6 +134,19 @@ class SummarizeStep(Step):
     #: apply to it. Wire connectors refuse to absorb these (terms/
     #: stats-by aggregations drop missing keys service-side).
     keep_null_keys: bool = False
+    #: ENGINE-INTERNAL: this summarize is the per-branch PARTIAL of a
+    #: union split (split_summarize_for_union). Its min/max outputs
+    #: encode the reference's MinMax STATE (summarize.rs:493
+    #: Option<Value>, None when no value arrived), so their SQL NULL
+    #: means "empty state" (missing) — the compiler tags them
+    #: MISSING_AS_NULL_MD so the union's variant lift keeps them
+    #: SQL-null and the merge's min/max SKIPS them, exactly like the
+    #: reference's state merge. Only the FINAL (user-visible) render
+    #: maps an empty state to a present Value::Null (summarize.rs:619
+    #: unwrap_or) — r13 soak find: without this, a dynamic-model
+    #: branch with the agg column absent lifted the empty partial to
+    #: a present VOID null, which then WON the merged min.
+    partial: bool = False
 
 
 @dataclass(frozen=True)

@@ -418,8 +418,10 @@ def _rewrite_summarize(sum_step, renames, literals, exprs):
             new_aggs.append((name, P.Agg(agg.kind, exprs[f])))
             continue
         new_aggs.append((name, agg))
+    from dataclasses import replace as _dc_replace
+
     return (
-        P.SummarizeStep(tuple(new_aggs), new_by, sum_step.keep_null_keys),
+        _dc_replace(sum_step, aggs=tuple(new_aggs), by=new_by),
         post,
     )
 
@@ -720,6 +722,7 @@ def split_summarize_for_union(step):
         tuple(partial_aggs),
         tuple(step.by) + tuple(extra_by),
         keep_null_keys=bool(dc_keys),
+        partial=True,
     )
     merge = P.SummarizeStep(
         tuple(merge_aggs),
@@ -1489,9 +1492,9 @@ def propagate_filter_constraints(steps: list) -> tuple[list, bool]:
                     ch = ch or ne != bf.expr
                     new_by.append(P.ByField(ne, bf.name))
                 if ch:
-                    out[j] = P.SummarizeStep(
-                        t.aggs, tuple(new_by), t.keep_null_keys
-                    )
+                    from dataclasses import replace as _dc_replace
+
+                    out[j] = _dc_replace(t, by=tuple(new_by))
                     changed = True
                 break  # schema changes past the summarize
             if isinstance(t, (P.Extend, P.Rename, P.Project)):
@@ -1582,7 +1585,9 @@ def fold_exprs(steps: list) -> tuple[list, bool]:
                 for n, a in s.aggs
             )
             if nb != s.by or na != s.aggs:
-                out[i] = P.SummarizeStep(na, nb, s.keep_null_keys)
+                from dataclasses import replace as _dc_replace
+
+                out[i] = _dc_replace(s, aggs=na, by=nb)
                 changed = True
     return out, changed
 

@@ -947,6 +947,22 @@ def test_mv_expand_composition_matches_duckdb(rig, duck):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(prog=programs())
+# r13 soak find #2: extract over a provably-ABSENT source (this extend
+# is pushed into the union's count branch, where `t` doesn't exist)
+# must stay a TYPED NULL — compiling it to a variant flipped the
+# branch dynamic-model, which lifted ALL of b's one-sided columns to
+# variant (JSON-quoted renders, ints as strings). Absent-source
+# extracts now compile typed and tag missing-as-null.
+@example(
+    prog=(
+        'm.a | count | union (m.b) | extend e1 = extract("([st])([0-9])", 1, t)',
+        "SELECT *, CASE WHEN regexp_matches(t, '([st])([0-9])') THEN"
+        " regexp_extract(t, '([st])([0-9])', 1) ELSE NULL END AS e1 FROM"
+        ' (SELECT * FROM ((SELECT count(*) AS "Count" FROM (SELECT * FROM'
+        " a) c0) UNION ALL BY NAME (SELECT * FROM b)) u1) x2",
+        "",
+    )
+)
 def test_engine_matches_duckdb(rig, duck, prog):
     kql, sql, _ = prog
     plan = parse_kql(kql)
@@ -1049,6 +1065,20 @@ def _dyn_rows(df) -> list[str]:
         'SELECT * FROM (SELECT * FROM ((SELECT count(*) AS "Count" FROM'
         " (SELECT * FROM a) c0) UNION ALL BY NAME (SELECT * FROM b)) u1)"
         " w2 WHERE (Count < 0)",
+    )
+)
+# r13 soak find: the union-split min/max PARTIAL over a branch that
+# LACKS the agg column compiled to a typed NULL, and the r13
+# present-null-preserving variant lift turned that empty state into a
+# present VOID null that WON the merged min (the reference's state
+# merge skips None states; only the final render maps empty →
+# Value::Null). Partials now tag min/max outputs missing-as-null.
+@example(
+    prog=(
+        "m.a | union (m.b) | summarize mn = min(y)",
+        "",
+        "SELECT min(y) AS mn FROM (SELECT * FROM ((SELECT * FROM a)"
+        " UNION ALL BY NAME (SELECT * FROM b)) u0) s1",
     )
 )
 def test_dynamic_engine_matches_duckdb(dyn_rig, duck, prog):

@@ -1150,3 +1150,53 @@ def test_dcount_union_split_results(spark):
             base = rows(rig.run(plan))
             split = rows(rig.run(P.Plan(o)))
             assert split == base, (q, mem is mem_d, base, split)
+
+
+def test_minmax_union_split_empty_branch_state(spark):
+    """r13 soak find, deterministic pin: the union split's per-branch
+    min/max PARTIAL over a branch that lacks the agg column is an
+    EMPTY MinMax state (summarize.rs:493 Option<Value> None) — the
+    merge must skip it, on both the typed and the dynamic model, so
+    split == unsplit. Before the fix, the dynamic arm's variant lift
+    read the empty partial as a present VOID null, which won the
+    merged min (present null is the total-order smallest)."""
+    import json
+
+    from miso_spark.compiler import Compiler
+    from miso_spark.dynamic import ingest_json_dynamic
+    from miso_spark.sources import MemorySource, SourceRegistry
+
+    mem_t = MemorySource()
+    mem_t.put("a", spark.createDataFrame([(1, 5), (2, 0)], "id long, y long"))
+    mem_t.put("b", spark.createDataFrame([(3,)], "id long"))  # no y
+    mem_d = MemorySource()
+    mem_d.put("a", ingest_json_dynamic(
+        spark, [{"id": 1, "y": 5}, {"id": 2, "y": 0}], keys=["id", "y"]))
+    mem_d.put("b", ingest_json_dynamic(spark, [{"id": 3}], keys=["id"]))
+
+    for mem in (mem_t, mem_d):
+        rig = Compiler(SourceRegistry(spark).register("m", mem))
+        for q in (
+            "m.a | union (m.b) | summarize mn = min(y), mx = max(y)",
+            "m.b | union (m.a) | summarize mn = min(y), mx = max(y)",
+        ):
+            plan = parse_kql(q)
+            o = optimize_steps(plan.steps)
+            assert o != tuple(plan.steps), (q, "split did not fire")
+
+            def vals(df):
+                from pyspark.sql.types import VariantVal
+
+                return [
+                    {
+                        k: (v.toPython() if isinstance(v, VariantVal) else v)
+                        for k, v in r.asDict().items()
+                    }
+                    for r in df.collect()
+                ]
+
+            base = vals(rig.run(plan))
+            split = vals(rig.run(P.Plan(o)))
+            assert base == split == [{"mn": 0, "mx": 5}], (
+                q, mem is mem_d, base, split,
+            )
