@@ -36,10 +36,16 @@ def _hang_watchdog(request):
     faulthandler_timeout=900 soft-dumps stacks but keeps running (and
     owns faulthandler's single global timer, so this can't use
     dump_traceback_later too); this timer THREAD dumps every thread's
-    stack AND exits the process at 20 minutes per test — ~4x the
+    stack AND exits the process at 30 minutes per test — ~6x the
     slowest legitimate test — so the next occurrence pins its test
     name and stack instead of earning another unexplained-precedent
-    note."""
+    note. r13 evidence: the first firing (at the then-20-min bound)
+    caught a run whose main thread was actively PROGRESSING through
+    rewrite.py while two CPU-heavy fuzz probes ran concurrently on the
+    same 32 cores — contention-starved slowness, not a deadlock; the
+    identical re-run alone passed in 20:00 total. The bound is sized
+    to tolerate ~4-6x contention on a legitimate test while still
+    converting a genuine runaway into a named, stack-carrying abort."""
     import faulthandler
     import os
     import sys
@@ -49,14 +55,14 @@ def _hang_watchdog(request):
 
     def _abort():
         sys.stderr.write(
-            f"\n=== hang watchdog: {name} exceeded 1200s — dumping all "
+            f"\n=== hang watchdog: {name} exceeded 1800s — dumping all "
             "thread stacks and aborting the run ===\n"
         )
         faulthandler.dump_traceback(file=sys.stderr)
         sys.stderr.flush()
         os._exit(42)
 
-    t = threading.Timer(1200.0, _abort)
+    t = threading.Timer(1800.0, _abort)
     t.daemon = True
     t.start()
     yield
