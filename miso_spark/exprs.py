@@ -200,17 +200,19 @@ def _is_string_typed(e: Expr, schema) -> bool:
 
 
 def _extract_dynamic_src(e: "Extract", schema) -> bool:
-    """True when an Extract's source is dynamic-model (variant-typed,
-    or a missing-as-null TYPED expression that can still be present on
-    some rows) — the cases where the result must be a VARIANT to keep
-    no-match (present null) apart from missing. A provably-absent
-    source is excluded: every row is missing, so a typed NULL carries
-    the exact semantics without infecting typed pipelines."""
-    if _provably_missing(e.source, schema):
-        return False
-    return _variant_typed(e.source, schema) or _missing_as_null(
-        e.source, schema
-    )
+    """True when an Extract's source is VARIANT-typed — the one case
+    where the result must be a VARIANT to keep no-match (present null)
+    apart from missing. TYPED sources — including missing-as-null
+    tagged columns (tostring over a variant, or a union-merged
+    branch-absent materialization) — keep a TYPED string result under
+    the documented typed-row conflation (SURVEY §3: one typed column
+    cannot carry per-row missing-ness; the no-match present null wins
+    the conflation, matching the r12→13 advice's headline example).
+    r13 soak find #3 forced this narrowing: a union-pushed
+    `project t` tags the merged column missing-as-null, and a variant
+    extract over it sprouted variant output columns inside a purely
+    typed pipeline (values right, representation diverged)."""
+    return _variant_typed(e.source, schema)
 
 
 def _variant_typed(e: Expr, schema) -> bool:
@@ -514,8 +516,7 @@ def compile_expr(e: Expr, schema=None) -> Column:
             # typed pipelines typed (r13 soak find #2: a variant here
             # flipped a pushed-into-union count branch dynamic-model)
             return F.lit(None).cast("string")
-        dyn_src = _variant_typed(e.source, schema)
-        man_src = not dyn_src and _missing_as_null(e.source, schema)
+        dyn_src = _extract_dynamic_src(e, schema)
         src = compile_expr(e.source, schema)
         if dyn_src:
             from miso_spark import dynamic as dyn
@@ -526,7 +527,7 @@ def compile_expr(e: Expr, schema=None) -> Column:
             src = dyn.as_string(src)
 
         def _dyn_wrap(res: Column) -> Column:
-            if not (dyn_src or man_src):
+            if not dyn_src:
                 return res
             from miso_spark import dynamic as dyn
 

@@ -953,6 +953,29 @@ def test_mv_expand_composition_matches_duckdb(rig, duck):
 # branch dynamic-model, which lifted ALL of b's one-sided columns to
 # variant (JSON-quoted renders, ints as strings). Absent-source
 # extracts now compile typed and tag missing-as-null.
+# r13 soak find #3 (the same family, one layer deeper): with a
+# `project Count, t` between the union and the extend, the
+# union-PUSHED project materializes the count branch's absent `t` as
+# a missing-as-null-tagged column, the merged column keeps the tag,
+# and an extract over it went variant inside a purely typed pipeline
+# (values right, renders JSON-quoted). Typed MD sources now take the
+# documented typed-row conflation; only VARIANT sources produce
+# variant extract results (exprs._extract_dynamic_src).
+@example(
+    prog=(
+        "let q = m.a; q | sort by g asc, id asc, s asc, x asc, y asc"
+        " | count | union (m.b) | project Count, t"
+        ' | extend e1 = extract("([st])([0-9])", 1, t)',
+        "SELECT *, CASE WHEN regexp_matches(t, '([st])([0-9])') THEN"
+        " regexp_extract(t, '([st])([0-9])', 1) ELSE NULL END AS e1 FROM"
+        ' (SELECT Count, t FROM (SELECT * FROM ((SELECT count(*) AS "Count"'
+        " FROM (SELECT * FROM (SELECT * FROM a) o0 ORDER BY g ASC NULLS"
+        " LAST, id ASC NULLS LAST, s ASC NULLS LAST, x ASC NULLS LAST, y"
+        " ASC NULLS LAST) c1) UNION ALL BY NAME (SELECT * FROM b)) u2) p3)"
+        " x4",
+        "",
+    )
+)
 @example(
     prog=(
         'm.a | count | union (m.b) | extend e1 = extract("([st])([0-9])", 1, t)',
