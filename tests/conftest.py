@@ -39,13 +39,17 @@ def _hang_watchdog(request):
     stack AND exits the process at 30 minutes per test — ~6x the
     slowest legitimate test — so the next occurrence pins its test
     name and stack instead of earning another unexplained-precedent
-    note. r13 evidence: the first firing (at the then-20-min bound)
-    caught a run whose main thread was actively PROGRESSING through
-    rewrite.py while two CPU-heavy fuzz probes ran concurrently on the
-    same 32 cores — contention-starved slowness, not a deadlock; the
-    identical re-run alone passed in 20:00 total. The bound is sized
-    to tolerate ~4-6x contention on a legitimate test while still
-    converting a genuine runaway into a named, stack-carrying abort."""
+    note. r13 evidence (the watchdog fired twice and SOLVED the
+    mystery): both firings caught hypothesis SHRINKING a Spark-backed
+    failing property — after a find, the shrinker re-runs hundreds of
+    candidate examples, each costing several Spark jobs, easily 30-55
+    minutes inside ONE test call; the main thread was actively
+    progressing (rewrite.py hot frames), never deadlocked. That is
+    exactly the r11/r12 killed-soak signature, and both of those
+    rounds' soaks had live differential finds to shrink. Workflow when
+    this fires: re-run the named test with HYPOTHESIS_PROFILE=noshrink
+    (registered below) — the cached failure replays in seconds with a
+    full (unshrunk) falsifying example."""
     import faulthandler
     import os
     import sys
@@ -67,3 +71,20 @@ def _hang_watchdog(request):
     t.start()
     yield
     t.cancel()
+
+
+# Replay/diagnosis profile: HYPOTHESIS_PROFILE=noshrink replays cached
+# failures and generates fresh ones WITHOUT the shrink phase — a
+# Spark-backed property can take 30+ minutes to shrink (hundreds of
+# candidate examples, several Spark jobs each), which is exactly the
+# r11-r13 "soak hang" signature. Decorator @settings keep their own
+# max_examples/deadline; phases come from the profile.
+from hypothesis import Phase as _HPhase
+from hypothesis import settings as _hsettings
+
+_hsettings.register_profile(
+    "noshrink",
+    phases=(_HPhase.explicit, _HPhase.reuse, _HPhase.generate, _HPhase.target),
+)
+if os.environ.get("HYPOTHESIS_PROFILE"):
+    _hsettings.load_profile(os.environ["HYPOTHESIS_PROFILE"])
