@@ -1619,6 +1619,21 @@ def summarize_const_to_project(steps: list) -> tuple[list, bool]:
     return out, changed
 
 
+#: runaway guards (r13 soak diagnosis): a generated plan drove the
+#: fixpoint machinery into a multi-minute burn that ended in a
+#: faulthandler segfault while walking an enormous main-thread stack.
+#: Healthy plans never approach these bounds (the widest bench plan is
+#: ~40 steps, nesting ≤ 6); tripping one raises a diagnosable error —
+#: naming the step shapes — instead of burning CPU until an external
+#: kill. Depth is tracked per-thread (server threads optimize
+#: concurrently).
+import threading as _threading
+
+_opt_tls = _threading.local()
+MAX_OPT_DEPTH = 64
+MAX_OPT_STEPS = 2000
+
+
 def optimize_steps(
     steps, max_rounds: int = 20, can_absorb=None, push_unions: bool = True
 ) -> tuple:
@@ -1632,8 +1647,30 @@ def optimize_steps(
     already-pushed step has been absorbed into the handle and the pass
     would mistake the post-union merge copy for a fresh push (stacking
     a second partial into every branch)."""
+    depth = getattr(_opt_tls, "depth", 0)
+    if depth > MAX_OPT_DEPTH:
+        raise RuntimeError(
+            f"optimizer runaway: sub-plan recursion exceeded "
+            f"{MAX_OPT_DEPTH} levels at {[type(s).__name__ for s in steps[:8]]}"
+        )
+    _opt_tls.depth = depth + 1
+    try:
+        return _optimize_steps_inner(steps, max_rounds, can_absorb, push_unions)
+    finally:
+        _opt_tls.depth = depth
+
+
+def _optimize_steps_inner(steps, max_rounds, can_absorb, push_unions) -> tuple:
     out = list(steps)
     for _ in range(max_rounds):
+        if len(out) > MAX_OPT_STEPS:
+            from collections import Counter
+
+            shape = Counter(type(s).__name__ for s in out).most_common(5)
+            raise RuntimeError(
+                f"optimizer runaway: plan grew to {len(out)} steps "
+                f"(top shapes {shape})"
+            )
         changed = False
         # recurse into sub-plans each round — first so a union sub-plan
         # arrives at apply_union fully normalized (the shape the
