@@ -1632,6 +1632,30 @@ import threading as _threading
 _opt_tls = _threading.local()
 MAX_OPT_DEPTH = 64
 MAX_OPT_STEPS = 2000
+#: RECURSIVE step budget: union/join/let sub-plans count too — the
+#: observed runaway stacked copies INSIDE branch sub-plans, invisible
+#: to a top-level length check, and the structurally-shared tree made
+#: every plan equality walk exponential before the depth guard could
+#: trip. The counter early-exits at the budget, so the check itself
+#: stays O(budget) per round even on a pathological plan.
+MAX_OPT_TOTAL_STEPS = 20_000
+
+
+def _bounded_plan_size(steps, budget: int) -> int:
+    """Total step count including sub-plans, clamped at ``budget``
+    (early exit — never walks more than budget nodes)."""
+    n = 0
+    stack = [steps]
+    while stack and n <= budget:
+        cur = stack.pop()
+        for s in cur:
+            n += 1
+            if n > budget:
+                return n
+            sub = getattr(s, "sub", None)
+            if sub is not None:
+                stack.append(sub.steps)
+    return n
 
 
 def optimize_steps(
@@ -1663,13 +1687,17 @@ def optimize_steps(
 def _optimize_steps_inner(steps, max_rounds, can_absorb, push_unions) -> tuple:
     out = list(steps)
     for _ in range(max_rounds):
-        if len(out) > MAX_OPT_STEPS:
+        if len(out) > MAX_OPT_STEPS or (
+            _bounded_plan_size(out, MAX_OPT_TOTAL_STEPS)
+            > MAX_OPT_TOTAL_STEPS
+        ):
             from collections import Counter
 
             shape = Counter(type(s).__name__ for s in out).most_common(5)
             raise RuntimeError(
-                f"optimizer runaway: plan grew to {len(out)} steps "
-                f"(top shapes {shape})"
+                f"optimizer runaway: plan grew past "
+                f"{MAX_OPT_TOTAL_STEPS} total steps (top-level "
+                f"{len(out)}, top shapes {shape})"
             )
         changed = False
         # recurse into sub-plans each round — first so a union sub-plan
