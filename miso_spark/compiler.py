@@ -194,6 +194,30 @@ def _tag_missing_as_null(expr: Column, f, schema) -> Column:
     return expr
 
 
+def _wire_field_null_missing(arg, schema) -> bool:
+    """True when ``arg`` is a plain field of a SCHEMA-ON-READ wire
+    frame (sources.external._wire_docs_tagged): its SQL NULL provably
+    encodes an ABSENT document key, so dcount accounting must SKIP it
+    like the reference's accumulator and the services' cardinality/dc
+    aggs (r13 fuzz find — scoped to aggregation accounting; predicate
+    semantics on wire frames keep the documented typed conventions)."""
+    from miso_spark.exprs import Field
+
+    if not isinstance(arg, Field) or schema is None:
+        return False
+    if len(arg.path.segments) != 1:
+        return False
+    name, idxs = arg.path.segments[0]
+    if idxs:
+        return False
+    try:
+        from miso_spark.sources.external import WIRE_NULL_IS_MISSING_MD
+
+        return bool(schema[name].metadata.get(WIRE_NULL_IS_MISSING_MD, False))
+    except Exception:
+        return False
+
+
 def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
     from miso_spark.exprs import _variant_typed
 
@@ -223,10 +247,13 @@ def _agg_col(name: str, agg: P.Agg, schema=None) -> Column:
         else:
             from miso_spark.exprs import _missing_as_null
 
-            if _missing_as_null(agg.arg, schema):
+            if _missing_as_null(agg.arg, schema) or _wire_field_null_missing(
+                agg.arg, schema
+            ):
                 # NULL here encodes a MISSING dynamic value (cast over
-                # a variant input — present nulls cast to 0/""/false),
-                # and missing args skip the accumulator (summarize.rs):
+                # a variant input — present nulls cast to 0/""/false —
+                # or an absent schema-on-read document key), and
+                # missing args skip the accumulator (summarize.rs):
                 # no null bucket
                 c = F.count_distinct(e)
             else:
@@ -624,7 +651,14 @@ class Compiler:
                 # over this key must SKIP it (the unsplit plan does)
                 # rather than re-counting it as a present-null bucket
                 c.alias(b.name, metadata={MISSING_AS_NULL_MD: True})
-                if _missing_as_null(b.expr, df.schema)
+                if (
+                    _missing_as_null(b.expr, df.schema)
+                    # wire frames: a preserved null group key in a
+                    # keep_null_keys dcount partial is an ABSENT
+                    # document key — the merge must skip it like the
+                    # unsplit wire-aware dcount does
+                    or _wire_field_null_missing(b.expr, df.schema)
+                )
                 else c.alias(b.name)
                 for c, b in zip(by_cols, step.by)
             ]

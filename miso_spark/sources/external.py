@@ -227,6 +227,33 @@ def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
     return df
 
 
+
+#: column-metadata key marking SCHEMA-ON-READ wire documents: their SQL
+#: NULL provably encodes an ABSENT key (spark.read.json yields null
+#: exactly for keys a document lacks; the services' own corpora carry
+#: no explicit JSON nulls), so aggregation accounting must SKIP such
+#: values like the reference's accumulators do (summarize.rs
+#: get_field_value returns None → the doc never reaches the dcount
+#: set) and like the services' cardinality/dc aggs do server-side.
+#: r13 fuzz find: a wire-PUSHED filter can empty a field from the
+#: fetched docs entirely (the inferred schema drops the column →
+#: engine dcount skips it), while the pushdown-off fetch of the same
+#: query inferred the column and counted its all-null bucket — tagging
+#: both arms' frames makes engine-side dcount agree with the wire.
+WIRE_NULL_IS_MISSING_MD = "miso.wire_null_is_missing"
+
+
+def _wire_docs_tagged(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(f"`{c}`").alias(c, metadata={WIRE_NULL_IS_MISSING_MD: True})
+            for c in df.columns
+        ]
+    )
+
+
 class ExternalHttpSource(Source):
     """Base for HTTP-service connectors: holds the endpoint, probes a
     health route on first use, and reports unreachability precisely."""
@@ -578,7 +605,7 @@ class QuickwitSource(ExternalHttpSource):
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             self._pending_persisted.append(rdd)
-            df = spark.read.json(rdd)
+            df = _wire_docs_tagged(spark.read.json(rdd))
             if handle.limit is not None:
                 df = df.limit(handle.limit)
             df = _timestamp_typed(df, handle.timestamp_field)
@@ -613,7 +640,7 @@ class QuickwitSource(ExternalHttpSource):
         if handle.limit is not None:
             docs = docs[: handle.limit]
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-        df = spark.read.json(rdd)
+        df = _wire_docs_tagged(spark.read.json(rdd))
         # transform_log parity (quickwit.rs:838): the index's timestamp
         # field arrives as an RFC3339 string — surface it typed
         df = _timestamp_typed(df, handle.timestamp_field)
@@ -804,7 +831,7 @@ class ElasticsearchSource(ExternalHttpSource):
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
                 self._pending_persisted.append(rdd)
-                df = spark.read.json(rdd)
+                df = _wire_docs_tagged(spark.read.json(rdd))
                 if handle.limit is not None:
                     df = df.limit(handle.limit)
                 df = _timestamp_typed(df, handle.timestamp_field)
@@ -841,7 +868,7 @@ class ElasticsearchSource(ExternalHttpSource):
             if handle.limit is not None:
                 docs = docs[: handle.limit]
             rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-            df = spark.read.json(rdd)
+            df = _wire_docs_tagged(spark.read.json(rdd))
             # transform_log parity (elasticsearch.rs:848): the index's
             # timestamp field arrives as a string — surface it typed,
             # like the Quickwit search() above
@@ -855,7 +882,7 @@ class ElasticsearchSource(ExternalHttpSource):
         # json-lines through spark.read.json: schema inference matches
         # how the json_dir source types documents
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-        return spark.read.json(rdd)
+        return _wire_docs_tagged(spark.read.json(rdd))
 
     def table(self, spark: SparkSession, collection: str) -> DataFrame:
         return self.search(spark, collection)
@@ -1272,10 +1299,10 @@ class SplunkSource(ExternalHttpSource):
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             self._pending_persisted.append(rdd)
-            return spark.read.json(rdd)
+            return _wire_docs_tagged(spark.read.json(rdd))
         docs = self.fetch_results(sid)
         rdd = spark.sparkContext.parallelize([json.dumps(d) for d in docs])
-        return spark.read.json(rdd)
+        return _wire_docs_tagged(spark.read.json(rdd))
 
     def handle(self, collection: str):
         """Fresh SPL pipeline handle (splunk/mod.rs get_handle)."""

@@ -661,12 +661,16 @@ def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
             if "value" in value_wrap:
                 row[name] = value_wrap["value"]
         for name in handle.dcount_fields:
-            # null-bucket correction (see apply_summarize): any doc in
-            # the group without a countable field value is the
-            # engine's conflated null bucket — one extra distinct
-            vc = row.pop(f"{name}__vc", None)
-            if vc is not None and name in row and doc_count > vc:
-                row[name] = row[name] + 1
+            # r13: the ``__vc`` value_count companion agg still ships
+            # (request shapes are pinned) but the former +1
+            # "null-bucket correction" is GONE — engine-side dcount
+            # over wire frames now SKIPS absent-key nulls
+            # (compiler._wire_field_null_missing), matching the
+            # service's cardinality/dc accounting and the reference's
+            # accumulator directly, so emulating the old typed
+            # conflation here would re-open the divergence from the
+            # other side.
+            row.pop(f"{name}__vc", None)
         # empty-input identities (summarize.rs:513,655): a group whose
         # agg field has NO present values comes back null from the
         # wire where the engine emits sum → 0 / avg → 0.0
