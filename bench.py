@@ -259,8 +259,9 @@ def ann_recall_queries(spark, sf_dir: str, n: int = 4):
 
 def _ann_recall_sf1(spark, sf_dir: str) -> dict[str, float]:
     """recall@10 vs exact brute force at the sf1 corpus size, for the
-    lsh arm at its derived plane count (default single probe AND a
-    16-bucket multi-probe budget) and the ivf arm at its defaults."""
+    lsh arm at its derived plane count (the r14 recall-safe auto
+    default, the explicit single-probe minimum-scan mode, and the
+    16-bucket budget) and the ivf arm at its defaults."""
     from miso_spark.functions.similarity import (
         bruteforce_topk,
         ivf_topk,
@@ -270,12 +271,17 @@ def _ann_recall_sf1(spark, sf_dir: str) -> dict[str, float]:
     emb, rows = ann_recall_queries(spark, sf_dir)
     emb = emb.persist()
     try:
-        sums = {"lsh_default": 0.0, "lsh_probes16": 0.0, "ivf_default": 0.0}
+        sums = {
+            "lsh_default": 0.0, "lsh_single": 0.0,
+            "lsh_probes16": 0.0, "ivf_default": 0.0,
+        }
         for qr in rows:
             qv = [float(x) for x in qr["embedding"]]
             truth = {r["id"] for r in bruteforce_topk(emb, qv, 10).collect()}
             arms = {
+                # probes defaults to the 1 + P + C(P,2) budget (r14)
                 "lsh_default": lsh_topk(emb, qv, 10, num_planes=None),
+                "lsh_single": lsh_topk(emb, qv, 10, num_planes=None, probes=1),
                 "lsh_probes16": lsh_topk(emb, qv, 10, num_planes=None, probes=16),
                 "ivf_default": ivf_topk(emb, qv, 10),
             }

@@ -196,11 +196,17 @@ def _tag_missing_as_null(expr: Column, f, schema) -> Column:
 
 def _wire_field_null_missing(arg, schema) -> bool:
     """True when ``arg`` is a plain field of a SCHEMA-ON-READ wire
-    frame (sources.external._wire_docs_tagged): its SQL NULL provably
-    encodes an ABSENT document key, so dcount accounting must SKIP it
-    like the reference's accumulator and the services' cardinality/dc
-    aggs (r13 fuzz find — scoped to aggregation accounting; predicate
-    semantics on wire frames keep the documented typed conventions)."""
+    frame (sources.external._wire_docs_tagged): its SQL NULL is read
+    as an ABSENT document key, so dcount accounting SKIPS it like the
+    reference's accumulator and the services' cardinality/dc aggs
+    (r13 fuzz find — scoped to aggregation accounting; predicate
+    semantics on wire frames keep the documented typed conventions).
+    CAVEAT (r13→14 ADVICE, user-documented in README §Dynamic): an
+    EXPLICIT ``"k": null`` in a service document also surfaces as SQL
+    NULL through ``spark.read.json`` — a corpus property, not an
+    invariant; corpora that carry explicit nulls and need the
+    reference's present-null bucket should ingest via
+    ``miso_spark.dynamic`` (VARIANT keeps the distinction)."""
     from miso_spark.exprs import Field
 
     if not isinstance(arg, Field) or schema is None:

@@ -156,6 +156,27 @@ def ivf_topk(
     return bruteforce_topk(cand, q, k, vec_col, id_col)
 
 
+def lsh_probe_budget(num_planes: int) -> int:
+    """The recall-safe multi-probe budget ``1 + P + C(P, 2)``: the
+    exact bucket, every single-plane flip, and every pair flip. A true
+    neighbor at angle θ disagrees with each plane with probability
+    θ/π, so at P planes the chance it sits ≥3 flips away is small even
+    for weak-similarity corpora (θ ≈ 60°) — the regimes where the r13
+    sf1 gauge measured single-probe recall@10 at ~0.13 and this budget
+    at 0.40-0.60 (BASELINE.md envelope)."""
+    return 1 + num_planes + num_planes * (num_planes - 1) // 2
+
+
+def expected_plane_collision(cos_sim: float) -> float:
+    """Per-plane collision probability ``1 - θ/π`` for a neighbor at
+    the given cosine similarity — the closed-form lever behind the
+    recall envelope (callers can estimate expected recall BEFORE a
+    full run from a sampled neighbor cosine)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -164,7 +185,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     num_planes: int | None = 4,
     dim: int | None = None,
-    probes: int = 1,
+    probes: int | None = None,
 ) -> DataFrame:
     """ANN top-k: scan the query's LSH bucket(s), then exact cosine.
 
@@ -174,6 +195,14 @@ def lsh_topk(
     count (``planes_for_rows``); ``probes > 1`` enables multi-probe —
     also scanning the buckets reached by flipping the query's
     weakest-margin planes, recovering the recall that more planes cost.
+
+    ``probes=None`` (the default) uses the full recall-safe budget
+    ``1 + P + C(P, 2)`` (exact bucket + single flips + pairs) — the
+    r13 sf1 gauge showed a SINGLE-probe default holds only ~0.13
+    recall@10 on a weak-similarity corpus, a silent footgun at scale
+    (r13→14 verdict #6). Pass ``probes=1`` explicitly to trade recall
+    for the minimum 1/2^P scan when the corpus's neighbors are tight
+    (cosine ≥ 0.9).
 
     Recall envelope (measured at the sf1 bench corpus, recorded in
     BASELINE.md and gated by test_scale_utils): hyperplane-LSH recall
@@ -196,6 +225,8 @@ def lsh_topk(
 
         # parquet-footer / env-hint estimate before any full scan
         num_planes = planes_for_rows(approx_row_count(df))
+    if probes is None:
+        probes = lsh_probe_budget(num_planes)
 
     # compute the query's per-plane margins with a 1-row DataFrame
     # through the same expressions, so driver and executors can never

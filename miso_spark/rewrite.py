@@ -157,7 +157,9 @@ def _referenced_heads(e) -> set:
 
 def _referenced_paths(e) -> set:
     """Full dotted path strings of every field referenced by ``e``."""
-    return {str(f.path) for f in _referenced_fields(e)}
+    fields = _referenced_fields(e)
+    _charge_work(len(fields) + 1)
+    return {str(f.path) for f in fields}
 
 
 def _head(name: str) -> str:
@@ -1064,6 +1066,7 @@ def _hits_right(path: str, right_fields: set) -> bool:
     equality would classify ``a.b`` as LEFT when the right outputs
     object ``a`` — and push the condition to the wrong side; treating
     prefix relations as right hits is the sound reading)."""
+    _charge_work(len(right_fields) + 1)
     return any(_related(path, rf) for rf in right_fields)
 
 
@@ -1162,6 +1165,7 @@ def required_before_step(step, after: set):
     for a shape the exact-match model can't track soundly (a nested
     path overlapping an extend/rename target — the reference misses
     those and can under-require; we bail)."""
+    _charge_work(len(after) + 1)
     if isinstance(step, P.CountStep):
         return set()
     if isinstance(step, P.SummarizeStep):
@@ -1639,6 +1643,37 @@ MAX_OPT_STEPS = 2000
 #: trip. The counter early-exits at the budget, so the check itself
 #: stays O(budget) per round even on a pathological plan.
 MAX_OPT_TOTAL_STEPS = 20_000
+#: PER-RUN work budget over the required-fields/path machinery (r13→14
+#: verdict: a 30-min burn sat in _hits_right under
+#: push_project_into_join — the step/depth guards bound plan SIZE but
+#: not the (rounds × sub-plan recursion × per-pass path comparisons)
+#: product, which on an adversarial shape multiplies into CPU-hours
+#: with the plan never growing). Units ≈ one _related() path
+#: comparison. The widest bench plan spends < 10^5 units end-to-end;
+#: the budget is ~3 orders above that and ~3 below the observed burn.
+MAX_OPT_WORK = 50_000_000
+#: total fixpoint ROUNDS per top-level optimize run, summed across all
+#: sub-plan recursions: ping-ponging passes (A does, B undoes) churn
+#: rounds at every nesting level — a (rounds × sub-plans)^depth
+#: product the plan-size guard never sees.
+MAX_OPT_ROUNDS_TOTAL = 100_000
+
+
+def _charge_work(units: int) -> None:
+    """Debit ``units`` from the per-run optimizer work budget (armed
+    only inside a top-level optimize_steps; helpers called from
+    negotiation or tests outside a run are uncounted)."""
+    w = getattr(_opt_tls, "work", None)
+    if w is None:
+        return
+    w += units
+    _opt_tls.work = w
+    if w > MAX_OPT_WORK:
+        raise RuntimeError(
+            f"optimizer runaway: path-comparison work exceeded "
+            f"{MAX_OPT_WORK} units in one optimize run (required-fields"
+            f" walk churn — see rewrite.py MAX_OPT_WORK)"
+        )
 
 
 def _bounded_plan_size(steps, budget: int) -> int:
@@ -1677,16 +1712,35 @@ def optimize_steps(
             f"optimizer runaway: sub-plan recursion exceeded "
             f"{MAX_OPT_DEPTH} levels at {[type(s).__name__ for s in steps[:8]]}"
         )
+    if depth == 0:
+        # arm the per-run work/rounds budgets (top-level entry only —
+        # nested recursions share them, which is the point: the burn
+        # is the product across levels)
+        _opt_tls.work = 0
+        _opt_tls.rounds = 0
     _opt_tls.depth = depth + 1
     try:
         return _optimize_steps_inner(steps, max_rounds, can_absorb, push_unions)
     finally:
         _opt_tls.depth = depth
+        if depth == 0:
+            _opt_tls.work = None
+            _opt_tls.rounds = None
 
 
 def _optimize_steps_inner(steps, max_rounds, can_absorb, push_unions) -> tuple:
     out = list(steps)
     for _ in range(max_rounds):
+        r = getattr(_opt_tls, "rounds", None)
+        if r is not None:
+            _opt_tls.rounds = r = r + 1
+            if r > MAX_OPT_ROUNDS_TOTAL:
+                raise RuntimeError(
+                    f"optimizer runaway: fixpoint rounds exceeded "
+                    f"{MAX_OPT_ROUNDS_TOTAL} across sub-plan recursions "
+                    f"(pass ping-pong — top shapes "
+                    f"{[type(s).__name__ for s in out[:8]]})"
+                )
         if len(out) > MAX_OPT_STEPS or (
             _bounded_plan_size(out, MAX_OPT_TOTAL_STEPS)
             > MAX_OPT_TOTAL_STEPS

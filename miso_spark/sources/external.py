@@ -204,8 +204,17 @@ def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
     if ts is None or ts not in df.columns:
         return df
     dt = df.schema[ts].dataType
+    # withColumn drops the replaced column's metadata — re-attach it so
+    # a wire frame's WIRE_NULL_IS_MISSING_MD survives the retype and
+    # dcount over the timestamp field skips absent-key nulls like
+    # every other field of the same frame (r13→14 ADVICE)
+    md = dict(df.schema[ts].metadata or {})
+
+    def _keep_md(out: DataFrame) -> DataFrame:
+        return out.withMetadata(ts, md) if md else out
+
     if isinstance(dt, StringType):
-        return df.withColumn(ts, _string_timestamp_col(ts))
+        return _keep_md(df.withColumn(ts, _string_timestamp_col(ts)))
     if isinstance(dt, NumericType):
         # time_utils.rs:3 magnitude thresholds (MAX_TIMESTAMP_SECONDS
         # = 8589934591 and its 1e3/1e6 multiples). Dispatch on the
@@ -216,14 +225,14 @@ def _timestamp_typed(df: DataFrame, ts: str | None) -> DataFrame:
         # conversion. SQL DIV truncates toward zero like Rust's `/`.
         mag = F.abs(F.col(f"`{ts}`"))
         lng = F.col(f"`{ts}`").cast("long")
-        return df.withColumn(
+        return _keep_md(df.withColumn(
             ts,
             # seconds may be fractional — convert the original value
             F.when(mag <= F.lit(8589934591), F.timestamp_seconds(F.col(f"`{ts}`")))
             .when(mag <= F.lit(8589934591_000), F.timestamp_millis(lng))
             .when(mag <= F.lit(8589934591_000_000), F.timestamp_micros(lng))
             .otherwise(F.timestamp_micros(F.expr(f"CAST(`{ts}` AS BIGINT) DIV 1000"))),
-        )
+        ))
     return df
 
 
@@ -692,12 +701,21 @@ class ElasticsearchSource(ExternalHttpSource):
         super().__init__(url, timeout_s, auth=auth,
                          refresh_interval_s=refresh_interval_s)
         if scroll_timeout_s is not None:
-            self.scroll_timeout_s = int(scroll_timeout_s)
+            # keep sub-second precision: int() turned "500ms" into a
+            # "0s" keep-alive — an immediately-expiring scroll context
+            # and silent data loss on multi-page scrolls (r13→14
+            # ADVICE). Whole seconds still render "Ns" on the wire.
+            self.scroll_timeout_s = scroll_timeout_s
         if scroll_size is not None:
             self.scroll_size = int(scroll_size)
         self.timestamp_fields = timestamp_fields or {}
         self.stats_fields = stats_fields or {}
         self.slices = max(1, slices)
+
+    @property
+    def _scroll_keepalive(self) -> str:
+        s = self.scroll_timeout_s
+        return f"{int(s)}s" if float(s).is_integer() else f"{int(s * 1000)}ms"
 
     def fetch_stats(self):
         """Per-field distinct counts via ES ``cardinality`` aggs
@@ -811,10 +829,10 @@ class ElasticsearchSource(ExternalHttpSource):
                 # so absorbed top-n keeps the driver path)
                 fetch = _make_slice_fetcher(
                     self.url,
-                    f"/{indexes}/_search?scroll={self.scroll_timeout_s}s"
+                    f"/{indexes}/_search?scroll={self._scroll_keepalive}"
                     f"&size={scroll_size}",
                     "/_search/scroll",
-                    f"{self.scroll_timeout_s}s",
+                    self._scroll_keepalive,
                     body, self.slices, handle.limit, self.timeout_s,
                     auth_header=self.auth.header,
                     insecure=self.accept_invalid_certs,
@@ -837,7 +855,7 @@ class ElasticsearchSource(ExternalHttpSource):
                 df = _timestamp_typed(df, handle.timestamp_field)
                 return df
             payload = self._post_json(
-                f"/{indexes}/_search?scroll={self.scroll_timeout_s}s&size={scroll_size}",
+                f"/{indexes}/_search?scroll={self._scroll_keepalive}&size={scroll_size}",
                 body,
             )
             docs = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
@@ -846,7 +864,7 @@ class ElasticsearchSource(ExternalHttpSource):
             while docs and scroll_id and (handle.limit is None or len(docs) < handle.limit):
                 payload = self._post_json(
                     "/_search/scroll",
-                    {"scroll": f"{self.scroll_timeout_s}s", "scroll_id": scroll_id},
+                    {"scroll": self._scroll_keepalive, "scroll_id": scroll_id},
                 )
                 page = [h["_source"] for h in payload.get("hits", {}).get("hits", [])]
                 self.docs_fetched += len(page)
@@ -1064,8 +1082,19 @@ class SplunkSource(ExternalHttpSource):
         # SplunkConfig (splunk/mod.rs:95): url + auth + refresh/job
         # intervals + result_batch_size + accept_invalid_certs +
         # enable_partial_stream + preview_interval
-        if token is not None and auth is None:
-            # legacy shorthand for SplunkAuth::Token (splunk/mod.rs:70)
+        if token is not None and auth is not None and auth.header is not None:
+            # fail loud on conflicting credentials (r13→14 ADVICE): the
+            # legacy kwarg silently losing to the auth block is the
+            # same silent-misconfig class the strict config validation
+            # exists to reject
+            raise ValueError(
+                "SplunkSource: both `token` and a non-none `auth` block "
+                "were supplied — configure exactly one credential"
+            )
+        if token is not None and (auth is None or auth.header is None):
+            # legacy shorthand for SplunkAuth::Token (splunk/mod.rs:70);
+            # an explicit type-none auth block carries no credential,
+            # so the token still applies
             auth = ConnectorAuth.bearer(token)
         super().__init__(url, timeout_s, auth=auth,
                          accept_invalid_certs=accept_invalid_certs,
@@ -1340,13 +1369,10 @@ class SplunkSource(ExternalHttpSource):
                 # min/max over _time come back as epoch strings —
                 # same RFC3339-else-f64-epoch parse as hit rows
                 df = df.withColumn(c, _string_timestamp_col(c))
-        # dc() null-bucket correction (spl.py apply_summarize): add the
-        # conflated missing/null bucket back and drop the companions
-        for n, a, v in handle.dcount_corrections():
-            if n in df.columns and a in df.columns and v in df.columns:
-                df = df.withColumn(
-                    n, F.col(n) + (F.col(a) > F.col(v)).cast("double")
-                ).drop(a, v)
+        # (the r11 dc() "+1 null-bucket correction" is retired: dc()
+        # skips missing-field events exactly like the engine's wire-
+        # aware dcount now does — compiler._wire_field_null_missing,
+        # summarize.rs:567-578 parity — so absorbed dc needs no fixup)
         # sum/avg empty-input identities (spl.py agg_zero_fill): Splunk
         # omits the field for value-less groups; the engine emits 0/0.0
         # (a column omitted from EVERY row doesn't even infer — add it)
@@ -1407,18 +1433,6 @@ class SplunkSource(ExternalHttpSource):
                                 break
                     except (ValueError, OverflowError):
                         pass
-        # dc() null-bucket correction, mirroring search()'s DataFrame
-        # path for rows delivered straight to SSE
-        for n, a, v in handle.dcount_corrections():
-            if n in out and a in out and v in out:
-                try:
-                    out[n] = float(out[n]) + (
-                        1.0 if float(out[a]) > float(out[v]) else 0.0
-                    )
-                except (TypeError, ValueError):
-                    pass
-                out.pop(a, None)
-                out.pop(v, None)
         # sum/avg empty-input identities, mirroring search()
         for n, fill in handle.agg_zero_fill():
             if out.get(n) is None:

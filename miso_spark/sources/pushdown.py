@@ -66,11 +66,6 @@ class PushHandle:
     #: group_by_value_to_datetime keyed by the by-EXPRESSION's field,
     #: not the output name: `by k = bin(@time, 1d)` must convert `k`)
     group_ts_keys: frozenset = frozenset()
-    #: dcount outputs needing the null-bucket correction at decode
-    #: (cardinality skips docs whose field is missing/null; the
-    #: engine's typed dcount counts that conflated bucket as ONE
-    #: distinct value — a companion value_count detects it)
-    dcount_fields: tuple = ()
     #: sum/avg outputs whose EMPTY-input identity the decode must
     #: restore (summarize.rs:513,655: sum of no values is 0, avg is
     #: 0.0 — wire metrics come back null/omitted there)
@@ -213,11 +208,9 @@ class PushHandle:
 
         count_fields: list[str] = []
         agg_ts_fields: set[str] = set()
-        dcount_fields: list[str] = []
         sum_zero: list[str] = []
         avg_zero: list[str] = []
         inner_aggs: dict = {}
-        out_names = {n for n, _ in step.aggs} | {bf.name for bf in step.by}
         for name, agg in step.aggs:
             if agg.kind == "count":
                 # always available as the bucket's doc_count
@@ -231,22 +224,16 @@ class PushHandle:
                 elif agg.kind == "avg":
                     avg_zero.append(name)
             elif agg.kind == "dcount":
-                # cardinality SKIPS docs whose field is missing or
-                # null, but the engine-side fallback (json-inferred
-                # typed rows conflate both into SQL null) counts that
-                # bucket as ONE distinct value — absorbing bare
-                # cardinality made pushdown-on disagree with
-                # pushdown-off (found r11). Ship a companion
-                # value_count; decode adds 1 when doc_count exceeds it
-                # (some doc in the group lacked the field).
+                # bare cardinality absorbs, matching the reference's
+                # request shape (quickwit.rs:1396): it SKIPS docs whose
+                # field is missing, and since r13 the engine-side
+                # dcount over wire frames skips absent-key nulls too
+                # (compiler._wire_field_null_missing, summarize.rs:
+                # 567-578 parity). The r11 "+1 null-bucket" companion
+                # value_count is retired — it emulated the old typed
+                # conflation and would now diverge from the engine arm.
                 op = "cardinality"
                 agg_field = _plain_field(agg.arg)
-                if agg_field is None or f"{name}__vc" in out_names:
-                    return None
-                inner_aggs[f"{name}__vc"] = {
-                    "value_count": {"field": agg_field}
-                }
-                dcount_fields.append(name)
             elif agg.kind == "countif" and isinstance(agg.arg, Exists):
                 # countif(exists(f)) → value_count (quickwit.rs:1402)
                 op = "value_count"
@@ -314,7 +301,6 @@ class PushHandle:
             count_fields=tuple(count_fields),
             agg_timestamp_fields=frozenset(agg_ts_fields),
             group_ts_keys=frozenset(group_ts_keys),
-            dcount_fields=tuple(dcount_fields),
             sum_zero_fields=tuple(sum_zero),
             avg_zero_fields=tuple(avg_zero),
             source_includes=(),
@@ -482,6 +468,19 @@ def negotiate(plan: P.Plan, handle: PushHandle, source=None) -> tuple[PushHandle
                 # terms/stats-by aggregations drop null/missing group
                 # keys service-side, losing exactly the bucket this
                 # variant exists to keep — stays engine-side
+                break
+            if step.partial and any(
+                a.kind in ("min", "max") for _, a in step.aggs
+            ):
+                # union-split min/max PARTIAL (r13): an empty-state
+                # partial must come back MISSING (the merge skips it,
+                # summarize.rs:493 Option None) — the compiler tags
+                # engine-side partial outputs MISSING_AS_NULL_MD, but
+                # a wire-absorbed result frame carries only
+                # WIRE_NULL_IS_MISSING_MD, so in a mixed wire+dynamic
+                # union the lift would read the NULL as a PRESENT
+                # void null and it would win the merged min (r13→14
+                # ADVICE). Stays engine-side, like keep_null_keys.
                 break
             summ = step
             if static:
@@ -660,17 +659,6 @@ def decode_aggregations(payload: dict, handle: PushHandle) -> list[dict]:
                 continue
             if "value" in value_wrap:
                 row[name] = value_wrap["value"]
-        for name in handle.dcount_fields:
-            # r13: the ``__vc`` value_count companion agg still ships
-            # (request shapes are pinned) but the former +1
-            # "null-bucket correction" is GONE — engine-side dcount
-            # over wire frames now SKIPS absent-key nulls
-            # (compiler._wire_field_null_missing), matching the
-            # service's cardinality/dc accounting and the reference's
-            # accumulator directly, so emulating the old typed
-            # conflation here would re-open the divergence from the
-            # other side.
-            row.pop(f"{name}__vc", None)
         # empty-input identities (summarize.rs:513,655): a group whose
         # agg field has NO present values comes back null from the
         # wire where the engine emits sum → 0 / avg → 0.0

@@ -438,7 +438,6 @@ class SplunkHandle:
         agg_parts = []
         timestamp_fields = set()
         numeric_fields = set()
-        out_names = {n for n, _ in step.aggs} | {bf.name for bf in step.by}
         for name, agg in step.aggs:
             if agg.kind == "count":
                 numeric_fields.add(name)
@@ -464,20 +463,13 @@ class SplunkHandle:
             else:
                 numeric_fields.add(name)
             agg_parts.append(f"{op}({f}) as {name}")
-            if agg.kind == "dcount":
-                # dc() skips events whose field is missing, but the
-                # engine-side fallback (json-inferred typed rows
-                # conflate missing with null) counts that bucket as
-                # ONE distinct value — companions let the decode add 1
-                # when the group has any such event, keeping
-                # pushdown-on == pushdown-off (r11; same correction as
-                # PushHandle's cardinality + value_count)
-                a, v = f"{name}__dcall", f"{name}__dcvc"
-                if a in out_names or v in out_names:
-                    return None
-                numeric_fields |= {a, v}
-                agg_parts.append(f"count as {a}")
-                agg_parts.append(f"count(eval(isnotnull({f}))) as {v}")
+            # dc() skips events whose field is missing — and since r13
+            # the engine-side dcount over wire frames ALSO skips
+            # absent-key nulls (compiler._wire_field_null_missing,
+            # summarize.rs:567-578 parity), so bare dc() absorbs with
+            # no companion aggs (the r11 "+1 null-bucket" correction
+            # is retired: it emulated the old typed conflation and
+            # would now DIVERGE from the engine arm)
         by_fields = []
         renames = []
         for bf in step.by:
@@ -578,24 +570,6 @@ class SplunkHandle:
                     if frm in fills:
                         fills[to] = fills.pop(frm)
         return tuple(sorted(fills.items()))
-
-    def dcount_corrections(self) -> tuple:
-        """(name, all_field, vc_field) triplets for absorbed dc()
-        outputs carrying the null-bucket companions (see
-        apply_summarize) — the search decode adds 1 to ``name`` when
-        ``all > vc`` and drops the companions."""
-        out = []
-        for op in self.pipeline:
-            if op[0] != "stats":
-                continue
-            parts = op[1].split(", ")
-            names = {p.rsplit(" as ", 1)[1] for p in parts if " as " in p}
-            for p in parts:
-                if p.startswith("dc(") and " as " in p:
-                    n = p.rsplit(" as ", 1)[1]
-                    if f"{n}__dcall" in names and f"{n}__dcvc" in names:
-                        out.append((n, f"{n}__dcall", f"{n}__dcvc"))
-        return tuple(out)
 
     # ---- SPL rendering (splunk/mod.rs:213-310 build_spl) -------------
 

@@ -336,3 +336,32 @@ def test_timeout_s_config_key_applies(spark):
     assert srv.miso.registry.source("sp").timeout_s == 9.5
     srv.add_connector("qw", {"type": "quickwit", "url": "http://x", "timeout_s": 4})
     assert srv.miso.registry.source("qw").timeout_s == 4
+
+
+def test_splunk_token_and_auth_conflict_raises():
+    """r13→14 ADVICE: conflicting credentials must fail loud (the
+    legacy `token` kwarg silently lost to an `auth` block)."""
+    from miso_spark.sources.external import ConnectorAuth, SplunkSource
+
+    with pytest.raises(ValueError, match="exactly one credential"):
+        SplunkSource(
+            "https://example:8089", token="t1",
+            auth=ConnectorAuth.basic("u", "p"),
+        )
+    # token + explicit none-auth is the legacy shorthand — allowed
+    s = SplunkSource("https://example:8089", token="t1",
+                     auth=ConnectorAuth())
+    assert s.auth.header == "Bearer t1"
+
+
+def test_es_subsecond_scroll_timeout_keeps_ms_precision():
+    """r13→14 ADVICE: int() truncated "500ms" to a "0s" keep-alive —
+    an immediately-expiring scroll context."""
+    from miso_spark.sources.external import ElasticsearchSource
+
+    es = ElasticsearchSource("http://example:9200", scroll_timeout_s=0.5)
+    assert es._scroll_keepalive == "500ms"
+    es = ElasticsearchSource("http://example:9200", scroll_timeout_s=45)
+    assert es._scroll_keepalive == "45s"
+    # default unchanged
+    assert ElasticsearchSource("http://example:9200")._scroll_keepalive == "30s"

@@ -143,6 +143,21 @@ def _compilers(spark, src):
 
 
 def _norm_val(v):
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # pragma: no cover
+        VariantVal = ()
+    if isinstance(v, VariantVal):
+        # decode the dynamic value to what the user-facing JSON paths
+        # (df.toJSON(), the server's SSE) render: a VARIANT array IS
+        # the array, not its serialized text. Without this, a
+        # variant-vs-typed encoding split between the two arms — e.g.
+        # a union whose wire-filtered branch came back EMPTY, so only
+        # the engine arm saw a string∪array conflict and lifted to
+        # variant — reads as a row diff when the VALUES are identical
+        # (r13 fuzz find on test.stack | where not(exists(questionId))
+        # | mv-expand tags | union (test.stack_mirror)).
+        return _norm_val(json.loads(str(v)))
     if isinstance(v, bool):
         return v
     if isinstance(v, float) and v.is_integer():
@@ -162,7 +177,13 @@ def _rows(df) -> list[str]:
     out = []
     for r in df.collect():
         d = r.asDict(recursive=True)
-        d = {k: _norm_val(v) for k, v in d.items() if v is not None}
+        # normalize BEFORE the null drop so a present-null VARIANT
+        # (decodes to None) is dropped exactly like a typed NULL — the
+        # two arms may legitimately differ in which encoding carries
+        # the null (schema-on-read inference), and this comparator
+        # compares values, not encodings
+        d = {k: _norm_val(v) for k, v in d.items()}
+        d = {k: v for k, v in d.items() if v is not None}
         out.append(json.dumps(d, sort_keys=True, default=str))
     return sorted(out)
 
@@ -600,13 +621,14 @@ def test_dcount_union_split_stays_engine_side_on_wire_paths(spark, rigs):
 
 @pytest.mark.parametrize("connector", ("Elastic", "Quickwit", "Splunk"))
 def test_dcount_missing_field_pushdown_equals_engine(spark, rigs, connector):
-    """r11: wire distinct-counts (cardinality / dc) SKIP docs whose
-    field is missing, while the engine-side fallback — typed json
-    inference conflates missing with null — counts that bucket as one
-    distinct value. The absorbed form now ships a null-bucket
-    companion (value_count / count-pair) and the decode adds it back,
-    so pushdown-on == pushdown-off on a PARTIALLY-MISSING field
-    (acceptedAnswerId exists only on question docs)."""
+    """Wire distinct-counts (cardinality / dc) SKIP docs whose field
+    is missing — and so does the engine-side dcount over wire frames
+    (compiler._wire_field_null_missing tags schema-on-read NULLs as
+    absent keys; summarize.rs:567-578 skips missing args). Both arms
+    therefore agree on d = 0 for a field absent from EVERY doc of a
+    group (acceptedAnswerId exists only on question docs) — the r11
+    "+1 null-bucket companion" era pinned d = 1 here, which emulated
+    the retired typed-ingest conflation."""
     stub, src = rigs[connector]
     push, plain = _compilers(spark, src)
     q = "test.stack | summarize d = dcount(acceptedAnswerId), n = count() by type"
@@ -614,6 +636,31 @@ def test_dcount_missing_field_pushdown_equals_engine(spark, rigs, connector):
     plain_rows = _rows(plain.run(parse_kql(q)))
     assert push_rows == plain_rows, (connector, push_rows, plain_rows)
     by_type = {json.loads(r)["type"]: json.loads(r) for r in push_rows}
-    # answer docs never carry acceptedAnswerId → the conflated bucket
-    # is exactly one distinct value
-    assert by_type["answer"]["d"] == 1, by_type
+    # answer docs never carry acceptedAnswerId → every arg is missing
+    # → the accumulator never admits a value (reference-correct d = 0)
+    assert by_type["answer"]["d"] == 0, by_type
+    # question docs all carry it → a real distinct count
+    assert by_type["question"]["d"] > 0, by_type
+
+
+@pytest.mark.parametrize("connector", ("Elastic", "Quickwit", "Splunk"))
+def test_dcount_filtered_schema_inference_symmetry(spark, rigs, connector):
+    """r13 guarded-re-hunt find, pinned: `where exists(f) | mv-expand
+    | summarize dcount(g)` where the FILTERED docs never carry g. The
+    pushdown arm's wire-filtered fetch infers NO g column at all
+    (provably-missing → dcount 0); the engine arm's unfiltered fetch
+    infers g, leaving an all-null TYPED column post-filter — which
+    must ALSO read 0 because wire-frame NULLs are tagged absent-key
+    (WIRE_NULL_IS_MISSING_MD survives filter/expand; summarize.rs:
+    567-578 skips missing args). Both arms d = 0, no null bucket."""
+    stub, src = rigs[connector]
+    push, plain = _compilers(spark, src)
+    q = (
+        "test.stack | where exists(acceptedAnswerId) | mv-expand tags"
+        " | mv-expand tags | summarize dc = dcount(answerId) by questionId"
+    )
+    push_rows = _rows(push.run(parse_kql(q)))
+    plain_rows = _rows(plain.run(parse_kql(q)))
+    assert push_rows == plain_rows, (connector, push_rows, plain_rows)
+    for r in push_rows:
+        assert json.loads(r)["dc"] == 0, push_rows

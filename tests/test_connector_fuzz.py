@@ -237,6 +237,16 @@ def pipelines(draw) -> str:
 # INPUT frames, before its own conflict lifts.
 @example(q="test.stack | mv-expand tags | sort by @time asc"
            " | union (test.stack_mirror | sort by @time asc | take 1)")
+# r13 fuzz find (fixed r14): the absorbed not(exists) filter emptied
+# the main branch, so its wire-inferred schema had NO tags column and
+# the union saw no string∪array conflict — tags stayed a typed array
+# while the engine arm (unfiltered fetch, post-union conflict) lifted
+# to VARIANT. The VALUES were identical; the comparator conflated
+# encoding with value by rendering VariantVal via default=str.
+# _norm_val now decodes variants to what df.toJSON()/the server
+# renders, so semantically-equal arms compare equal.
+@example(q="test.stack | where not(exists(questionId)) | mv-expand tags"
+           " | union (test.stack_mirror)")
 @pytest.mark.parametrize("connector", ("Quickwit", "Elastic", "Splunk"))
 def test_pushdown_matches_no_pushdown(spark, rigs, connector, q):
     stub, src = rigs[connector]

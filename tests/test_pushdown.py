@@ -86,12 +86,12 @@ def test_summarize_emission_matches_reference_shape():
     body = h.build_search_body()
     assert body["size"] == 0
     # nested summarize_0 → summarize_1 → metric aggs, quickwit.rs:1438.
-    # DELIBERATE divergence from the reference's emission (r11): each
-    # dcount ships a companion value_count — cardinality skips docs
-    # whose field is missing/null, which the engine-side fallback
-    # counts as one distinct value; decode adds 1 when doc_count
-    # exceeds the companion, keeping pushdown-on == pushdown-off
-    # (the reference's own wire and engine disagree on this bucket).
+    # dcount ships as BARE cardinality, matching the reference's
+    # emission (quickwit.rs:1396): it skips docs whose field is
+    # missing, and so does the engine-side wire-aware dcount
+    # (compiler._wire_field_null_missing). The r14-retired r11
+    # companion value_count ("+1 null-bucket correction") emulated the
+    # old typed conflation and would now diverge from the engine arm.
     assert body["aggs"] == {
         "summarize_0": {
             "terms": {"field": "event_type", "size": MAX_NUM_GROUPS},
@@ -101,14 +101,12 @@ def test_summarize_emission_matches_reference_shape():
                     "aggs": {
                         "peak": {"max": {"field": "value"}},
                         "users": {"cardinality": {"field": "user_id"}},
-                        "users__vc": {"value_count": {"field": "user_id"}},
                         "seen": {"value_count": {"field": "props"}},
                     },
                 }
             },
         }
     }
-    assert h.dcount_fields == ("users",)
 
 
 def test_summarize_numeric_bin_is_histogram():
@@ -1809,3 +1807,38 @@ def test_identical_topn_reabsorb_keeps_zero_limit():
     h = PushHandle().apply_topn(top.sorts, top.n).apply_limit(0)
     again = h.apply_topn(top.sorts, top.n)
     assert again is not None and again.limit == 0
+
+
+def test_partial_minmax_summarize_stays_engine_side():
+    """r13→14 ADVICE (medium): a union-split min/max PARTIAL must not
+    be wire-absorbed. The engine compiles a partial's min/max outputs
+    with MISSING_AS_NULL_MD so an empty-state NULL stays missing
+    through a variant lift and the merge skips it (summarize.rs:493
+    Option::None); a wire-decoded frame carries only
+    WIRE_NULL_IS_MISSING_MD, which the lift does not read — in a
+    mixed wire+dynamic union the empty partial would become a present
+    VOID null and win the merged min. negotiate refuses, like the
+    keep_null_keys dcount-partial gate."""
+    from miso_spark.sources.pushdown import negotiate
+
+    plan = parse_kql("c.t | summarize mn = min(v), mx = max(v) by k")
+    summ = plan.steps[-1]
+    partial = replace(summ, partial=True)
+
+    # sanity: the NON-partial form absorbs fully
+    h, residual = negotiate(plan, PushHandle())
+    assert [type(s).__name__ for s in residual.steps] == ["Scan"]
+
+    h2, residual2 = negotiate(
+        P.Plan((plan.steps[0], partial)), PushHandle()
+    )
+    assert any(
+        isinstance(s, P.SummarizeStep) and s.partial for s in residual2.steps
+    ), residual2.steps
+
+    # a partial WITHOUT min/max (sum/count split) still absorbs — the
+    # empty identities (0 / 0.0) need no missing-state channel
+    plan3 = parse_kql("c.t | summarize s = sum(v), n = count() by k")
+    partial3 = replace(plan3.steps[-1], partial=True)
+    h3, residual3 = negotiate(P.Plan((plan3.steps[0], partial3)), PushHandle())
+    assert [type(s).__name__ for s in residual3.steps] == ["Scan"]

@@ -1200,3 +1200,70 @@ def test_minmax_union_split_empty_branch_state(spark):
             assert base == split == [{"mn": 0, "mx": 5}], (
                 q, mem is mem_d, base, split,
             )
+
+
+class TestRunawayGuards:
+    """r13/r14 optimizer runaway guards: plan size + recursion depth
+    (r13) and the per-run work/rounds budgets (r14 — the observed
+    30-min burn sat in _hits_right's path comparisons with the plan
+    never growing, invisible to the size guards)."""
+
+    def test_depth_guard_trips(self):
+        import miso_spark.rewrite as rw
+
+        # build a plan nested past MAX_OPT_DEPTH union sub-plans
+        inner = P.Plan((P.Scan("c", "t"),))
+        for _ in range(rw.MAX_OPT_DEPTH + 2):
+            inner = P.Plan((P.Scan("c", "t"), P.Union(inner)))
+        with pytest.raises(RuntimeError, match="recursion exceeded"):
+            optimize_steps(inner.steps)
+
+    def test_work_budget_raises_and_disarms(self):
+        import miso_spark.rewrite as rw
+
+        # armed: charging past the budget raises
+        rw._opt_tls.work = rw.MAX_OPT_WORK
+        try:
+            with pytest.raises(RuntimeError, match="path-comparison work"):
+                rw._charge_work(1)
+        finally:
+            rw._opt_tls.work = None
+        # disarmed (outside a run): charging is a no-op
+        rw._charge_work(10**12)
+
+    def test_rounds_budget_raises(self, monkeypatch):
+        import miso_spark.rewrite as rw
+
+        monkeypatch.setattr(rw, "MAX_OPT_ROUNDS_TOTAL", 1)
+        with pytest.raises(RuntimeError, match="fixpoint rounds"):
+            # needs >1 total round: any plan that changes once does
+            optimize_steps(parse_kql("c.t | sort by x asc | take 3").steps)
+
+    def test_budgets_reset_between_runs(self):
+        import miso_spark.rewrite as rw
+
+        q = "c.t | sort by x asc | take 3 | where y > 1"
+        for _ in range(3):
+            optimize_steps(parse_kql(q).steps)
+        assert getattr(rw._opt_tls, "work", None) is None
+        assert getattr(rw._opt_tls, "rounds", None) is None
+
+    def test_healthy_plans_stay_far_under_budget(self):
+        import miso_spark.rewrite as rw
+
+        q = (
+            "c.t | where a > 1 | extend z = a + b | join kind=inner "
+            "(c.u | project k, v) on $left.a == $right.k "
+            "| summarize n = count(), s = sum(v) by z | sort by n desc | take 5"
+        )
+        rw._opt_tls.depth = 1  # keep the budgets armed after the run
+        rw._opt_tls.work = 0
+        rw._opt_tls.rounds = 0
+        try:
+            optimize_steps(parse_kql(q).steps)
+            assert rw._opt_tls.work < rw.MAX_OPT_WORK // 1000
+            assert rw._opt_tls.rounds < rw.MAX_OPT_ROUNDS_TOTAL // 1000
+        finally:
+            rw._opt_tls.depth = 0
+            rw._opt_tls.work = None
+            rw._opt_tls.rounds = None

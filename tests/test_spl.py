@@ -128,17 +128,16 @@ def test_build_spl_stats_with_by_and_rename():
 def test_build_spl_dcount_and_countif_exists():
     step = _steps("c.t | summarize users = dcount(uid), seen = countif(exists(props)) by k")[1]
     h = _handle().apply_summarize(step)
-    # DELIBERATE divergence from the reference's emission (r11): dc()
-    # ships null-bucket companions — dc skips events whose field is
-    # missing, which the engine-side fallback counts as one distinct
-    # value; the decode adds 1 when all > vc and drops the companions,
-    # keeping pushdown-on == pushdown-off
+    # dc() ships bare, matching the reference's emission
+    # (splunk/mod.rs): it skips events whose field is missing, and so
+    # does the engine-side wire-aware dcount
+    # (compiler._wire_field_null_missing). The r11 "__dcall/__dcvc"
+    # null-bucket companions are retired (r14) — they emulated the old
+    # typed conflation and would now diverge from the engine arm.
     assert (
-        " | stats dc(uid) as users, count as users__dcall,"
-        " count(eval(isnotnull(uid))) as users__dcvc,"
+        " | stats dc(uid) as users,"
         " count(eval(isnotnull(props))) as seen by k"
     ) in h.build_spl("i")
-    assert h.dcount_corrections() == (("users", "users__dcall", "users__dcvc"),)
 
 
 def test_summarize_guards():
