@@ -3,17 +3,19 @@ metadata, with decode/feature-extraction as Arrow-batched Pandas UDFs.
 
 Decode support is tiered by what pure numpy can do:
 
-- **ppm** (binary P6), **bmp** (uncompressed 24-bit BI_RGB), and
-  **png** (8-bit grey/RGB/RGBA, non-interlaced — stdlib zlib inflate
-  + numpy unfilter) decode FOR REAL, returning H×W×3 uint8 RGB, and
-  ``resize_pixels`` runs a real nearest-neighbor resample over them.
-  **wav** (16-bit PCM and 32-bit IEEE float) and **y4m** (C444/C420)
-  decode for real too.
-- entropy-coded formats (jpeg/mp4/16-bit-or-interlaced png…) need a
-  codec library (PIL/ffmpeg) this container doesn't have: they raise
-  NotImplementedError with a clear message. Swapping those arms of
-  ``_decode_payload`` for a PIL call is the only change needed on a
-  real cluster.
+- **ppm** (binary P6), **bmp** (uncompressed 24-bit BI_RGB), **png**
+  (8/16-bit grey/RGB/grey-alpha/RGBA + palette 1/2/4/8 + Adam7
+  interlace — stdlib zlib inflate + numpy unfilter), and **jpeg**
+  (baseline/extended sequential DCT incl. 4:2:0 and restart markers —
+  functions/jpeg.py, pure numpy huffman + IDCT) decode FOR REAL,
+  returning H×W×3 uint8 RGB, and ``resize_pixels`` runs a real
+  nearest-neighbor resample over them. **wav** (16-bit PCM and 32-bit
+  IEEE float) and **y4m** (C444/C420) decode for real too.
+- the remaining stubs are genuinely environmental: progressive JPEG
+  and mp3/mp4 need a codec library (PIL/ffmpeg) this container
+  doesn't have — they raise NotImplementedError with a clear message,
+  and swapping those arms of ``_decode_payload`` for a PIL/ffmpeg
+  call is the only change needed on a real cluster.
 - the ``fake`` format decodes deterministically (payload bytes as the
   sample array) so plumbing tests don't depend on any codec.
 """
@@ -607,6 +609,10 @@ def _decode_payload(fmt: str, payload: bytes) -> np.ndarray:
         return _decode_bmp(bytes(payload))
     if fmt == "png":
         return _decode_png(bytes(payload))
+    if fmt in ("jpeg", "jpg"):
+        from miso_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     if fmt == "wav":
         return _decode_wav(bytes(payload))
     if fmt == "y4m":
@@ -687,7 +693,7 @@ def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
     numpy decoder are dropped (filtered BEFORE the Python stage so
     undecodable payloads never cross Arrow)."""
 
-    decodable = df.filter(F.col("format").isin("ppm", "bmp", "png"))
+    decodable = df.filter(F.col("format").isin("ppm", "bmp", "png", "jpeg", "jpg"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

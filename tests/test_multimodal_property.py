@@ -438,3 +438,162 @@ def _png_payload_interlaced(w, h, depth, color_type, raw, plte=None):
     if plte is not None:
         out += chunk(b"PLTE", plte)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py — r14): pure-numpy T.81 sequential
+# codec. No codec library exists in this container, so coverage comes
+# from (a) encoder↔decoder round-trips at bounded error (the lossy
+# channel crosses the real byte format: canonical huffman, zigzag,
+# quantization, byte stuffing, markers), (b) a hand-assembled DC-only
+# fixture with independently computed expected pixels, and (c) the
+# structural error paths.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    quality=st.integers(70, 100),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_smooth_bounded_error(w, h, quality, seed):
+    from miso_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    # smooth field: random low-frequency cosines (JPEG's design target)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (127 + 90 * np.cos(xx / rng.uniform(6, 20) + rng.uniform(0, 6))
+             * np.cos(yy / rng.uniform(6, 20))).clip(0, 255)
+            for _ in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality))
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # q≥70 on a smooth field: small quantization error only
+    assert err.mean() <= 4.0, (err.mean(), quality)
+    assert err.max() <= 40, (err.max(), quality)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    seed=st.integers(0, 2**31),
+    subsampling=st.sampled_from(["444", "420"]),
+    restart=st.integers(0, 4),
+)
+def test_jpeg_constant_color_exact_all_paths(w, h, seed, subsampling, restart):
+    """A constant image is DC-only: every path (4:2:0 interleave,
+    restart resets, padding) must reproduce it EXACTLY after the
+    ±rounding of the color transform (≤1/255 per channel)."""
+    from miso_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    color = rng.integers(0, 256, 3)
+    img = np.broadcast_to(color, (h, w, 3)).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, 95, subsampling=subsampling, restart_interval=restart)
+    )
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 2, (color.tolist(), err.max())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 25),
+    h=st.integers(1, 25),
+    seed=st.integers(0, 2**31),
+    restart=st.integers(0, 3),
+)
+def test_jpeg_grayscale_roundtrip(w, h, seed, restart):
+    from miso_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = (127 + 100 * np.cos(xx / 7) * np.cos(yy / 9)).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 95, restart_interval=restart))
+    assert out.shape == (h, w, 3)
+    # grayscale bypasses the color transform: tight bound
+    err = np.abs(out.astype(int) - np.stack([g] * 3, axis=-1).astype(int))
+    assert err.max() <= 8, err.max()
+
+
+def test_jpeg_handbuilt_dc_only_fixture():
+    """A JPEG assembled byte-by-byte, independent of encode_jpeg: one
+    8×8 grayscale block, flat quant table (all 16), a 2-symbol DC
+    huffman table, AC table with EOB only. DC value 4 → dequantized 64
+    → IDCT of a DC-only block is the constant 64/8 = 8 → +128 = 136
+    everywhere."""
+    import struct
+
+    from miso_spark.functions.jpeg import decode_jpeg
+
+    out = bytearray(b"\xff\xd8")
+    # DQT id 0: all 16s (zigzag order of a constant table is itself)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    # SOF0: 8-bit, 8×8, 1 component (id 1, sampling 1×1, qtable 0)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DHT DC table 0: one 3-bit code for symbol 3 (category 3)
+    bits = [0, 0, 1] + [0] * 13
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x00" + bytes(bits) + bytes([3])
+    # DHT AC table 0: one 2-bit code for symbol 0 (EOB)
+    bits = [0, 1] + [0] * 14
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x10" + bytes(bits) + bytes([0])
+    # SOS: 1 component, DC 0 / AC 0
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    # entropy: DC code '000' (3 bits, symbol=category 3), value bits
+    # 100 (=4), AC EOB '00' → 000 100 00 = 0b00010000 = 0x10
+    out += bytes([0x10])
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 8, 3)
+    # DC=4 dequant → 64; IDCT: C(0)^2/4 · 64 · cos0·cos0 = 64/8 = 8;
+    # +128 = 136 across the block
+    assert (img == 136).all(), img[0, 0]
+
+
+def test_jpeg_error_paths():
+    import struct
+
+    import pytest
+
+    from miso_spark.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    # progressive: explicit NotImplementedError naming the gap
+    prog = bytearray(b"\xff\xd8")
+    prog += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
+
+
+def test_jpeg_flows_through_extract_features(spark):
+    """The mapInPandas decode path accepts format='jpeg' end-to-end."""
+    from miso_spark.functions.jpeg import encode_jpeg
+    from miso_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    img = np.full((12, 9, 3), 77, dtype=np.uint8)
+    rows = [
+        (1, "image", "jpeg", bytearray(encode_jpeg(img, 95)), (9, 12, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df).collect()
+    assert len(feats) == 1
+    assert feats[0]["n_samples"] == 12 * 9 * 3
+    assert abs(feats[0]["mean_byte"] - 77.0) <= 2.0
+    # and through the resize stage (jpeg is in its decodable set)
+    from miso_spark.functions.multimodal import resize_pixels
+
+    r = resize_pixels(df, max_side=6).collect()
+    assert len(r) == 1 and max(r[0]["width"], r[0]["height"]) == 6
