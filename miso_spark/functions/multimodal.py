@@ -6,16 +6,17 @@ Decode support is tiered by what pure numpy can do:
 - **ppm** (binary P6), **bmp** (uncompressed 24-bit BI_RGB), **png**
   (8/16-bit grey/RGB/grey-alpha/RGBA + palette 1/2/4/8 + Adam7
   interlace — stdlib zlib inflate + numpy unfilter), and **jpeg**
-  (baseline/extended sequential DCT incl. 4:2:0 and restart markers —
-  functions/jpeg.py, pure numpy huffman + IDCT) decode FOR REAL,
-  returning H×W×3 uint8 RGB, and ``resize_pixels`` runs a real
-  nearest-neighbor resample over them. **wav** (16-bit PCM and 32-bit
-  IEEE float) and **y4m** (C444/C420) decode for real too.
-- the remaining stubs are genuinely environmental: progressive JPEG
-  and mp3/mp4 need a codec library (PIL/ffmpeg) this container
-  doesn't have — they raise NotImplementedError with a clear message,
-  and swapping those arms of ``_decode_payload`` for a PIL/ffmpeg
-  call is the only change needed on a real cluster.
+  (baseline/extended sequential AND progressive DCT incl. 4:2:0 and
+  restart markers — functions/jpeg.py, pure numpy huffman + IDCT)
+  decode FOR REAL, returning H×W×3 uint8 RGB, and ``resize_pixels``
+  runs a real nearest-neighbor resample over them. **wav** (16-bit
+  PCM and 32-bit IEEE float) and **y4m** (C444/C420) decode for real
+  too.
+- the remaining stubs are genuinely environmental: mp3/mp4 need a
+  codec library (ffmpeg) this container doesn't have — they raise
+  NotImplementedError with a clear message, and swapping those arms
+  of ``_decode_payload`` for an ffmpeg call is the only change needed
+  on a real cluster.
 - the ``fake`` format decodes deterministically (payload bytes as the
   sample array) so plumbing tests don't depend on any codec.
 """

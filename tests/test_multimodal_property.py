@@ -567,15 +567,62 @@ def test_jpeg_error_paths():
 
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02\x03")
-    # progressive: explicit NotImplementedError naming the gap
-    prog = bytearray(b"\xff\xd8")
-    prog += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(prog))
+    # arithmetic-coded sequential (SOF9): explicit NotImplementedError
+    ar = bytearray(b"\xff\xd8")
+    ar += b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(bytes(ar))
     with pytest.raises(ValueError, match="empty"):
         encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    quality=st.integers(50, 100),
+    seed=st.integers(0, 2**31),
+    subsampling=st.sampled_from(["444", "420"]),
+    restart=st.integers(0, 4),
+)
+def test_jpeg_progressive_decodes_identical_to_baseline(
+    w, h, quality, seed, subsampling, restart
+):
+    """The progressive writer (SOF2: DC first/refine at Al=1, AC band
+    splits at Al=1, AC refinement — EOB runs, correction-bit buffers)
+    serializes the SAME quantized coefficients as the baseline writer,
+    so decoding both must be BIT-IDENTICAL — any slip in the
+    successive-approximation bit accounting breaks equality. Random
+    noise maximizes coefficient churn."""
+    from miso_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    kw = dict(subsampling=subsampling, restart_interval=restart)
+    base = decode_jpeg(encode_jpeg(img, quality, **kw))
+    prog = decode_jpeg(encode_jpeg(img, quality, progressive=True, **kw))
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31),
+    restart=st.integers(0, 3),
+)
+def test_jpeg_progressive_grayscale_identical(w, h, seed, restart):
+    from miso_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g, 90, restart_interval=restart))
+    prog = decode_jpeg(
+        encode_jpeg(g, 90, restart_interval=restart, progressive=True)
+    )
+    assert np.array_equal(base, prog)
 
 
 def test_jpeg_flows_through_extract_features(spark):
