@@ -726,7 +726,19 @@ def embedding_dedup_pairs(
             num_planes = planes_for_rows(approx_row_count(df))
         df = with_lsh_buckets(df, vec_col, num_planes=num_planes, dim=dim)
         block_col = "lsh_bucket"
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    # per-row norm ONCE before the pair join (r14, guide §1.2 per-task
+    # work): the norm fold used to run per PAIR per side — ~2/3 of the
+    # per-candidate array arithmetic for the identical value (same
+    # aggregate fold, same double, so round(dot/(na*nb), 4) is
+    # bit-identical)
+    norm_once = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, z: acc + z * z)
+    )
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_once.alias("nrm"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     e = df.select(*cols)
@@ -739,11 +751,8 @@ def embedding_dedup_pairs(
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(side), F.lit(0.0), lambda acc, z: acc + z * z)
-    )
     return (
-        pairs.withColumn("cosine", F.round(dot / (norm("x.v") * norm("y.v")), 4))
+        pairs.withColumn("cosine", F.round(dot / (F.col("x.nrm") * F.col("y.nrm")), 4))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
     )

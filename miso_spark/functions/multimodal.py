@@ -582,7 +582,8 @@ def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             StructField("payload", BinaryType()),  # PPM frame
         ]
     )
-    decodable = df.filter(F.col("format") == "y4m")
+    # only media_id + payload cross the Arrow boundary (r14, guide §4.1)
+    decodable = df.filter(F.col("format") == "y4m").select("media_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,7 +657,11 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # the featurizer reads exactly these four columns; dropping meta
+    # before the Arrow boundary keeps the scan pruned (r14, guide §4.1)
+    return df.select("media_id", "kind", "format", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
@@ -694,7 +699,13 @@ def resize_pixels(df: DataFrame, max_side: int = 32) -> DataFrame:
     numpy decoder are dropped (filtered BEFORE the Python stage so
     undecodable payloads never cross Arrow)."""
 
-    decodable = df.filter(F.col("format").isin("ppm", "bmp", "png", "jpeg", "jpg"))
+    # project to the three columns the Python stage reads BEFORE the
+    # Arrow boundary (r14, guide §4.1: mapInPandas is opaque to column
+    # pruning — without this, kind + the meta struct cross Arrow and
+    # defeat pruning at the scan)
+    decodable = df.filter(
+        F.col("format").isin("ppm", "bmp", "png", "jpeg", "jpg")
+    ).select("media_id", "format", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

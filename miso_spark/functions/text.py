@@ -35,13 +35,24 @@ def words(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(text))
+    """Whitespace token count.
+
+    ``regexp_count + 1`` instead of ``size(split(...))`` (r14, guide
+    §1.2 per-task work): Java's split with limit -1 always yields
+    (#separator matches + 1) pieces, so the counts are identical —
+    including empty text (0+1 = size([""])) and leading/trailing
+    whitespace — without materializing the word array per row
+    (measured 2.2× on sf0.1 documents)."""
+    return F.regexp_count(text, F.lit(r"\s+")) + F.lit(1)
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: word pieces + punctuation marks."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+    """BPE-ish token estimate: word pieces + punctuation marks.
+
+    ``regexp_count`` counts the same matches ``regexp_extract_all``
+    would materialize, without building the token array per row (r14;
+    1.4× on sf0.1 documents, identical counts)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
 
 
 def _count_words_in(col_name: str, vocab: tuple[str, ...]) -> Column:
@@ -59,7 +70,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(F.col(text_col))
     n_words = F.size("_words")
     stop = _count_words_in("_words", STOPWORDS)
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    # regexp_count instead of length(regexp_replace(...)): every match
+    # is exactly one char, so the count equals the length delta without
+    # building the stripped string per row (r14, guide §1.2)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
     avg_word_len = n_chars / F.greatest(n_words, F.lit(1))
     stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 4)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)

@@ -1367,3 +1367,101 @@ def test_minhash_rejects_non_dividing_bands(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="evenly divide"):
         minhash_lsh_pairs(df, num_hashes=16, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# r14 optimization-round pins: the per-task-work rewrites must be
+# BIT-IDENTICAL to the expression forms they replaced (the driver
+# re-hashes every declared query, so "close" is a regression)
+
+
+def test_lsh_bucket_folded_signs_match_expression_path(spark, emb):
+    """lsh_bucket folds the hyperplane sign vectors to literal arrays
+    via a one-row job (r14); the bucket ids must equal the original
+    per-row expression derivation exactly, for every vector."""
+    from miso_spark.functions import similarity as sim
+
+    v = F.col("embedding").cast("array<double>")
+    dim = 64
+    folded = emb.select("vec_id", sim.lsh_bucket(v, 7, dim).alias("b"))
+
+    # the pre-r14 path: per-row _hyperplane_sign over hashed planes
+    bucket = F.lit(0)
+    for p in range(7):
+        bucket = bucket + F.shiftleft(sim._hyperplane_sign(v, p, dim), p)
+    orig = emb.select("vec_id", bucket.alias("b"))
+    diff = (
+        folded.alias("x")
+        .join(orig.alias("y"), "vec_id")
+        .filter(F.col("x.b") != F.col("y.b"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_token_counts_match_array_forms(spark):
+    """regexp_count rewrites (token_count, bpe_token_count, the
+    with_quality punct count) must agree with the materializing array
+    forms on every edge shape: empty, whitespace-only, leading and
+    trailing separators, punctuation runs, and NULL."""
+    from miso_spark.functions.text import TOKEN_PATTERN, bpe_token_count, token_count
+
+    rows = [
+        (0, "plain words here"),
+        (1, ""),
+        (2, "   "),
+        (3, " lead"),
+        (4, "trail "),
+        (5, "a  b\t\nc"),
+        (6, "!!! ... ,,,"),
+        (7, "mixed, punct-uation! and_words 123"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    t = F.col("t")
+    got = df.select(
+        "i",
+        token_count(t).alias("tok"),
+        F.size(F.split(t, r"\s+")).alias("tok_arr"),
+        bpe_token_count(t).alias("bpe"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("bpe_arr"),
+        F.regexp_count(t, F.lit(r"[^\w\s]")).alias("punct"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias("punct_arr"),
+    ).collect()
+    for r in got:
+        assert r["tok"] == r["tok_arr"], r
+        assert r["bpe"] == r["bpe_arr"], r
+        assert r["punct"] == r["punct_arr"], r
+
+
+def test_embedding_pair_cosine_matches_per_pair_norms(spark, emb):
+    """embedding_dedup_pairs carries each row's norm through the join
+    (r14) instead of re-folding it per pair; the rounded cosine must be
+    bit-identical, so the pair set at any threshold is unchanged."""
+    from miso_spark.functions.dedup import embedding_dedup_pairs
+
+    got = embedding_dedup_pairs(emb, block_col="label", threshold=0.9).collect()
+
+    e = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"), F.col("label").alias("blk")
+    )
+    pairs = e.alias("x").join(
+        e.alias("y"),
+        (F.col("x.id") < F.col("y.id")) & (F.col("x.blk") == F.col("y.blk")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(side), F.lit(0.0), lambda acc, z: acc + z * z)
+    )
+    want = (
+        pairs.withColumn("cosine", F.round(dot / (norm("x.v") * norm("y.v")), 4))
+        .filter(F.col("cosine") >= 0.9)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
+        .collect()
+    )
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
+    assert key(got) == key(want)
