@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Candidate pairs by shared shingles, scored with exact Jaccard.
 
@@ -97,6 +98,11 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(df, text_col, id_col, n).withColumn(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
+    if materialize_shingles:
+        # r14: computed ONCE, not once per join side — same pattern as
+        # minhash_lsh_pairs' set table (disable where checkpointing is
+        # unavailable; plans stay correct, just recompute per consumer)
+        sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.id") < F.col("b.id")))
@@ -458,18 +464,21 @@ def connected_components(
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("d", "id")
         )
+        # carry the changed flag THROUGH the checkpoint (r14): the
+        # convergence count then reads the materialized blocks instead
+        # of re-joining new labels against old — one join-free job per
+        # round instead of a second full join pipeline
         new_labels = (
             labels.join(prop, "id", "left")
-            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("__chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new")
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     if changed > 0:
@@ -795,6 +804,12 @@ def near_dedup_pipeline(
     can flip both off.
     """
     ex = exact_dedup(df, text_col, id_col)  # content_hash → representative
+    if materialize_signatures:
+        # ex is consumed twice (the representative semi-join and the
+        # member re-attach); without materialization each consumer
+        # re-runs the full scan + md5 + groupBy (r14: plans/r14 showed
+        # documents scanned twice just to rebuild this tiny table)
+        ex = ex.localCheckpoint(eager=False)
     # representatives only: one row per distinct content
     reps = df.join(
         ex.select(F.col("canonical_id").alias(id_col)), id_col, "semi"
