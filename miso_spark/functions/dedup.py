@@ -632,6 +632,7 @@ def simhash_candidates(
     num_blocks: int = 4,
     max_bucket_size: int | None = None,
     word_hash: Callable[[Column], Column] = F.xxhash64,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup candidates by simhash block-combination buckets, scored
     by exact hamming distance.
@@ -648,6 +649,14 @@ def simhash_candidates(
     the cap trade-off).
     """
     sig = simhash_rows(df, text_col, id_col, word_hash)
+    if materialize_signatures:
+        # r14: the banded self-join consumes the signature table on
+        # both sides and one side broadcasts, so Spark cannot reuse the
+        # exchange — without this the whole word-explode + word-hash +
+        # 64-bit-vote aggregation ran TWICE (plans/r14: two full scan→
+        # Generate→HashAggregate pipelines). N rows × (id, sim) — tiny
+        # at any scale.
+        sig = sig.localCheckpoint(eager=False)
 
     # block c spans bits [starts[c], starts[c+1])
     bounds = [round(c * 64 / num_blocks) for c in range(num_blocks + 1)]
@@ -703,6 +712,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.99,
     dim: int | None = None,
     num_planes: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine within a blocking key.
 
@@ -751,6 +761,11 @@ def embedding_dedup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     e = df.select(*cols)
+    if materialize:
+        # r14: the self-join consumes this projection on both sides and
+        # the small side broadcasts (no exchange reuse), so the norm
+        # fold + LSH bucket assignment ran twice per row without it
+        e = e.localCheckpoint(eager=False)
     join_cond = F.col("x.id") < F.col("y.id")
     if block_col:
         join_cond = join_cond & (F.col("x.blk") == F.col("y.blk"))
