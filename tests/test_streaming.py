@@ -194,7 +194,14 @@ def test_multimodal_real_decode_raises(spark):
     from miso_spark.functions.multimodal import _decode_payload
 
     # entropy-coded formats with no pure-numpy decoder stay stubbed
+    # (r14: jpeg decodes for real now — functions/jpeg.py — so only
+    # mp3/mp4 remain stubbed; this pin was written before that landed)
     with pytest.raises(NotImplementedError):
+        _decode_payload("mp3", b"ID3\x04...")
+    # jpeg decodes for real — truncated garbage is a clear JpegError
+    from miso_spark.functions.jpeg import JpegError
+
+    with pytest.raises(JpegError):
         _decode_payload("jpeg", b"\xff\xd8\xff\xe0...")
     # png decodes for real now — a bad signature is a clear ValueError
     with pytest.raises(ValueError, match="signature"):
