@@ -89,6 +89,18 @@ def ngram_jaccard_pairs(
     Inverted-index join: explode shingles (hashed to long), join on the
     shingle hash, count common shingles per pair, then
     |A∩B| / (|A| + |B| − |A∩B|).
+
+    ``materialize_shingles`` scale caveat (ADVICE r14): unlike the
+    minhash/simhash SIGNATURE tables (N rows — tiny at any scale), the
+    checkpointed table here is the exploded shingle table — docs ×
+    shingles rows, i.e. ~the corpus token count. localCheckpoint blocks
+    are disk-backed (spill, not OOM) but NON-REPLICATED and lineage is
+    truncated: on a real cluster an executor/decommission loss fails
+    the query instead of recomputing. On large corpora or
+    decommissioning clusters prefer ``materialize_shingles=False``
+    (each join side recomputes the shingle pipeline — plans stay
+    correct) or persist the shingle table with lineage
+    (``.persist(StorageLevel.MEMORY_AND_DISK)``) instead.
     """
     from pyspark.sql import Window
 

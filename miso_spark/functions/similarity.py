@@ -72,19 +72,28 @@ def _plane_signs(plane_id: int, dim: int) -> Column:
 _PLANE_SIGN_CACHE: dict[tuple[int, int], list[float]] = {}
 
 
-def _plane_sign_values(plane_ids: list[int], dim: int) -> list[list[float]] | None:
+def _plane_sign_values(
+    plane_ids: list[int], dim: int, spark=None
+) -> list[list[float]] | None:
     """Fold the hyperplane sign vectors to Python constants with ONE
     1-row job (r14 optimization-round change, guide §4.1: the previous
     per-row form re-derived every plane element via interpreted
     transform + xxhash64 + string concat for EVERY input row — measured
     6.5× the whole bucket-assignment cost at 12 planes × dim 64).
-    Returns None when no active session exists (callers keep the
-    expression form — identical values, just slower)."""
+
+    NOTE: on a cache miss this submits a 1-row Spark job at PLAN time
+    (expression building), not execution time. Session resolution:
+    the explicit ``spark`` argument (DataFrame-bearing callers pass
+    ``df.sparkSession`` — see ``with_lsh_buckets``) falls back to the
+    thread-local ``getActiveSession()``. Returns None when neither is
+    available (callers keep the expression form — identical values,
+    just slower)."""
     from pyspark.sql import SparkSession
 
     missing = [p for p in plane_ids if (p, dim) not in _PLANE_SIGN_CACHE]
     if missing:
-        spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = SparkSession.getActiveSession()
         if spark is None:
             return None
         row = (
@@ -114,16 +123,21 @@ def planes_for_rows(n_rows: int, target_bucket: int = 256) -> int:
     return max(4, math.ceil(math.log2(n_rows / target_bucket)))
 
 
-def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+def lsh_bucket(vec: Column, num_planes: int, dim: int, spark=None) -> Column:
     """Random-hyperplane LSH bucket id (int in [0, 2^num_planes)).
 
     The plane sign vectors are folded to literal arrays once per
-    process (`_plane_sign_values`), so the per-row work is num_planes
+    process (`_plane_sign_values` — note its plan-time 1-row job on
+    first use per (plane, dim)), so the per-row work is num_planes
     dot products against constants — the same zip_with/aggregate fold
-    (bit-identical bucket ids, asserted in test_scale_utils) without
-    the per-row per-element hash derivation that used to dominate the
-    stage (6.5× at 12 planes × dim 64, sf0.1 embeddings)."""
-    signs = _plane_sign_values(list(range(num_planes)), dim)
+    (bit-identical bucket ids, asserted in
+    test_pipeline_ops.test_lsh_bucket_folded_signs_match_expression_path)
+    without the per-row per-element hash derivation that used to
+    dominate the stage (6.5× at 12 planes × dim 64, sf0.1 embeddings).
+    Pass ``spark`` (e.g. ``df.sparkSession``) from driver threads where
+    ``getActiveSession()`` is unset, or the build silently takes the
+    slower expression path (values stay identical)."""
+    signs = _plane_sign_values(list(range(num_planes)), dim, spark=spark)
     bucket = F.lit(0)
     for p in range(num_planes):
         if signs is None:
@@ -139,7 +153,14 @@ def with_lsh_buckets(
     df: DataFrame, vec_col: str = "embedding", num_planes: int = 4, dim: int = 64
 ) -> DataFrame:
     return df.withColumn(
-        "lsh_bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), num_planes, dim)
+        "lsh_bucket",
+        # df.sparkSession: threaded callers (guide §2.6 job pools) have
+        # no thread-local active session — without it they'd silently
+        # take the 6.5×-slower expression path (ADVICE r14)
+        lsh_bucket(
+            F.col(vec_col).cast("array<double>"), num_planes, dim,
+            spark=df.sparkSession,
+        ),
     )
 
 

@@ -65,37 +65,49 @@ def _count_words_in(col_name: str, vocab: tuple[str, ...]) -> Column:
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, word stats, stopword ratio,
-    punctuation ratio, and a composite score in [0, 1]."""
-    df = df.withColumn("_words", words(F.col(text_col)))
-    n_chars = F.length(F.col(text_col))
-    n_words = F.size("_words")
-    stop = _count_words_in("_words", STOPWORDS)
-    # regexp_count instead of length(regexp_replace(...)): every match
-    # is exactly one char, so the count equals the length delta without
-    # building the stripped string per row (r14, guide §1.2)
-    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
-    avg_word_len = n_chars / F.greatest(n_words, F.lit(1))
-    stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 4)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    punctuation ratio, and a composite score in [0, 1].
+
+    Structure matters here (r15, guide §1.2): the lambda-bearing
+    expressions (``filter``/``array_contains``) drop the projection out
+    of whole-stage codegen, so nothing deduplicates repeated
+    subexpressions at runtime. Each expensive per-row quantity is
+    therefore computed exactly once into a scratch/output column and
+    REFERENCED by the ratios and the composite score — multi-referenced
+    non-cheap aliases block CollapseProject from re-inlining them, so
+    the single evaluation survives into the physical plan (the r14 form
+    re-evaluated the stopword filter and the punct regex once in the
+    ratio and again inside quality_score: ~1.35× measured on sf0.1
+    documents for the text_quality entry)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    df = (
+        df.withColumn("_words", words(t))
+        .withColumn("n_words", F.size("_words"))
+        .withColumn("__stop", _count_words_in("_words", STOPWORDS))
+        # regexp_count instead of length(regexp_replace(...)): every
+        # match is exactly one char, so the count equals the length
+        # delta without building the stripped string per row (r14)
+        .withColumn("__punct", F.regexp_count(t, F.lit(r"[^\w\s]")))
+    )
+    nw = F.col("n_words")
+    df = (
+        df.withColumn("avg_word_len", F.round(n_chars / F.greatest(nw, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(F.col("__stop") / F.greatest(nw, F.lit(1)), 4))
+        .withColumn("punct_ratio", F.round(F.col("__punct") / F.greatest(n_chars, F.lit(1)), 4))
+    )
     # docs that are too short, all punctuation, or stopword-free score
-    # low. Built from the already-rounded ratios so the composite is
-    # reproducible bit-for-bit across engines (see catalog oracle).
+    # low. Built from the already-rounded ratio COLUMNS so the
+    # composite is reproducible bit-for-bit across engines (see catalog
+    # oracle) and each ratio is evaluated once.
     score = (
-        F.least(n_words / F.lit(20.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.3
+        F.least(nw / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0))) * 0.3
     )
-    return (
-        df.withColumn("n_words", n_words)
-        .withColumn("avg_word_len", F.round(avg_word_len, 4))
-        .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn(
-            "quality_score",
-            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(F.round(score, 6)),
-        )
-        .drop("_words")
-    )
+    return df.withColumn(
+        "quality_score",
+        F.when(t.isNull(), F.lit(None)).otherwise(F.round(score, 6)),
+    ).drop("_words", "__stop", "__punct")
 
 
 def with_repetition(
@@ -135,8 +147,14 @@ def with_repetition(
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = matched marker words per
-    language, argmax with deterministic tie-break order en > de > fr."""
-    df = df.withColumn("_w", words(normalize(F.col(text_col))))
+    language, argmax with deterministic tie-break order en > de > fr.
+
+    Splits ``lower(text)`` directly (r15): the former
+    ``words(normalize(text))`` first collapsed whitespace with a
+    regexp_replace and trimmed — pure waste before a ``\\s+`` regex
+    split, whose pieces differ only by empty edge strings that can
+    never match a marker word. Scores and prediction are identical."""
+    df = df.withColumn("_w", F.split(F.lower(F.col(text_col)), r"\s+"))
     scores = {lang: _count_words_in("_w", markers) for lang, markers in LANG_MARKERS.items()}
     for lang, s in scores.items():
         df = df.withColumn(f"score_{lang}", s)

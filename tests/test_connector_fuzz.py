@@ -40,6 +40,16 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout not present",
 )
 
+#: suite-runtime budget (r15, VERDICT r14 #1): these fuzz arms are the
+#: suite's longest pole — the pushdown differential alone ran ~5 min
+#: BEST case at 25 examples × 3 connectors and blew past pytest.ini's
+#: 900 s faulthandler_timeout under host contention, killing the whole
+#: run (rc=139). The default budget keeps the worst case on a loaded
+#: host well inside the faulthandler; the pinned @example regressions
+#: below always run regardless. Set SPARK_GRAFT_FUZZ_EXAMPLES=25 to
+#: restore the deep pre-release sweep.
+_EXAMPLES = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8")))
+
 #: stack-document fields by class (several PARTIALLY missing)
 NUM_FIELDS = ["questionId", "answerId", "acceptedAnswerId"]
 STR_FIELDS = ["user", "type", "title"]
@@ -208,7 +218,7 @@ def pipelines(draw) -> str:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -359,7 +369,7 @@ def _preview_final_equals_batch(spark, preview_rig, q):
 
 
 @settings(
-    max_examples=20,
+    max_examples=max(1, _EXAMPLES * 4 // 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -399,7 +409,7 @@ def view_servers(spark, rigs):
 
 
 @settings(
-    max_examples=12,
+    max_examples=max(1, _EXAMPLES // 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -428,7 +438,7 @@ def test_view_splice_equals_inline(spark, view_servers, connector, q):
 
 
 @settings(
-    max_examples=6,
+    max_examples=max(1, _EXAMPLES // 4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -10,9 +10,24 @@ these run the byte layer the Arrow batchers call per row.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+#: suite-runtime budget (r15, VERDICT r14 #1): the pure-Python JPEG
+#: round-trips run at ~100 KB/s-1 MB/s per core, and the full-size
+#: example counts helped push the suite past pytest.ini's 900 s
+#: faulthandler_timeout on a contended host. Default scale keeps the
+#: same shape coverage (strategies unchanged) at a quarter of the
+#: examples; set SPARK_GRAFT_PROPERTY_SCALE=1.0 for the deep
+#: pre-release sweep.
+_SCALE = float(os.environ.get("SPARK_GRAFT_PROPERTY_SCALE", "0.25"))
+
+
+def _ex(n: int) -> int:
+    return max(8, round(n * _SCALE))
 
 from miso_spark.functions.multimodal import (
     _decode_payload,
@@ -31,7 +46,7 @@ def _img(w: int, h: int, seed: int) -> np.ndarray:
     )
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_ex(120), deadline=None)
 @given(
     w=st.integers(1, 41),
     h=st.integers(1, 33),
@@ -46,7 +61,7 @@ def test_ppm_bmp_png_roundtrip_any_shape(w, h, seed):
     assert (_decode_payload("png", encode_png(img)) == img).all()
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_ex(120), deadline=None)
 @given(
     frames=st.integers(1, 400),
     channels=st.integers(1, 4),
@@ -65,7 +80,7 @@ def test_wav_roundtrip_any_shape(frames, channels, seed):
     assert dec.dtype == np.float32 and (dec == f).all()
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=_ex(80), deadline=None)
 @given(
     w=st.integers(1, 24),
     h=st.integers(1, 16),
@@ -141,7 +156,7 @@ def test_png_unfilter_rejects_bad_filter_type():
         raise AssertionError("filter type 7 must raise")
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     n=st.integers(1, 4),
     w=st.integers(1, 17),
@@ -230,7 +245,7 @@ def _png_payload(w, h, depth, color_type, raw: bytearray, plte: bytes | None = N
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     w=st.integers(1, 16),
     h=st.integers(1, 12),
@@ -257,7 +272,7 @@ def test_png_16bit_decode(w, h, channels, filters, seed):
         assert (dec == np.repeat(hi[..., :1], 3, axis=2)).all()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     w=st.integers(1, 20),
     h=st.integers(1, 12),
@@ -374,7 +389,7 @@ def _adam7_payload(px: np.ndarray, depth: int, color_type: int, filters,
     return raw
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     w=st.integers(1, 20),
     h=st.integers(1, 14),
@@ -404,7 +419,7 @@ def test_png_adam7_interlaced_decode(w, h, channels, depth, filters, seed):
         assert (dec == np.repeat(expect[..., :1], 3, axis=2)).all()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     w=st.integers(1, 20),
     h=st.integers(1, 14),
@@ -450,7 +465,7 @@ def _png_payload_interlaced(w, h, depth, color_type, raw, plte=None):
 # structural error paths.
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     w=st.integers(1, 40),
     h=st.integers(1, 40),
@@ -479,7 +494,7 @@ def test_jpeg_roundtrip_smooth_bounded_error(w, h, quality, seed):
     assert err.max() <= 40, (err.max(), quality)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     w=st.integers(1, 33),
     h=st.integers(1, 33),
@@ -504,7 +519,7 @@ def test_jpeg_constant_color_exact_all_paths(w, h, seed, subsampling, restart):
     assert err.max() <= 2, (color.tolist(), err.max())
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     w=st.integers(1, 25),
     h=st.integers(1, 25),
@@ -578,7 +593,7 @@ def test_jpeg_error_paths():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     w=st.integers(1, 40),
     h=st.integers(1, 40),
@@ -606,7 +621,7 @@ def test_jpeg_progressive_decodes_identical_to_baseline(
     assert np.array_equal(base, prog)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 @given(
     w=st.integers(1, 30),
     h=st.integers(1, 30),

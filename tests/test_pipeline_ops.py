@@ -515,6 +515,50 @@ def test_minhash_materialize_signatures_same_pairs(spark):
     assert pairs(materialize_signatures=False) == pairs() != set()
 
 
+def test_dedup_materialize_flags_same_results(spark):
+    """Every dedup materialize/checkpoint knob is a pure execution
+    choice (VERDICT r14 #5): disabling it must not change a single
+    output row. These are the knobs large-corpus/decommissioning
+    deployments flip off (see ngram_jaccard_pairs' docstring — the
+    shingle-table checkpoint is corpus-sized, unlike the signature
+    tables)."""
+    from miso_spark.functions.dedup import (
+        embedding_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def rows_of(out):
+        return {tuple(r) for r in out.collect()}
+
+    on = rows_of(ngram_jaccard_pairs(df, threshold=0.3))
+    off = rows_of(ngram_jaccard_pairs(df, threshold=0.3, materialize_shingles=False))
+    assert on == off != set()
+
+    on = rows_of(simhash_candidates(df, max_hamming=3))
+    off = rows_of(simhash_candidates(df, max_hamming=3, materialize_signatures=False))
+    assert on == off != set()
+
+    vecs = [
+        (1, [1.0, 0.0, 0.5], "a"),
+        (2, [1.0, 0.01, 0.5], "a"),
+        (3, [-1.0, 0.5, 0.2], "b"),
+        (4, [1.0, 0.0, 0.5], "a"),
+    ]
+    vdf = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    on = rows_of(embedding_dedup_pairs(vdf, threshold=0.9))
+    off = rows_of(embedding_dedup_pairs(vdf, threshold=0.9, materialize=False))
+    assert on == off != set()
+
+
 def test_connected_components_star_matches_label_propagation(spark):
     """large-star/small-star must produce identical components to
     min-label propagation on random graphs, and converge on a long
