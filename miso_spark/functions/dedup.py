@@ -34,34 +34,61 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _hashed_shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Hashed word-n-gram shingle rows ``(id, shh)``, NOT de-duplicated
+    (one row per shingle POSITION; repeated shingles repeat).
+
+    Shape (r15, guide §2.4 remove-shuffles): keep the word array on the
+    row, explode the START-INDEX sequence, and build each shingle with
+    per-row ``slice`` + ``concat_ws`` — plain codegen expressions, no
+    per-element lambda. The previous form exploded words and used a
+    ``lead`` window to gather each shingle's tail, which cost a full
+    Exchange(id) + per-partition Sort of the exploded WORD table before
+    any consumer's own shuffle. Here zero exchanges happen before the
+    consumer's aggregation; the Generate is pipelined inside one
+    codegen stage, so the word array never crosses an exchange either.
+    Index semantics match ``shingles()`` exactly: starts 0..max(m−n, 0),
+    so docs shorter than ``n`` words keep one partial shingle (their
+    whole text); NULL text yields no rows (the old explode-of-null
+    behavior, pinned by the isNotNull guard — without it the index
+    sequence over ``greatest(NULL, 0)`` would emit one empty shingle).
+    """
+    wa = F.split(normalize(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col).alias("id"), wa.alias("__wa"))
+        .filter(F.col("__wa").isNotNull())
+        .select(
+            "id",
+            "__wa",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("__wa") - n, F.lit(0)))
+            ).alias("__p"),
+        )
+        .select(
+            "id",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("__wa"), F.col("__p") + 1, n))
+            ).alias("shh"),
+        )
+    )
+
+
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct hashed word-n-gram shingles as ROWS ``(id, shh)``.
 
-    This is the codegen-friendly relational form of shingling: explode
-    words, window ``lead`` to build n-grams, ``xxhash64`` to longs —
-    every operator participates in whole-stage codegen, unlike
-    array-lambda (higher-order) expressions which run interpreted and
-    were ~20× slower in the same role. Docs shorter than ``n`` words
-    keep one partial shingle (their whole text), matching
-    ``shingles()``.
+    ``_hashed_shingle_rows`` (index-explode + slice, zero pre-shuffle
+    work — see its docstring) followed by one distinct; partial
+    aggregation dedups repeated shingles map-side before the exchange.
+    The r14 form (explode words → window ``lead``) paid an extra full
+    Exchange + Sort of the exploded word table before this distinct.
+    Docs shorter than ``n`` words keep one partial shingle (their whole
+    text), matching ``shingles()``.
     """
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("id").orderBy("pos")
-    wrds = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalize(F.col(text_col)), " ")).alias("pos", "w"),
-    )
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    full = F.lead("w", n - 1).over(win).isNotNull()
-    return (
-        wrds.select("id", "pos", F.concat_ws(" ", *parts).alias("s"), full.alias("full"))
-        .filter(F.col("full") | (F.col("pos") == 0))
-        .select("id", F.xxhash64("s").alias("shh"))
-        .distinct()
-    )
+    return _hashed_shingle_rows(df, text_col, id_col, n).distinct()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -91,30 +118,36 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| − |A∩B|).
 
     ``materialize_shingles`` scale caveat (ADVICE r14): unlike the
-    minhash/simhash SIGNATURE tables (N rows — tiny at any scale), the
-    checkpointed table here is the exploded shingle table — docs ×
-    shingles rows, i.e. ~the corpus token count. localCheckpoint blocks
-    are disk-backed (spill, not OOM) but NON-REPLICATED and lineage is
-    truncated: on a real cluster an executor/decommission loss fails
-    the query instead of recomputing. On large corpora or
-    decommissioning clusters prefer ``materialize_shingles=False``
-    (each join side recomputes the shingle pipeline — plans stay
-    correct) or persist the shingle table with lineage
-    (``.persist(StorageLevel.MEMORY_AND_DISK)``) instead.
+    minhash/simhash SIGNATURE tables (N rows of fixed width — tiny at
+    any scale), the checkpointed table here is the per-doc shingle SET
+    table — N rows, but each row carries the doc's distinct shingle
+    hashes, so total bytes ≈ the corpus's distinct-shingle count
+    (r15: this used to be the EXPLODED shingle table; the set form
+    holds the same longs contiguously with one id per doc instead of
+    one per shingle). localCheckpoint blocks are disk-backed (spill,
+    not OOM) but NON-REPLICATED and lineage is truncated: on a real
+    cluster an executor/decommission loss fails the query instead of
+    recomputing. On large corpora or decommissioning clusters prefer
+    ``materialize_shingles=False`` (each join side recomputes the
+    shingle pipeline — plans stay correct) or persist the set table
+    with lineage (``.persist(StorageLevel.MEMORY_AND_DISK)``) instead.
     """
-    from pyspark.sql import Window
-
-    # per-doc shingle count rides along as a window column so the
-    # expensive shingle subtree is computed twice (join sides), not
-    # four times (the optimizer can't dedup separate size-agg subtrees)
-    sh = shingle_rows(df, text_col, id_col, n).withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    # per-doc shingle SET in ONE exchange (r15, guide §2.4): collect_set
+    # over the raw (possibly-duplicated) shingle rows replaces the r14
+    # chain of distinct (Exchange(id,shh)) + window count (Exchange(id)
+    # + Sort) — size(arr) supplies the per-doc count for free, and both
+    # join sides explode the checkpointed set table back to rows
+    arrs = (
+        _hashed_shingle_rows(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("shh").alias("arr"))
     )
     if materialize_shingles:
-        # r14: computed ONCE, not once per join side — same pattern as
+        # computed ONCE, not once per join side — same pattern as
         # minhash_lsh_pairs' set table (disable where checkpointing is
         # unavailable; plans stay correct, just recompute per consumer)
-        sh = sh.localCheckpoint(eager=False)
+        arrs = arrs.localCheckpoint(eager=False)
+    sh = arrs.select("id", F.size("arr").alias("sz"), F.explode("arr").alias("shh"))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.id") < F.col("b.id")))
@@ -264,16 +297,22 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
 
-    # stage 1: distinct hashed shingle rows — fully codegen (explode +
-    # window lead + xxhash64), see shingle_rows
-    sh = shingle_rows(df, text_col, id_col, shingle_n)
-
-    # stage 2a: per-doc shingle SET (collect_list of already-distinct
-    # rows). Kept free of other aggregate expressions: collect_list
-    # forces ObjectHashAggregate whose 128-key sort-based fallback
-    # would drag any sibling agg expressions out of codegen (measured
-    # 2.7× the CPU when the 16 mins rode along here).
-    arrs = sh.groupBy("id").agg(F.collect_list("shh").alias("arr"))
+    # stages 1+2a fused (r15, guide §2.4): per-doc shingle SET straight
+    # from the raw (possibly-duplicated) shingle rows — collect_set
+    # dedups and gathers in ONE exchange on id. The r14 chain was
+    # shingle_rows' distinct (Exchange(id,shh) after a window's
+    # Exchange(id)+Sort) followed by a collect_list groupBy (a third
+    # exchange). Set order is partition-dependent but nothing downstream
+    # is order-sensitive (min over elements, array_intersect sizes).
+    # Kept free of other aggregate expressions: collect_set forces
+    # ObjectHashAggregate whose 128-key sort-based fallback would drag
+    # any sibling agg expressions out of codegen (measured 2.7× the CPU
+    # when the 16 mins rode along here).
+    arrs = (
+        _hashed_shingle_rows(df, text_col, id_col, shingle_n)
+        .groupBy("id")
+        .agg(F.collect_set("shh").alias("arr"))
+    )
     if materialize_signatures:
         arrs = arrs.localCheckpoint(eager=False)
 
@@ -329,8 +368,20 @@ def minhash_lsh_pairs(
     # stage 3: exact Jaccard per candidate — attach both docs' shingle
     # sets (two joins on id; broadcast when the set table is small,
     # shuffle-hash otherwise — AQE decides from the checkpointed size)
-    # and intersect locally
-    common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    # and intersect locally.
+    #
+    # The nondeterministic no-op term (+ spark_partition_id()*0 — always
+    # exactly 0) pins `common` to a SINGLE evaluation (r15, the guide
+    # §4.4 duplication fix applied to an expensive builtin): without it
+    # CollapseProject inlines `common` into the jaccard expression and
+    # filter pushdown copies that into the join condition, so
+    # array_intersect — a per-pair hash-set build over ~|doc| longs —
+    # executed 2× per CANDIDATE (numerator + denominator in the pushed
+    # condition) and 2× more per survivor (plan showed 3 distinct
+    # array_intersect sites; measured ~1.4× on dedup_minhash_verified).
+    common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))) + (
+        F.spark_partition_id() * F.lit(0)
+    )
     return (
         cand.join(arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
         .join(arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
@@ -901,9 +952,15 @@ def decontaminate(
     Returns (id, common_shingles, contaminated) for EVERY input row —
     keep/filter decisions stay with the caller.
     """
-    train = shingle_rows(df, text_col, id_col, n)
+    # RAW (possibly-duplicated) shingle rows on the train side (r15,
+    # guide §2.3 shuffle-fewer-bytes): the per-(id, shh) distinct used
+    # to shuffle the ENTIRE corpus's shingle table before the probe
+    # join; counting DISTINCT shh per id after the join dedups only the
+    # HIT rows — normally a sliver of 100 TB — so both exchanges below
+    # carry hits, not the corpus.
+    train = _hashed_shingle_rows(df, text_col, id_col, n)
     ev = (
-        shingle_rows(
+        _hashed_shingle_rows(
             eval_df.select(
                 F.monotonically_increasing_id().alias("__eid"),
                 F.col(eval_text_col),
@@ -925,7 +982,7 @@ def decontaminate(
     hits = (
         train.join(right, "shh")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        .agg(F.count_distinct(F.col("shh")).alias("common_shingles"))
     )
     return (
         df.select(F.col(id_col).alias("id"))
