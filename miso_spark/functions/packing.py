@@ -18,11 +18,18 @@ two-pass distributed prefix sum instead:
    partitions globally ordered);
 2. a per-partition cumulative sum (window partitioned by
    ``spark_partition_id()`` — parallel, no shuffle beyond step 1);
-3. per-partition totals — ONE row per partition — collect to the
-   driver, turn into per-partition starting offsets, and broadcast
-   them back as a map.
+3. per-partition totals — ONE row per partition — rolled into
+   per-partition starting offsets by a window over that tiny table and
+   broadcast-joined back onto the rows.
 
-Wall-clock is two linear passes; driver memory is O(#partitions).
+Wall-clock is two linear passes. Step 3 runs INSIDE the query plan
+(r15, guide §5): the former implementation ``collect()``-ed the totals
+to the driver at plan-BUILD time and baked them in as a literal map,
+which (a) put a driver round-trip and two eager Spark jobs in the
+query path and (b) hid that cost from any timing of the returned
+DataFrame. Now nothing executes until the caller's first action; the
+single-partition window only ever sees O(#partitions) rows — the same
+cardinality the driver used to hold.
 """
 
 from __future__ import annotations
@@ -30,47 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: above this many per-partition offset entries the prefix-sum offsets
-#: ship as a broadcast-joined DataFrame instead of a create_map literal
-#: — a literal map is cheapest for the common O(#partitions) case, but
-#: the GROUPED case is O(#partitions × #groups) literals and a
-#: training mix of 2,000 partitions × hundreds of sources would bloat
-#: the plan tree (analyzer + codegen cost) long before driver memory
-#: hurt. The broadcast join keeps plan size constant at any
-#: cardinality. Tests monkeypatch this to pin both plans.
-OFFSET_BROADCAST_THRESHOLD = 1000
 
-
-def _apply_offsets(
-    part: DataFrame,
-    offsets: dict,
-    key: "F.Column",
-    value_col: str,
-    out_col: str,
+def _attach_offsets(
+    part: DataFrame, offsets: DataFrame, keys: list, value_col: str, out_col: str
 ) -> DataFrame:
-    """Attach per-partition starting offsets: as a literal map below
-    OFFSET_BROADCAST_THRESHOLD entries, as a broadcast hash join above
-    it (same semantics, constant plan size)."""
-    if len(offsets) <= OFFSET_BROADCAST_THRESHOLD:
-        offset_map = (
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-            if offsets
-            else F.create_map()
-        )
-        return part.withColumn(
-            out_col, offset_map[key] + F.col("__local_end") - F.col(value_col)
-        )
-    spark = part.sparkSession
-    lookup = spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()], ["__okey", "__offset"]
-    )
+    """Broadcast-join the per-partition starting offsets back onto the
+    rows: ``out = offset + running_local_sum − value`` (exclusive
+    prefix). Constant plan size at any partition/group cardinality."""
     return (
-        part.withColumn("__okey", key)
-        .join(F.broadcast(lookup), "__okey", "left")
+        part.join(F.broadcast(offsets), keys)
         .withColumn(
             out_col, F.col("__offset") + F.col("__local_end") - F.col(value_col)
         )
-        .drop("__okey", "__offset")
+        .drop("__offset", "__local_end", *keys)
     )
 
 
@@ -117,30 +96,32 @@ def _with_prefix_sum(
     if pin_partitions:
         # pin the partition assignment: RangePartitioner samples its
         # boundaries per execution, so without materializing here the
-        # totals job below and the caller's later actions could assign
-        # rows to DIFFERENT partitions — local sums and the offset map
-        # would silently disagree. The checkpoint materializes once
-        # (the collect below runs it) and every downstream action
-        # reads the same blocks; ContextCleaner reclaims them when the
-        # result is dropped. (pin_partitions=False exists for plan
-        # inspection in tests — the checkpoint hides the upstream
-        # operators from explain.)
+        # totals subtree and the caller's later actions could assign
+        # rows to DIFFERENT partitions — local sums and the offsets
+        # would silently disagree. The LAZY checkpoint materializes on
+        # the caller's first action (typically while the offsets
+        # broadcast builds) and every other consumer reads the same
+        # blocks; ContextCleaner reclaims them when the result is
+        # dropped. (pin_partitions=False exists for plan inspection in
+        # tests — the checkpoint hides the upstream operators from
+        # explain.)
         part = part.localCheckpoint(eager=False)
     # per-partition totals via SUM of the value column (NOT max of the
     # running sum, which only equals the total for non-negative values
-    # — callers may pass negative deltas)
-    totals = {
-        r["__pid"]: r["t"]
-        for r in part.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    return _apply_offsets(
-        part, offsets, F.col("__pid"), value_col, out_col
-    ).drop("__pid", "__local_end")
+    # — callers may pass negative deltas). The exclusive running sum
+    # over the totals is a single-partition window — over O(#partitions)
+    # ROWS, the same cardinality the old driver-side loop held; the raw
+    # data never sees a global window.
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        # sum() skips null totals (an all-null-value partition), like
+        # the old driver loop's `or 0`; the first partition's empty
+        # frame yields NULL → 0
+        F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__offset"),
+    )
+    return _attach_offsets(part, offsets, ["__pid"], value_col, out_col)
 
 
 def _finish_grouped(
@@ -148,33 +129,29 @@ def _finish_grouped(
     pin_partitions: bool,
 ) -> DataFrame:
     """Grouped tail of :func:`_with_prefix_sum`: per-(partition, group)
-    totals → per-group running offsets across partitions → broadcast
-    back keyed on 'pid|group'. The group key string is computed by
-    SPARK on both sides (collected for the offsets, probed in the
-    map), so boolean/date/null group values can't round-trip through
-    Python repr differently than the SQL cast."""
+    totals → per-group running offsets across partitions (a window over
+    the tiny totals table, partitioned by group) → broadcast-joined
+    back on (pid, group key). The group key is normalized to a non-null
+    string ON the Spark side (both the totals and the probe rows), so
+    boolean/date/null group values can't round-trip differently."""
     part = part.withColumn(
         "__gkey",
         F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")),
     )
     if pin_partitions:
         part = part.localCheckpoint(eager=False)
-    totals = part.groupBy("__pid", "__gkey").agg(
-        F.sum(value_col).alias("t")
-    ).collect()
-    by_group: dict[str, list] = {}
-    for r in totals:
-        by_group.setdefault(r["__gkey"], []).append((r["__pid"], r["t"]))
-    offsets: dict[str, int] = {}
-    for g, pids in by_group.items():
-        acc = 0
-        for pid, t in sorted(pids):
-            offsets[f"{pid}|{g}"] = acc
-            acc += t or 0
-    key = F.concat_ws("|", F.col("__pid"), F.col("__gkey"))
-    return _apply_offsets(
-        part, offsets, key, value_col, out_col
-    ).drop("__pid", "__gkey", "__local_end")
+    totals = part.groupBy("__pid", "__gkey").agg(F.sum(value_col).alias("__t"))
+    woff = (
+        Window.partitionBy("__gkey")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        "__gkey",
+        F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__offset"),
+    )
+    return _attach_offsets(part, offsets, ["__pid", "__gkey"], value_col, out_col)
 
 
 def mix_by_token_budget(

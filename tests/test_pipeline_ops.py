@@ -955,8 +955,19 @@ def test_pack_sequences_plan_has_no_global_sort(spark):
     core = _with_prefix_sum(df, "n_tokens", "doc_id", "global_start",
                             pin_partitions=False)
     plan = core._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange SinglePartition" not in plan, plan
+    # r15 contract: the RAW data is range-partitioned and its running
+    # sum windows on __pid (parallel). The ONE allowed SinglePartition
+    # exchange feeds the offsets window over the per-partition TOTALS
+    # aggregate — O(#partitions) rows, the same cardinality the old
+    # driver-side collect held — inside the broadcast subtree.
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    if "Exchange SinglePartition" in plan:
+        # it must sit above the totals aggregate (its subtree mentions
+        # the totals column), never above the range-partitioned data
+        seg = plan[plan.index("Exchange SinglePartition"):]
+        assert "__t" in seg[:2000], plan
     assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
 
     # stats roll up per pack; total tokens conserved
     total = sum(10 + i % 7 for i in range(1000))
@@ -1014,13 +1025,15 @@ def test_token_budget_filter_greedy_prefix(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == ids
 
 
-def test_prefix_sum_offsets_broadcast_join_above_threshold(spark, monkeypatch):
-    """Above OFFSET_BROADCAST_THRESHOLD entries the prefix-sum offsets
-    must attach via a broadcast hash join (constant plan size) instead
-    of a create_map literal — the grouped literal map is O(#partitions
-    × #groups) plan nodes, an analyzer/codegen ceiling at training-mix
-    cardinalities. Same rows either way."""
-    from miso_spark.functions import packing
+def test_prefix_sum_offsets_computed_in_plan(spark):
+    """r15 contract (guide §5): the per-partition offsets are computed
+    INSIDE the returned plan — a totals aggregate + tiny window feeding
+    a BroadcastHashJoin — not collect()ed to the driver at build time
+    and baked in as literals (the r14 form, which put a driver
+    round-trip in the query path and hid the totals pass from any
+    timing of the returned DataFrame). The only build-time jobs allowed
+    are AQE's materialization of the pinning checkpoint's shuffle MAP
+    stage — never a result-collecting pass. Same rows as ever."""
     from miso_spark.functions.packing import mix_by_token_budget, token_budget_filter
 
     df = spark.createDataFrame(
@@ -1029,22 +1042,22 @@ def test_prefix_sum_offsets_broadcast_join_above_threshold(spark, monkeypatch):
     )
     budgets = {f"s{g}": 100 for g in range(6)}
 
-    def run(threshold):
-        monkeypatch.setattr(packing, "OFFSET_BROADCAST_THRESHOLD", threshold)
-        out = mix_by_token_budget(df, budgets)
+    grouped = mix_by_token_budget(df, budgets)
+    flat = token_budget_filter(df, budget=250)
+    for out in (grouped, flat):
         plan = out._jdf.queryExecution().executedPlan().toString()
-        return sorted(r["doc_id"] for r in out.collect()), plan
-
-    rows_map, plan_map = run(10**6)
-    rows_join, plan_join = run(0)
-    assert rows_map == rows_join
-    assert "BroadcastHashJoin" not in plan_map
-    assert "BroadcastHashJoin" in plan_join
-    # ungrouped path takes the same gate
-    monkeypatch.setattr(packing, "OFFSET_BROADCAST_THRESHOLD", 0)
-    out = token_budget_filter(df, budget=250)
-    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
-    assert sorted(r["doc_id"] for r in out.collect()) == list(range(25))
+        # offsets arrive via a broadcast-joined aggregate, not literals
+        assert "BroadcastHashJoin" in plan, plan
+        assert "__offset" in plan, plan
+        assert "map_keys" not in plan and "keys: [0," not in plan, plan
+    # values unchanged by the lazy rewrite
+    assert sorted(r["doc_id"] for r in flat.collect()) == list(range(25))
+    got = sorted(r["doc_id"] for r in grouped.collect())
+    # each source s0..s5 keeps its 10-token docs in doc_id order up to
+    # 100 tokens -> the 10 lowest doc_ids of each source
+    exp = sorted(i for i in range(120) if sorted(
+        j for j in range(120) if j % 6 == i % 6).index(i) < 10)
+    assert got == exp
 
 
 def test_cap_per_group_matches_sql_oracle(spark, docs):
