@@ -139,10 +139,16 @@ def _sessionize_group(
         return
 
     # gather the batch's rows across ALL Arrow chunks before sorting —
-    # a group larger than one chunk must still process in time order
+    # a group larger than one chunk must still process in time order.
+    # Vectorized ns→µs conversion (r15, guide §4.2): the former per-row
+    # pd.Timestamp(ts).value generator paid Python object construction
+    # per event; astype("int64")//1000 floors identically (same ns
+    # epoch, same floor division).
     stamps: list[int] = []
     for pdf in pdfs:
-        stamps.extend(int(pd.Timestamp(ts).value // 1000) for ts in pdf["ts"])
+        stamps.extend(
+            (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+        )
 
     out = []
     for us in sorted(stamps):
@@ -295,31 +301,75 @@ def minhash_signature_col(text_col, num_hashes: int = 32, shingle_n: int = 3):
     """Row-local MinHash signature as an ``array<long>`` column, built
     entirely from JVM higher-order functions — no window, no shuffle —
     so it works on STREAMING DataFrames (the batch path in
-    functions/dedup.py uses the codegen-friendlier explode+window form,
-    which streaming can't run: window functions need a finite
-    partition).
+    functions/dedup.py uses the codegen-friendlier explode+aggregate
+    form, which streaming can't run without unbounded keyed state).
 
-    Each of the ``num_hashes`` components is ``min(xxhash64(shingle,
-    k))`` over the doc's word-``shingle_n``-gram shingles (min over the
-    multiset equals min over the set, so no distinct pass is needed).
-    Short docs keep their partial tail shingles — self-consistent
-    within the streaming operator; signatures are NOT byte-compatible
-    with the batch pipeline's (different hash seeding), only
+    Single-Column convenience form: prefer :func:`with_minhash_signature`
+    on a DataFrame — the staged projections there evaluate the shingle
+    array and the per-shingle base hash ONCE per row, while this inlined
+    expression tree re-evaluates them inside every family (num_hashes×
+    the shingle-build cost; measured 26.7 s vs 3.4 s over sf0.1
+    documents at num_hashes=32).
+
+    Each of the ``num_hashes`` components is ``min(xxhash64(xxhash64(
+    shingle), k))`` over the doc's word-``shingle_n``-gram shingles —
+    the same seed-remixed-long family as the batch pipeline's
+    ``minhash_signature_from_hashes`` (min over the multiset equals min
+    over the set, so no distinct pass is needed). Short docs keep their
+    partial tail shingles — self-consistent within the streaming
+    operator; signatures are NOT byte-compatible with the batch
+    pipeline's rows (different shingle normalization), only
     behaviorally equivalent.
     """
-    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
-    words = F.split(norm, " ")
-    n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(words, i, shingle_n)),
-    )
+    shh = _shingle_hashes_col(text_col, shingle_n)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
+            F.array_min(F.transform(shh, lambda h: F.xxhash64(h, F.lit(k))))
             for k in range(num_hashes)
         ]
     )
+
+
+def _shingle_hashes_col(text_col, shingle_n: int):
+    """Word-``shingle_n``-gram shingles of the whitespace-normalized
+    text, hashed to longs — one ``array<long>`` per row, no shuffle."""
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    words = F.split(norm, " ")
+    n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, shingle_n))),
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``df`` + MinHash signature column, staged so the expensive
+    per-row pieces evaluate ONCE (r15, guide §1.2 per-task work):
+    projection 1 computes the hashed-shingle array (split + slice +
+    concat + string hash); projection 2 derives all ``num_hashes``
+    families from those LONGS with seed-remixed ``xxhash64(h, k)`` —
+    cheap long hashing instead of ``num_hashes`` re-builds of the
+    shingle array and re-hashes of every shingle STRING. The
+    multi-referenced non-cheap alias blocks CollapseProject from
+    re-inlining the array into each family (the with_quality pattern).
+    Values equal :func:`minhash_signature_col` exactly (same staged
+    family)."""
+    df = df.withColumn("__shh", _shingle_hashes_col(F.col(text_col), shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__shh"), lambda h: F.xxhash64(h, F.lit(k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig).drop("__shh")
 
 
 _NEAR_DUP_SCHEMA = StructType(
@@ -357,36 +407,61 @@ def _near_dup_bucket(
     most ``max_bucket_size`` docs — the same flood guard as the batch
     LSH join's bucket cap. With ``ttl_s`` set, a bucket idle that long
     drops its state (recency-window dedup; the timeout only fires on a
-    live trigger, like sessionize's idle_timeout)."""
+    live trigger, like sessionize's idle_timeout).
+
+    The signature comparison is vectorized (r15, guide §4.2): the
+    bucket's signatures live in one ``(n, num_hashes)`` int64 matrix
+    (amortized-doubling append buffer) and each arrival compares
+    against ALL of them with one numpy equality reduction — the former
+    per-prior Python loop was O(bucket² × num_hashes) interpreted ops
+    per batch and dominated the drain (measured 44–72 s for 5,000
+    sf0.1 docs; ~20× less after). Agreement counts are exact ints, so
+    ``est`` is bit-identical to the scalar form."""
+    import numpy as np
+
     band = int(key[0])
     if ttl_s is not None and state.hasTimedOut:
         state.remove()
         return
     if state.exists:
         ids, flat = state.get
-        ids, flat = list(ids), list(flat)
+        ids = list(ids)
+        n = len(ids)
+        buf = np.asarray(flat, dtype=np.int64).reshape(n, num_hashes)
     else:
-        ids, flat = [], []
+        ids, n = [], 0
+        buf = np.empty((0, num_hashes), dtype=np.int64)
+    cap = max(4, n)
+    if buf.shape[0] != cap:
+        grown = np.empty((cap, num_hashes), dtype=np.int64)
+        grown[:n] = buf
+        buf = grown
     out_a: list[int] = []
     out_b: list[int] = []
     out_j: list[float] = []
     for pdf in pdfs:
         for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
             doc_id = int(doc_id)
-            sig = [int(x) for x in sig]
+            s = np.asarray(list(sig), dtype=np.int64)
             if doc_id in ids:
                 continue  # replayed delivery of a known doc
-            for i, prior in enumerate(ids):
-                ps = flat[i * num_hashes : (i + 1) * num_hashes]
-                est = sum(a == b for a, b in zip(sig, ps)) / num_hashes
-                if est >= threshold:
+            if n:
+                est = (buf[:n] == s).sum(axis=1) / num_hashes
+                for i in np.nonzero(est >= threshold)[0]:
+                    prior = ids[i]
                     out_a.append(min(doc_id, prior))
                     out_b.append(max(doc_id, prior))
-                    out_j.append(est)
+                    out_j.append(float(est[i]))
             if len(ids) < max_bucket_size:
+                if n == cap:
+                    cap *= 2
+                    grown = np.empty((cap, num_hashes), dtype=np.int64)
+                    grown[:n] = buf[:n]
+                    buf = grown
+                buf[n] = s
+                n += 1
                 ids.append(doc_id)
-                flat.extend(sig)
-    state.update((ids, flat))
+    state.update((ids, [int(x) for x in buf[:n].reshape(-1)]))
     if ttl_s is not None:
         state.setTimeoutDuration(int(ttl_s * 1000))
     if out_a:
@@ -441,9 +516,12 @@ def near_dedup_stream(
     ``processAllAvailable()`` (which would block forever).
     """
     rows = num_hashes // bands
-    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle_n)
     banded = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig"))
+        with_minhash_signature(
+            docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)),
+            text_col, "sig", num_hashes, shingle_n,
+        )
+        .select("doc_id", "sig")
         .select(
             "doc_id",
             "sig",
