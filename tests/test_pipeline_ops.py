@@ -1522,3 +1522,70 @@ def test_embedding_pair_cosine_matches_per_pair_norms(spark, emb):
     )
     key = lambda rows: sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
     assert key(got) == key(want)
+
+
+def test_shingle_rows_matches_shingles_column_form(spark):
+    """r15: shingle_rows switched from explode-words + lead window to
+    index-explode + per-row slice. Pin that the row form equals the
+    reference ``shingles()`` column form (posexploded, hashed, distinct)
+    on every edge: normal docs, docs shorter than n (one partial
+    shingle), empty text (one empty shingle), repeated shingles
+    (dedup), and whitespace runs. NULL text is the one documented
+    divergence: the row form emits NO rows (both the old window form
+    and the r15 rewrite — the behavior the DuckDB oracle pins), while
+    the column form's sequence-over-null yields one empty shingle."""
+    from miso_spark.functions.dedup import shingle_rows, shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "short doc"),
+            (3, ""),
+            (4, "a b a b a b a b a b"),
+            (5, None),
+            (6, "  spaced   out\ttabs\nnewlines  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["shh"]) for r in shingle_rows(df, "text", "doc_id", 3).collect()
+    )
+    ref = sorted(
+        (r["id"], r["shh"])
+        for r in df.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles(F.col("text"), 3)).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("shh"))
+        .distinct()
+        .collect()
+    )
+    assert got == ref
+    assert not any(i == 5 for i, _ in got), "NULL text must yield no rows"
+    assert sum(1 for i, _ in got if i == 3) == 1  # empty text: one empty shingle
+    assert sum(1 for i, _ in got if i == 2) == 1  # short doc: one partial shingle
+
+
+def test_with_minhash_signature_equals_column_form(spark):
+    """r15: the staged two-projection signature build (hashed shingles
+    once, then seed-remixed long families) must produce the exact
+    arrays of the single-Column convenience form."""
+    from miso_spark.streaming.api import minhash_signature_col, with_minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    staged = {
+        r["doc_id"]: list(r["sig"])
+        for r in with_minhash_signature(df, "text", "sig", 8, 3).collect()
+    }
+    inline = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", minhash_signature_col(F.col("text"), 8, 3).alias("sig")
+        ).collect()
+    }
+    assert staged == inline
+    assert all(len(v) == 8 for v in staged.values())
